@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Summary-stats and regression aggregates (SURVEY.md A3/A4/A8).
+  *
+  * Reference: per-chunk per-column `{dtype, count, min, max, mean}` over
+  * finite values (`aeon/dj_pipeline/utils/stats.py:14-23`), timestamp stats
+  * with median-diff sampling rate (`stats.py:26-39`), and the per-file
+  * HarpSync linear regression (`aeon/schema/ephys.py:35-71`).
+  *
+  * Everything composes from built-in declarative aggregates — map-side
+  * partials and whole-stage codegen for free; no UDAF needed (SURVEY.md §7.4).
+  */
+object StatsFunctions {
+
+  /** Finite-only column stats as a struct `(count, min, max, mean)`
+    * (`stats.py:14-23`: NaN/inf excluded, mean rounded to 4 decimals).
+    */
+  def columnStats(c: Column): Column = {
+    val finite = when(!isnan(c) && c =!= Double.PositiveInfinity &&
+      c =!= Double.NegativeInfinity, c)
+    struct(
+      count(finite).as("count"),
+      min(finite).as("min"),
+      max(finite).as("max"),
+      round(avg(finite), 4).as("mean"))
+  }
+
+  /** Timestamp stats `(min, max, count, sampling_rate_hz)` where the rate is
+    * `1e6 / median(diff(ts_micros))` (`stats.py:26-39` uses 1e9/median ns
+    * diff; Spark timestamps are µs). Median diff must be computed with a lag
+    * window BEFORE aggregation; this takes the pre-computed diff column.
+    */
+  def timestampStats(ts: Column, diffMicros: Column): Column =
+    struct(
+      min(ts).as("min"),
+      max(ts).as("max"),
+      count(ts).as("count"),
+      round(lit(1e6) / percentile(diffMicros, lit(0.5)), 4)
+        .as("sampling_rate_hz"))
+
+  /** Per-group OLS of y ~ x, as `(slope, intercept, r2, n)` — the HarpSync
+    * sync-model aggregate (`schema/ephys.py:43-68`). Pure built-ins
+    * (`regr_slope` family), so the model is a struct of coefficients, never a
+    * serialized object, and prediction stays a codegen'd expression.
+    */
+  def regression(y: Column, x: Column): Column =
+    struct(
+      regr_slope(y, x).as("slope"),
+      regr_intercept(y, x).as("intercept"),
+      regr_r2(y, x).as("r2"),
+      regr_count(y, x).as("n"))
+}

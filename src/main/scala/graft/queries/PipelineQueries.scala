@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Training-data pipeline pack (driver brief: first-class alongside
+  * SURVEY.md §2): deduplication, similarity search, and text analysis over
+  * the `documents` / `embeddings` tables.
+  *
+  * Oracle strategy: everything whose values DuckDB can reproduce exactly gets
+  * an oracle; the hash-seeded operators (MinHash/SimHash/LSH buckets) are
+  * engine-specific by construction and declared without oracles (the driver
+  * records the weaker rows-only check), with exact-arithmetic companions
+  * (n-gram Jaccard, brute-force cosine) oracled to pin the semantics.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup, keep-first by doc_id within identical text (hash-groupBy
+    // dedup: at 100 TB the shuffle key is the 8-byte fingerprint, not text).
+    "q60_dedup_exact" -> ((s, d) => {
+      Dedup.keepFirst(Tables.documents(s, d), Seq("text"), "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + BPE-ish regex counts.
+    "q61_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring features (C4/Gopher-style heuristics).
+    "q62_quality_features" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("q", TextFunctions.qualityFeatures(col("text")))
+        .select(col("doc_id"),
+          col("q.n_chars").as("n_chars_m"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.mean_word_len").as("mean_word_len"),
+          col("q.digit_ratio").as("digit_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (n-gram-free stopword argmax).
+    "q63_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
+            .as("en_stopwords"),
+          TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting — 64-bit exact-dup key + group sizes.
+    // xxhash64 is engine-specific → no oracle; count invariants checked in
+    // the spec instead.
+    "q64_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("fp", TextFunctions.fingerprint64(col("text")))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper_id"))
+        .orderBy("keeper_id")
+    }),
+
+    // MinHash + LSH near-dup candidates, verified with exact n-gram Jaccard.
+    // Scale shape: |docs|×bands bucket rows → equi-join; exact Jaccard only
+    // on candidates. Engine-specific hashing → no oracle.
+    "q65_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        numHashes = 32, shingleN = 3)
+      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
+      val sh = Dedup.withShingles(docs, "doc_id", "text", n = 3)
+      val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup: 64-bit fingerprints + Hamming distance ≤ 8 on LSH
+    // candidate pairs. Engine-specific → no oracle.
+    "q66_simhash" -> ((s, d) => {
+      val docs = Dedup.simhashSignatures(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
+      val a = docs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      // Band the 64-bit fingerprint into 4×16-bit blocks: near-dups (≤8
+      // differing bits) collide on at least one block with high probability.
+      def banded(df: DataFrame, id: String, sh: String) =
+        df.select(col(id), col(sh),
+          posexplode(array((0 until 4).map(i =>
+            shiftright(col(sh), i * 16).bitwiseAND(0xFFFFL)): _*))
+            .as(Seq("band", "block")))
+      banded(a, "id_a", "sh_a").join(banded(b, "id_b", "sh_b"), Seq("band", "block"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", Dedup.hamming64("sh_a", "sh_b"))
+        .filter(col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Exact n-gram Jaccard all-pairs over a small probe set (first 20 docs) —
+    // the oracled companion pinning shingle/Jaccard semantics.
+    "q67_ngram_jaccard" -> ((s, d) => {
+      val probe = Tables.documents(s, d).filter(col("doc_id") < 20)
+      val sh = Dedup.withShingles(probe, "doc_id", "text", n = 3)
+      val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine scores, query side broadcast (correctness baseline
+    // for ANN): scores of 5 query vectors against the whole corpus.
+    "q68_cosine_scores" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(VectorFunctions.cosine(col("embedding"), col("qvec")), 6)
+            .as("cosine"))
+        .orderBy("query_id", "vec_id")
+    }),
+
+    // Brute-force top-k ANN per query (k=10). Ranking ties broken by vec_id;
+    // fp rank flips across engines are possible in principle → no oracle,
+    // invariants in spec; q68 pins the scores themselves.
+    "q69_ann_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id", "embedding", k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "cosine")
+    }),
+
+    // LSH-bucketed ANN (the 100 TB path) — same output shape as q69.
+    "q70_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, "vec_id", "query_id", "embedding",
+        k = 10, nBits = 10, nTables = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "cosine")
+    }),
+
+    // Embedding-cosine near-dup pairs above 0.999 via LSH buckets. The
+    // synthetic corpus has no near-dups (max pairwise cosine ≈ 0.51), so the
+    // query plants deterministic ones: scaled copies of vec_id < 10 at
+    // vec_id + 100000 (cosine exactly 1 with their originals — scaling
+    // preserves direction). Expected output: exactly those 10 pairs, at any
+    // scale factor — found via bucket collisions, never all-pairs.
+    "q71_embedding_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.5f)).as("embedding"))
+      Similarity.nearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.999, nBits = 8, nTables = 8)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-source corpus stats — the "document table health" rollup every
+    // training-data pipeline runs before a job.
+    "q72_corpus_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_dedup_exact" ->
+      """SELECT doc_id, source, n_chars FROM (
+         SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         FROM documents) WHERE rn = 1
+       ORDER BY doc_id""",
+    "q61_token_count" ->
+      """SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+       FROM documents ORDER BY doc_id""",
+    "q62_quality_features" ->
+      """SELECT doc_id,
+         length(text) AS n_chars_m,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         round(CAST(length(text) AS DOUBLE) /
+           greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 4)
+           AS mean_word_len,
+         round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+           greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS digit_ratio,
+         round(CAST(len(regexp_extract_all(text,
+             '(?i)\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|are|at|be|this|by|an)\b'))
+           AS DOUBLE) /
+           greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0), 4)
+           AS stopword_ratio
+       FROM documents ORDER BY doc_id""",
+    "q63_lang_id" ->
+      """WITH scores AS (
+         SELECT doc_id,
+           len(regexp_extract_all(text,
+             '(?i)\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|are|at|be|this|by|an)\b'))
+             AS s_en,
+           len(regexp_extract_all(text,
+             '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|für)\b')) AS s_de,
+           len(regexp_extract_all(text,
+             '(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS s_fr,
+           len(regexp_extract_all(text,
+             '(?i)\b(el|la|los|las|es|una|por|con|para|como)\b')) AS s_es
+         FROM documents)
+       SELECT doc_id, s_en AS en_stopwords,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              ELSE (SELECT max(x.l) FROM (VALUES (s_en, 'en'), (s_de, 'de'),
+                    (s_fr, 'fr'), (s_es, 'es')) AS x(s, l)
+                    WHERE x.s = greatest(s_en, s_de, s_fr, s_es)) END AS lang_pred
+       FROM scores ORDER BY doc_id""",
+    "q67_ngram_jaccard" ->
+      """WITH norm AS (
+         SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS words
+         FROM documents WHERE doc_id < 20),
+       grams AS (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> array_to_string(words[i:i+2], ' '))) AS g
+         FROM norm)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CASE WHEN len(list_distinct(g_union)) > 0
+           THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / len(list_distinct(g_union))
+           ELSE 0.0 END, 4) AS jaccard
+       FROM grams a JOIN grams b ON a.doc_id < b.doc_id,
+         LATERAL (SELECT list_concat(a.g, b.g) AS g_union)
+       ORDER BY id_a, id_b""",
+    "q68_cosine_scores" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id < 5)
+       SELECT q.query_id, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qvec AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                    CAST(q.qvec AS DOUBLE[])))), 6) AS cosine
+       FROM embeddings e CROSS JOIN q
+       WHERE e.vec_id <> q.query_id
+       ORDER BY query_id, vec_id""",
+    "q72_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         round(avg(n_chars), 4) AS avg_chars,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens,
+         count(DISTINCT lang) AS n_langs
+       FROM documents GROUP BY source ORDER BY source"""
+  )
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator pack — SURVEY.md §2.2 (filters/projections),
+  * §2.3 J1/J2/J6/J7 (joins), §2.4 (aggregations), §2.7 (set ops).
+  *
+  * Every query is totally ordered so the driver's row-hash compare is
+  * deterministic, and every computed column is aliased identically to its
+  * DuckDB oracle. Joins against region/nation/customer/supplier are broadcast
+  * (dimension side ≤ a few MB even at 100 TB fact scale); aggregates are all
+  * partial-aggregable so map-side combine keeps the shuffle small.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A-family: TPC-H Q1-style pricing summary (grouped agg, full scan,
+    // map-side partials; the shuffle carries |groups| rows only).
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P2: predicates — BETWEEN, LIKE, IN, boolean mix (reference restriction
+    // strings, `acquisition.py:645-654`, `spike_sorting.py:193`).
+    "q02_filter_predicates" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")) &&
+          col("l_returnflag").like("R%") &&
+          col("l_quantity").isin(10.0, 20.0, 30.0, 40.0, 50.0) ||
+          (col("l_discount") > 0.09 && col("l_tax") < 0.02))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    }),
+
+    // P3: projection with renames + computed columns (reference `proj()`,
+    // `subject.py:232-236` TIMESTAMPDIFF arithmetic). The fee multiply runs
+    // in exact decimal: double×1.1 lands on half-cent boundaries where
+    // engines' double-rounding modes diverge.
+    "q03_projection_computed" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          expr("round(cast(o_totalprice as decimal(18,4)) * 1.1, 2)")
+            .cast("double").as("price_with_fee"),
+          year(col("o_orderdate")).as("order_year"),
+          datediff(lit("1999-01-01").cast("timestamp"), col("o_orderdate")).as("age_days"))
+        .orderBy("o_orderkey")
+    }),
+
+    // J1: natural inner joins through the dimension chain; dims broadcast.
+    "q04_join_revenue_by_nation" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = broadcast(Tables.customer(s, d))
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J2 + P5: left join keeping order-less customers, coalesced zero counts
+    // (reference null-row semantics, `acquisition.py:664-705`).
+    "q05_left_join_zero_counts" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // J6: semi join — customers having a large order (EXISTS).
+    "q06_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // J7: anti join — the populate-engine primitive (NOT EXISTS). Restricted
+    // to urgent orders so the frontier is non-empty at every scale factor.
+    "q07_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // §2.7 set ops: union + distinct of PK projections
+    // (`spike_sorting.py:1297-1299`).
+    "q08_union_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val highValue = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      highValue.union(urgent).distinct()
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    }),
+
+    // A5: grouped count / countDistinct.
+    "q09_group_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // A1: scalar max/min over a table (next-id assignment,
+    // `tracking.py:73-76`).
+    "q10_scalar_minmax" -> ((s, d) => {
+      Tables.orders(s, d)
+        .agg(
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderkey")).as("min_key"),
+          (max(col("o_orderkey")) + 1).as("next_id"))
+    }),
+
+    // §2.7 difference: EXCEPT of key sets (customers ordering, minus those
+    // ever ordering urgently — non-empty at every scale factor).
+    "q11_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val active = o.select(col("o_custkey").as("custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      active.except(urgent).orderBy("custkey")
+    }),
+
+    // §2.7 intersect.
+    "q12_intersect" -> ((s, d) => {
+      val seg = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val active = Tables.orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+      seg.intersect(active).orderBy("custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+       FROM lineitem
+       WHERE (l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+              AND l_returnflag LIKE 'R%'
+              AND l_quantity IN (10.0, 20.0, 30.0, 40.0, 50.0))
+          OR (l_discount > 0.09 AND l_tax < 0.02)
+       ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax""",
+    "q03_projection_computed" ->
+      """SELECT o_orderkey,
+         o_totalprice AS price,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2) AS DOUBLE)
+           AS price_with_fee,
+         CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         CAST(datediff('day', o_orderdate, TIMESTAMP '1999-01-01') AS INTEGER) AS age_days
+       FROM orders
+       ORDER BY o_orderkey""",
+    "q04_join_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name
+       ORDER BY r_name, n_name""",
+    "q05_left_join_zero_counts" ->
+      """SELECT c_custkey,
+         count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey
+       ORDER BY c_custkey""",
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+       FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+       ORDER BY c_custkey""",
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name
+       FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       ORDER BY c_custkey""",
+    "q08_union_distinct" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+         UNION ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       ORDER BY custkey""",
+    "q09_group_count_distinct" ->
+      """SELECT l_returnflag,
+         count(*) AS n_rows,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_partkey) AS n_parts
+       FROM lineitem
+       GROUP BY l_returnflag
+       ORDER BY l_returnflag""",
+    "q10_scalar_minmax" ->
+      """SELECT max(o_orderkey) AS max_key, min(o_orderkey) AS min_key,
+         max(o_orderkey) + 1 AS next_id
+       FROM orders""",
+    "q11_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+       EXCEPT
+       SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       ORDER BY custkey""",
+    "q12_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+       INTERSECT
+       SELECT o_custkey AS custkey FROM orders
+       ORDER BY custkey"""
+  )
+}

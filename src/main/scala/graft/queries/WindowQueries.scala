@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, IntervalJoin, Sessionize}
+import graft.functions.{HashFunctions, StatsFunctions}
+import graft.sources.Tables
+
+/** Window + advanced-join pack — SURVEY.md §2.5 (W1-W7), §2.3 J3/J4/J5,
+  * §2.4 A2/A7/A8. All windows partition by `user_id`, so the single shuffle
+  * is keyed and scales with the user cardinality; no global windows in the
+  * hot path.
+  */
+object WindowQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def wUser = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  val queries: Map[String, Q] = Map(
+    // W1: lag-difference (reference CameraQC frame deltas, qc.py:92-99).
+    "q20_lag_delta" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wUser))
+            .as("dt_micros"),
+          round(col("value") - lag(col("value"), 1).over(wUser), 6).as("dvalue"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W2: running sum (qc.py:99 cumulative dropped frames).
+    "q21_running_sum" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(sum(col("value")).over(
+            wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+            .as("running_value"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W3: time-range trailing window (tracking.py:319 rolling("1s")) —
+    // trailing 1 hour here; RANGE frame over epoch-micros so peers at equal
+    // timestamps are handled identically in both engines.
+    "q22_range_rolling" -> ((s, d) => {
+      val wRange = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(sum(col("value")).over(wRange), 4).as("trailing_1h_value"),
+          count(lit(1)).over(wRange).as("trailing_1h_events"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // W5: top-1 per group (dj.Top(limit=1), ephys.py:788-790).
+    "q23_latest_per_user" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // W6: look-back epoch closure (acquisition.py:253-304): each signup opens
+    // an epoch; end = next signup, duration capped at 7 days (lead + least).
+    "q24_epoch_closure" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("epoch_start"),
+          least(lead(col("ts"), 1).over(w),
+            col("ts") + expr("INTERVAL 7 DAYS")).as("epoch_end"))
+        .orderBy("user_id", "epoch_start")
+    }),
+
+    // W7: sessionization by inactivity gap (tracking.py:318-323 pattern),
+    // 30-minute gap; per-session aggregates.
+    "q25_sessionize" -> ((s, d) => {
+      Sessionize.byGap(Tables.events(s, d), "ts", Seq("user_id"), gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          round(sum(col("value")), 4).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // J5: as-of join — each purchase matched to the user's most recent
+    // at-or-before signup (pandas merge_asof / reindex-pad semantics).
+    "q26_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      AsOfJoin.backward(purchases, signups, "ts", "signup_ts", keys = Seq("user_id"))
+        .select("event_id", "user_id", "ts", "value", "signup_ts")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // J4: interval-overlap join via bucket decomposition — purchases within
+    // ±5 min of an error by the same user (onix_imu.py:131-133 semantics).
+    "q27_interval_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          (unix_micros(col("ts")) - 300L * 1000000L).as("win_start"),
+          (unix_micros(col("ts")) + 300L * 1000000L).as("win_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          unix_micros(col("ts")).as("p_start"), unix_micros(col("ts")).as("p_end"))
+        .withColumnRenamed("p_user", "user_id")
+      IntervalJoin.overlapBucketed(
+        errors, purchases, "win_start", "win_end", "p_start", "p_end",
+        bucketWidth = 600L * 1000000L,
+        leftKeys = Seq("error_id"), rightKeys = Seq("purchase_id"),
+        equiKeys = Seq("user_id"))
+        .select("error_id", "purchase_id", "user_id")
+        .orderBy("error_id", "purchase_id")
+    }),
+
+    // A8: per-group regression aggregate (HarpSync sync model,
+    // schema/ephys.py:35-71): value ~ seconds-since-epoch-start per user.
+    "q28_regression" -> ((s, d) => {
+      val x = unix_micros(col("ts")).cast("double") / 1e6
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(StatsFunctions.regression(col("value"), x).as("model"))
+        .select(col("user_id"),
+          round(col("model.slope") * 1e6, 6).as("slope_per_mega_s"),
+          round(col("model.r2"), 6).as("r2"),
+          col("model.n").as("n"))
+        .orderBy("user_id")
+    }),
+
+    // A3/A4: summary stats incl. median-diff sampling rate (stats.py:14-39).
+    "q29_stream_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("__diff",
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).cast("double"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("value")).as("count"),
+          round(min(col("value")), 4).as("min"),
+          round(max(col("value")), 4).as("max"),
+          round(avg(col("value")), 4).as("mean"),
+          round(lit(1e6) / percentile(col("__diff"), lit(0.5)), 10).as("rate_hz"))
+        .orderBy("event_type")
+    }),
+
+    // A7: config-equality hash aggregate (load_metadata.py:780-788,
+    // hashing.py:7-13): MD5 over sorted per-user event-type counts.
+    "q30_config_hash" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(HashFunctions.configHash(col("event_type"), col("n")).as("config_hash"))
+        .orderBy("user_id")
+    }),
+
+    // A2: bidirectional frontier (spike_sorting.py:1276-1299): per user the
+    // processed window is [min,max] of purchase times; count candidate events
+    // outside it on each side.
+    "q31_frontier" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val frontier = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      ev.join(frontier, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts") < col("lo"), 1L).otherwise(0L)).as("n_before"),
+          sum(when(col("ts") > col("hi"), 1L).otherwise(0L)).as("n_after"))
+        .orderBy("user_id")
+    })
+  )
+
+  /** Events arrive with ns-precision timestamps; the engine reads them at the
+    * µs fetch-edge contract, so every oracle goes through this µs-cast CTE.
+    */
+  private val EV =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       event_type, value, props FROM events)"""
+
+  val oracles: Map[String, String] = Map(
+    "q20_lag_delta" -> s"""$EV
+       SELECT event_id, user_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS dt_micros,
+         round(value - lag(value, 1) OVER w, 6) AS dvalue
+       FROM ev
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY user_id, ts, event_id""",
+    "q21_running_sum" -> s"""$EV
+       SELECT event_id, user_id, ts,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+       FROM ev
+       ORDER BY user_id, ts, event_id""",
+    "q22_range_rolling" -> s"""$EV
+       SELECT event_id, user_id, ts,
+         round(sum(value) OVER w, 4) AS trailing_1h_value,
+         count(*) OVER w AS trailing_1h_events
+       FROM ev
+       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, ts, event_id""",
+    "q23_latest_per_user" -> s"""$EV
+       SELECT user_id, event_id, ts, event_type, value FROM (
+         SELECT *, row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) AS rn
+         FROM ev) WHERE rn = 1
+       ORDER BY user_id""",
+    "q24_epoch_closure" -> s"""$EV
+       SELECT user_id, ts AS epoch_start,
+         least(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts),
+               ts + INTERVAL 7 DAY) AS epoch_end
+       FROM ev WHERE event_type = 'signup'
+       ORDER BY user_id, epoch_start""",
+    "q25_sessionize" -> s"""$EV,
+       flagged AS (
+         SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), sessions AS (
+         SELECT user_id, ts, value,
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+             AS session_id
+         FROM flagged)
+       SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start, max(ts) AS session_end,
+         round(sum(value), 4) AS session_value
+       FROM sessions GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""",
+    "q26_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, s.signup_ts
+       FROM (SELECT event_id, user_id, ts, value FROM events
+             WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN
+            (SELECT user_id, ts AS signup_ts FROM events
+             WHERE event_type = 'signup') s
+         ON p.user_id = s.user_id AND s.signup_ts <= p.ts
+       ORDER BY p.user_id, p.ts, p.event_id""",
+    "q27_interval_overlap" ->
+      """SELECT e.event_id AS error_id, p.event_id AS purchase_id, e.user_id
+       FROM events e JOIN events p
+         ON e.user_id = p.user_id
+        AND e.event_type = 'error' AND p.event_type = 'purchase'
+        AND p.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+       ORDER BY error_id, purchase_id""",
+    "q28_regression" ->
+      """SELECT user_id,
+         round(regr_slope(value, epoch_us(ts) / 1000000.0) * 1e6, 6) AS slope_per_mega_s,
+         round(regr_r2(value, epoch_us(ts) / 1000000.0), 6) AS r2,
+         regr_count(value, epoch_us(ts) / 1000000.0) AS n
+       FROM events GROUP BY user_id ORDER BY user_id""",
+    "q29_stream_stats" ->
+      """WITH diffs AS (
+         SELECT event_type, value,
+           CAST(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS DOUBLE) AS diff
+         FROM events)
+       SELECT event_type,
+         count(value) AS count,
+         round(min(value), 4) AS min,
+         round(max(value), 4) AS max,
+         round(avg(value), 4) AS mean,
+         round(1e6 / quantile_cont(diff, 0.5), 10) AS rate_hz
+       FROM diffs GROUP BY event_type ORDER BY event_type""",
+    "q30_config_hash" ->
+      """WITH counts AS (
+         SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY user_id, event_type)
+       SELECT user_id,
+         md5(string_agg(event_type || '=' || n, '|' ORDER BY event_type || '=' || n))
+           AS config_hash
+       FROM counts GROUP BY user_id ORDER BY user_id""",
+    "q31_frontier" ->
+      """WITH frontier AS (
+         SELECT user_id, min(ts) AS lo, max(ts) AS hi
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+       SELECT e.user_id,
+         CAST(sum(CASE WHEN e.ts < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN e.ts > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+       FROM events e JOIN frontier f ON e.user_id = f.user_id
+       GROUP BY e.user_id ORDER BY e.user_id"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming re-expression of the reference's incremental
+  * semantics (SURVEY.md §2.9).
+  *
+  * The reference is a micro-batch incremental pipeline: 1-hour tumbling
+  * chunks (`aeon/dj_pipeline/acquisition.py:500-511`), epochs that close only
+  * when the successor appears (`acquisition.py:253-304`), and late-data
+  * look-back repair (`acquisition.py:278-304`). Those map to tumbling
+  * windows + watermarks + session windows here. Every transform is
+  * batch/stream agnostic — it takes a DataFrame that may be `readStream`-
+  * sourced, so the same code runs in the batch populate engine and in a
+  * `Trigger.AvailableNow` incremental job (the Spark-native analogue of
+  * `populate()` over new chunks).
+  */
+object StreamOps {
+
+  /** Per-(key, 1-hour chunk) sample counts + bounds — the streaming Chunk
+    * catalog (reference `Chunk` table). With a watermark, late rows beyond
+    * `lateness` are dropped and the window state is bounded; the reference's
+    * equivalent is the look-back closure repairing only epoch N-1.
+    */
+  def chunkCounts(events: DataFrame, tsCol: String, keys: Seq[String],
+                  lateness: String = "2 hours"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, lateness) else events
+    wm.groupBy((keys.map(col) :+ window(col(tsCol), "1 hour").as("chunk")): _*)
+      .agg(count(lit(1)).as("sample_count"),
+        min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+      .select((keys.map(col) :+ col("chunk.start").as("chunk_start") :+
+        col("chunk.end").as("chunk_end") :+ col("sample_count") :+
+        col("first_ts") :+ col("last_ts")): _*)
+  }
+
+  /** Session windows by inactivity gap — the streaming form of
+    * `Sessionize.byGap` (reference in-patch visits, `tracking.py:318-323`).
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, keys: Seq[String],
+                 gap: String = "30 minutes",
+                 lateness: String = "1 hour"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, lateness) else events
+    wm.groupBy((keys.map(col) :+ session_window(col(tsCol), gap).as("session")): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+      .select((keys.map(col) :+ col("session.start").as("window_start") :+
+        col("session.end").as("window_end") :+ col("n_events") :+
+        col("session_start") :+ col("session_end")): _*)
+  }
+
+  /** Rolling per-key column stats over tumbling windows (streaming form of
+    * the per-chunk summary stats, `utils/stats.py:14-23`).
+    */
+  def windowedStats(events: DataFrame, tsCol: String, valueCol: String,
+                    keys: Seq[String], width: String = "1 hour",
+                    lateness: String = "2 hours"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, lateness) else events
+    wm.groupBy((keys.map(col) :+ window(col(tsCol), width).as("w")): _*)
+      .agg(count(col(valueCol)).as("count"),
+        min(col(valueCol)).as("min"), max(col(valueCol)).as("max"),
+        round(avg(col(valueCol)), 4).as("mean"))
+      .select((keys.map(col) :+ col("w.start").as("window_start") :+
+        col("count") :+ col("min") :+ col("max") :+ col("mean")): _*)
+  }
+}

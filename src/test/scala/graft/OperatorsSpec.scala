@@ -1,0 +1,161 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Populate, Sessionize}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOfJoin.backward pads latest right value at-or-before, per key") {
+    val left = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1),
+      ("a", ts("2024-01-01 11:00:00"), 2),
+      ("a", ts("2024-01-01 09:00:00"), 0),
+      ("b", ts("2024-01-01 10:30:00"), 3)
+    ).toDF("k", "t", "row")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:30:00"), "x1"),
+      ("a", ts("2024-01-01 11:00:00"), "x2"), // exact tie with left row 2
+      ("b", ts("2024-01-01 11:00:00"), "x3")  // after b's probe: no match
+    ).toDF("k", "rt", "v")
+
+    val out = AsOfJoin.backward(left, right, "t", "rt", keys = Seq("k"))
+      .select("k", "row", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)))).toSet
+
+    assert(out == Set(
+      ("a", 0, None),          // before first right row
+      ("a", 1, Some("x1")),    // strictly-before match
+      ("a", 2, Some("x2")),    // backward-INCLUSIVE exact tie
+      ("b", 3, None)))         // right row is in the future
+  }
+
+  test("AsOfJoin preserves every left row (left-join semantics)") {
+    val left = Seq(("a", ts("2024-01-01 00:00:00"), 1)).toDF("k", "t", "row")
+    val right = Seq(("zzz", ts("2024-01-01 00:00:00"), "v")).toDF("k", "rt", "v")
+    assert(AsOfJoin.backward(left, right, "t", "rt", Seq("k")).count() == 1)
+  }
+
+  test("IntervalJoin.pointInInterval: half-open with null-open end") {
+    val pts = Seq(("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 12:00:00")),
+      ("b", ts("2024-01-01 10:00:00"))).toDF("k", "p")
+    val iv = Seq(("a", ts("2024-01-01 09:00:00"), Some(ts("2024-01-01 12:00:00"))),
+      ("b", ts("2024-01-01 09:00:00"), None))
+      .toDF("ik", "s", "e")
+    val out = IntervalJoin.pointInInterval(pts, iv,
+      point = col("p"), start = col("s"), end = col("e"),
+      extraCond = col("k") === col("ik"))
+      .select("k", "p").collect().map(r => (r.getString(0), r.getTimestamp(1))).toSet
+    // 12:00 excluded (end-exclusive); b's open interval matches.
+    assert(out == Set(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:00:00"))))
+  }
+
+  test("IntervalJoin.overlapBucketed equals naive overlap join incl. straddlers") {
+    // Intervals deliberately straddle bucket boundaries (SURVEY.md §7.5.4:
+    // 1:1-aligned fixtures masked a real bug in the reference's history).
+    val left = Seq((1L, 0L, 250L), (2L, 300L, 1000L), (3L, 990L, 995L))
+      .toDF("lid", "ls", "le")
+    val right = Seq((10L, 200L, 400L), (11L, 999L, 2000L), (12L, 3000L, 4000L))
+      .toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapBucketed(left, right, "ls", "le", "rs", "re",
+      bucketWidth = 100L, leftKeys = Seq("lid"), rightKeys = Seq("rid"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Set((1L, 10L), (2L, 10L), (2L, 11L)) // closed-interval overlap
+    assert(got == want)
+  }
+
+  test("Sessionize.byGap: new session when gap exceeds threshold") {
+    val df = Seq(
+      ("u", ts("2024-01-01 10:00:00")),
+      ("u", ts("2024-01-01 10:10:00")),
+      ("u", ts("2024-01-01 11:00:00")), // 50 min gap > 30 min
+      ("v", ts("2024-01-01 10:00:00"))
+    ).toDF("k", "t")
+    val out = Sessionize.byGap(df, "t", Seq("k"), gapSeconds = 1800)
+      .select("k", "t", "session_id").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("u", ts("2024-01-01 10:00:00"), 0L),
+      ("u", ts("2024-01-01 10:10:00"), 0L),
+      ("u", ts("2024-01-01 11:00:00"), 1L),
+      ("v", ts("2024-01-01 10:00:00"), 0L)))
+  }
+
+  test("Dedup.keepFirst keeps the lowest order key per group") {
+    val df = Seq(("x", 3), ("x", 1), ("y", 2)).toDF("k", "id")
+    val out = Dedup.keepFirst(df, Seq("k"), "id")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("x", 1), ("y", 2)))
+  }
+
+  test("Dedup.exactByText dedups on normalized text") {
+    val df = Seq(
+      (1L, "Hello,   World!"),
+      (2L, "hello world"),      // same after normalization
+      (3L, "different doc")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactByText(df, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("Dedup MinHash+LSH finds the planted near-dup pair and skips distinct docs") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"word$i").mkString(" ")
+    val other = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32, shingleN = 3)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("ngramJaccard: identical docs = 1.0, disjoint docs = 0.0") {
+    val df = Seq(("a b c d e", "a b c d e", "x y z w v")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      Dedup.ngramJaccard("t1", "t2", 3).as("same"),
+      Dedup.ngramJaccard("t1", "t3", 3).as("diff")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("SimHash: near-dups within small Hamming distance, unrelated far") {
+    val base = (1 to 100).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 100).map(i => if (i % 50 == 0) "CHANGED" else s"word$i").mkString(" ")
+    val other = (500 to 600).map(i => s"tok$i").mkString(" ")
+    val df = Dedup.simhashSignatures(
+      Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val sh = df.orderBy("doc_id").select("simhash").as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(1)) <= 12)
+    assert(ham(sh(0), sh(2)) > 12)
+  }
+
+  test("Populate.newKeys is the left-anti frontier; derive applies make") {
+    val keySource = Seq(1, 2, 3, 4).toDF("k")
+    val existing = Seq(2, 4).toDF("k")
+    val fresh = Populate.newKeys(keySource, Some(existing), Seq("k"))
+      .as[Int].collect().toSet
+    assert(fresh == Set(1, 3))
+    val derived = Populate.derive(keySource, Some(existing), Seq("k"))(
+      _.withColumn("v", col("k") * 10))
+      .select("v").as[Int].collect().toSet
+    assert(derived == Set(10, 30))
+  }
+
+  test("Populate.appendIdempotent writes each key once across repeated runs") {
+    val dir = java.nio.file.Files.createTempDirectory("populate_test").toString + "/t"
+    val batch1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(Populate.appendIdempotent(batch1, dir, Seq("k")) == 2)
+    assert(Populate.appendIdempotent(batch1, dir, Seq("k")) == 0) // rerun: no dupes
+    val batch2 = Seq((2, "b"), (3, "c")).toDF("k", "v")
+    assert(Populate.appendIdempotent(batch2, dir, Seq("k")) == 1)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  test("bruteForceTopK returns k rows per query, ranked by cosine desc") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id",
+      "embedding", k = 5).cache()
+    val counts = out.groupBy("query_id").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(counts.length == 3 && counts.forall(_ == 5))
+    // ranked: per query the cosines are non-increasing
+    val rows = out.orderBy(col("query_id"), col("cosine").desc).collect()
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val cos = g.map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // self never among neighbors
+    assert(out.filter(col("query_id") === col("vec_id")).count() == 0)
+  }
+
+  test("lshTopK results are a subset of the corpus with sane scores and " +
+    "reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 10, nBits = 6, nTables = 8)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall $recall too low — bucketing broken?")
+  }
+
+  test("nearDupPairs finds planted identical vectors and orders ids") {
+    import spark.implicits._
+    val planted = Seq(
+      (1000L, Array.fill(8)(0.5f)),
+      (1001L, Array.fill(8)(0.5f)),            // exact dup of 1000
+      (1002L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(planted, "vec_id", "embedding",
+      threshold = 0.99, nBits = 4, nTables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1000L, 1001L)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+}
