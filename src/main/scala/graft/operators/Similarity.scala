@@ -19,6 +19,11 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** Discover embedding dimensionality with one single-row lookup (the
+    * hyperplane literals need it at plan time). */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * Output: (queryIdCol, idCol, cosine) — k rows per query.
     */
@@ -42,10 +47,11 @@ object Similarity {
               idCol: String, queryIdCol: String,
               vecCol: String, k: Int,
               nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
     def bucketed(df: DataFrame, id: String): DataFrame =
       df.select(col(id), col(vecCol),
         posexplode(array((0 until nTables).map(t =>
-          VectorFunctions.simhashBucket(col(vecCol), nBits, seed = 42 + t)): _*))
+          VectorFunctions.simhashBucket(col(vecCol), nBits, seed = 42 + t, dim = dim)): _*))
           .as(Seq("__table", "__bucket")))
 
     val c = bucketed(corpus, idCol)
@@ -66,9 +72,10 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
     val b = corpus.select(col(idCol), col(vecCol),
       posexplode(array((0 until nTables).map(t =>
-        VectorFunctions.simhashBucket(col(vecCol), nBits, seed = 42 + t)): _*))
+        VectorFunctions.simhashBucket(col(vecCol), nBits, seed = 42 + t, dim = dim)): _*))
         .as(Seq("__table", "__bucket")))
     val a = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       col("__table"), col("__bucket"))

@@ -3,7 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.operators.Multimodal
+import graft.pipelines.{CameraQC, PositionSlice}
 import graft.sources.Tables
 import graft.streaming.StreamOps
 
@@ -48,6 +51,38 @@ object SystemQueries {
       Multimodal.extractFeatures(blobs, "blob", dim = 8)
         .select("doc_id", "width", "height", "n_bytes")
         .orderBy("doc_id")
+    }),
+
+    // CameraQC over the events stream (qc.py:70-116 semantics): events play
+    // the role of frames — hw_counter = event_id, so per-user id gaps are
+    // "dropped frames"; full deltas + cumulative offset + per-user summary.
+    "q85_camera_qc" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val meta = Tables.events(s, d).select(
+        col("user_id"), col("ts").as("time"),
+        col("event_id").as("hw_counter"),
+        (unix_micros(col("ts")) * 1000L).as("hw_timestamp"),
+        row_number().over(w).cast("long").as("frame"))
+      CameraQC.summary(CameraQC.frameDeltas(meta, Seq("user_id")), Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // Position slice read path (§3.3): per-(user, day) silver rows hold
+    // sorted array columns; the slice explodes arrays_zip and masks exactly.
+    "q86_position_slice" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val silver = ev
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("chunk_start"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("__pairs"))
+        .select(col("user_id"), col("chunk_start"),
+          (col("chunk_start") + expr("INTERVAL 1 DAY")).as("chunk_end"),
+          transform(col("__pairs"), p => p.getField("ts")).as("timestamps"),
+          transform(col("__pairs"), p => p.getField("value")).as("x"),
+          transform(col("__pairs"), p => p.getField("value") * 2).as("y"),
+          transform(col("__pairs"), p => lit(1.0)).as("likelihood"))
+      PositionSlice.explodeSlice(silver,
+        "2024-01-05 00:00:00", "2024-01-25 00:00:00",
+        scaleFactor = 1.0, keyCols = Seq("user_id"))
     }),
 
     // Multimodal: deterministic frame sampling (posexplode plumbing).
@@ -99,6 +134,35 @@ object SystemQueries {
          min(value) AS min, max(value) AS max,
          round(avg(value), 4) AS mean
        FROM ev GROUP BY event_type, date_trunc('day', ts)
-       ORDER BY event_type, window_start"""
+       ORDER BY event_type, window_start""",
+    "q85_camera_qc" -> s"""$EV,
+       deltas AS (
+         SELECT user_id, ts AS time,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS time_delta,
+           (epoch_us(ts) * 1000 - lag(epoch_us(ts) * 1000) OVER w) / 1000000000.0
+             AS hw_timestamp_delta,
+           CASE WHEN lag(event_id) OVER w IS NULL THEN 0
+                ELSE greatest(event_id - lag(event_id) OVER w - 1, 0) END AS drops
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+       SELECT user_id,
+         count(*) AS sample_count,
+         min(time) AS first_time,
+         max(time) AS last_time,
+         max(time_delta) AS max_harp_delta,
+         max(hw_timestamp_delta) AS max_camera_delta,
+         CAST(sum(drops) AS BIGINT) AS drop_count,
+         round(count(*) / ((epoch_us(max(time)) - epoch_us(min(time))) / 1000000.0), 4)
+           AS observed_fps,
+         50.0 AS nominal_fps,
+         abs(round(count(*) / ((epoch_us(max(time)) - epoch_us(min(time))) / 1000000.0), 4)
+             - 50.0) / 50.0 < 0.05 AS frame_rate_ok
+       FROM deltas GROUP BY user_id ORDER BY user_id""",
+    "q86_position_slice" -> s"""$EV
+       SELECT user_id, ts AS time, value AS x, value * 2 AS y, 1.0 AS likelihood
+       FROM ev
+       WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-25 00:00:00'
+       ORDER BY user_id, time"""
   )
 }

@@ -36,7 +36,7 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(emb, queries, "vec_id", "query_id",
-        "embedding", k = 10, nBits = 6, nTables = 8)
+        "embedding", k = 10, nBits = 4, nTables = 8)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
