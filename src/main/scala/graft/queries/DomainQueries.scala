@@ -140,6 +140,20 @@ object DomainQueries {
         .orderBy("user_id", "day")
     }),
 
+    // Bitmask event extraction (§2.10, BitmaskEvent reader kwargs
+    // `streams_maker.py:42`, get_harp_stream_event_bitmask example): event
+    // codes carry flag bits; select rows where the pellet-delivery bits
+    // (0x22) are all set and split out the payload bits — a plain codegen'd
+    // predicate, exactly as the reference compiles it to `event == value`.
+    "q49_bitmask_events" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("event_code", pmod(col("event_id"), lit(256)).cast("int"))
+        .filter(col("event_code").bitwiseAND(lit(0x22)) === 0x22)
+        .select(col("event_id"), col("event_code"),
+          col("event_code").bitwiseAND(lit(0xDD)).as("payload_bits"))
+        .orderBy("event_id")
+    }),
+
     // Scalar-function pack (§2.8): string/date/JSON functions over events —
     // regex extraction, snake-case mangling, date_trunc, JSON field access.
     "q48_scalar_functions" -> ((s, d) => {
@@ -223,6 +237,13 @@ object DomainQueries {
        FROM users u CROSS JOIN days d
        LEFT JOIN actual a ON u.user_id = a.a_user AND d.day = a.a_day
        ORDER BY u.user_id, d.day""",
+    "q49_bitmask_events" ->
+      """SELECT event_id,
+         CAST(event_id % 256 AS INTEGER) AS event_code,
+         CAST((event_id % 256) AS INTEGER) & 221 AS payload_bits
+       FROM events
+       WHERE (CAST(event_id % 256 AS INTEGER) & 34) = 34
+       ORDER BY event_id""",
     "q48_scalar_functions" ->
       """SELECT event_id,
          upper(event_type) AS type_upper,
