@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{GeometryFunctions, TimeFunctions}
 import graft.operators.IntervalJoin
+import graft.pipelines.Ephys
 import graft.sources.Tables
 
 /** Domain pack — the reference's aeon-specific semantics re-expressed over
@@ -140,6 +141,25 @@ object DomainQueries {
         .orderBy("user_id", "day")
     }),
 
+    // Full ephys sync chain (J4 interval join + J9 predict + HARP convert,
+    // Ephys.syncSpikeTimes): events play spikes (onix_clock = event_id);
+    // per-user sync windows cover each user's id range with a deterministic
+    // per-user model; output = spike HARP timestamps. Models broadcast.
+    "q50_spike_sync" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val spikes = ev.select(col("user_id"), col("event_id").as("onix_clock"))
+      val harp2024 = 3786912000.0 // 2024-01-01 on the HARP clock (s since 1904)
+      val models = ev.groupBy(col("user_id").as("m_user"))
+        .agg(min(col("event_id")).as("onix_start"),
+          (max(col("event_id")) + 1).as("onix_end"))
+        .withColumn("slope", lit(0.001))
+        .withColumn("intercept", lit(harp2024) + col("m_user") * 3600.0)
+        .withColumnRenamed("m_user", "user_id")
+      Ephys.syncSpikeTimes(spikes, models, keys = Seq("user_id"))
+        .select(spikes("user_id"), col("onix_clock"), col("harp_time"))
+        .orderBy("onix_clock")
+    }),
+
     // Bitmask event extraction (§2.10, BitmaskEvent reader kwargs
     // `streams_maker.py:42`, get_harp_stream_event_bitmask example): event
     // codes carry flag bits; select rows where the pellet-delivery bits
@@ -237,6 +257,13 @@ object DomainQueries {
        FROM users u CROSS JOIN days d
        LEFT JOIN actual a ON u.user_id = a.a_user AND d.day = a.a_day
        ORDER BY u.user_id, d.day""",
+    "q50_spike_sync" ->
+      """SELECT user_id, event_id AS onix_clock,
+         make_timestamp(CAST(round(
+           ((0.001 * event_id + (3786912000.0 + user_id * 3600.0))
+             + (-2082844800.0)) * 1000000.0) AS BIGINT)) AS harp_time
+       FROM events
+       ORDER BY onix_clock""",
     "q49_bitmask_events" ->
       """SELECT event_id,
          CAST(event_id % 256 AS INTEGER) AS event_code,
