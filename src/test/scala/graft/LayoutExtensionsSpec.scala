@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+class LayoutExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeChunked + readRange: partition pruning shrinks the scanned file set") {
+    val dir = Files.createTempDirectory("layout").resolve("events").toString
+    val rows = (0 until 96).map { h =>
+      (h.toLong, Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(h * 3600L)), h * 1.0)
+    }
+    Layout.writeChunked(rows.toDF("id", "ts", "v"), dir, "ts")
+
+    val all = spark.read.parquet(dir)
+    val slice = Layout.readRange(spark, dir, "ts",
+      "2024-01-02 06:00:00", "2024-01-02 18:00:00")
+
+    assert(slice.count() == 12)
+    // the pruning is physical: the executed scan's numFiles metric counts
+    // only the partitions surviving the partition filters (inputFiles would
+    // list the whole base relation regardless of pushdown)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val allFiles = all.inputFiles.length.toLong
+    assert(allFiles == 96)
+    val sliceFiles = scannedFiles(slice)
+    assert(sliceFiles == 12, // exactly the 12 intersecting hourly partitions
+      s"pruning ineffective: $sliceFiles of $allFiles files")
+    // boundary exactness: a range not aligned to partition edges still masks rows
+    val partial = Layout.readRange(spark, dir, "ts",
+      "2024-01-02 06:30:00", "2024-01-02 07:30:00")
+    assert(partial.count() == 1)
+  }
+
+  test("GraftExtensions registers vec_dot/vec_cosine for SQL") {
+    // getOrCreate() returns the shared test session (no extensions) unless
+    // the active/default session is cleared first; the new session reuses
+    // the same SparkContext but gets its own state with extensions applied.
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      Seq((Array(1.0f, 2.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+        .createOrReplaceTempView("vecs")
+      val r = ext.sql("SELECT vec_dot(a, b) AS d, vec_cosine(a, a) AS c FROM vecs").head()
+      assert(r.getDouble(0) == 8.0)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
