@@ -36,6 +36,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkCounts watermark drops data later than the lateness bound (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val q = StreamOps.chunkCounts(df, "ts", Seq("k"), lateness = "2 hours")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // Batch 1 advances event time to 18:00 → watermark becomes 16:00.
+      mem.addData(
+        (ts("2024-01-01 10:30:00"), "a", 1.0),
+        (ts("2024-01-01 18:00:00"), "a", 2.0))
+      q.processAllAvailable()
+      // Batch 2: one on-time row and one 6h-late row (behind the watermark).
+      mem.addData(
+        (ts("2024-01-01 18:10:00"), "a", 3.0),
+        (ts("2024-01-01 10:45:00"), "a", 99.0)) // LATE → must be dropped
+      q.processAllAvailable()
+      // Close remaining windows so append emits them.
+      mem.addData((ts("2024-01-02 12:00:00"), "a", 4.0))
+      q.processAllAvailable()
+
+      val counts = spark.table("wm_test")
+        .select("chunk_start", "sample_count").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      // the 10:00 chunk closed with ONE row — the late 10:45 row never counted
+      assert(counts(ts("2024-01-01 10:00:00")) == 1L)
+      assert(counts(ts("2024-01-01 18:00:00")) == 2L)
+    } finally q.stop()
+  }
+
   test("sessionAgg batch-mode matches gap semantics") {
     val df = Seq(
       (ts("2024-01-01 10:00:00"), "u"),
