@@ -163,6 +163,20 @@ object PipelineQueries {
         .orderBy("query_id", "cosine")
     }),
 
+    // IVF ANN (the second scale path): KMeans coarse cells, nProbe probes,
+    // exact re-rank within probed cells. Engine-specific centroids → no
+    // oracle; the nProbe==nCentroids==bruteforce invariant is in
+    // SimilaritySpec.
+    "q73_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, "vec_id", "query_id", "embedding",
+        k = 10, nCentroids = 16, nProbe = 4)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("query_id", "cosine")
+    }),
+
     // Embedding-cosine near-dup pairs above 0.999 via LSH buckets. The
     // synthetic corpus has no near-dups (max pairwise cosine ≈ 0.51), so the
     // query plants deterministic ones: scaled copies of vec_id < 10 at

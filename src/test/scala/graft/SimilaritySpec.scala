@@ -43,6 +43,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low — bucketing broken?")
   }
 
+  test("ivfTopK with nProbe == nCentroids equals exact brute force") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id",
+      "embedding", k = 10).collect().map(key).toSet
+    val ivfAll = Similarity.ivfTopK(emb, queries, "vec_id", "query_id",
+      "embedding", k = 10, nCentroids = 8, nProbe = 8).collect().map(key).toSet
+    assert(ivfAll == exact)
+  }
+
+  test("ivfTopK probing few cells still finds most true neighbors") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 10, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
   test("nearDupPairs finds planted identical vectors and orders ids") {
     import spark.implicits._
     val planted = Seq(
