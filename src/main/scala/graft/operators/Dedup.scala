@@ -57,7 +57,7 @@ object Dedup {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val parts = col("__w") +: (1 until n).map(k => lead(col("__w"), k).over(w))
     words
-      .select(col(idCol), concat_ws(" ", parts: _*).as("__s"),
+      .select(col(idCol), col("__pos"), concat_ws(" ", parts: _*).as("__s"),
         parts.last.isNotNull.as("__complete"))
       .filter(col("__complete"))
       .drop("__complete")
@@ -103,6 +103,30 @@ object Dedup {
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Winnowing fingerprints `(idCol, fingerprints: array<long>)` — the
+    * rolling-hash document fingerprinting of Schleimer et al. (MOSS), the
+    * standard overlap-detection primitive in training-data pipelines: hash
+    * every k-shingle, slide a window of `windowSize` hashes, keep each
+    * window's minimum. Guarantee: any shared run of ≥ windowSize + k − 1
+    * tokens between two documents shares at least one fingerprint, so
+    * containment (not just near-identity) is detectable via
+    * `arrays_overlap`/`array_intersect` on the fingerprint sets.
+    *
+    * Same scale shape as the other signatures: shingle rows → codegen'd
+    * hash → `min` over a row window → distinct per doc. The window
+    * partitions by doc id — one keyed shuffle, no interpreted lambdas.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, windowSize: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(0, windowSize - 1)
+    shingleRows(docs, idCol, textCol, shingleN)
+      .withColumn("__h", xxhash64(col("__s")))
+      .withColumn("__winmin", min(col("__h")).over(w))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_set(col("__winmin"))).as("fingerprints"))
   }
 
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing

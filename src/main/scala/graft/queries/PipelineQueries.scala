@@ -163,6 +163,29 @@ object PipelineQueries {
         .orderBy("query_id", "cosine")
     }),
 
+    // Winnowing overlap detection (MOSS rolling-hash fingerprints): shared
+    // token runs between documents surface as shared window-min hashes. The
+    // synthetic corpus has no overlapping docs, so overlap is planted: full
+    // copies of doc_id < 10 at +200000 must pair with their originals via
+    // fingerprint collisions (explode → equi-join, never all-pairs).
+    // Engine-specific hashes → rows-only check; guarantee pinned in
+    // WinnowingSpec.
+    "q74_winnow_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val fps = Dedup.winnowFingerprints(docs.unionByName(planted), "doc_id", "text")
+      val ex = fps.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      val a = ex.select(col("doc_id").as("id_a"), col("fp"))
+      val b = ex.select(col("doc_id").as("id_b"), col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared_fingerprints"))
+        .filter(col("shared_fingerprints") >= 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // IVF ANN (the second scale path): KMeans coarse cells, nProbe probes,
     // exact re-rank within probed cells. Engine-specific centroids → no
     // oracle; the nProbe==nCentroids==bruteforce invariant is in
