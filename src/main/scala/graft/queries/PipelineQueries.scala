@@ -176,8 +176,14 @@ object PipelineQueries {
         .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
       val fps = Dedup.winnowFingerprints(docs.unionByName(planted), "doc_id", "text")
       val ex = fps.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-      val a = ex.select(col("doc_id").as("id_a"), col("fp"))
-      val b = ex.select(col("doc_id").as("id_b"), col("fp"))
+      // stop-fingerprint removal: a fingerprint present in many documents is
+      // a boilerplate phrase, not overlap signal, and its k² join fan-out is
+      // the scale hazard. df-filter before the self-join.
+      val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("fp")
+      val exRare = ex.join(rare, "fp")
+      val a = exRare.select(col("doc_id").as("id_a"), col("fp"))
+      val b = exRare.select(col("doc_id").as("id_b"), col("fp"))
       a.join(b, Seq("fp"))
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b")
