@@ -29,18 +29,43 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warmup: JVM + codegen + parquet footer caches.
+    // Warmup: JVM + codegen + parquet footer caches. A warmup failure is
+    // tolerable (the timed loop will surface it); a timed-loop failure is NOT
+    // hidden — it records -1 and a nonzero exit, never a near-zero "win".
     try run(SparkEntry.queries("q01_pricing_summary")) catch { case _: Throwable => () }
 
+    // Fixed per-job cost of this local harness (scheduling + noop commit),
+    // measured on a one-row in-memory plan and reported separately so the
+    // per-query numbers can be read as overhead + marginal compute.
+    val overhead = {
+      val probe = (s: SparkSession, _: String) => s.range(1).toDF("id")
+      run(probe)
+      val trials = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(probe); (System.nanoTime() - t0) / 1e9
+      }
+      trials.min
+    }
+
+    var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        run(fn)
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+          failures ::= name
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errs,"overhead_sec_per_query":$overhead,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

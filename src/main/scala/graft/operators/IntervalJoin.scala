@@ -26,12 +26,23 @@ object IntervalJoin {
     * intervals with `point >= start && point < coalesce(end, +inf)`.
     * The dimension side (right: device installs, sync windows, paramsets) is
     * small by construction, so it is broadcast — zero shuffle on the fact side.
+    *
+    * @param inclusiveEnd closed upper bound (`point <= end`). The default is
+    *                     half-open (validity intervals, chunk boundaries);
+    *                     sync-window containment is closed because the end is
+    *                     an *observed* clock sample — a spike exactly at the
+    *                     window's last sync sample must match
+    *                     (`ephys.py:625` `BETWEEN onix_ts_start AND
+    *                     onix_ts_end`, `spike_sorting.py:1156`
+    *                     `spk_times <= end`).
     */
   def pointInInterval(left: DataFrame, right: DataFrame,
                       point: Column, start: Column, end: Column,
                       joinType: String = "inner",
-                      extraCond: Column = lit(true)): DataFrame = {
-    val cond = point >= start && (end.isNull || point < end) && extraCond
+                      extraCond: Column = lit(true),
+                      inclusiveEnd: Boolean = false): DataFrame = {
+    val upper = if (inclusiveEnd) point <= end else point < end
+    val cond = point >= start && (end.isNull || upper) && extraCond
     left.join(broadcast(right), cond, joinType)
   }
 
@@ -47,19 +58,34 @@ object IntervalJoin {
     * @param rightKeys   columns uniquely identifying a right row
     * @param equiKeys    additional equality keys shared by both sides (joined
     *                    alongside the bucket id — e.g. user/device id)
+    * @param openEndHorizon value substituted for a NULL end (open interval:
+    *                    still-installed device, unclosed epoch) so open
+    *                    intervals participate in the bucketed path just like
+    *                    [[pointInInterval]] treats them as +inf. Without it a
+    *                    NULL end is an ERROR — `sequence(start, null)` would
+    *                    otherwise silently drop the row at explode.
     */
   def overlapBucketed(left: DataFrame, right: DataFrame,
                       lStart: String, lEnd: String,
                       rStart: String, rEnd: String,
                       bucketWidth: Long,
                       leftKeys: Seq[String], rightKeys: Seq[String],
-                      equiKeys: Seq[String] = Seq.empty): DataFrame = {
+                      equiKeys: Seq[String] = Seq.empty,
+                      openEndHorizon: Option[Long] = None): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // NULL end = open interval. Cap at the caller's horizon, or fail loudly —
+    // never silently drop (sequence(s, null) -> null -> explode eliminates).
+    def capEnd(e: Column): Column = openEndHorizon match {
+      case Some(h) => coalesce(e, lit(h))
+      case None => when(e.isNotNull, e).otherwise(raise_error(lit(
+        "overlapBucketed: NULL interval end (open interval); pass " +
+          "openEndHorizon to cap open intervals at a horizon")))
+    }
     def withBuckets(df: DataFrame, s: String, e: String, bucketName: String): DataFrame =
       df.withColumn(bucketName,
         explode(sequence(
           floor(col(s).cast("double") / bucketWidth).cast("long"),
-          floor(col(e).cast("double") / bucketWidth).cast("long"))))
+          floor(capEnd(col(e)).cast("double") / bucketWidth).cast("long"))))
 
     val lb = withBuckets(left, lStart, lEnd, "__bucket")
     val rb = withBuckets(
@@ -68,8 +94,8 @@ object IntervalJoin {
 
     val cond = (Seq(
       col("__bucket") === col("__r_bucket"),
-      col(lStart) <= col(s"__r_$rEnd"),
-      col(s"__r_$rStart") <= col(lEnd)) ++
+      col(lStart) <= capEnd(col(s"__r_$rEnd")),
+      col(s"__r_$rStart") <= capEnd(col(lEnd))) ++
       equiKeys.map(k => col(k) === col(s"__r_$k"))).reduce(_ && _)
     // equiKeys already exist (identically) on the left side: drop the right
     // copies instead of renaming them back, which would duplicate the name.

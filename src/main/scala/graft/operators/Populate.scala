@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions.col
   * append.
   *
   * Scale: the anti-join shuffles only the PK columns (project before join);
-  * when the done-keys side is small it broadcasts. Idempotency under
-  * concurrent writers comes from the anti-join re-check at write time, the
-  * Spark-native analogue of `skip_duplicates=True`
-  * (`acquisition.py:547-549`).
+  * when the done-keys side is small it broadcasts. The anti-join re-check at
+  * write time is the Spark-native analogue of `skip_duplicates=True`
+  * (`acquisition.py:547-549`) and makes RETRIES of a single writer
+  * idempotent; see [[appendIdempotent]] for the (non-)guarantee under
+  * concurrent writers.
   */
 object Populate {
 
@@ -41,11 +42,26 @@ object Populate {
 
   /** Idempotent append to a parquet table path: anti-join against current
     * contents (skip_duplicates), then append. Returns rows written.
+    *
+    * Only a genuinely-absent table skips the dedup check; any other read
+    * failure (transient FS error, permissions, corrupt footer) rethrows —
+    * treating those as "empty table" would silently break skip_duplicates.
+    *
+    * Guarantee: idempotent under RETRIES of a single writer (re-running the
+    * same populate never duplicates rows). NOT safe under concurrent writers
+    * to the same table — plain parquet has no atomic read-check-append; the
+    * reference used MySQL transactions for that (`acquisition.py:547-549`).
+    * Run one populate per table at a time (the reference's populate loop is
+    * likewise serialized per table via its job reservation table).
     */
   def appendIdempotent(result: DataFrame, tablePath: String, pk: Seq[String]): Long = {
     val spark = result.sparkSession
     val existing =
-      try Some(spark.read.parquet(tablePath)) catch { case _: Exception => None }
+      try Some(spark.read.parquet(tablePath)) catch {
+        case _: java.io.FileNotFoundException => None
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getErrorClass != null && e.getErrorClass.startsWith("PATH_NOT_FOUND") => None
+      }
     val fresh = existing match {
       case Some(e) => result.join(e.select(pk.map(col): _*).distinct(), pk, "left_anti")
       case None    => result

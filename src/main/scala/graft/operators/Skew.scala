@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: hash of the NON-key columns (the key columns
+    * are constant within a group, so they'd salt every row of the hot key
+    * identically — useless). Content-derived, so a re-executed map task after
+    * a shuffle-fetch failure assigns the same salt it did the first time;
+    * `spark_partition_id()+monotonically_increasing_id()` would not
+    * (row order after an upstream shuffle isn't stable across re-attempts —
+    * the SPARK-23207 class of double-count/drop bugs on long 100 TB jobs).
+    */
+  private def saltOf(df: DataFrame, keys: Seq[String], buckets: Int): Column = {
+    val nonKey = df.columns.filterNot(keys.contains).map(col).toSeq
+    val basis = if (nonKey.nonEmpty) nonKey else keys.map(col)
+    pmod(xxhash64(basis: _*), lit(buckets.toLong))
+  }
+
   /** Two-stage salted aggregation.
     *
     * @param partials aggregate columns for stage 1 over (keys, salt)
@@ -30,8 +44,7 @@ object Skew {
   def saltedAggregate(df: DataFrame, keys: Seq[String], buckets: Int)
                      (partials: Seq[Column], merges: Seq[Column]): DataFrame = {
     require(buckets > 1, "buckets must exceed 1")
-    val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val salted = df.withColumn("__salt", saltOf(df, keys, buckets))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -64,8 +77,7 @@ object Skew {
     val coldJoined = left.filter(!isHot).join(right.filter(!isHot), key)
 
     val saltedLeft = left.filter(isHot)
-      .withColumn("__salt",
-        pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      .withColumn("__salt", saltOf(left, Seq(key), buckets))
     val replicatedRight = right.filter(isHot)
       .withColumn("__salt", explode(sequence(lit(0L), lit((buckets - 1).toLong))))
     val hotJoined = saltedLeft

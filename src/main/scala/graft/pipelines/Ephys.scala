@@ -58,11 +58,15 @@ object Ephys {
     */
   def syncSpikeTimes(spikes: DataFrame, syncModels: DataFrame,
                      keys: Seq[String] = Seq.empty): DataFrame = {
+    // Closed upper bound: onix_end is an observed clock sample, and the
+    // reference fast-paths a spike exactly at the last sync sample
+    // (ephys.py:625 BETWEEN, spike_sorting.py:1156 `<= end`).
     val joined = IntervalJoin.pointInInterval(
       spikes, syncModels,
       point = col("onix_clock"), start = col("onix_start"), end = col("onix_end"),
       extraCond = keys.map(k => spikes(k) === syncModels(k))
-        .foldLeft(lit(true))(_ && _))
+        .foldLeft(lit(true))(_ && _),
+      inclusiveEnd = true)
     joined.withColumn("harp_time",
       TimeFunctions.onixToTimestamp(col("onix_clock"), col("slope"), col("intercept")))
   }

@@ -69,6 +69,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("IntervalJoin.pointInInterval: inclusiveEnd keeps the boundary point") {
+    val pts = Seq(("a", 100L), ("a", 50L)).toDF("k", "p")
+    val iv = Seq(("a", 0L, 100L)).toDF("ik", "s", "e")
+    def hits(incl: Boolean) = IntervalJoin.pointInInterval(pts, iv,
+      point = col("p"), start = col("s"), end = col("e"),
+      extraCond = col("k") === col("ik"), inclusiveEnd = incl)
+      .select("p").as[Long].collect().toSet
+    // A spike exactly at the window's last sync sample must match under the
+    // closed (reference ephys.py:625 BETWEEN) semantics, not under half-open.
+    assert(hits(incl = true) == Set(50L, 100L))
+    assert(hits(incl = false) == Set(50L))
+  }
+
+  test("IntervalJoin.overlapBucketed: null end capped at horizon, error without") {
+    val left = Seq((1L, 0L, Some(250L)), (2L, 500L, None)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 200L, 400L), (11L, 900L, 1000L)).toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapBucketed(left, right, "ls", "le", "rs", "re",
+      bucketWidth = 100L, leftKeys = Seq("lid"), rightKeys = Seq("rid"),
+      openEndHorizon = Some(1000L))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Open interval [500, null) reaches the horizon → overlaps right 11;
+    // its original le column survives as NULL in the output.
+    assert(got == Set((1L, 10L), (2L, 11L)))
+    val err = intercept[Exception] {
+      IntervalJoin.overlapBucketed(left, right, "ls", "le", "rs", "re",
+        bucketWidth = 100L, leftKeys = Seq("lid"), rightKeys = Seq("rid")).count()
+    }
+    assert(err.getMessage.contains("openEndHorizon") ||
+      Option(err.getCause).exists(_.getMessage.contains("openEndHorizon")))
+  }
+
   test("Sessionize.byGap: new session when gap exceeds threshold") {
     val df = Seq(
       ("u", ts("2024-01-01 10:00:00")),
@@ -157,5 +188,19 @@ class OperatorsSpec extends SparkSpec {
     val batch2 = Seq((2, "b"), (3, "c")).toDF("k", "v")
     assert(Populate.appendIdempotent(batch2, dir, Seq("k")) == 1)
     assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("Populate.appendIdempotent rethrows when the existing table is unreadable") {
+    // A corrupt footer must NOT be treated as "table absent" — that would
+    // skip the dedup check and double-insert on the next healthy read.
+    val dir = java.nio.file.Files.createTempDirectory("populate_corrupt")
+    val bad = dir.resolve("part-00000.parquet")
+    java.nio.file.Files.write(bad, "not a parquet file".getBytes)
+    val batch = Seq((1, "a")).toDF("k", "v")
+    intercept[Exception] {
+      Populate.appendIdempotent(batch, dir.toString, Seq("k"))
+    }
+    // and nothing was appended alongside the corrupt file
+    assert(java.nio.file.Files.list(dir).count() == 1)
   }
 }
