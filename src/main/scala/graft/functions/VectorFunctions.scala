@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{VecCosine, VecDot}
+import graft.expressions.{VecCosine, VecDot, VecSimhashBuckets}
 
 /** Embedding-vector math over `Array[Float]` (or `Array[Double]`) columns
   * (similarity-search pack, driver brief).
@@ -58,5 +58,22 @@ object VectorFunctions {
     (0 until nBits).map { i =>
       when(dot(vec, typedlit(planes(i).toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** All `nTables` LSH signatures at once → array<long> (explode to
+    * (table, bucket) rows). Table t uses seed `seed + t`, bit-packed exactly
+    * like [[simhashBucket]] — one fused codegen kernel instead of
+    * nTables × nBits expression trees (graft.expressions.VecSimhashBuckets).
+    */
+  def simhashBuckets(vec: Column, nTables: Int, nBits: Int,
+                     seed: Int = 42, dim: Int = 64): Column = {
+    val planes = new Array[Float](nTables * nBits * dim)
+    for (t <- 0 until nTables) {
+      val hp = hyperplanes(nBits, dim, seed + t)
+      for (b <- 0 until nBits)
+        System.arraycopy(hp(b), 0, planes, (t * nBits + b) * dim, dim)
+    }
+    GraftColumnBridge.column(VecSimhashBuckets(
+      GraftColumnBridge.expression(vec), planes, nTables, nBits, dim))
   }
 }

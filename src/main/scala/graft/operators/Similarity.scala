@@ -24,6 +24,28 @@ object Similarity {
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** LSH signature width from corpus size: `2^bits` buckets sized so the mean
+    * bucket holds ~`targetPop` vectors. Bucket-population math: per-table
+    * candidate pairs ≈ n·pop/2, so with bits = log₂(n/targetPop) the
+    * candidate stream grows LINEARLY in n (n·targetPop/2) — a FIXED bits is
+    * a quadratic time bomb (pop = n/2^bits → pairs O(n²)). 8 ≤ bits ≤ 24
+    * keeps hyperplane literals bounded and recall sane at small n.
+    */
+  private def deriveBits(n: Long, targetPop: Int): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1L).toDouble / targetPop) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(8, raw))
+  }
+
+  /** One pass for (dim, bits): dim from a single-row lookup; bits derived
+    * from a count only when the caller didn't pin nBits (count on a parquet
+    * scan is metadata-cheap — no column data read).
+    */
+  private def dimAndBits(df: DataFrame, vecCol: String, nBits: Int,
+                         targetPop: Int): (Int, Int) =
+    if (nBits > 0) (vecDim(df, vecCol), nBits)
+    else (vecDim(df, vecCol), deriveBits(df.count(), targetPop))
+
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * Output: (queryIdCol, idCol, cosine) — k rows per query.
     */
@@ -42,27 +64,38 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: multi-table random-hyperplane bucketing;
     * candidates = bucket collisions in ANY table; exact cosine re-rank.
+    *
+    * Scale shape: candidate generation and dedup carry ONLY ids — the
+    * (table, bucket) join and the pair dedup shuffle 16 bytes/row, not
+    * 2×dim floats. Vectors are re-attached afterwards: the query side
+    * broadcasts (queries ≪ corpus), the corpus side joins on its id once.
+    *
+    * @param nBits signature width; 0 (default) derives it from corpus size so
+    *              mean bucket population stays ~constant — see [[deriveBits]]
+    *              for why a fixed width goes quadratic.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, queryIdCol: String,
               vecCol: String, k: Int,
-              nBits: Int = 12, nTables: Int = 4): DataFrame = {
-    val dim = vecDim(corpus, vecCol)
-    def bucketed(df: DataFrame, id: String): DataFrame =
-      df.select(col(id), col(vecCol),
-        posexplode(array((0 until nTables).map(t =>
-          VectorFunctions.simhashBucket(col(vecCol), nBits, seed = 42 + t, dim = dim)): _*))
-          .as(Seq("__table", "__bucket")))
+              nBits: Int = 0, nTables: Int = 4): DataFrame = {
+    val (dim, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 32)
+    def bucketIds(df: DataFrame, id: String): DataFrame =
+      df.select(col(id),
+        posexplode(VectorFunctions.simhashBuckets(col(vecCol), nTables, bits,
+          seed = 42, dim = dim)).as(Seq("__table", "__bucket")))
 
-    val c = bucketed(corpus, idCol)
-    val q = bucketed(queries, queryIdCol)
-      .withColumnRenamed(vecCol, "__qvec")
-    val candidates = c.join(q, Seq("__table", "__bucket"))
+    val pairs = bucketIds(corpus, idCol)
+      .join(bucketIds(queries, queryIdCol), Seq("__table", "__bucket"))
       .filter(col(idCol) =!= col(queryIdCol))
+      .select(col(idCol), col(queryIdCol))
       .dropDuplicates(idCol, queryIdCol)
+    val scored = pairs
+      .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))),
+        Seq(queryIdCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .withColumn("cosine", VectorFunctions.cosine(col(vecCol), col("__qvec")))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
-    candidates.withColumn("__rank", row_number().over(w))
+    scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cosine"))
   }
@@ -124,21 +157,33 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH buckets
     * (dedup-by-embedding; pairs with id_a < id_b).
+    *
+    * Same scale shape as [[lshTopK]]: the self-join and pair dedup move only
+    * (id_a, id_b); both vector re-attachments are id equi-joins against the
+    * corpus, so vectors cross the wire once per candidate side, after dedup.
+    *
+    * @param nBits 0 (default) derives the width from corpus size
+    *              ([[deriveBits]], targetPop 8 — near-dup wants small buckets
+    *              because the candidate stream is bucket-quadratic). Pairs at
+    *              cosine ≥ threshold collide per table with probability
+    *              (1 − θ/π)^bits, so wider signatures trade candidate volume
+    *              against recall; nTables independent tables claw recall back.
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, nBits: Int = 12, nTables: Int = 4): DataFrame = {
-    val dim = vecDim(corpus, vecCol)
-    val b = corpus.select(col(idCol), col(vecCol),
-      posexplode(array((0 until nTables).map(t =>
-        VectorFunctions.simhashBucket(col(vecCol), nBits, seed = 42 + t, dim = dim)): _*))
-        .as(Seq("__table", "__bucket")))
-    val a = b.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      col("__table"), col("__bucket"))
-    val c = b.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      col("__table"), col("__bucket"))
-    a.join(c, Seq("__table", "__bucket"))
+                   threshold: Double, nBits: Int = 0, nTables: Int = 4): DataFrame = {
+    val (dim, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 8)
+    val b = corpus.select(col(idCol),
+      posexplode(VectorFunctions.simhashBuckets(col(vecCol), nTables, bits,
+        seed = 42, dim = dim)).as(Seq("__table", "__bucket")))
+    val pairs = b.select(col(idCol).as("id_a"), col("__table"), col("__bucket"))
+      .join(b.select(col(idCol).as("id_b"), col("__table"), col("__bucket")),
+        Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va")), Seq("id_a"))
+      .join(corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb")), Seq("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -153,12 +153,15 @@ object PipelineQueries {
     }),
 
     // LSH-bucketed ANN (the 100 TB path) — same output shape as q69.
+    // nBits derived from corpus size (log₂(n/targetPop)) so mean bucket
+    // population — and therefore the candidate stream — stays constant as
+    // the corpus grows; see Similarity.deriveBits for the math.
     "q70_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(emb, queries, "vec_id", "query_id", "embedding",
-        k = 10, nBits = 10, nTables = 4)
+        k = 10, nTables = 4)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "cosine")
     }),
@@ -217,8 +220,10 @@ object PipelineQueries {
       val planted = emb.filter(col("vec_id") < 10)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), v => v * lit(1.5f)).as("embedding"))
+      // nBits derived (planted exact copies collide in every table at any
+      // width — scaling preserves direction, so recall is structural here).
       Similarity.nearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
-        threshold = 0.999, nBits = 8, nTables = 8)
+        threshold = 0.999, nTables = 8)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),

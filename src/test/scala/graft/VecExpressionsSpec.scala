@@ -64,6 +64,35 @@ class VecExpressionsSpec extends SparkSpec {
       s"vec_cosine projection not codegen'd in:\n$plan")
   }
 
+  test("simhashBuckets fused kernel equals the composed per-table formulation") {
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val nTables = 3; val nBits = 10; val dim = 16
+    val fused = df.select(col("id"),
+      VectorFunctions.simhashBuckets(col("v"), nTables, nBits, seed = 42, dim = dim)
+        .as("sigs"))
+      .select(col("id"), posexplode(col("sigs")).as(Seq("t", "sig")))
+    val composed = df.select(col("id"),
+      posexplode(array((0 until nTables).map(t =>
+        VectorFunctions.simhashBucket(col("v"), nBits, seed = 42 + t, dim = dim)): _*))
+        .as(Seq("t", "sig")))
+    assert(fused.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      composed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+
+    // interpreted path agrees with codegen
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(fused.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+        composed.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("hyperplanes are deterministic per seed and differ across seeds") {
     val p1 = VectorFunctions.hyperplanes(4, 8, seed = 42)
     val p2 = VectorFunctions.hyperplanes(4, 8, seed = 42)
