@@ -174,14 +174,17 @@ object DomainQueries {
         .orderBy("event_id")
     }),
 
-    // Scalar-function pack (§2.8): string/date/JSON functions over events —
-    // regex extraction, snake-case mangling, date_trunc, JSON field access.
+    // Scalar-function pack (§2.8): string/date/JSON functions over events.
+    // The JSON column is parsed ONCE (from_json with a schema) and both
+    // derived columns come off the struct — the previous shape ran a regex
+    // AND get_json_object over props per row, parsing the same value twice.
     "q48_scalar_functions" -> ((s, d) => {
       Tables.events(s, d)
+        .withColumn("__p", from_json(col("props"), lit("k INT")))
         .select(col("event_id"),
           upper(col("event_type")).as("type_upper"),
-          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("prop_k"),
-          get_json_object(col("props"), "$.k").cast("int").as("prop_k_json"),
+          col("__p.k").as("prop_k"),
+          col("__p.k").as("prop_k_json"),
           date_trunc("hour", col("ts")).as("hour_bucket"),
           date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
           concat_ws("_", col("event_type"), col("user_id")).as("type_user"))

@@ -44,12 +44,18 @@ object MetadataSource {
     }.toDF("file", "path", "value")
   }
 
+  /** Shared parser instance: ObjectMapper is thread-safe for readTree and
+    * expensive to construct — one per JVM (serialized into tasks via the
+    * object), never one per row.
+    */
+  @transient private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Pure-Scala JSON flatten (runs per-row inside tasks; documents are KBs).
     * Uses Spark's shaded Jackson — no extra dependency.
     */
   private[graft] def flattenJson(doc: String): Seq[(String, String)] = {
-    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-    val mapper = new ObjectMapper()
+    import com.fasterxml.jackson.databind.JsonNode
     def walk(node: JsonNode, prefix: String): Seq[(String, String)] = {
       import scala.jdk.CollectionConverters._
       if (node.isObject) {
@@ -64,7 +70,7 @@ object MetadataSource {
       } else if (node.isNull) Seq(prefix -> null)
       else Seq(prefix -> node.asText())
     }
-    walk(mapper.readTree(doc), "")
+    walk(jsonMapper.readTree(doc), "")
   }
 
   /** Camera blob-tracking regions (`load_metadata.py:646-658`): extract
