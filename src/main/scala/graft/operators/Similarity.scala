@@ -48,14 +48,23 @@ object Similarity {
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * Output: (queryIdCol, idCol, cosine) — k rows per query.
+    *
+    * @param scoreDigits when set, the cosine is rounded to this many digits
+    *                    BEFORE ranking (ties then break on idCol). Full-
+    *                    precision ranking is engine-specific at the last ulp —
+    *                    two engines computing the same cosine can disagree on
+    *                    the rank-k/rank-k+1 boundary; rounding first makes the
+    *                    selected top-k set reproducible across engines.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, queryIdCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     scoreDigits: Option[Int] = None): DataFrame = {
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val raw = VectorFunctions.cosine(col(vecCol), col("__qvec"))
     val scored = corpus.select(col(idCol), col(vecCol))
       .join(broadcast(q), col(idCol) =!= col(queryIdCol))
-      .withColumn("cosine", VectorFunctions.cosine(col(vecCol), col("__qvec")))
+      .withColumn("cosine", scoreDigits.fold(raw)(d => round(raw, d)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)

@@ -140,16 +140,19 @@ object PipelineQueries {
         .orderBy("query_id", "vec_id")
     }),
 
-    // Brute-force top-k ANN per query (k=10). Ranking ties broken by vec_id;
-    // fp rank flips across engines are possible in principle → no oracle,
-    // invariants in spec; q68 pins the scores themselves.
+    // Brute-force top-k ANN per query (k=10), ORACLED: both engines rank on
+    // round(cosine, 6) with vec_id tiebreak, so the selected top-k set and
+    // its order are reproducible (full-precision ranking can flip at the
+    // rank-k boundary on last-ulp noise). Cosine to 6 digits is ~6
+    // significant figures — far below the cross-engine round() divergence
+    // threshold (q68 pins the same rounding).
     "q69_ann_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id", "embedding", k = 10)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "cosine")
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id", "embedding",
+        k = 10, scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     }),
 
     // LSH-bucketed ANN (the 100 TB path) — same output shape as q69.
@@ -214,7 +217,11 @@ object PipelineQueries {
     // query plants deterministic ones: scaled copies of vec_id < 10 at
     // vec_id + 100000 (cosine exactly 1 with their originals — scaling
     // preserves direction). Expected output: exactly those 10 pairs, at any
-    // scale factor — found via bucket collisions, never all-pairs.
+    // scale factor — found via bucket collisions, never all-pairs. ORACLED
+    // as that construction: identical directions collide in every LSH table
+    // structurally, so recall of the planted pairs is not probabilistic, and
+    // round(cosine, 6) of a float-scaled copy is exactly 1.0 (per-element
+    // relative error ≤ 2⁻²⁴ ≪ 5×10⁻⁷).
     "q71_embedding_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") < 10)
@@ -306,6 +313,25 @@ object PipelineQueries {
        FROM grams a JOIN grams b ON a.doc_id < b.doc_id,
          LATERAL (SELECT list_concat(a.g, b.g) AS g_union)
        ORDER BY id_a, id_b""",
+    "q69_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])))), 6) AS cosine
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine DESC, vec_id""",
     "q68_cosine_scores" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                   FROM embeddings WHERE vec_id < 5)
@@ -319,6 +345,11 @@ object PipelineQueries {
        FROM embeddings e CROSS JOIN q
        WHERE e.vec_id <> q.query_id
        ORDER BY query_id, vec_id""",
+    "q71_embedding_neardup" ->
+      """SELECT vec_id AS id_a,
+         CAST(vec_id + 100000 AS BIGINT) AS id_b,
+         CAST(1.0 AS DOUBLE) AS cosine
+       FROM embeddings WHERE vec_id < 10 ORDER BY id_a""",
     "q72_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,

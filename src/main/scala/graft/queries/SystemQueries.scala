@@ -43,13 +43,17 @@ object SystemQueries {
         .orderBy("event_type", "window_start")
     }),
 
-    // Multimodal: synthesized blobs → per-blob features (stub decode kernel;
-    // real partition/batch/schema plumbing). Engine-specific → rows-only.
+    // Multimodal: synthesized blobs → per-blob features through the real
+    // mapPartitions decode boundary. ORACLED on the deterministic column:
+    // n_bytes = blob length = 64 × utf8 byte length of the text (the stub
+    // decoder echoes input size exactly like a real one would). The
+    // engine-specific stub outputs (width/height hash, feature histogram)
+    // stay out of the driver query and are pinned in MultimodalSpec.
     "q83_multimodal_features" -> ((s, d) => {
       val blobs = Multimodal.synthesizeBlobs(
         Tables.documents(s, d).select("doc_id", "text"), "text")
       Multimodal.extractFeatures(blobs, "blob", dim = 8)
-        .select("doc_id", "width", "height", "n_bytes")
+        .select("doc_id", "n_bytes")
         .orderBy("doc_id")
     }),
 
@@ -86,6 +90,9 @@ object SystemQueries {
     }),
 
     // Multimodal: deterministic frame sampling (posexplode plumbing).
+    // ORACLED: pure integer frame-index arithmetic — blob bytes = 16×utf8
+    // length, n = clamp(bytes/1024, 1, everyNth×maxFrames), sampled indices
+    // 0, 7, 14, … < n.
     "q84_frame_sample" -> ((s, d) => {
       val blobs = Multimodal.synthesizeBlobs(
         Tables.documents(s, d).select("doc_id", "text"), "text", repeat = 16)
@@ -163,6 +170,20 @@ object SystemQueries {
        FROM ev
        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
          AND ts <  TIMESTAMP '2024-01-25 00:00:00'
-       ORDER BY user_id, time"""
+       ORDER BY user_id, time""",
+    "q83_multimodal_features" ->
+      """SELECT doc_id,
+         CAST(64 * octet_length(encode(text)) AS BIGINT) AS n_bytes
+       FROM documents ORDER BY doc_id""",
+    "q84_frame_sample" ->
+      """WITH n AS (
+         SELECT doc_id,
+           least(greatest(CAST(floor(16 * octet_length(encode(text)) / 1024.0)
+             AS BIGINT), 1), 28) AS nf
+         FROM documents)
+       SELECT doc_id,
+         CAST((nf - 1) // 7 + 1 AS BIGINT) AS n_frames,
+         CAST(7 * ((nf - 1) // 7) AS INTEGER) AS max_frame
+       FROM n ORDER BY doc_id"""
   )
 }
