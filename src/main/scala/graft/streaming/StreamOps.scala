@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming re-expression of the reference's incremental
   * semantics (SURVEY.md §2.9).
@@ -47,6 +48,57 @@ object StreamOps {
       .select((keys.map(col) :+ col("session.start").as("window_start") :+
         col("session.end").as("window_end") :+ col("n_events") :+
         col("session_start") :+ col("session_end")): _*)
+  }
+
+  /** Streaming look-back REPAIR (§2.9 row 4): when epoch N arrives, the
+    * still-open epoch N−1 is re-emitted CLOSED with its corrected end —
+    * the reference's `acquisition.py:278-304` semantics (epoch end is only
+    * knowable from its successor's start; the reference UPDATEs the prior
+    * epoch's row on ingest of the next), not merely a watermark drop.
+    *
+    * Custom state via `flatMapGroupsWithState` keyed by experiment: the state
+    * is the single open epoch start (a few bytes per experiment — bounded
+    * regardless of stream length). Each batch merges incoming starts with the
+    * open one, emits a closure row per consecutive pair, and keeps the max
+    * open. Re-delivered starts dedup inside the batch+state merge
+    * (at-least-once safe); an epoch arriving out-of-order BEFORE the open one
+    * closes against it (the reference repairs exactly one epoch back, same
+    * here — rewriting epochs already closed would need a retracting sink).
+    *
+    * Batch-equivalence (StreamingSpec): the union of closure rows across any
+    * batch split equals `BronzeIngest.epochsWithClosure(...)` restricted to
+    * non-null ends. Works in batch mode too (state starts empty, one group
+    * pass), so the same code serves the populate engine.
+    *
+    * Output: (experimentCol, startCol, epoch_end, epoch_duration_s).
+    */
+  def epochClosures(epochStarts: DataFrame,
+                    experimentCol: String = "experiment",
+                    startCol: String = "epoch_start"): DataFrame = {
+    val spark = epochStarts.sparkSession
+    import spark.implicits._
+    val pairs = epochStarts
+      .select(col(experimentCol).cast("string"),
+        unix_micros(col(startCol).cast("timestamp")))
+      .as[(String, Long)]
+    val closures = pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (exp: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val open = if (state.exists) Seq(state.get) else Seq.empty[Long]
+          val all = (open ++ rows.map(_._2)).distinct.sorted
+          if (all.isEmpty) Iterator.empty
+          else {
+            state.update(all.last)
+            all.sliding(2).collect { case Seq(a, b) => (exp, a, b) }
+          }
+      }
+    closures.toDF("__exp", "__start_us", "__end_us")
+      .select(col("__exp").as(experimentCol),
+        timestamp_micros(col("__start_us")).as(startCol),
+        timestamp_micros(col("__end_us")).as("epoch_end"),
+        ((col("__end_us") - col("__start_us")).cast("double") / 1e6)
+          .as("epoch_duration_s"))
   }
 
   /** Rolling per-key column stats over tumbling windows (streaming form of

@@ -67,6 +67,103 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("epochClosures repairs the prior open epoch when its successor arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("experiment", "epoch_start")
+    val q = StreamOps.epochClosures(df)
+      .writeStream.format("memory").queryName("closure_test")
+      .outputMode("append").start()
+    try {
+      // Batch 1: first epoch arrives — it is OPEN, nothing can be emitted yet.
+      mem.addData(("exp1", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("closure_test").isEmpty)
+
+      // Batch 2: the successor arrives — the PRIOR epoch is re-emitted CLOSED
+      // with its corrected end (the look-back repair, not a watermark drop).
+      mem.addData(("exp1", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("closure_test")
+        .select("experiment", "epoch_start", "epoch_end", "epoch_duration_s")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getDouble(3)))
+      assert(afterB2.toSeq == Seq(
+        ("exp1", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:30:00"), 9000.0)))
+
+      // Batch 3: an OUT-OF-ORDER epoch earlier than the open one, plus a
+      // redelivered duplicate of the open start (at-least-once). The late
+      // epoch closes against the open one; the duplicate emits nothing.
+      mem.addData(
+        ("exp1", ts("2024-01-01 11:00:00")),
+        ("exp1", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val afterB3 = spark.table("closure_test")
+        .select("epoch_start", "epoch_end").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1))).toSet
+      assert(afterB3 == Set(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 12:30:00")),
+        (ts("2024-01-01 11:00:00"), ts("2024-01-01 12:30:00"))))
+
+      // Batch 4: a second experiment is independent state.
+      mem.addData(
+        ("exp2", ts("2024-01-02 08:00:00")),
+        ("exp2", ts("2024-01-02 09:00:00")))
+      q.processAllAvailable()
+      val exp2 = spark.table("closure_test")
+        .filter($"experiment" === "exp2")
+        .select("epoch_start", "epoch_end").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1))).toSet
+      assert(exp2 == Set((ts("2024-01-02 08:00:00"), ts("2024-01-02 09:00:00"))))
+    } finally q.stop()
+  }
+
+  test("epochClosures union over batches equals batch epochsWithClosure") {
+    val starts = Seq(
+      ("expA", ts("2024-03-01 00:00:00")),
+      ("expA", ts("2024-03-01 07:30:00")),
+      ("expA", ts("2024-03-02 13:00:00")),
+      ("expA", ts("2024-03-03 01:15:00")),
+      ("expB", ts("2024-03-01 12:00:00")),
+      ("expB", ts("2024-03-05 09:45:00")))
+
+    // Streaming result, across an arbitrary batch split (including one batch
+    // that delivers epochs for both experiments out of arrival order).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("experiment", "epoch_start")
+    val q = StreamOps.epochClosures(df)
+      .writeStream.format("memory").queryName("closure_equiv")
+      .outputMode("append").start()
+    val streamed = try {
+      mem.addData(starts(0), starts(4))
+      q.processAllAvailable()
+      mem.addData(starts(2), starts(1)) // expA out of order within the batch
+      q.processAllAvailable()
+      mem.addData(starts(3), starts(5))
+      q.processAllAvailable()
+      spark.table("closure_equiv")
+        .select("experiment", "epoch_start", "epoch_end").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    } finally q.stop()
+
+    // Batch reference: lead() closure restricted to rows with a successor.
+    val batch = graft.sources.BronzeIngest
+      .epochsWithClosure(starts.toDF("experiment", "epoch_start"))
+      .filter(col("epoch_end").isNotNull)
+      .select("experiment", "epoch_start", "epoch_end").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+
+    // The same code path runs in batch mode (state starts empty, one pass) —
+    // the populate engine can reuse it verbatim.
+    val batchMode = StreamOps.epochClosures(starts.toDF("experiment", "epoch_start"))
+      .select("experiment", "epoch_start", "epoch_end").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(batchMode == batch)
+  }
+
   test("sessionAgg batch-mode matches gap semantics") {
     val df = Seq(
       (ts("2024-01-01 10:00:00"), "u"),
