@@ -179,12 +179,12 @@ object DomainQueries {
     // derived columns come off the struct — the previous shape ran a regex
     // AND get_json_object over props per row, parsing the same value twice.
     "q48_scalar_functions" -> ((s, d) => {
+      val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int")
       Tables.events(s, d)
-        .withColumn("__p", from_json(col("props"), lit("k INT")))
         .select(col("event_id"),
           upper(col("event_type")).as("type_upper"),
-          col("__p.k").as("prop_k"),
-          col("__p.k").as("prop_k_json"),
+          k.as("prop_k"),
+          k.as("prop_k_json"),
           date_trunc("hour", col("ts")).as("hour_bucket"),
           date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
           concat_ws("_", col("event_type"), col("user_id")).as("type_user"))
