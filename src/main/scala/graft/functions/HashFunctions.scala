@@ -29,4 +29,29 @@ object HashFunctions {
   def configHash(k: Column, v: Column): Column =
     md5(concat_ws("|",
       sort_array(collect_list(concat_ws("=", k.cast("string"), v.cast("string"))))))
+
+  /** PORTABLE 60-bit hash: the first 15 hex digits of MD5 as a non-negative
+    * long. Engine-independent by construction — any system with md5 + hex
+    * parsing reproduces it bit-for-bit (DuckDB:
+    * `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`), unlike xxhash64
+    * whose seed/implementation is engine-specific. Use this whenever the hash
+    * VALUE is part of the product surface (exported fingerprints, signatures
+    * another system must verify); keep `xxhash64` for purely internal keys —
+    * it is ~5× cheaper per byte and its values never leave the engine.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Second independent 28-bit portable hash from the same MD5 (hex digits
+    * 16..22). With [[portableHash60]] as h1 this gives the standard
+    * double-hashing family h_i = h1 + i·h2 (Kirsch–Mitzenmacher): one MD5 per
+    * row yields any number of seeded hash functions, and i·h2 ≤ 63·2²⁸ keeps
+    * h_i < 2⁶¹ — exact in 64-bit integer arithmetic on every engine.
+    */
+  def portableHash28(c: Column): Column =
+    conv(substring(md5(c), 16, 7), 16, 10).cast("long")
+
+  /** The i-th member of the portable double-hashing family over `c`. */
+  def portableSeededHash(c: Column, i: Int): Column =
+    portableHash60(c) + lit(i.toLong) * portableHash28(c)
 }

@@ -77,10 +77,21 @@ object TextFunctions {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
   /** 64-bit document fingerprint: xxhash64 of the normalized text. Exact-dup
-    * detection at 100 TB = groupBy on this 8-byte key instead of the full text.
+    * detection at 100 TB = groupBy on this 8-byte key instead of the full
+    * text. Internal-only values (fast path) — when the fingerprint leaves the
+    * engine, use [[portableFingerprint]].
     */
   def fingerprint64(text: Column): Column =
     xxhash64(normalizeForDedup(text))
+
+  /** Portable document fingerprint: the engine-independent 60-bit MD5 hash
+    * ([[HashFunctions.portableHash60]]) of the normalized text. Same dedup
+    * semantics as [[fingerprint64]] but reproducible bit-for-bit by any other
+    * system (a catalog, a verifier, a non-Spark consumer) — the right choice
+    * when fingerprints are an exported artifact.
+    */
+  def portableFingerprint(text: Column): Column =
+    HashFunctions.portableHash60(normalizeForDedup(text))
 
   /** Word n-gram shingles of the normalized text (for MinHash / Jaccard). */
   def shingles(text: Column, n: Int = 3): Column = {

@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{HashFunctions, TextFunctions}
 
 /** Deduplication pack (driver brief: first-class alongside SURVEY.md §2).
   *
@@ -63,9 +63,11 @@ object Dedup {
       .drop("__complete")
   }
 
-  /** MinHash signatures `(idCol, minhash: array<long>)`: for each of
-    * `numHashes` seeded hash functions, the min over the document's shingle
-    * set of `xxhash64(seed, shingle)`. Deterministic across executors.
+  /** MinHash signatures `(idCol, minhash: array<long>)` via the portable
+    * double-hashing family ([[HashFunctions.portableSeededHash]]): one MD5
+    * per shingle row yields all `numHashes` seeded hashes as
+    * `h1 + i·h2` — exact 64-bit integer arithmetic any engine reproduces, so
+    * the signatures themselves are oracle-checkable, not engine-private.
     *
     * Shape matters at scale: shingles stream out of [[shingleRows]] and the
     * per-seed minima are plain `min` aggregates — fully codegen'd with
@@ -75,34 +77,63 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
-    val aggs = (0 until numHashes).map(seed =>
-      min(xxhash64(lit(seed), col("__s"))).as(s"__h$seed"))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__h$i"))
     shingleRows(docs, idCol, textCol, shingleN)
+      .withColumn("__h1", HashFunctions.portableHash60(col("__s")))
+      .withColumn("__h2", HashFunctions.portableHash28(col("__s")))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("minhash"))
   }
 
+  /** All unordered pairs within each key-group, SINGLE PASS over the input:
+    * group → sorted payload array → explode (element, strictly-later
+    * elements). Replaces the self-equi-join shape, which evaluates the
+    * (expensive) upstream signature pipeline once per join side — measured
+    * 2–3× redundant compute on the dedup queries. The payload struct's FIRST
+    * field must be the id: `sort_array` orders lexicographically, so emitted
+    * pairs satisfy a.id < b.id (callers get keep-first semantics free).
+    *
+    * `maxGroup` drops pathological buckets (boilerplate collisions): a group
+    * of m yields m²/2 pairs, so unbounded groups are the one way this shape
+    * goes quadratic at 100 TB. Dropped groups are near-universal shingles or
+    * hash buckets wider than the dedup radius — standard practice, and the
+    * cap is mirrored in every oracle so it is part of the semantics.
+    */
+  private def pairsWithinGroups(rows: DataFrame, keyCols: Seq[String],
+                                payload: Column, maxGroup: Int): DataFrame =
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(payload)).as("__ps"))
+      .filter(size(col("__ps")).between(2, maxGroup))
+      .select(posexplode(col("__ps")).as(Seq("__i", "__a")), col("__ps"))
+      .select(col("__a"),
+        explode(slice(col("__ps"), col("__i") + lit(2), size(col("__ps"))))
+          .as("__b"))
+
   /** LSH banding: candidate near-dup pairs from documents sharing any
-    * (band, hash-of-band-slice) bucket. `bands * rowsPerBand == numHashes`.
+    * (band, band-slice) bucket. `bands * rowsPerBand == numHashes`.
     * Returns distinct (id_a, id_b) candidate pairs with id_a < id_b.
-    * Scale shape: explode to (doc, band, bucket) — |docs| × bands rows — then
-    * a self equi-join on (band, bucket); no all-pairs anywhere.
+    *
+    * Scale shape: explode to (doc, band, bucket) — |docs| × bands rows,
+    * carrying only the id and the bucket key — then ONE shuffle into bucket
+    * groups and in-place pair expansion ([[pairsWithinGroups]]); the
+    * signature pipeline is evaluated exactly once and no all-pairs step
+    * exists anywhere. The bucket key is the band slice itself (joined as a
+    * string), not a re-hash — one less hash and portable across engines.
     */
   def lshCandidates(docsWithSig: DataFrame, idCol: String,
-                    bands: Int, rowsPerBand: Int): DataFrame = {
+                    bands: Int, rowsPerBand: Int,
+                    maxBucket: Int = 10000): DataFrame = {
     val buckets = docsWithSig.select(
-      col(idCol).as("__id"),
+      struct(col(idCol)).as("__p"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand)))
+        concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))
       }: _*)).as(Seq("band", "bucket")))
-    val a = buckets.withColumnsRenamed(Map("__id" -> "id_a"))
-    val b = buckets.withColumnsRenamed(Map("__id" -> "id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    pairsWithinGroups(buckets, Seq("band", "bucket"), col("__p"), maxBucket)
+      .select(col("__a")(idCol).as("id_a"), col("__b")(idCol).as("id_b"))
+      .distinct()
   }
 
   /** Winnowing fingerprints `(idCol, fingerprints: array<long>)` — the
@@ -117,16 +148,39 @@ object Dedup {
     * Same scale shape as the other signatures: shingle rows → codegen'd
     * hash → `min` over a row window → distinct per doc. The window
     * partitions by doc id — one keyed shuffle, no interpreted lambdas.
+    * Hashes come from [[HashFunctions.portableHash60]], so the fingerprint
+    * values (an exported artifact other systems match against) are
+    * engine-independent.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3, windowSize: Int = 4): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
       .rowsBetween(0, windowSize - 1)
     shingleRows(docs, idCol, textCol, shingleN)
-      .withColumn("__h", xxhash64(col("__s")))
+      .withColumn("__h", HashFunctions.portableHash60(col("__s")))
       .withColumn("__winmin", min(col("__h")).over(w))
       .groupBy(col(idCol))
       .agg(array_sort(collect_set(col("__winmin"))).as("fingerprints"))
+  }
+
+  /** Overlapping-document pairs from winnowing fingerprints: documents
+    * sharing ≥ `minShared` fingerprints, excluding fingerprints present in
+    * more than `maxDf` documents (boilerplate phrases — their k² fan-out is
+    * the scale hazard, and they carry no overlap signal).
+    *
+    * Single pass: explode fingerprints → ONE shuffle into fingerprint groups
+    * → in-place pair expansion ([[pairsWithinGroups]], where the `maxDf` cap
+    * IS the document-frequency filter) → count shared fingerprints per pair.
+    */
+  def overlapPairs(fps: DataFrame, idCol: String,
+                   minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+    val ex = fps.select(struct(col(idCol)).as("__p"),
+      explode(col("fingerprints")).as("__fp"))
+    pairsWithinGroups(ex, Seq("__fp"), col("__p"), maxDf)
+      .select(col("__a")(idCol).as("id_a"), col("__b")(idCol).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
   }
 
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
@@ -165,30 +219,66 @@ object Dedup {
   def ngramJaccard(textA: String, textB: String, n: Int = 3): org.apache.spark.sql.Column =
     jaccard(TextFunctions.shingles(col(textA), n), TextFunctions.shingles(col(textB), n))
 
-  /** 64-bit SimHash fingerprints `(idCol, simhash: long)`: bit i of the
-    * fingerprint is the sign of the sum over word tokens of
-    * (bit i of xxhash64(token) ? +1 : -1). Near-dups have small Hamming
-    * distance.
+  /** Signature width of [[simhashSignatures]]: 60 bits — the width of the
+    * portable hash, so every bit of the fingerprint carries an actual vote
+    * and the whole construction is engine-independent.
+    */
+  val SimhashBits = 60
+
+  /** SimHash fingerprints `(idCol, simhash: long)`: bit i of the fingerprint
+    * is the sign of the sum over word tokens of (bit i of hash(token) ? +1 :
+    * −1). Near-dups have small Hamming distance.
     *
     * Same scale shape as [[minhashSignatures]]: explode words once, hash with
-    * the codegen'd xxhash64, take 64 `sum(when(...))` bit-votes in one hash
-    * aggregate (map-side partials), then pack the sign bits. No interpreted
-    * higher-order lambdas in the hot path.
+    * the codegen'd portable MD5 hash, take [[SimhashBits]] `sum(when(...))`
+    * bit-votes in one hash aggregate (map-side partials), then pack the sign
+    * bits. No interpreted higher-order lambdas in the hot path, and no
+    * pre-shuffle — partial aggregation combines the votes map-side.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs
-      .repartition(col(idCol))
       .select(col(idCol),
         explode(split(TextFunctions.normalizeForDedup(col(textCol)), " ")).as("__w"))
-      .withColumn("__h", xxhash64(col("__w")))
-    val votes = (0 until 64).map(i =>
+      .withColumn("__h", HashFunctions.portableHash60(col("__w")))
+    val votes = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"__v$i"))
-    val bits = (0 until 64).map(i =>
+    val bits = (0 until SimhashBits).map(i =>
       when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     words.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs `(id_a, id_b, hamming)` with
+    * `hamming ≤ maxHamming`, id_a < id_b. Candidates come from banding the
+    * fingerprint into `nBands` equal bit-blocks: a pair within the Hamming
+    * radius collides on at least one block whenever its differing bits fall
+    * into ≤ nBands − 1 blocks (pigeonhole guarantees this for
+    * maxHamming < nBands; larger radii trade recall, standard SimHash
+    * practice).
+    *
+    * Single pass: fingerprints are computed ONCE, banded by explode, grouped
+    * by (band, block), and pairs expand in place carrying the two 8-byte
+    * fingerprints — no self-join re-evaluating the signature aggregate, no
+    * all-pairs step.
+    */
+  def simhashNearDup(sigs: DataFrame, idCol: String, maxHamming: Int,
+                     nBands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    require(SimhashBits % nBands == 0, s"nBands must divide $SimhashBits")
+    val blockBits = SimhashBits / nBands
+    val mask = (1L << blockBits) - 1
+    val buckets = sigs.select(
+      struct(col(idCol), col("simhash")).as("__p"),
+      posexplode(array((0 until nBands).map(i =>
+        shiftright(col("simhash"), i * blockBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "block")))
+    pairsWithinGroups(buckets, Seq("band", "block"), col("__p"), maxBucket)
+      .select(col("__a")(idCol).as("id_a"), col("__b")(idCol).as("id_b"),
+        bit_count(col("__a")("simhash").bitwiseXOR(col("__b")("simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -62,20 +62,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Document fingerprinting — 64-bit exact-dup key + group sizes.
-    // xxhash64 is engine-specific → no oracle; count invariants checked in
-    // the spec instead.
+    // Document fingerprinting — portable 60-bit exact-dup key + group sizes.
+    // ORACLED: the fingerprint is the md5-derived portable hash, so DuckDB
+    // reproduces the values bit-for-bit.
     "q64_fingerprint" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("fp", TextFunctions.fingerprint64(col("text")))
+        .withColumn("fp", TextFunctions.portableFingerprint(col("text")))
         .groupBy(col("fp")).agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("keeper_id"))
         .orderBy("keeper_id")
     }),
 
     // MinHash + LSH near-dup candidates, verified with exact n-gram Jaccard.
-    // Scale shape: |docs|×bands bucket rows → equi-join; exact Jaccard only
-    // on candidates. Engine-specific hashing → no oracle.
+    // Scale shape: |docs|×bands bucket rows → ONE shuffle into bucket groups
+    // with in-place pair expansion; exact Jaccard only on candidates.
+    // ORACLED end-to-end: the portable double-hashing MinHash family is
+    // exact integer arithmetic DuckDB replays.
     "q65_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
@@ -91,26 +93,13 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup: 64-bit fingerprints + Hamming distance ≤ 8 on LSH
-    // candidate pairs. Engine-specific → no oracle.
+    // SimHash near-dup: portable 60-bit fingerprints, banded 15-bit blocks
+    // for candidates, Hamming distance ≤ 8. ORACLED: the whole construction
+    // (md5 bit-votes, banding, bit_count) is engine-independent.
     "q66_simhash" -> ((s, d) => {
-      val docs = Dedup.simhashSignatures(
+      val sigs = Dedup.simhashSignatures(
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
-      val a = docs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-      val b = docs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-      // Band the 64-bit fingerprint into 4×16-bit blocks: near-dups (≤8
-      // differing bits) collide on at least one block with high probability.
-      def banded(df: DataFrame, id: String, sh: String) =
-        df.select(col(id), col(sh),
-          posexplode(array((0 until 4).map(i =>
-            shiftright(col(sh), i * 16).bitwiseAND(0xFFFFL)): _*))
-            .as(Seq("band", "block")))
-      banded(a, "id_a", "sh_a").join(banded(b, "id_b", "sh_b"), Seq("band", "block"))
-        .filter(col("id_a") < col("id_b"))
-        .dropDuplicates("id_a", "id_b")
-        .withColumn("hamming", Dedup.hamming64("sh_a", "sh_b"))
-        .filter(col("hamming") <= 8)
-        .select("id_a", "id_b", "hamming")
+      Dedup.simhashNearDup(sigs, "doc_id", maxHamming = 8)
         .orderBy("id_a", "id_b")
     }),
 
@@ -173,28 +162,15 @@ object PipelineQueries {
     // token runs between documents surface as shared window-min hashes. The
     // synthetic corpus has no overlapping docs, so overlap is planted: full
     // copies of doc_id < 10 at +200000 must pair with their originals via
-    // fingerprint collisions (explode → equi-join, never all-pairs).
-    // Engine-specific hashes → rows-only check; guarantee pinned in
-    // WinnowingSpec.
+    // fingerprint collisions (explode → bucket groups, never all-pairs; the
+    // maxDf cap is the stop-fingerprint/boilerplate filter). ORACLED: the
+    // portable hash makes the fingerprints, and so the pairs, reproducible.
     "q74_winnow_overlap" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
       val fps = Dedup.winnowFingerprints(docs.unionByName(planted), "doc_id", "text")
-      val ex = fps.select(col("doc_id"), explode(col("fingerprints")).as("fp"))
-      // stop-fingerprint removal: a fingerprint present in many documents is
-      // a boilerplate phrase, not overlap signal, and its k² join fan-out is
-      // the scale hazard. df-filter before the self-join.
-      val rare = ex.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select("fp")
-      val exRare = ex.join(rare, "fp")
-      val a = exRare.select(col("doc_id").as("id_a"), col("fp"))
-      val b = exRare.select(col("doc_id").as("id_b"), col("fp"))
-      a.join(b, Seq("fp"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("shared_fingerprints"))
-        .filter(col("shared_fingerprints") >= 3)
+      Dedup.overlapPairs(fps, "doc_id", minShared = 3, maxDf = 20)
         .orderBy("id_a", "id_b")
     }),
 
@@ -249,7 +225,117 @@ object PipelineQueries {
     })
   )
 
+  /** DuckDB fragment: the dedup text normalization (must mirror
+    * `TextFunctions.normalizeForDedup` exactly). */
+  private def normSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB fragment: the portable 60-bit hash
+    * (`HashFunctions.portableHash60`). */
+  private def pHash60(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
+
+  /** DuckDB fragment: the portable 28-bit companion hash
+    * (`HashFunctions.portableHash28`). */
+  private def pHash28(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 16, 7)) AS BIGINT)"
+
+  // SimHash bit-votes and bit-packing, one term per signature bit — mirrors
+  // Dedup.simhashSignatures (60 portable bits).
+  private val simhashVoteSql: String = (0 until Dedup.SimhashBits)
+    .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+    .mkString(", ")
+  private val simhashPackSql: String = (0 until Dedup.SimhashBits)
+    .map(i => s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
+    .mkString(" + ")
+  // One equality per 15-bit block — mirrors Dedup.simhashNearDup's banding.
+  private val simhashBlockSql: String = (0 until 4)
+    .map(i => s"((a.sh >> ${i * 15}) & 32767) = ((b.sh >> ${i * 15}) & 32767)")
+    .mkString(" OR ")
+
   val oracles: Map[String, String] = Map(
+    "q64_fingerprint" ->
+      s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents)
+       SELECT ${pHash60("t")} AS fp, count(*) AS n_docs,
+         min(doc_id) AS keeper_id
+       FROM norm GROUP BY 1 ORDER BY keeper_id""",
+    "q65_minhash_lsh" ->
+      s"""WITH norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
+         FROM documents),
+       grams AS (
+         SELECT doc_id, array_to_string(words[i:i+2], ' ') AS s
+         FROM norm, unnest(generate_series(1, len(words) - 2)) u(i)),
+       hashed AS (
+         SELECT doc_id, s, ${pHash60("s")} AS h1, ${pHash28("s")} AS h2
+         FROM grams),
+       sigs AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hashed, unnest(generate_series(0, 31)) t(seed)
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, seed // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+         FROM sigs GROUP BY doc_id, seed // 4),
+       sized AS (
+         SELECT band, bucket FROM bands GROUP BY band, bucket
+         HAVING count(*) BETWEEN 2 AND 10000),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN sized USING (band, bucket)
+           JOIN bands b USING (band, bucket)
+         WHERE a.doc_id < b.doc_id),
+       gsets AS (
+         SELECT doc_id, list_distinct(list(s)) AS g FROM grams GROUP BY doc_id)
+       SELECT * FROM (
+         SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+         FROM cand c JOIN gsets a ON c.id_a = a.doc_id
+           JOIN gsets b ON c.id_b = b.doc_id)
+       WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+    "q66_simhash" ->
+      s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
+       words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),
+       hashed AS (SELECT doc_id, ${pHash60("w")} AS h FROM words),
+       votes AS (SELECT doc_id, $simhashVoteSql FROM hashed GROUP BY doc_id),
+       sigs AS (SELECT doc_id, $simhashPackSql AS sh FROM votes),
+       -- the Spark side's maxBucket=10000 cap cannot bind at oracle scale
+       -- (500 docs), so the banded OR-join below is exactly equivalent
+       cand AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         WHERE $simhashBlockSql)
+       SELECT id_a, id_b, hamming FROM cand
+       WHERE hamming <= 8 ORDER BY id_a, id_b""",
+    "q74_winnow_overlap" ->
+      s"""WITH alldocs AS (
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         UNION ALL
+         SELECT CAST(doc_id + 200000 AS BIGINT), text FROM documents
+         WHERE doc_id < 10),
+       norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
+         FROM alldocs),
+       grams AS (
+         SELECT doc_id, i AS pos, array_to_string(words[i:i+2], ' ') AS s
+         FROM norm, unnest(generate_series(1, len(words) - 2)) u(i)),
+       winm AS (
+         SELECT doc_id, min(${pHash60("s")}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         FROM grams),
+       fps AS (SELECT DISTINCT doc_id, fp FROM winm),
+       sized AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared_fingerprints
+         FROM fps a JOIN sized USING (fp) JOIN fps b USING (fp)
+         WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, shared_fingerprints FROM pairs
+       WHERE shared_fingerprints >= 3 ORDER BY id_a, id_b""",
     "q60_dedup_exact" ->
       """SELECT doc_id, source, n_chars FROM (
          SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
