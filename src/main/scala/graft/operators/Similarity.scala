@@ -109,17 +109,41 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"))
   }
 
+  /** Deterministic coarse-quantizer centers: the `nCentroids` corpus vectors
+    * with the smallest portable hash of their id — a seeded pseudo-random
+    * sample that any engine reproduces (ties break on id). One tiny driver
+    * collect (nCentroids rows), same class of touch as [[vecDim]].
+    */
+  private def sampledCenters(corpus: DataFrame, idCol: String, vecCol: String,
+                             nCentroids: Int): Array[Array[Float]] =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(graft.functions.HashFunctions.portableHash60(
+        col(idCol).cast("string")), col(idCol))
+      .limit(nCentroids)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
   /** IVF (inverted-file) approximate top-k — the second scale path beside
-    * LSH: a coarse quantizer (MLlib KMeans, seeded) partitions the corpus
-    * into `nCentroids` cells; each query probes its `nProbe` nearest cells
-    * and re-ranks exactly within them. At 100 TB the corpus is written
-    * partitioned by `centroid` so a probe reads nProbe/nCentroids of the
-    * data (same partition-pruning discipline as the time chunks).
+    * LSH: a coarse quantizer partitions the corpus into cells; each query
+    * probes its `nProbe` nearest cells and re-ranks exactly within them. At
+    * 100 TB the corpus is written partitioned by `centroid` so a probe reads
+    * nProbe/nCentroids of the data (same partition-pruning discipline as the
+    * time chunks).
     *
-    * Centroid assignment is pure codegen'd expressions (argmin over
-    * `||c||² − 2·v·c` with literal centers via VecDot) — the model leaves
-    * MLlib as a float matrix, exactly like the sync models leave regression
-    * as a coefficient struct.
+    * The quantizer is NOT fitted here: at scale you train it offline once
+    * (KMeans or whatever) and pass the float matrix via `centers`; fitting
+    * per query was never the scale path. When `centers` is absent the cells
+    * come from [[sampledCenters]] — a deterministic hash-sample of corpus
+    * vectors (FAISS-style random init without Lloyd refinement), which keeps
+    * the whole operator engine-reproducible and therefore oracle-checkable.
+    *
+    * Centroid assignment is pure codegen'd expressions: argmin over
+    * `||c_i||² − 2·v·c_i` with literal centers via VecDot; struct array_min
+    * compares lexicographically (score, then index) → deterministic ties.
+    *
+    * @param scoreDigits as in [[bruteForceTopK]]: rank on the cosine rounded
+    *                    to this many digits (id tiebreak) so the selected
+    *                    top-k is reproducible across engines.
     *
     * Invariant (SimilaritySpec): nProbe == nCentroids degenerates to exact
     * brute force.
@@ -127,26 +151,19 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, queryIdCol: String,
               vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              nCentroids: Int = 16, nProbe: Int = 4,
+              centers: Option[Array[Array[Float]]] = None,
+              scoreDigits: Option[Int] = None): DataFrame = {
+    val cents: Array[Array[Float]] =
+      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
 
-    val train = corpus.select(
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCentroids).setSeed(42).setMaxIter(5)
-      .fit(train)
-    val centers: Array[Array[Float]] =
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
-
-    // argmin_i ||v - c_i||² == argmin_i (||c_i||² - 2 v·c_i); struct array_min
-    // compares lexicographically (score, then index) → deterministic ties.
     def cellScore(i: Int) = {
-      val c = centers(i)
+      val c = cents(i)
       val norm2 = c.map(x => x.toDouble * x).sum
       (lit(norm2) - lit(2.0) * VectorFunctions.dot(col(vecCol), typedlit(c.toSeq)))
         .as("s")
     }
-    def scored = array((0 until nCentroids).map(i =>
+    def scored = array(cents.indices.map(i =>
       struct(cellScore(i), lit(i).as("i"))): _*)
 
     val assigned = corpus.select(col(idCol), col(vecCol),
@@ -155,9 +172,10 @@ object Similarity {
       explode(transform(slice(sort_array(scored), 1, nProbe), s => s.getField("i")))
         .as("__cell"))
 
+    val raw = VectorFunctions.cosine(col(vecCol), col("__qvec"))
     val candidates = assigned.join(probes, Seq("__cell"))
       .filter(col(idCol) =!= col(queryIdCol))
-      .withColumn("cosine", VectorFunctions.cosine(col(vecCol), col("__qvec")))
+      .withColumn("cosine", scoreDigits.fold(raw)(d => round(raw, d)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     candidates.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)

@@ -174,18 +174,19 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // IVF ANN (the second scale path): KMeans coarse cells, nProbe probes,
-    // exact re-rank within probed cells. Engine-specific centroids → no
-    // oracle; the nProbe==nCentroids==bruteforce invariant is in
+    // IVF ANN (the second scale path): deterministic hash-sampled coarse
+    // cells, nProbe probes, exact re-rank within probed cells. ORACLED: the
+    // centers, the argmin assignment, and the rounded-cosine ranking are all
+    // engine-reproducible (rank on round(cosine,6) + id tiebreak — the q69
+    // discipline). The nProbe==nCentroids==bruteforce invariant is in
     // SimilaritySpec.
     "q73_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopK(emb, queries, "vec_id", "query_id", "embedding",
-        k = 10, nCentroids = 16, nProbe = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "cosine")
+        k = 10, nCentroids = 16, nProbe = 4, scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     }),
 
     // Embedding-cosine near-dup pairs above 0.999 via LSH buckets. The
@@ -399,6 +400,45 @@ object PipelineQueries {
        FROM grams a JOIN grams b ON a.doc_id < b.doc_id,
          LATERAL (SELECT list_concat(a.g, b.g) AS g_union)
        ORDER BY id_a, id_b""",
+    "q73_ann_ivf" ->
+      s"""WITH cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM embeddings ORDER BY hk, vec_id LIMIT 16)),
+       dists AS (
+         SELECT e.vec_id, c.ci,
+           list_dot_product(c.cvec, c.cvec)
+             - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) AS s
+         FROM embeddings e CROSS JOIN cents c),
+       assigned AS (
+         SELECT vec_id, ci AS cell FROM (
+           SELECT vec_id, ci,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM dists) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, ci AS cell FROM (
+           SELECT vec_id, ci,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM dists WHERE vec_id < 5) WHERE rn <= 4),
+       scored AS (
+         SELECT p.query_id, a.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))), 6) AS cosine
+         FROM probes p JOIN assigned a USING (cell)
+           JOIN embeddings e ON e.vec_id = a.vec_id
+           JOIN embeddings q ON q.vec_id = p.query_id
+         WHERE a.vec_id <> p.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine DESC, vec_id""",
     "q69_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                   FROM embeddings WHERE vec_id < 5),
