@@ -65,11 +65,12 @@ object BronzeIngest {
   def flatBinaryU64(spark: SparkSession, pathGlob: String,
                     colName: String = "clock"): DataFrame = {
     val schema = withFileCols(Seq(StructField(colName, LongType, nullable = false)))
-    decodeBinary(spark, pathGlob, schema) { (bytes, file) =>
-      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      val rows = bytes.length / 8
-      (0L until rows).iterator.map(r => Row(file, r, buf.getLong((r * 8).toInt)))
-    }
+    decodeBinary(spark, pathGlob, schema)(u64Decode)
+  }
+
+  private val u64Decode: (Array[Byte], String) => Iterator[Row] = { (bytes, file) =>
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (0L until bytes.length / 8).iterator.map(r => Row(file, r, buf.getLong((r * 8).toInt)))
   }
 
   /** Flat uint16 binary reshaped to n channels (AmplifierData,
@@ -94,13 +95,101 @@ object BronzeIngest {
   }
 
   private def decodeBinary(spark: SparkSession, pathGlob: String, schema: StructType)
-                          (decode: (Array[Byte], String) => Iterator[Row]): DataFrame = {
-    val files = spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
+                          (decode: (Array[Byte], String) => Iterator[Row]): DataFrame =
+    decodeBinaryPaths(spark, Seq(pathGlob), schema)(decode)
+
+  private def decodeBinaryPaths(spark: SparkSession, paths: Seq[String], schema: StructType)
+                               (decode: (Array[Byte], String) => Iterator[Row]): DataFrame = {
     val enc = RowEncoder.encoderFor(schema)
+    if (paths.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val files = spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
     files.mapPartitions { rows =>
       rows.flatMap(r => decode(r.getAs[Array[Byte]]("content"), r.getAs[String]("path")))
     }(enc)
+  }
+
+  /** Serializable carrier for the Hadoop Configuration (which is a Writable,
+    * not Serializable) so stat tasks can open files with the session's FS
+    * settings. Public-API-only equivalent of Spark's internal wrapper.
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Per-file clock stats from O(1) reads — the distributed form of the
+    * reference's metadata-only interval check (`onix_imu.py:112-130` reads
+    * just the first and last uint64 of each Clock file to decide chunk
+    * membership, never decoding the payload). Output one row per file:
+    * `(file, n_rows, clock_min, clock_max)`.
+    *
+    * Cost model at 100 TB: the listing is metadata-only (a `binaryFile` scan
+    * WITHOUT the content column — `BinaryFileFormat` materializes content
+    * lazily, so unselected content is never fetched), and each file costs two
+    * positioned 8-byte reads, distributed across tasks. Persist the result
+    * next to the data and pruning becomes a catalog lookup.
+    */
+  def clockFileStats(spark: SparkSession, pathGlob: String): DataFrame = {
+    val listing = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("length"))
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("clock_min", LongType, nullable = true),
+      StructField("clock_max", LongType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    listing.mapPartitions { rows =>
+      rows.map { r =>
+        val pathStr = r.getString(0)
+        val n = r.getLong(1) / 8
+        if (n == 0) Row(pathStr, 0L, null, null)
+        else {
+          val p = new org.apache.hadoop.fs.Path(pathStr)
+          val in = p.getFileSystem(conf.value).open(p)
+          try {
+            val buf = new Array[Byte](8)
+            in.readFully(0L, buf)
+            val first = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
+            in.readFully((n - 1) * 8, buf)
+            val last = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
+            // clock files are written monotonically; min/max guards misorder
+            Row(pathStr, n, math.min(first, last), math.max(first, last))
+          } finally in.close()
+        }
+      }
+    }(enc)
+  }
+
+  /** Clock-range decode with per-file pruning (S4/S10 interval reads): files
+    * whose `[clock_min, clock_max]` misses `[lo, hi]` are dropped on stats
+    * alone — two 8-byte reads, NEVER a decode — and only survivors stream
+    * through the uint64 decoder. `sliceRows=false` keeps survivors whole
+    * (the reference's load-qualifying-chunks shape); `true` adds the exact
+    * row predicate for sub-file boundaries.
+    *
+    * The surviving path list rides through the driver — file-index-scale
+    * metadata, the same class of touch as any catalog-driven scan.
+    */
+  def flatBinaryU64Range(spark: SparkSession, pathGlob: String,
+                         lo: Long, hi: Long, colName: String = "clock",
+                         sliceRows: Boolean = true): DataFrame = {
+    val keep = clockFileStats(spark, pathGlob)
+      .filter(col("clock_max") >= lo && col("clock_min") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+    val schema = withFileCols(Seq(StructField(colName, LongType, nullable = false)))
+    val decoded = decodeBinaryPaths(spark, keep, schema)(u64Decode)
+    if (sliceRows) decoded.filter(col(colName).between(lo, hi)) else decoded
   }
 
   /** HarpSync CSV (`aeon/schema/ephys.py:26-33`; shape

@@ -62,6 +62,39 @@ class BronzeIngestSpec extends SparkSpec {
     assert(first.head == 60000 * 2.0 - 1.0) // unsigned decode, not negative
   }
 
+  test("clockFileStats + flatBinaryU64Range: out-of-range files are pruned, never decoded") {
+    val pruneDir = Files.createTempDirectory("clock_prune")
+    // four disjoint clock files: [k*1000, k*1000+900] in steps of 100
+    for (k <- 0 until 4)
+      writeU64(pruneDir.resolve(s"Dev_Clock_$k.bin"),
+        (0 until 10).map(i => k * 1000L + i * 100L))
+    val glob = pruneDir.resolve("*.bin").toString
+
+    val stats = BronzeIngest.clockFileStats(spark, glob)
+      .orderBy("clock_min").collect()
+    assert(stats.length == 4)
+    assert(stats.forall(_.getLong(1) == 10)) // n_rows
+    assert(stats(1).getLong(2) == 1000L && stats(1).getLong(3) == 1900L)
+
+    // [1500, 2500] intersects only files 1 and 2. sliceRows=false returns
+    // survivors WHOLE, so a non-pruning implementation would return 40 rows
+    // (all four files) — 20 proves the other two files were never decoded.
+    val whole = BronzeIngest.flatBinaryU64Range(spark, glob, 1500L, 2500L,
+      sliceRows = false).cache()
+    assert(whole.count() == 20)
+    val decodedFiles = whole.select("file").distinct().as[String].collect()
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted
+    assert(decodedFiles.sameElements(Array("Dev_Clock_1.bin", "Dev_Clock_2.bin")))
+
+    // sliceRows=true adds the exact row predicate: 1500..1900 + 2000..2500
+    val sliced = BronzeIngest.flatBinaryU64Range(spark, glob, 1500L, 2500L)
+      .select("clock").as[Long].collect().sorted
+    assert(sliced.sameElements((1500L to 1900L by 100) ++ (2000L to 2500L by 100)))
+
+    // an interval past every file decodes nothing and still returns the schema
+    assert(BronzeIngest.flatBinaryU64Range(spark, glob, 10000L, 20000L).count() == 0)
+  }
+
   test("harpSyncCsv + syncModels: one row per file, slope 1/1000, r2=1") {
     // FIXTURES.md §1.1: 60 rows @1 Hz, ONIX 1000 ticks/s, harp_time lags 1 s.
     for (n <- 0 until 2) {
