@@ -201,6 +201,23 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("__s")).as("shingles"))
 
+  /** Hashed shingle-set table `(idCol, shingle_hashes: array<long>)`: the
+    * portable 60-bit hash of each shingle instead of the string. Jaccard over
+    * these equals string-shingle Jaccard up to hash collisions (vanishing at
+    * 60 bits for per-doc set sizes), while the set build shuffles 8-byte
+    * longs instead of shingle text and per-pair intersection compares longs —
+    * the right verify-side table when candidates come from a hash-based
+    * signature anyway (the shingle hash is the SAME `portableHash60` the
+    * MinHash family starts from, so Catalyst's exchange reuse shares the
+    * underlying shingle scan between signature and verify pipelines).
+    */
+  def withHashedShingles(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_set(HashFunctions.portableHash60(col("__s")))
+        .as("shingle_hashes"))
+
   /** Exact Jaccard between two precomputed shingle-array columns (native
     * array_intersect/union — the cheap per-pair form).
     */

@@ -83,10 +83,21 @@ object PipelineQueries {
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
         numHashes = 32, shingleN = 3)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
-      val sh = Dedup.withShingles(docs, "doc_id", "text", n = 3)
-      val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-      val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-      cands.join(a, "id_a").join(b, "id_b")
+      // verify on HASHED shingle sets (same portable hash the signatures
+      // start from; Jaccard equals the string-set value up to 60-bit
+      // collisions, mirrored in the oracle). The set table is joined ONCE —
+      // pairs explode into (pair, side) rows and regroup — because a
+      // two-sided join would re-evaluate the whole shingle aggregate per
+      // side (exchange reuse does not fire across the differently-projected
+      // join branches; measured 2× the verify cost).
+      val sh = Dedup.withHashedShingles(docs, "doc_id", "text", n = 3)
+      val sides = cands.select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      sides.join(sh, "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+          max(when(col("doc_id") === col("id_a"), col("shingle_hashes"))).as("sh_a"),
+          max(when(col("doc_id") === col("id_b"), col("shingle_hashes"))).as("sh_b"))
         .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4))
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
@@ -287,7 +298,7 @@ object PipelineQueries {
            JOIN bands b USING (band, bucket)
          WHERE a.doc_id < b.doc_id),
        gsets AS (
-         SELECT doc_id, list_distinct(list(s)) AS g FROM grams GROUP BY doc_id)
+         SELECT doc_id, list_distinct(list(h1)) AS g FROM hashed GROUP BY doc_id)
        SELECT * FROM (
          SELECT c.id_a, c.id_b,
            round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
