@@ -155,6 +155,58 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
   }
 
+  test("lshCandidates honors the maxBucket cap (boilerplate buckets dropped)") {
+    // five identical docs share every (band, bucket): C(5,2)=10 pairs when
+    // the cap allows the bucket, zero when the bucket exceeds it
+    val text = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, text)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32, shingleN = 3)
+    assert(Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4).count() == 10)
+    assert(Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4,
+      maxBucket = 4).count() == 0)
+  }
+
+  test("simhashNearDup: identical docs pair at hamming 0; disjoint docs don't pair") {
+    val base = (1 to 100).map(i => s"word$i").mkString(" ")
+    val other = (500 to 600).map(i => s"tok$i").mkString(" ")
+    val sigs = Dedup.simhashSignatures(
+      Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val pairs = Dedup.simhashNearDup(sigs, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("overlapPairs: maxDf drops boilerplate fingerprints, minShared gates pairs") {
+    // fp=100 appears in 25 docs (> maxDf=20) — boilerplate, must not pair.
+    // docs 1,2 share three rare fps -> pair; docs 3,4 share only two -> no pair.
+    val fps = (
+      (1L, Seq(100L, 1L, 2L, 3L)) +: (2L, Seq(100L, 1L, 2L, 3L)) +:
+      (3L, Seq(100L, 11L, 12L)) +: (4L, Seq(100L, 11L, 12L)) +:
+      (5L to 25L).map(i => (i, Seq(100L)))).toDF("doc_id", "fingerprints")
+    val out = Dedup.overlapPairs(fps, "doc_id", minShared = 3, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L)))
+  }
+
+  test("withHashedShingles jaccard equals string-shingle jaccard") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    def pairsOf(sh: org.apache.spark.sql.DataFrame, c: String) = {
+      val a = sh.select(col("doc_id").as("id_a"), col(c).as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col(c).as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("j"))
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val viaStrings = pairsOf(Dedup.withShingles(docs, "doc_id", "text", 3), "shingles")
+    val viaHashes = pairsOf(Dedup.withHashedShingles(docs, "doc_id", "text", 3), "shingle_hashes")
+    assert(viaStrings == viaHashes && viaStrings.head._3 > 0.0)
+  }
+
   test("SimHash: near-dups within small Hamming distance, unrelated far") {
     val base = (1 to 100).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 100).map(i => if (i % 50 == 0) "CHANGED" else s"word$i").mkString(" ")
