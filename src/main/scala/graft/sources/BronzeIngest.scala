@@ -110,23 +110,6 @@ object BronzeIngest {
     }(enc)
   }
 
-  /** Serializable carrier for the Hadoop Configuration (which is a Writable,
-    * not Serializable) so stat tasks can open files with the session's FS
-    * settings. Public-API-only equivalent of Spark's internal wrapper.
-    */
-  private class SerializableHadoopConf(
-      @transient var value: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); value.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
-    }
-  }
-
   /** Per-file clock stats from O(1) reads — the distributed form of the
     * reference's metadata-only interval check (`onix_imu.py:112-130` reads
     * just the first and last uint64 of each Clock file to decide chunk

@@ -1,0 +1,202 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the flat uint64 clock-binary family (S4/S10 as a REAL
+  * source, not a reader function): `spark.read.format("graft-clock")
+  * .load(glob)` yields `(file, row_index, clock)` with
+  *
+  *  - **filter pushdown on `clock`**: range/equality predicates reach the
+  *    scan (visible as `PushedFilters` in `.explain`) and each file is
+  *    admitted or skipped on its first/last uint64 alone — two positioned
+  *    8-byte reads, the distributed form of the reference's O(1) interval
+  *    check (`aeon/dj_pipeline/utils/onix_imu.py:112-130`) — before any
+  *    decode. Pushed filters are also re-applied by Spark row-wise
+  *    (returned as residuals), so pushdown is purely an IO optimization,
+  *    never a semantics change.
+  *  - **column pruning**: unprojected columns are never materialized
+  *    (`row_index`-free scans skip the per-row id arithmetic, `clock`-only
+  *    scans skip the UTF8 file string).
+  *
+  * Planning lists files (metadata only); all IO — the 16 stat bytes and any
+  * decode — happens in executors, one partition per file. This is the
+  * idiomatic-Spark upgrade over `binaryFile` + `mapPartitions`
+  * ([[BronzeIngest.flatBinaryU64]], kept for glob-free embedding in larger
+  * ingest flows): queries compose with plain `filter`, and Catalyst sees a
+  * scan it can reason about.
+  */
+class ClockBinarySource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-clock"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ClockBinarySource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-clock requires a path: spark.read.format(\"graft-clock\").load(<glob>)")
+    new ClockBinaryTable(path)
+  }
+}
+
+object ClockBinarySource {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("row_index", LongType, nullable = false),
+    StructField("clock", LongType, nullable = false)))
+}
+
+private[sources] class ClockBinaryTable(pathGlob: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-clock($pathGlob)"
+  override def schema(): StructType = ClockBinarySource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ClockScanBuilder(pathGlob)
+}
+
+private[sources] class ClockScanBuilder(pathGlob: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = ClockBinarySource.Schema
+  private var accepted: Array[Filter] = Array.empty
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+
+  /** Tighten [lo, hi] from a filter; true when the filter constrains only
+    * the clock column (and therefore contributed to the file-skip bounds).
+    */
+  private def absorb(f: Filter): Boolean = f match {
+    case GreaterThan("clock", v: Long) =>
+      if (v != Long.MaxValue) lo = math.max(lo, v + 1); true
+    case GreaterThanOrEqual("clock", v: Long) => lo = math.max(lo, v); true
+    case LessThan("clock", v: Long) =>
+      if (v != Long.MinValue) hi = math.min(hi, v - 1); true
+    case LessThanOrEqual("clock", v: Long) => hi = math.min(hi, v); true
+    case EqualTo("clock", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v); true
+    case And(l, r) =>
+      val la = absorb(l); val ra = absorb(r); la && ra
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(absorb)
+    filters // everything stays residual: Spark re-applies exact row predicates
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ClockScan(pathGlob, required, accepted, lo, hi)
+}
+
+private[sources] class ClockScan(pathGlob: String, required: StructType,
+                                 pushed: Array[Filter], lo: Long, hi: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-clock($pathGlob) clockRange=[$lo,$hi] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // metadata-only listing; every byte of file IO happens in executors
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    statuses.filter(_.isFile)
+      .map(st => ClockFilePartition(st.getPath.toString, st.getLen): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    new ClockReaderFactory(required.fieldNames, lo, hi, conf)
+  }
+}
+
+private[sources] case class ClockFilePartition(path: String, length: Long)
+    extends InputPartition
+
+private[sources] class ClockReaderFactory(
+    requiredCols: Array[String], lo: Long, hi: Long,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[ClockFilePartition]
+    new ClockPartitionReader(part, requiredCols, lo, hi, conf)
+  }
+}
+
+/** One file per partition. If the scan carries clock bounds, the reader
+  * first checks the file's first/last uint64 (two 8-byte positioned reads);
+  * a disjoint file is skipped without decoding a single payload byte.
+  */
+private[sources] class ClockPartitionReader(
+    part: ClockFilePartition, requiredCols: Array[String],
+    lo: Long, hi: Long, conf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val nRows = part.length / 8
+  private val fileUtf8 = UTF8String.fromString(part.path)
+  private val hadoopPath = new org.apache.hadoop.fs.Path(part.path)
+
+  private var data: ByteBuffer = _
+  private var idx: Long = -1
+  private var exhausted = nRows == 0
+
+  private def overlaps(): Boolean = {
+    if (lo == Long.MinValue && hi == Long.MaxValue) return true
+    val in = hadoopPath.getFileSystem(conf.value).open(hadoopPath)
+    try {
+      val buf = new Array[Byte](8)
+      in.readFully(0L, buf)
+      val first = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
+      in.readFully((nRows - 1) * 8, buf)
+      val last = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
+      math.max(first, last) >= lo && math.min(first, last) <= hi
+    } finally in.close()
+  }
+
+  private def load(): Unit = {
+    if (!overlaps()) { exhausted = true; return }
+    val in = hadoopPath.getFileSystem(conf.value).open(hadoopPath)
+    try {
+      val bytes = new Array[Byte](part.length.toInt)
+      in.readFully(0L, bytes)
+      data = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    } finally in.close()
+  }
+
+  override def next(): Boolean = {
+    if (exhausted) return false
+    if (data == null && idx < 0) load()
+    if (exhausted) return false
+    idx += 1
+    idx < nRows
+  }
+
+  override def get(): InternalRow = {
+    val values = requiredCols.map {
+      case "file"      => fileUtf8
+      case "row_index" => idx
+      case "clock"     => data.getLong((idx * 8).toInt)
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = { data = null }
+}
