@@ -111,6 +111,10 @@ object Dedup {
       .select(col("__a"),
         explode(slice(col("__ps"), col("__i") + lit(2), size(col("__ps"))))
           .as("__b"))
+      // sorted expansion gives __a <= __b; make it strict so duplicate
+      // payloads in a group (possible with caller-supplied inputs) never
+      // emit a self-pair
+      .filter(col("__a") < col("__b"))
 
   /** LSH banding: candidate near-dup pairs from documents sharing any
     * (band, band-slice) bucket. `bands * rowsPerBand == numHashes`.

@@ -175,16 +175,19 @@ object DomainQueries {
     }),
 
     // Scalar-function pack (§2.8): string/date/JSON functions over events.
-    // The JSON column is parsed ONCE (from_json with a schema) and both
-    // derived columns come off the struct — the previous shape ran a regex
-    // AND get_json_object over props per row, parsing the same value twice.
+    // prop_k demos regex extraction (codegen'd); prop_k_json demos REAL
+    // JSON-path extraction (get_json_object, $.k) — distinct semantics
+    // (nesting, signs), each mirrored exactly by the oracle.
     "q48_scalar_functions" -> ((s, d) => {
       val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int")
       Tables.events(s, d)
         .select(col("event_id"),
           upper(col("event_type")).as("type_upper"),
           k.as("prop_k"),
-          k.as("prop_k_json"),
+          // REAL JSON-path semantics ($.k — top-level only, handles nesting/
+          // signs), matching the oracle's json_extract_string; the regex
+          // column above is deliberately regex semantics on both sides
+          get_json_object(col("props"), "$.k").cast("int").as("prop_k_json"),
           date_trunc("hour", col("ts")).as("hour_bucket"),
           date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
           concat_ws("_", col("event_type"), col("user_id")).as("type_user"))

@@ -260,10 +260,18 @@ object PipelineQueries {
   private val simhashPackSql: String = (0 until Dedup.SimhashBits)
     .map(i => s"CASE WHEN v$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END")
     .mkString(" + ")
-  // One equality per 15-bit block — mirrors Dedup.simhashNearDup's banding.
-  private val simhashBlockSql: String = (0 until 4)
-    .map(i => s"((a.sh >> ${i * 15}) & 32767) = ((b.sh >> ${i * 15}) & 32767)")
-    .mkString(" OR ")
+  // One equality per block — derived from the SAME constants as
+  // Dedup.simhashNearDup's banding (nBands default 4) so a width change
+  // cannot silently desynchronize query and oracle.
+  private val simhashBlockSql: String = {
+    val nBands = 4
+    val blockBits = Dedup.SimhashBits / nBands
+    val mask = (1L << blockBits) - 1
+    (0 until nBands)
+      .map(i => s"((a.sh >> ${i * blockBits}) & $mask) = " +
+        s"((b.sh >> ${i * blockBits}) & $mask)")
+      .mkString(" OR ")
+  }
 
   val oracles: Map[String, String] = Map(
     "q64_fingerprint" ->

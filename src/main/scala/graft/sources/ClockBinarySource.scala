@@ -24,8 +24,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    8-byte reads, the distributed form of the reference's O(1) interval
   *    check (`aeon/dj_pipeline/utils/onix_imu.py:112-130`) — before any
   *    decode. Pushed filters are also re-applied by Spark row-wise
-  *    (returned as residuals), so pushdown is purely an IO optimization,
-  *    never a semantics change.
+  *    (returned as residuals), so for files honoring the format contract
+  *    pushdown changes IO only, never results.
+  *
+  * FORMAT CONTRACT (same as the reference's): clock files are written
+  * monotonically by the acquisition system, so first/last bound every value.
+  * A corrupted file with interior values outside [first, last] can be
+  * wrongly skipped — the same trust parquet places in writer-produced
+  * footer stats. Files must be < 2 GiB (one buffered decode per file; the
+  * acquisition writes hour-sized chunks, orders of magnitude smaller).
   *  - **column pruning**: unprojected columns are never materialized
   *    (`row_index`-free scans skip the per-row id arithmetic, `clock`-only
   *    scans skip the UTF8 file string).
@@ -117,8 +124,12 @@ private[sources] class ClockScan(pathGlob: String, required: StructType,
     val p = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    statuses.filter(_.isFile)
-      .map(st => ClockFilePartition(st.getPath.toString, st.getLen): InputPartition)
+    statuses.filter(_.isFile).map { st =>
+      require(st.getLen < Int.MaxValue.toLong,
+        s"graft-clock file ${st.getPath} is ${st.getLen} bytes; the format " +
+          "contract caps files below 2 GiB (hour-sized chunks)")
+      ClockFilePartition(st.getPath.toString, st.getLen): InputPartition
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -153,6 +164,14 @@ private[sources] class ClockPartitionReader(
   private val nRows = part.length / 8
   private val fileUtf8 = UTF8String.fromString(part.path)
   private val hadoopPath = new org.apache.hadoop.fs.Path(part.path)
+  // resolve column extraction to ordinals ONCE — get() is the per-row hot
+  // path and must not string-match names or allocate intermediates
+  private val FileCol = 0; private val RowIndexCol = 1; private val ClockCol = 2
+  private val colCodes: Array[Int] = requiredCols.map {
+    case "file" => FileCol
+    case "row_index" => RowIndexCol
+    case "clock" => ClockCol
+  }
 
   private var data: ByteBuffer = _
   private var idx: Long = -1
@@ -190,12 +209,17 @@ private[sources] class ClockPartitionReader(
   }
 
   override def get(): InternalRow = {
-    val values = requiredCols.map {
-      case "file"      => fileUtf8
-      case "row_index" => idx
-      case "clock"     => data.getLong((idx * 8).toInt)
+    val values = new Array[Any](colCodes.length)
+    var i = 0
+    while (i < colCodes.length) {
+      values(i) = colCodes(i) match {
+        case FileCol     => fileUtf8
+        case RowIndexCol => idx
+        case ClockCol    => data.getLong((idx * 8).toInt)
+      }
+      i += 1
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    new GenericInternalRow(values)
   }
 
   override def close(): Unit = { data = null }

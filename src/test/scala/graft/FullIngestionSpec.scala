@@ -1,7 +1,6 @@
 package graft
 
 import java.nio.file.{Files, Path}
-import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -37,10 +36,14 @@ class FullIngestionSpec extends SparkSpec {
     "2024-01-01T05-00-00" -> Seq("2024-01-01T05-00-00"))
   private val droppedChunk = "2024-01-01T01-00-00"
 
+  // parse epoch-dir names as UTC explicitly (the session timezone) — JVM
+  // default-zone parsing would break the absolute-epoch assertions on any
+  // non-UTC machine
   private def tsMicros(dirName: String): Long = {
     val iso = dirName.substring(0, 10) + "T" +
       dirName.substring(11).replace('-', ':')
-    Timestamp.valueOf(iso.replace('T', ' ')).getTime * 1000L
+    java.time.LocalDateTime.parse(iso)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
   }
 
   private lazy val root: Path = {
