@@ -188,11 +188,22 @@ object Dedup {
   }
 
   /** Estimated Jaccard from two MinHash signatures (fraction of agreeing
-    * components).
+    * components). This form uses array lambdas, which Spark evaluates
+    * INTERPRETED — fine for ad-hoc use; in a hot path prefer the
+    * `numHashes` overload, which unrolls into codegen'd element equalities.
     */
   def minhashJaccard(sigA: String, sigB: String): org.apache.spark.sql.Column =
     aggregate(zip_with(col(sigA), col(sigB), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(col(sigA))
+
+  /** Codegen-friendly [[minhashJaccard]]: with the signature width known at
+    * plan time the agreement count unrolls into plain element equalities —
+    * no interpreted higher-order lambdas.
+    */
+  def minhashJaccard(sigA: String, sigB: String, numHashes: Int): org.apache.spark.sql.Column =
+    (0 until numHashes)
+      .map(i => when(col(sigA).getItem(i) === col(sigB).getItem(i), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
 
   /** Shingle-set table `(idCol, shingles: array<string>)` — computed ONCE per
     * document. Candidate verification joins against this instead of raw text:

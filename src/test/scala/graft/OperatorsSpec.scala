@@ -189,6 +189,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("minhashJaccard unrolled overload equals the lambda form") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f x y"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16, shingleN = 2)
+    val a = sigs.select(col("doc_id").as("id_a"), col("minhash").as("ma"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("minhash").as("mb"))
+    val both = a.join(b, col("id_a") < col("id_b"))
+      .select(Dedup.minhashJaccard("ma", "mb").as("lambda"),
+        Dedup.minhashJaccard("ma", "mb", 16).as("unrolled"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(both.length == 3)
+  }
+
   test("withHashedShingles jaccard equals string-shingle jaccard") {
     val docs = Seq(
       (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u")
