@@ -124,4 +124,26 @@ class FunctionsSpec extends SparkSpec {
       .as[Long].collect()
     assert(buckets.sameElements(again))
   }
+
+  test("portableHash60/28: pinned cross-engine contract values") {
+    // the portable hash IS a wire contract: any engine computing
+    // CAST(hex(md5(x)[1..15]) AS int64) must reproduce these exact values
+    // (DuckDB oracles rely on it). Pinned against independently computed
+    // md5 digests: md5('abc') = 900150983cd24fb0d6963f7d28e17f72, etc.
+    val df = Seq("abc", "", "graft").toDF("s")
+    val rows = df.select(
+      HashFunctions.portableHash60(col("s")).as("h60"),
+      HashFunctions.portableHash28(col("s")).as("h28"),
+      HashFunctions.portableSeededHash(col("s"), 3).as("h3"))
+      .collect()
+    val expected = Seq(
+      (648541476951500027L, 14063167L),
+      (955282973525019424L, 82411529L),
+      (466617675313949775L, 220522875L))
+    rows.zip(expected).foreach { case (r, (h60, h28)) =>
+      assert(r.getLong(0) == h60)
+      assert(r.getLong(1) == h28)
+      assert(r.getLong(2) == h60 + 3L * h28)
+    }
+  }
 }
