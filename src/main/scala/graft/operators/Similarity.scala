@@ -148,30 +148,26 @@ object Similarity {
     * Invariant (SimilaritySpec): nProbe == nCentroids degenerates to exact
     * brute force.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, queryIdCol: String,
-              vecCol: String, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              centers: Option[Array[Array[Float]]] = None,
-              scoreDigits: Option[Int] = None): DataFrame = {
-    val cents: Array[Array[Float]] =
-      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
-
-    def cellScore(i: Int) = {
+  /** `array<struct<s,i>>` of (distance score, cell index) per row — the
+    * codegen'd quantizer: `||c_i||² − 2·v·c_i` with literal centers.
+    * `array_min` of it is the assignment (lexicographic: score, then index —
+    * deterministic ties); sorted-prefix is the probe list.
+    */
+  private def cellScores(cents: Array[Array[Float]], vecCol: String) =
+    array(cents.indices.map { i =>
       val c = cents(i)
       val norm2 = c.map(x => x.toDouble * x).sum
-      (lit(norm2) - lit(2.0) * VectorFunctions.dot(col(vecCol), typedlit(c.toSeq)))
-        .as("s")
-    }
-    def scored = array(cents.indices.map(i =>
-      struct(cellScore(i), lit(i).as("i"))): _*)
+      struct(
+        (lit(norm2) - lit(2.0) * VectorFunctions.dot(col(vecCol), typedlit(c.toSeq)))
+          .as("s"),
+        lit(i).as("i"))
+    }: _*)
 
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      array_min(scored).getField("i").as("__cell"))
-    val probes = queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
-      explode(transform(slice(sort_array(scored), 1, nProbe), s => s.getField("i")))
-        .as("__cell"))
-
+  /** Shared IVF tail: exact cosine over (cell-joined) candidates, top-k per
+    * query via window rank, optional rounded ranking. */
+  private def rankCandidates(assigned: DataFrame, probes: DataFrame,
+                             idCol: String, queryIdCol: String, vecCol: String,
+                             k: Int, scoreDigits: Option[Int]): DataFrame = {
     val raw = VectorFunctions.cosine(col(vecCol), col("__qvec"))
     val candidates = assigned.join(probes, Seq("__cell"))
       .filter(col(idCol) =!= col(queryIdCol))
@@ -180,6 +176,68 @@ object Similarity {
     candidates.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cosine"))
+  }
+
+  private def probesFor(queries: DataFrame, cents: Array[Array[Float]],
+                        queryIdCol: String, vecCol: String, nProbe: Int): DataFrame =
+    queries.select(col(queryIdCol), col(vecCol).as("__qvec"),
+      explode(transform(slice(sort_array(cellScores(cents, vecCol)), 1, nProbe),
+        s => s.getField("i"))).as("__cell"))
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, queryIdCol: String,
+              vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              centers: Option[Array[Array[Float]]] = None,
+              scoreDigits: Option[Int] = None): DataFrame = {
+    val cents: Array[Array[Float]] =
+      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      array_min(cellScores(cents, vecCol)).getField("i").as("__cell"))
+    rankCandidates(assigned, probesFor(queries, cents, queryIdCol, vecCol, nProbe),
+      idCol, queryIdCol, vecCol, k, scoreDigits)
+  }
+
+  /** Materialize the IVF index as a PHYSICAL layout: the corpus written to
+    * parquet partitioned by cell id (`cell=N/` directories). This is the
+    * actual 100 TB shape — [[ivfTopK]] recomputes assignment per query over
+    * the whole corpus, which is the right tool ad hoc; an index you probe
+    * repeatedly should pay assignment ONCE at write time, after which every
+    * probe reads nProbe/nCentroids of the data via partition pruning (the
+    * same discipline as the hourly time chunks). Returns the centers to
+    * probe with ([[ivfProbe]]).
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+                    idCol: String, vecCol: String,
+                    nCentroids: Int = 16,
+                    centers: Option[Array[Array[Float]]] = None): Array[Array[Float]] = {
+    val cents: Array[Array[Float]] =
+      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
+    corpus.select(col(idCol), col(vecCol),
+        array_min(cellScores(cents, vecCol)).getField("i").as("cell"))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    cents
+  }
+
+  /** Probe a materialized IVF index ([[writeIvfIndex]]): compute each
+    * query's nProbe cells, restrict the index scan to those partitions
+    * (`cell IN (...)` — partition pruning, asserted physical in
+    * SimilaritySpec), exact-rerank within. The probed cell list crosses the
+    * driver — nQueries × nProbe ints, catalog-scale metadata.
+    */
+  def ivfProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+               centers: Array[Array[Float]], queries: DataFrame,
+               idCol: String, queryIdCol: String, vecCol: String,
+               k: Int, nProbe: Int = 4,
+               scoreDigits: Option[Int] = None): DataFrame = {
+    val probes = probesFor(queries, centers, queryIdCol, vecCol, nProbe)
+    val activeCells = probes.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(activeCells: _*))
+      .withColumnRenamed("cell", "__cell")
+    rankCandidates(assigned, probes, idCol, queryIdCol, vecCol, k, scoreDigits)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH buckets

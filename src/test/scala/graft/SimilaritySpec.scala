@@ -43,6 +43,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall too low — bucketing broken?")
   }
 
+  test("materialized IVF index: probe equals inline ivfTopK and prunes partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = java.nio.file.Files.createTempDirectory("ivf_index").toString + "/idx"
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    val cents = Similarity.writeIvfIndex(emb, path, "vec_id", "embedding",
+      nCentroids = 16)
+    val inline = Similarity.ivfTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 5, nCentroids = 16, nProbe = 2, centers = Some(cents))
+      .orderBy("query_id", "vec_id").collect().toSeq
+    val probed = Similarity.ivfProbe(spark, path, cents, queries,
+      "vec_id", "query_id", "embedding", k = 5, nProbe = 2)
+      .orderBy("query_id", "vec_id")
+    val probedRows = probed.collect().toSeq // also populates the scan metrics
+    assert(probedRows == inline)
+
+    // pruning is PHYSICAL: the probe's scan reads only the probed cell
+    // partitions (at most 3 queries x 2 probes = 6 of 16), not the index
+    val allFiles = spark.read.parquet(path).inputFiles.length.toLong
+    assert(allFiles >= 16, s"expected >=16 partition files, got $allFiles")
+    // AQE hides materialized stages behind QueryStageExec/AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanFiles(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => scanFiles(a.executedPlan)
+      case q: QueryStageExec => scanFiles(q.plan)
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+      case other => other.children.map(scanFiles).sum
+    }
+    val probedFiles = scanFiles(probed.queryExecution.executedPlan)
+    assert(probedFiles > 0 && probedFiles <= allFiles * 6 / 16,
+      s"probe read $probedFiles of $allFiles files — pruning not physical?")
+  }
+
   test("ivfTopK with nProbe == nCentroids equals exact brute force") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
