@@ -316,4 +316,56 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: String, b: String): org.apache.spark.sql.Column =
     bit_count(col(a).bitwiseXOR(col(b)))
+
+  /** LSH bucket rows `(idCol, band, bucket)` for a batch of documents — the
+    * persistable unit of an incremental dedup index. One row per (doc,
+    * band); the bucket key is the band's minhash slice as a string
+    * (portable, like everything in this family).
+    */
+  def lshBuckets(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 32, shingleN: Int = 3,
+                 bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand == numHashes,
+      s"bands($bands) * rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
+    minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+      .select(col(idCol),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))
+        }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** INCREMENTAL near-dup candidates for continuous ingest: new documents
+    * are bucketed and checked against the PERSISTED bucket index of the
+    * existing corpus — the corpus is never re-shingled, never re-hashed;
+    * the only corpus-side IO is an equi-join against its (id, band, bucket)
+    * table. Returns distinct candidate pairs `(id_a, id_b)` covering BOTH
+    * new-vs-corpus (id_a = corpus doc, id_b = new doc) AND new-vs-new
+    * (id_a < id_b within the batch).
+    *
+    * The write side is [[graft.operators.Populate.appendIdempotent]] on the
+    * same bucket table keyed by (id, band) — retries never duplicate index
+    * rows, so ingest epochs compose: bucket the batch once, derive the
+    * candidates, append the batch's buckets, repeat.
+    *
+    * Scale shape: |batch| × bands rows join the index on (band, bucket) —
+    * with the index bucketed/partitioned on the join key this is the same
+    * pruned-probe discipline as everything else; `maxBucket` caps the
+    * fan-out of boilerplate buckets on the batch side exactly as in
+    * [[lshCandidates]].
+    */
+  def incrementalCandidates(newBuckets: DataFrame, indexBuckets: DataFrame,
+                            idCol: String,
+                            maxBucket: Int = 10000): DataFrame = {
+    val vsCorpus = indexBuckets
+      .select(col(idCol).as("id_a"), col("band"), col("bucket"))
+      .join(newBuckets.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    val vsBatch = pairsWithinGroups(
+      newBuckets.select(struct(col(idCol)).as("__p"), col("band"), col("bucket")),
+      Seq("band", "bucket"), col("__p"), maxBucket)
+      .select(col("__a")(idCol).as("id_a"), col("__b")(idCol).as("id_b"))
+    vsCorpus.unionByName(vsBatch).distinct()
+  }
 }

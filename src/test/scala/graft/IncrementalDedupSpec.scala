@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Populate}
+
+/** Incremental near-dup over a persisted LSH bucket index: batches are
+  * bucketed once, checked against the corpus index without re-hashing the
+  * corpus, and appended idempotently so ingest epochs compose.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(words: Range, subst: Map[Int, String] = Map.empty): String =
+    words.map(i => subst.getOrElse(i, s"word$i")).mkString(" ")
+
+  test("batches check against the index, pair within themselves, and compose") {
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("lsh_index").toString + "/buckets"
+
+    // corpus: three distinct docs
+    val corpus = Seq(
+      (1L, doc(1 to 60)),
+      (2L, doc(100 to 160)),
+      (3L, doc(200 to 260))).toDF("doc_id", "text")
+    val corpusBuckets = Dedup.lshBuckets(corpus, "doc_id", "text")
+    assert(Populate.appendIdempotent(corpusBuckets, indexPath, Seq("doc_id", "band")) > 0)
+
+    // batch 1: near-dup of corpus doc 1, a new-vs-new near-dup pair, one unrelated
+    val batch1 = Seq(
+      (10L, doc(1 to 60, Map(30 -> "CHANGED"))),
+      (11L, doc(300 to 360)),
+      (12L, doc(300 to 360, Map(330 -> "CHANGED"))),
+      (13L, doc(400 to 460))).toDF("doc_id", "text")
+    val b1 = Dedup.lshBuckets(batch1, "doc_id", "text")
+    val cands1 = Dedup.incrementalCandidates(b1,
+        spark.read.parquet(indexPath), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands1.contains((1L, 10L)), s"corpus-vs-new pair missing: $cands1")
+    assert(cands1.contains((11L, 12L)), s"new-vs-new pair missing: $cands1")
+    assert(!cands1.exists(p => p._1 == 13L || p._2 == 13L), s"unrelated doc paired: $cands1")
+    assert(!cands1.contains((1L, 2L)), "corpus-vs-corpus pairs must not reappear")
+
+    // appending the batch is idempotent
+    assert(Populate.appendIdempotent(b1, indexPath, Seq("doc_id", "band")) > 0)
+    assert(Populate.appendIdempotent(b1, indexPath, Seq("doc_id", "band")) == 0)
+
+    // batch 2 pairs against a BATCH-1 doc through the updated index
+    val batch2 = Seq((20L, doc(300 to 360, Map(340 -> "ALSO")))).toDF("doc_id", "text")
+    val cands2 = Dedup.incrementalCandidates(Dedup.lshBuckets(batch2, "doc_id", "text"),
+        spark.read.parquet(indexPath), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands2.contains((11L, 20L)) && cands2.contains((12L, 20L)),
+      s"epoch composition broken: $cands2")
+  }
+}
