@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Skew}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -221,6 +221,25 @@ object PipelineQueries {
         threshold = 0.999, nTables = 8)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
+    }),
+
+    // Salted two-stage aggregation (the skew discipline): spreads a
+    // pathological key over `buckets` reducers via partial aggregation on
+    // (key, salt), then merges. The ORACLE is the plain GROUP BY — salting
+    // must be result-invisible, and the gate proves it. Numeric sum uses
+    // floor-to-milli longs (exact integer addition; double accumulation
+    // order is engine-specific), min/max/count are order-free already.
+    "q87_salted_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          floor(col("value") * 1000).cast("long").as("__milli"))
+      Skew.saltedAggregate(ev, Seq("user_id"), buckets = 8)(
+        partials = Seq(count(lit(1)).as("__c"), sum(col("__milli")).as("__s"),
+          min(col("value")).as("__mn"), max(col("value")).as("__mx")),
+        merges = Seq(sum(col("__c")).as("n_events"),
+          sum(col("__s")).as("total_milli"),
+          min(col("__mn")).as("min_value"), max(col("__mx")).as("max_value")))
+        .orderBy("user_id")
     }),
 
     // Per-source corpus stats — the "document table health" rollup every
@@ -495,6 +514,11 @@ object PipelineQueries {
          CAST(vec_id + 100000 AS BIGINT) AS id_b,
          CAST(1.0 AS DOUBLE) AS cosine
        FROM embeddings WHERE vec_id < 10 ORDER BY id_a""",
+    "q87_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli,
+         min(value) AS min_value, max(value) AS max_value
+       FROM events GROUP BY user_id ORDER BY user_id""",
     "q72_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,
