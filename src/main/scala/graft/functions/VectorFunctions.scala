@@ -33,16 +33,24 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column = binary(VecCosine.apply)(a, b)
 
-  /** Deterministic random hyperplanes for LSH bucketing: `nBits` unit-free
-    * planes of `dim` components seeded by `seed` — generated driver-side once
-    * per plan (a few KB of literals), NOT per row. The previous formulation
-    * derived each coefficient from `hash(seed, bit, component)` per row per
-    * bit — O(dim × nBits) interpreted work per row for values that never
-    * change.
+  /** Deterministic PORTABLE hyperplanes for LSH bucketing: `nBits`
+    * Rademacher (±1) planes of `dim` components, component signs derived
+    * from `md5("seed:bit:component")` by the same 60-bit-prefix rule as
+    * `HashFunctions.portableHash60` — so any engine regenerates the exact
+    * planes and the whole bucketing becomes oracle-checkable (q70), unlike
+    * a JVM-RNG Gaussian draw. ±1 planes are the standard SimHash family
+    * for angular LSH (Charikar '02): collision probability 1 − θ/π per
+    * bit, same as Gaussian planes. Generated driver-side once per plan
+    * (a few KB of literals), NOT per row.
     */
   def hyperplanes(nBits: Int, dim: Int, seed: Int): Array[Array[Float]] = {
-    val rnd = new java.util.Random(seed.toLong * 0x9E3779B97F4A7C15L)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextFloat() * 2.0f - 1.0f))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(b: Int, j: Int): Float = {
+      val hex = md.digest(s"$seed:$b:$j".getBytes("UTF-8"))
+        .take(8).map(x => f"$x%02x").mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0f else -1.0f
+    }
+    Array.tabulate(nBits)(b => Array.tabulate(dim)(j => sign(b, j)))
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of `nBits` fixed hyperplane

@@ -86,7 +86,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, queryIdCol: String,
               vecCol: String, k: Int,
-              nBits: Int = 0, nTables: Int = 4): DataFrame = {
+              nBits: Int = 0, nTables: Int = 4,
+              scoreDigits: Option[Int] = None): DataFrame = {
     val (dim, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 32)
     def bucketIds(df: DataFrame, id: String): DataFrame =
       df.select(col(id),
@@ -98,11 +99,12 @@ object Similarity {
       .filter(col(idCol) =!= col(queryIdCol))
       .select(col(idCol), col(queryIdCol))
       .dropDuplicates(idCol, queryIdCol)
+    val raw = VectorFunctions.cosine(col(vecCol), col("__qvec"))
     val scored = pairs
       .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))),
         Seq(queryIdCol))
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .withColumn("cosine", VectorFunctions.cosine(col(vecCol), col("__qvec")))
+      .withColumn("cosine", scoreDigits.fold(raw)(d => round(raw, d)))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)

@@ -158,15 +158,17 @@ object PipelineQueries {
     // LSH-bucketed ANN (the 100 TB path) — same output shape as q69.
     // nBits derived from corpus size (log₂(n/targetPop)) so mean bucket
     // population — and therefore the candidate stream — stays constant as
-    // the corpus grows; see Similarity.deriveBits for the math.
+    // the corpus grows; see Similarity.deriveBits for the math. ORACLED:
+    // portable md5-Rademacher hyperplanes (VectorFunctions.hyperplanes) let
+    // DuckDB regenerate the exact planes, replay the bucketing (including
+    // the adaptive width), and re-rank on round(cosine,6) + id.
     "q70_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(emb, queries, "vec_id", "query_id", "embedding",
-        k = 10, nTables = 4)
-        .withColumn("cosine", round(col("cosine"), 6))
-        .orderBy("query_id", "cosine")
+        k = 10, nTables = 4, scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     }),
 
     // Winnowing overlap detection (MOSS rolling-hash fingerprints): shared
@@ -438,6 +440,50 @@ object PipelineQueries {
        FROM grams a JOIN grams b ON a.doc_id < b.doc_id,
          LATERAL (SELECT list_concat(a.g, b.g) AS g_union)
        ORDER BY id_a, id_b""",
+    "q70_ann_lsh" ->
+      s"""WITH params AS (
+         SELECT least(24, greatest(8,
+             CAST(ceil(log2(count(*) / 32.0)) AS BIGINT))) AS bits,
+           (SELECT max(len(embedding)) FROM embeddings) AS dim
+         FROM embeddings),
+       planes AS (
+         SELECT t.t, b.b, j.j,
+           CASE WHEN (CAST(concat('0x', substr(md5(concat(
+               CAST(42 + t.t AS VARCHAR), ':', CAST(b.b AS VARCHAR), ':',
+               CAST(j.j AS VARCHAR))), 1, 15)) AS BIGINT) & 1) = 1
+             THEN 1.0 ELSE -1.0 END AS sgn
+         FROM params, unnest(generate_series(0, 3)) t(t),
+              unnest(generate_series(0, params.bits - 1)) b(b),
+              unnest(generate_series(0, params.dim - 1)) j(j)),
+       comps AS (
+         SELECT e.vec_id, p.t, p.b, sum(p.sgn * e.embedding[p.j + 1]) AS dot
+         FROM embeddings e CROSS JOIN planes p
+         GROUP BY e.vec_id, p.t, p.b),
+       buckets AS (
+         SELECT vec_id, t,
+           sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS bucket
+         FROM comps GROUP BY vec_id, t),
+       cand AS (
+         SELECT q.vec_id AS query_id, e.vec_id
+         FROM buckets q JOIN buckets e ON q.t = e.t AND q.bucket = e.bucket
+         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT c.query_id, c.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])))), 6) AS cosine
+         FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+           JOIN embeddings q ON q.vec_id = c.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine DESC, vec_id""",
     "q73_ann_ivf" ->
       s"""WITH cents AS (
          SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
