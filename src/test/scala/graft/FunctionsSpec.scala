@@ -146,4 +146,17 @@ class FunctionsSpec extends SparkSpec {
       assert(r.getLong(2) == h60 + 3L * h28)
     }
   }
+
+  test("hyperplanes: pinned portable Rademacher contract; seeds vary the family") {
+    // same wire-contract discipline as portableHash60: any engine deriving
+    // signs from md5("seed:bit:component") must reproduce these planes
+    val p = VectorFunctions.hyperplanes(nBits = 2, dim = 4, seed = 42)
+    assert(p(0).toSeq == Seq(1.0f, 1.0f, 1.0f, 1.0f))
+    assert(p(1).toSeq == Seq(-1.0f, 1.0f, -1.0f, 1.0f))
+    assert(p.flatten.forall(v => v == 1.0f || v == -1.0f))
+    // distinct seeds give distinct planes (a degenerate family would
+    // collapse every LSH table to the same bucketing)
+    val q = VectorFunctions.hyperplanes(nBits = 2, dim = 4, seed = 43)
+    assert(p.flatten.toSeq != q.flatten.toSeq)
+  }
 }
