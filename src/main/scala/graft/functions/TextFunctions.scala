@@ -93,6 +93,26 @@ object TextFunctions {
   def portableFingerprint(text: Column): Column =
     HashFunctions.portableHash60(normalizeForDedup(text))
 
+  /** Email/URL patterns for the standard pre-training PII scrub. Kept
+    * RE2-compatible (no backrefs/lookaround) so ANY regex engine applies
+    * the identical transformation — the scrub output is an exported
+    * artifact, same discipline as the portable hashes.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern: String = "https?://[^\\s]+"
+
+  /** Number of matches of `pattern` in the text (codegen'd). */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Mask URLs then emails (URL first — its greedy tail could contain `@`).
+    * Pure codegen'd regexp_replace chain; order is part of the contract.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
   /** Word n-gram shingles of the normalized text (for MinHash / Jaccard). */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = split(normalizeForDedup(text), " ")

@@ -313,6 +313,24 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Per-document n-gram repetition stats `(idCol, n_grams, n_distinct,
+    * dup_fraction)` — the Gopher-style repetition quality signal: a high
+    * fraction of duplicate n-grams marks boilerplate/degenerate text.
+    * Same scale shape as every signature here: shingles stream out of
+    * [[shingleRows]] into one hash aggregate (exact distinct per doc — the
+    * group is one document, so the distinct state is doc-local, never a
+    * global shuffle). Docs with fewer than n words yield no row.
+    */
+  def ngramRepetition(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("__s")).as("n_distinct"))
+      .withColumn("dup_fraction",
+        round((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams"), 4))
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: String, b: String): org.apache.spark.sql.Column =
     bit_count(col(a).bitwiseXOR(col(b)))

@@ -244,6 +244,35 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // PII scrub (emails/URLs masked) — the standard pre-training scrub.
+    // The synthetic corpus contains neither, so they are PLANTED
+    // deterministically on doc_id < 50; the ORACLE applies the identical
+    // RE2-compatible patterns in the same order, and the hash compare runs
+    // over the full scrubbed text.
+    "q88_pii_scrub" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") < 50,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via https://example.org/d/"), col("doc_id")))
+          .otherwise(col("text")).as("text"))
+      withPii.select(col("doc_id"),
+          TextFunctions.countMatches(col("text"), TextFunctions.EmailPattern)
+            .as("n_emails"),
+          TextFunctions.countMatches(col("text"), TextFunctions.UrlPattern)
+            .as("n_urls"),
+          TextFunctions.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition quality signal (Gopher-style): fraction of duplicate
+    // word-2-grams per document. Exact distinct is doc-local (the group is
+    // one doc), so no global distinct shuffle.
+    "q89_repetition" -> ((s, d) => {
+      Dedup.ngramRepetition(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
     // Per-source corpus stats — the "document table health" rollup every
     // training-data pipeline runs before a job.
     "q72_corpus_stats" -> ((s, d) => {
@@ -560,6 +589,33 @@ object PipelineQueries {
          CAST(vec_id + 100000 AS BIGINT) AS id_b,
          CAST(1.0 AS DOUBLE) AS cosine
        FROM embeddings WHERE vec_id < 10 ORDER BY id_a""",
+    "q88_pii_scrub" ->
+      """WITH withpii AS (
+         SELECT doc_id,
+           CASE WHEN doc_id < 50 THEN concat(text, ' contact user',
+               CAST(doc_id AS VARCHAR), '@example.com via https://example.org/d/',
+               CAST(doc_id AS VARCHAR))
+             ELSE text END AS text
+         FROM documents)
+       SELECT doc_id,
+         len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+         regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS scrubbed
+       FROM withpii ORDER BY doc_id""",
+    "q89_repetition" ->
+      s"""WITH norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
+         FROM documents),
+       grams AS (
+         SELECT doc_id, array_to_string(words[i:i+1], ' ') AS s
+         FROM norm, unnest(generate_series(1, len(words) - 1)) u(i))
+       SELECT doc_id, count(*) AS n_grams, count(DISTINCT s) AS n_distinct,
+         round((count(*) - count(DISTINCT s)) / CAST(count(*) AS DOUBLE), 4)
+           AS dup_fraction
+       FROM grams GROUP BY doc_id ORDER BY doc_id""",
     "q87_salted_agg" ->
       """SELECT user_id, count(*) AS n_events,
          CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli,

@@ -159,4 +159,19 @@ class FunctionsSpec extends SparkSpec {
     val q = VectorFunctions.hyperplanes(nBits = 2, dim = 4, seed = 43)
     assert(p.flatten.toSeq != q.flatten.toSeq)
   }
+
+  test("scrubPii masks URLs then emails; countMatches counts them") {
+    val df = Seq(
+      "mail me at jo.doe+x@lab.example.org or see https://ex.org/a?b=1 now",
+      "no pii here").toDF("t")
+    val out = df.select(
+      TextFunctions.scrubPii(col("t")).as("s"),
+      TextFunctions.countMatches(col("t"), TextFunctions.EmailPattern).as("e"),
+      TextFunctions.countMatches(col("t"), TextFunctions.UrlPattern).as("u"))
+      .collect()
+    assert(out(0).getString(0) == "mail me at <EMAIL> or see <URL> now")
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1)
+    assert(out(1).getString(0) == "no pii here")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0)
+  }
 }

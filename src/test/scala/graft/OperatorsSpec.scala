@@ -221,6 +221,16 @@ class OperatorsSpec extends SparkSpec {
     assert(viaStrings == viaHashes && viaStrings.head._3 > 0.0)
   }
 
+  test("ngramRepetition: alternating text has duplicate-bigram fraction 0.5") {
+    val docs = Seq((1L, "a b a b a"), (2L, "v w x y z")).toDF("doc_id", "text")
+    val out = Dedup.ngramRepetition(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // "a b a b a": bigrams [a b, b a, a b, b a] -> 4 total, 2 distinct
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 2)
+    assert(out(0).getDouble(3) == 0.5)
+    assert(out(1).getLong(1) == 4 && out(1).getDouble(3) == 0.0)
+  }
+
   test("SimHash: near-dups within small Hamming distance, unrelated far") {
     val base = (1 to 100).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 100).map(i => if (i % 50 == 0) "CHANGED" else s"word$i").mkString(" ")
