@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{VecCosine, VecDot}
+import graft.expressions.{PortableHash28, PortableHash60, VecCosine, VecDot}
 
 /** SparkSessionExtensions entry point: registers graft's custom expressions
   * as SQL functions, so `spark.sql("SELECT vec_cosine(a, b) ...")` works and
@@ -30,6 +30,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_cosine takes exactly 2 arguments")
         VecCosine(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("portable_hash60"),
+      new ExpressionInfo(classOf[PortableHash60].getName, "portable_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_hash60 takes exactly 1 argument")
+        PortableHash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("portable_hash28"),
+      new ExpressionInfo(classOf[PortableHash28].getName, "portable_hash28"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "portable_hash28 takes exactly 1 argument")
+        PortableHash28(children.head)
       }))
   }
 }

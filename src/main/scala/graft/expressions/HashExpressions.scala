@@ -1,0 +1,104 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd portable-hash kernels (SURVEY.md §7.4 path (b)).
+  *
+  * The portable 60/28-bit hashes are DEFINED as hex-prefix reads of the MD5
+  * digest (`graft.functions.HashFunctions`): any engine replays them via
+  * `md5()` + hex parsing, which is what the DuckDB oracles do. The built-in
+  * formulation (`conv(substring(md5(x), ..), 16, 10)`) round-trips every row
+  * through a 32-char hex string, a substring copy, and a radix parse — pure
+  * overhead for values that are just bit-slices of the digest. These
+  * expressions compute the identical values directly from the digest bytes
+  * (equality pinned in HashExpressionsSpec against both the built-in
+  * formulation and hard-coded contract values):
+  *
+  *  - hex digits 1..15  = bytes 0..6 plus the high nibble of byte 7 → h60
+  *  - hex digits 16..22 = low nibble of byte 7 plus bytes 8..10     → h28
+  */
+trait PortableHashExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  /** Java source computing this hash's long from a `byte[16]` digest var. */
+  protected def sliceJava(d: String): String
+  protected def sliceEval(d: Array[Byte]): Long
+
+  override def nullSafeEval(input: Any): Any =
+    sliceEval(PortableHashExpression.digest(
+      input.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "portableMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("digest")
+      s"""
+         |byte[] $d = $md.digest($c.getBytes());
+         |${ev.value} = ${sliceJava(d)};
+       """.stripMargin
+    })
+  }
+}
+
+object PortableHashExpression {
+  private val localMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  def digest(bytes: Array[Byte]): Array[Byte] = localMd5.get().digest(bytes)
+
+  def h60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+  def h28(d: Array[Byte]): Long =
+    ((d(7) & 0x0FL) << 24) | ((d(8) & 0xFFL) << 16) |
+      ((d(9) & 0xFFL) << 8) | (d(10) & 0xFFL)
+}
+
+/** First 15 hex digits of MD5 as a non-negative long (== portableHash60). */
+case class PortableHash60(child: Expression) extends PortableHashExpression {
+  override def prettyName: String = "portable_hash60"
+  override protected def sliceJava(d: String): String = {
+    // byte i of the digest lands at bits [59-8i .. 52-8i]; byte 7's high
+    // nibble fills bits [3..0]
+    val first7 = (0 until 7)
+      .map(i => s"((long)($d[$i] & 0xFF) << ${8 * (6 - i) + 4})")
+      .mkString(" | ")
+    s"$first7 | ((long)($d[7] & 0xF0) >>> 4)"
+  }
+  override protected def sliceEval(d: Array[Byte]): Long =
+    PortableHashExpression.h60(d)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hex digits 16..22 of MD5 as a 28-bit long (== portableHash28). */
+case class PortableHash28(child: Expression) extends PortableHashExpression {
+  override def prettyName: String = "portable_hash28"
+  override protected def sliceJava(d: String): String =
+    s"((long)($d[7] & 0x0F) << 24) | ((long)($d[8] & 0xFF) << 16) | " +
+      s"((long)($d[9] & 0xFF) << 8) | (long)($d[10] & 0xFF)"
+  override protected def sliceEval(d: Array[Byte]): Long =
+    PortableHashExpression.h28(d)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

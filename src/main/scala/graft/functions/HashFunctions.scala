@@ -38,9 +38,16 @@ object HashFunctions {
     * VALUE is part of the product surface (exported fingerprints, signatures
     * another system must verify); keep `xxhash64` for purely internal keys —
     * it is ~5× cheaper per byte and its values never leave the engine.
+    *
+    * Computed by a codegen'd kernel reading the digest bytes directly
+    * (graft.expressions.PortableHash60) — the `conv(substring(md5(x)))`
+    * formulation builds a 32-char hex string and radix-parses it per row;
+    * HashExpressionsSpec pins both formulations equal.
     */
   def portableHash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PortableHash60(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
 
   /** Second independent 28-bit portable hash from the same MD5 (hex digits
     * 16..22). With [[portableHash60]] as h1 this gives the standard
@@ -49,7 +56,9 @@ object HashFunctions {
     * h_i < 2⁶¹ — exact in 64-bit integer arithmetic on every engine.
     */
   def portableHash28(c: Column): Column =
-    conv(substring(md5(c), 16, 7), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PortableHash28(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
 
   /** The i-th member of the portable double-hashing family over `c`. */
   def portableSeededHash(c: Column, i: Int): Column =

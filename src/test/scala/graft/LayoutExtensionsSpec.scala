@@ -65,6 +65,9 @@ class LayoutExtensionsSpec extends SparkSpec {
       val r = ext.sql("SELECT vec_dot(a, b) AS d, vec_cosine(a, a) AS c FROM vecs").head()
       assert(r.getDouble(0) == 8.0)
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      val h = ext.sql(
+        "SELECT portable_hash60('abc') AS a, portable_hash28('abc') AS b").head()
+      assert(h.getLong(0) == 648541476951500027L && h.getLong(1) == 14063167L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
