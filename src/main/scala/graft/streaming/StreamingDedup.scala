@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.{Dedup, Populate}
+
+/** Streaming form of incremental near-dup detection: newly-landed document
+  * files stream in, each micro-batch is bucketed ONCE
+  * ([[Dedup.lshBuckets]]), checked against the persisted corpus bucket
+  * index ([[Dedup.incrementalCandidates]] — the corpus is never re-hashed),
+  * and appended to the index idempotently so restarts and overlapping
+  * drains are safe. Candidate pairs append to their own table keyed
+  * (id_a, id_b) — re-deriving a batch after a checkpoint loss re-finds the
+  * same pairs and the idempotent append drops them.
+  *
+  * Same durability story as [[IncrementalPopulate]]: checkpoint (which
+  * files were consumed) + the index/candidate tables themselves (which
+  * docs/pairs exist) — either alone suffices, together reprocessing is
+  * rare AND harmless.
+  *
+  * At 100 TB the index table is written bucketed/partitioned on the join
+  * key (band, bucket); the per-batch side is |batch| × bands rows, so each
+  * drain's cost scales with the batch, not the corpus.
+  */
+object StreamingDedup {
+
+  /** Drain newly-landed document files: emit candidate pairs to
+    * `candidatesDir` and fold the batch into the bucket index at
+    * `indexDir`. Returns once the backlog is drained (AvailableNow).
+    */
+  def drain(spark: SparkSession, sourceDir: String, indexDir: String,
+            candidatesDir: String, checkpointDir: String,
+            idCol: String, textCol: String,
+            schema: org.apache.spark.sql.types.StructType,
+            numHashes: Int = 32, shingleN: Int = 3,
+            bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(sourceDir)
+
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val buckets = Dedup.lshBuckets(batch, idCol, textCol,
+          numHashes, shingleN, bands, rowsPerBand)
+        // bucket the batch once per derivation; both consumers (candidates
+        // + index append) reuse the materialization
+        val cached = buckets.cache()
+        try {
+          val index =
+            try Some(spark.read.parquet(indexDir)) catch {
+              case _: java.io.FileNotFoundException => None
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getErrorClass != null &&
+                    e.getErrorClass.startsWith("PATH_NOT_FOUND") => None
+            }
+          val cands = index match {
+            case Some(ix) => Dedup.incrementalCandidates(cached, ix, idCol)
+            case None => Dedup.incrementalCandidates(cached,
+              cached.limit(0), idCol) // first batch: new-vs-new only
+          }
+          Populate.appendIdempotent(cands, candidatesDir, Seq("id_a", "id_b"))
+          Populate.appendIdempotent(cached, indexDir, Seq(idCol, "band"))
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+}

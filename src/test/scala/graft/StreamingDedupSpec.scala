@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamingDedup
+
+/** Streaming incremental dedup: two file-landing waves drain through
+  * foreachBatch; candidates accumulate across epochs, the index composes,
+  * and a re-drain after the checkpoint is intact is a no-op.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def doc(words: Range, subst: Map[Int, String] = Map.empty): String =
+    words.map(i => subst.getOrElse(i, s"word$i")).mkString(" ")
+
+  test("two drains: candidates accumulate, re-drain is a no-op") {
+    val root = Files.createTempDirectory("stream_dedup")
+    val src = root.resolve("incoming").toString
+    val index = root.resolve("index").toString
+    val cands = root.resolve("cands").toString
+    val ckpt = root.resolve("ckpt").toString
+    Files.createDirectories(root.resolve("incoming"))
+
+    // wave 1: two distinct docs + one near-dup pair inside the wave
+    Seq((1L, doc(1 to 60)), (2L, doc(100 to 160)),
+        (3L, doc(1 to 60, Map(30 -> "CHANGED"))))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamingDedup.drain(spark, src, index, cands, ckpt, "doc_id", "text", schema)
+
+    val afterWave1 = spark.read.parquet(cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterWave1.contains((1L, 3L)), s"in-wave pair missing: $afterWave1")
+    assert(!afterWave1.exists(p => p._1 == 2L || p._2 == 2L))
+
+    // wave 2: a near-dup of a WAVE-1 doc — found via the persisted index
+    Seq((10L, doc(100 to 160, Map(130 -> "ALSO"))))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamingDedup.drain(spark, src, index, cands, ckpt, "doc_id", "text", schema)
+
+    val afterWave2 = spark.read.parquet(cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterWave2.contains((2L, 10L)), s"cross-wave pair missing: $afterWave2")
+    assert(afterWave2.contains((1L, 3L)))
+
+    // a third drain with nothing new: no growth anywhere
+    val candCount = spark.read.parquet(cands).count()
+    val indexCount = spark.read.parquet(index).count()
+    StreamingDedup.drain(spark, src, index, cands, ckpt, "doc_id", "text", schema)
+    assert(spark.read.parquet(cands).count() == candCount)
+    assert(spark.read.parquet(index).count() == indexCount)
+    // index holds one row per (doc, band) for all four docs
+    assert(indexCount == 4 * 8)
+  }
+}
