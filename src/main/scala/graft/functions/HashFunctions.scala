@@ -63,4 +63,14 @@ object HashFunctions {
   /** The i-th member of the portable double-hashing family over `c`. */
   def portableSeededHash(c: Column, i: Int): Column =
     portableHash60(c) + lit(i.toLong) * portableHash28(c)
+
+  /** Fused per-document MinHash signature over an ALREADY-NORMALIZED text
+    * column — see graft.expressions.MinhashSignature. Null when the doc has
+    * fewer than `shingleN` words.
+    */
+  def minhashSignature(normalized: Column, numHashes: Int, shingleN: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinhashSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(normalized),
+        numHashes, shingleN))
 }

@@ -88,6 +88,21 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("minhash"))
   }
 
+  /** [[minhashSignatures]] as ONE fused codegen pass per document
+    * (graft.expressions.MinhashSignature): identical values — equality is
+    * spec-pinned — with zero shuffles; the composed shape pays a window
+    * shuffle + grouped aggregate only because array lambdas are
+    * interpreted. Prefer this form; the composed one remains as the
+    * executable specification of the construction.
+    */
+  def minhashSignaturesFused(docs: DataFrame, idCol: String, textCol: String,
+                             numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.HashFunctions.minhashSignature(
+          TextFunctions.normalizeForDedup(col(textCol)), numHashes, shingleN)
+          .as("minhash"))
+      .filter(col("minhash").isNotNull)
+
   /** All unordered pairs within each key-group, SINGLE PASS over the input:
     * group → sorted payload array → explode (element, strictly-later
     * elements). Replaces the self-equi-join shape, which evaluates the
@@ -345,7 +360,7 @@ object Dedup {
                  bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     require(bands * rowsPerBand == numHashes,
       s"bands($bands) * rowsPerBand($rowsPerBand) must equal numHashes($numHashes)")
-    minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    minhashSignaturesFused(docs, idCol, textCol, numHashes, shingleN)
       .select(col(idCol),
         posexplode(array((0 until bands).map { b =>
           concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, rowsPerBand))

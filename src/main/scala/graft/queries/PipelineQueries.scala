@@ -80,7 +80,9 @@ object PipelineQueries {
     // exact integer arithmetic DuckDB replays.
     "q65_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      // fused signature kernel — zero shuffles; value-identical to the
+      // composed shape the oracle replays (TextSignaturesSpec)
+      val sigs = Dedup.minhashSignaturesFused(docs, "doc_id", "text",
         numHashes = 32, shingleN = 3)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
       // verify on HASHED shingle sets (same portable hash the signatures
