@@ -65,10 +65,150 @@ case class MinhashSignature(child: Expression, numHashes: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Fused per-document SimHash fingerprint — same rationale as
+  * [[MinhashSignature]]: the 60 bit-votes over word hashes are doc-local;
+  * the composed shape pays an explode + 60-sum hash aggregate. Input must
+  * be normalized; every document yields a value (a lone empty token still
+  * votes, exactly like the composed explode).
+  */
+case class SimhashSignature(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatures.simhash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextSignatures.simhash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused per-document winnowing fingerprints — the rolling window-min over
+  * shingle hashes is doc-local; the composed shape pays a window shuffle
+  * plus a collect_set aggregate. Output matches
+  * `Dedup.winnowFingerprints`'s `array_sort(collect_set(...))`: distinct
+  * window-mins, ascending. Null when the document has no complete shingle.
+  */
+case class WinnowFingerprints(child: Expression, shingleN: Int, windowSize: Int)
+    extends UnaryExpression {
+  require(shingleN > 0 && windowSize > 0, "shingleN/windowSize must be positive")
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val fps = TextSignatures.winnow(
+      input.asInstanceOf[UTF8String].toString, shingleN, windowSize)
+    if (fps == null) null else new GenericArrayData(fps)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fps = ctx.freshName("fps")
+      s"""
+         |long[] $fps = graft.expressions.TextSignatures.winnow(
+         |  $c.toString(), $shingleN, $windowSize);
+         |if ($fps == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($fps);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextSignatures {
   private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** SimHash fingerprint of a normalized document (60 portable bits). */
+  def simhash(normalized: String): Long = {
+    val words = normalized.split(' ')
+    val votes = new Array[Int](60)
+    val md = localMd5.get()
+    var i = 0
+    while (i < words.length) {
+      val h = PortableHashExpression.h60(md.digest(words(i).getBytes("UTF-8")))
+      var b = 0
+      while (b < 60) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Winnowing fingerprints of a normalized document: distinct truncated
+    * window-mins of the shingle hash sequence, sorted ascending; null when
+    * no complete shingle exists.
+    */
+  def winnow(normalized: String, n: Int, windowSize: Int): Array[Long] = {
+    val words = normalized.split(' ')
+    val m = words.length - n + 1
+    if (m <= 0) return null
+    val md = localMd5.get()
+    val hashes = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      hashes(i) = PortableHashExpression.h60(md.digest(sb.toString.getBytes("UTF-8")))
+      i += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < m) {
+      var mn = hashes(i)
+      var k = i + 1
+      val end = math.min(i + windowSize, m)
+      while (k < end) {
+        if (hashes(k) < mn) mn = hashes(k)
+        k += 1
+      }
+      mins.add(mn)
+      i += 1
+    }
+    val out = new Array[Long](mins.size)
+    val it = mins.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
   }
 
   /** MinHash signature of a NORMALIZED (single-space) document, or null when

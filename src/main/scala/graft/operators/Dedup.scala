@@ -103,6 +103,27 @@ object Dedup {
           .as("minhash"))
       .filter(col("minhash").isNotNull)
 
+  /** [[simhashSignatures]] fused into one codegen pass per document — same
+    * rationale and equality guarantee as [[minhashSignaturesFused]]. */
+  def simhashSignaturesFused(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.SimhashSignature(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            TextFunctions.normalizeForDedup(col(textCol))))).as("simhash"))
+
+  /** [[winnowFingerprints]] fused into one codegen pass per document — same
+    * rationale and equality guarantee as [[minhashSignaturesFused]]. */
+  def winnowFingerprintsFused(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3, windowSize: Int = 4): DataFrame =
+    docs.select(col(idCol),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.WinnowFingerprints(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              TextFunctions.normalizeForDedup(col(textCol))),
+            shingleN, windowSize)).as("fingerprints"))
+      .filter(col("fingerprints").isNotNull)
+
   /** All unordered pairs within each key-group, SINGLE PASS over the input:
     * group → sorted payload array → explode (element, strictly-later
     * elements). Replaces the self-equi-join shape, which evaluates the

@@ -110,7 +110,7 @@ object PipelineQueries {
     // for candidates, Hamming distance ≤ 8. ORACLED: the whole construction
     // (md5 bit-votes, banding, bit_count) is engine-independent.
     "q66_simhash" -> ((s, d) => {
-      val sigs = Dedup.simhashSignatures(
+      val sigs = Dedup.simhashSignaturesFused(
         Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text")
       Dedup.simhashNearDup(sigs, "doc_id", maxHamming = 8)
         .orderBy("id_a", "id_b")
@@ -184,7 +184,7 @@ object PipelineQueries {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
-      val fps = Dedup.winnowFingerprints(docs.unionByName(planted), "doc_id", "text")
+      val fps = Dedup.winnowFingerprintsFused(docs.unionByName(planted), "doc_id", "text")
       Dedup.overlapPairs(fps, "doc_id", minShared = 3, maxDf = 20)
         .orderBy("id_a", "id_b")
     }),

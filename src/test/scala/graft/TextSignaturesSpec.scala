@@ -25,22 +25,55 @@ class TextSignaturesSpec extends SparkSpec {
     assert(joined.filter(col("a") =!= col("b")).count() == 0)
   }
 
-  test("fused == composed on edge cases (short, unicode, punctuation)") {
-    val docs = Seq(
-      (1L, ""), (2L, "one"), (3L, "two words"), (4L, "now three words"),
-      (5L, "Ünïcødé tëxt — wïth Ünïcødé wörds ünd mörę"),
-      (6L, "  Punct!!! heavy,,, (text)   with   [gaps]  and 42 numbers  "),
-      (7L, "a a a a a a"), (8L, "x" * 300 + " y z w")
+  // ids offset past the corpus range: the composed shapes group by id (so
+  // duplicate ids would merge), the fused shapes are per-row — id
+  // uniqueness is a precondition of both, not something to diff here
+  private lazy val edgeDocs = {
+    Seq(
+      (900001L, ""), (900002L, "one"), (900003L, "two words"),
+      (900004L, "now three words"),
+      (900005L, "Ünïcødé tëxt — wïth Ünïcødé wörds ünd mörę"),
+      (900006L, "  Punct!!! heavy,,, (text)   with   [gaps]  and 42 numbers  "),
+      (900007L, "a a a a a a"), (900008L, "x" * 300 + " y z w")
     ).toDF("doc_id", "text")
-    val composed = Dedup.minhashSignatures(docs, "doc_id", "text",
+  }
+
+  test("fused == composed on edge cases (short, unicode, punctuation)") {
+    val composed = Dedup.minhashSignatures(edgeDocs, "doc_id", "text",
         numHashes = 16, shingleN = 3)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val fused = Dedup.minhashSignaturesFused(docs, "doc_id", "text",
+    val fused = Dedup.minhashSignaturesFused(edgeDocs, "doc_id", "text",
         numHashes = 16, shingleN = 3)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(composed == fused)
     // docs with < 3 normalized words are absent from BOTH
-    assert(!composed.contains(1L) && !composed.contains(2L) && !composed.contains(3L))
-    assert(composed.contains(4L))
+    assert(!composed.contains(900001L) && !composed.contains(900002L) &&
+      !composed.contains(900003L))
+    assert(composed.contains(900004L))
+  }
+
+  test("fused simhash == composed on corpus + edges") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .unionByName(edgeDocs)
+    val composed = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "a")
+    val fused = Dedup.simhashSignaturesFused(docs, "doc_id", "text")
+      .withColumnRenamed("simhash", "b")
+    val joined = composed.join(fused, "doc_id")
+    assert(joined.count() == composed.count())
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
+  }
+
+  test("fused winnowing == composed on corpus + edges") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .unionByName(edgeDocs)
+    val composed = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .withColumnRenamed("fingerprints", "a")
+    val fused = Dedup.winnowFingerprintsFused(docs, "doc_id", "text")
+      .withColumnRenamed("fingerprints", "b")
+    assert(composed.count() == fused.count())
+    val joined = composed.join(fused, "doc_id")
+    assert(joined.count() == composed.count())
+    assert(joined.filter(col("a") =!= col("b")).count() == 0)
   }
 }
