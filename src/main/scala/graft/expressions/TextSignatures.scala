@@ -139,19 +139,40 @@ case class WinnowFingerprints(child: Expression, shingleN: Int, windowSize: Int)
 }
 
 object TextSignatures {
-  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
+
+  /** Visit each complete word `n`-gram of `words`, in position order —
+    * shared by the signature kernels so the gram construction (the thing
+    * the fused-equals-composed contract hangs on) lives in exactly one
+    * place. Returns the gram count (0 when none).
+    */
+  private def foreachGram(words: Array[String], n: Int)
+                         (f: String => Unit): Int = {
+    val m = words.length - n + 1
+    if (m <= 0) return 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      f(sb.toString)
+      i += 1
+    }
+    m
   }
 
   /** SimHash fingerprint of a normalized document (60 portable bits). */
   def simhash(normalized: String): Long = {
     val words = normalized.split(' ')
     val votes = new Array[Int](60)
-    val md = localMd5.get()
     var i = 0
     while (i < words.length) {
-      val h = PortableHashExpression.h60(md.digest(words(i).getBytes("UTF-8")))
+      val h = PortableHashExpression.h60(
+        PortableHashExpression.digest(words(i).getBytes("UTF-8")))
       var b = 0
       while (b < 60) {
         votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -174,25 +195,13 @@ object TextSignatures {
     */
   def winnow(normalized: String, n: Int, windowSize: Int): Array[Long] = {
     val words = normalized.split(' ')
-    val m = words.length - n + 1
-    if (m <= 0) return null
-    val md = localMd5.get()
-    val hashes = new Array[Long](m)
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i < m) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(words(i + k))
-        k += 1
-      }
-      hashes(i) = PortableHashExpression.h60(md.digest(sb.toString.getBytes("UTF-8")))
-      i += 1
-    }
+    val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+    val m = foreachGram(words, n)(g => buf += PortableHashExpression.h60(
+      PortableHashExpression.digest(g.getBytes("UTF-8"))))
+    if (m == 0) return null
+    val hashes = buf.toArray
     val mins = new java.util.TreeSet[java.lang.Long]()
-    i = 0
+    var i = 0
     while (i < m) {
       var mn = hashes(i)
       var k = i + 1
@@ -211,37 +220,28 @@ object TextSignatures {
     out
   }
 
-  /** MinHash signature of a NORMALIZED (single-space) document, or null when
-    * it has fewer than `n` words. Exact construction of the composed shape:
-    * per n-gram "w_i .. w_{i+n-1}", md5 → (h60, h28), seeds h60 + s·h28.
+  /** MinHash signature of a NORMALIZED (single-space) document, or null
+    * when it has fewer than `n` words. Seed s hashes gram g as
+    * `portableHash60("s:" + g)` — genuinely independent functions per seed
+    * (distinct md5 inputs). A narrow-offset double-hashing family
+    * (`h60 + s·h28`) is NOT acceptable here: a 28-bit step never outweighs
+    * the ~2⁶⁰-range gaps between gram hashes, so every seed shares one
+    * argmin gram and all components collapse to a single hash function —
+    * the signature degenerates to an arithmetic progression
+    * (regression-pinned in TextSignaturesSpec).
     */
   def minhash(normalized: String, numHashes: Int, n: Int): Array[Long] = {
     val words = normalized.split(' ')
-    if (words.length < n) return null
-    val md = localMd5.get()
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i <= words.length - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(words(i + k))
-        k += 1
-      }
-      val d = md.digest(sb.toString.getBytes("UTF-8"))
-      val h1 = PortableHashExpression.h60(d)
-      val h2 = PortableHashExpression.h28(d)
-      var v = h1
+    val grams = foreachGram(words, n) { gram =>
       var s = 0
       while (s < numHashes) {
+        val v = PortableHashExpression.h60(PortableHashExpression.digest(
+          (s + ":" + gram).getBytes("UTF-8")))
         if (v < mins(s)) mins(s) = v
-        v += h2
         s += 1
       }
-      i += 1
     }
-    mins
+    if (grams == 0) null else mins
   }
 }

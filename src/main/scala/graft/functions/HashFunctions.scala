@@ -49,20 +49,24 @@ object HashFunctions {
       graft.expressions.PortableHash60(
         org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
 
-  /** Second independent 28-bit portable hash from the same MD5 (hex digits
-    * 16..22). With [[portableHash60]] as h1 this gives the standard
-    * double-hashing family h_i = h1 + i·h2 (Kirsch–Mitzenmacher): one MD5 per
-    * row yields any number of seeded hash functions, and i·h2 ≤ 63·2²⁸ keeps
-    * h_i < 2⁶¹ — exact in 64-bit integer arithmetic on every engine.
+  /** Second 28-bit portable hash from the same MD5 (hex digits 16..22) —
+    * an extra independent slice when 60 bits aren't enough (e.g. widening a
+    * fingerprint). NOT a double-hashing offset: `h60 + i·h28` looks like
+    * Kirsch–Mitzenmacher but the 28-bit step can't reorder values spread
+    * over a 60-bit range, so min-wise all "seeds" collapse to one function.
+    * Seeded families use [[portableSeededHash]] instead.
     */
   def portableHash28(c: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.PortableHash28(
         org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
 
-  /** The i-th member of the portable double-hashing family over `c`. */
+  /** The i-th member of the portable seeded family: the 60-bit hash of
+    * `"i:" + c` — distinct md5 inputs per seed, so the members are
+    * genuinely independent (each is a fresh uniform draw per value).
+    */
   def portableSeededHash(c: Column, i: Int): Column =
-    portableHash60(c) + lit(i.toLong) * portableHash28(c)
+    portableHash60(concat(lit(s"$i:"), c))
 
   /** Fused per-document MinHash signature over an ALREADY-NORMALIZED text
     * column — see graft.expressions.MinhashSignature. Null when the doc has

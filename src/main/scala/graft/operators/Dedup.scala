@@ -64,10 +64,14 @@ object Dedup {
   }
 
   /** MinHash signatures `(idCol, minhash: array<long>)` via the portable
-    * double-hashing family ([[HashFunctions.portableSeededHash]]): one MD5
-    * per shingle row yields all `numHashes` seeded hashes as
-    * `h1 + i·h2` — exact 64-bit integer arithmetic any engine reproduces, so
-    * the signatures themselves are oracle-checkable, not engine-private.
+    * seeded family ([[HashFunctions.portableSeededHash]]): seed i hashes a
+    * shingle as `portableHash60("i:" + shingle)` — genuinely independent
+    * per-seed functions (distinct md5 inputs) that any engine reproduces,
+    * so the signatures are oracle-checkable, not engine-private. (Do NOT
+    * substitute a narrow-offset double-hashing family here — a small
+    * additive step never outweighs the hash-range gaps between shingles,
+    * all seeds share one argmin, and the signature degenerates to a single
+    * hash function; TextSignaturesSpec pins the regression.)
     *
     * Shape matters at scale: shingles stream out of [[shingleRows]] and the
     * per-seed minima are plain `min` aggregates — fully codegen'd with
@@ -78,10 +82,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"__h$i"))
+      min(HashFunctions.portableSeededHash(col("__s"), i)).as(s"__h$i"))
     shingleRows(docs, idCol, textCol, shingleN)
-      .withColumn("__h1", HashFunctions.portableHash60(col("__s")))
-      .withColumn("__h2", HashFunctions.portableHash28(col("__s")))
       .groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
@@ -104,13 +106,16 @@ object Dedup {
       .filter(col("minhash").isNotNull)
 
   /** [[simhashSignatures]] fused into one codegen pass per document — same
-    * rationale and equality guarantee as [[minhashSignaturesFused]]. */
+    * rationale and equality guarantee as [[minhashSignaturesFused]] (the
+    * null filter matches the composed shape, which emits no group for a
+    * null-text doc). */
   def simhashSignaturesFused(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-      org.apache.spark.sql.GraftColumnBridge.column(
-        graft.expressions.SimhashSignature(
-          org.apache.spark.sql.GraftColumnBridge.expression(
-            TextFunctions.normalizeForDedup(col(textCol))))).as("simhash"))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.SimhashSignature(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              TextFunctions.normalizeForDedup(col(textCol))))).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** [[winnowFingerprints]] fused into one codegen pass per document — same
     * rationale and equality guarantee as [[minhashSignaturesFused]]. */
@@ -391,10 +396,13 @@ object Dedup {
   /** INCREMENTAL near-dup candidates for continuous ingest: new documents
     * are bucketed and checked against the PERSISTED bucket index of the
     * existing corpus — the corpus is never re-shingled, never re-hashed;
-    * the only corpus-side IO is an equi-join against its (id, band, bucket)
-    * table. Returns distinct candidate pairs `(id_a, id_b)` covering BOTH
-    * new-vs-corpus (id_a = corpus doc, id_b = new doc) AND new-vs-new
-    * (id_a < id_b within the batch).
+    * the only corpus-side work is against its (id, band, bucket) table.
+    * Returns distinct candidate pairs `(id_a, id_b)`, ALWAYS canonicalized
+    * `id_a < id_b`, covering both new-vs-corpus and new-vs-new. The
+    * canonical orientation is what makes reprocessing idempotent: a batch
+    * re-derived after a checkpoint loss finds its docs already in the index
+    * (so in-batch pairs arrive via the corpus path, in either orientation)
+    * and the keyed idempotent append must see the SAME (id_a, id_b) row.
     *
     * The write side is [[graft.operators.Populate.appendIdempotent]] on the
     * same bucket table keyed by (id, band) — retries never duplicate index
@@ -403,19 +411,28 @@ object Dedup {
     *
     * Scale shape: |batch| × bands rows join the index on (band, bucket) —
     * with the index bucketed/partitioned on the join key this is the same
-    * pruned-probe discipline as everything else; `maxBucket` caps the
-    * fan-out of boilerplate buckets on the batch side exactly as in
-    * [[lshCandidates]].
+    * pruned-probe discipline as everything else. `maxBucket` caps
+    * boilerplate fan-out on BOTH sides: in-batch groups via
+    * [[pairsWithinGroups]], and index buckets by document frequency
+    * (counted only over buckets the batch touches — an anti-join drops the
+    * flooded ones), keeping each drain linear in the batch.
     */
   def incrementalCandidates(newBuckets: DataFrame, indexBuckets: DataFrame,
                             idCol: String,
                             maxBucket: Int = 10000): DataFrame = {
+    val batchKeys = newBuckets.select("band", "bucket").distinct()
+    val flooded = indexBuckets.join(batchKeys, Seq("band", "bucket"))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxBucket)
+      .select("band", "bucket")
     val vsCorpus = indexBuckets
-      .select(col(idCol).as("id_a"), col("band"), col("bucket"))
-      .join(newBuckets.select(col(idCol).as("id_b"), col("band"), col("bucket")),
+      .join(flooded, Seq("band", "bucket"), "left_anti")
+      .select(col(idCol).as("__ia"), col("band"), col("bucket"))
+      .join(newBuckets.select(col(idCol).as("__ib"), col("band"), col("bucket")),
         Seq("band", "bucket"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
+      .filter(col("__ia") =!= col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
     val vsBatch = pairsWithinGroups(
       newBuckets.select(struct(col(idCol)).as("__p"), col("band"), col("bucket")),
       Seq("band", "bucket"), col("__p"), maxBucket)

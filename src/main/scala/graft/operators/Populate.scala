@@ -54,14 +54,23 @@ object Populate {
     * Run one populate per table at a time (the reference's populate loop is
     * likewise serialized per table via its job reservation table).
     */
+  /** Read a parquet table that may not exist yet. ONLY a genuinely-absent
+    * path maps to None; any other read failure (transient FS error,
+    * permissions, corrupt footer) rethrows — treating those as "empty
+    * table" would silently break skip_duplicates for every caller.
+    */
+  def readIfExists(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String): Option[DataFrame] =
+    try Some(spark.read.parquet(tablePath)) catch {
+      case _: java.io.FileNotFoundException => None
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null &&
+            e.getErrorClass.startsWith("PATH_NOT_FOUND") => None
+    }
+
   def appendIdempotent(result: DataFrame, tablePath: String, pk: Seq[String]): Long = {
     val spark = result.sparkSession
-    val existing =
-      try Some(spark.read.parquet(tablePath)) catch {
-        case _: java.io.FileNotFoundException => None
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getErrorClass != null && e.getErrorClass.startsWith("PATH_NOT_FOUND") => None
-      }
+    val existing = readIfExists(spark, tablePath)
     val fresh = existing match {
       case Some(e) => result.join(e.select(pk.map(col): _*).distinct(), pk, "left_anti")
       case None    => result

@@ -226,7 +226,10 @@ object Similarity {
     * query's nProbe cells, restrict the index scan to those partitions
     * (`cell IN (...)` — partition pruning, asserted physical in
     * SimilaritySpec), exact-rerank within. The probed cell list crosses the
-    * driver — nQueries × nProbe ints, catalog-scale metadata.
+    * driver — nQueries × nProbe ints, catalog-scale metadata. Quantizing
+    * the queries runs twice (once to plan the pruning, once in the probe
+    * join) — queries ≪ corpus makes that negligible; persist `queries`
+    * first for large query batches.
     */
   def ivfProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                centers: Array[Array[Float]], queries: DataFrame,

@@ -339,11 +339,11 @@ object PipelineQueries {
          SELECT doc_id, array_to_string(words[i:i+2], ' ') AS s
          FROM norm, unnest(generate_series(1, len(words) - 2)) u(i)),
        hashed AS (
-         SELECT doc_id, s, ${pHash60("s")} AS h1, ${pHash28("s")} AS h2
-         FROM grams),
+         SELECT doc_id, s, ${pHash60("s")} AS h1 FROM grams),
        sigs AS (
-         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
-         FROM hashed, unnest(generate_series(0, 31)) t(seed)
+         SELECT doc_id, seed,
+           min(${pHash60("concat(CAST(seed AS VARCHAR), ':', s)")}) AS mh
+         FROM grams, unnest(generate_series(0, 31)) t(seed)
          GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, seed // 4 AS band,

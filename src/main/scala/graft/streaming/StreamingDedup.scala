@@ -50,18 +50,9 @@ object StreamingDedup {
         // + index append) reuse the materialization
         val cached = buckets.cache()
         try {
-          val index =
-            try Some(spark.read.parquet(indexDir)) catch {
-              case _: java.io.FileNotFoundException => None
-              case e: org.apache.spark.sql.AnalysisException
-                  if e.getErrorClass != null &&
-                    e.getErrorClass.startsWith("PATH_NOT_FOUND") => None
-            }
-          val cands = index match {
-            case Some(ix) => Dedup.incrementalCandidates(cached, ix, idCol)
-            case None => Dedup.incrementalCandidates(cached,
-              cached.limit(0), idCol) // first batch: new-vs-new only
-          }
+          val index = Populate.readIfExists(spark, indexDir)
+            .getOrElse(cached.limit(0)) // first batch: new-vs-new only
+          val cands = Dedup.incrementalCandidates(cached, index, idCol)
           Populate.appendIdempotent(cands, candidatesDir, Seq("id_a", "id_b"))
           Populate.appendIdempotent(cached, indexDir, Seq(idCol, "band"))
         } finally cached.unpersist()

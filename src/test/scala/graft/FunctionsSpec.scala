@@ -136,14 +136,16 @@ class FunctionsSpec extends SparkSpec {
       HashFunctions.portableHash28(col("s")).as("h28"),
       HashFunctions.portableSeededHash(col("s"), 3).as("h3"))
       .collect()
+    // seeded member 3 = portableHash60("3:" + s) — an independent md5 draw,
+    // NOT an arithmetic offset of h60 (see HashFunctions scaladoc)
     val expected = Seq(
-      (648541476951500027L, 14063167L),
-      (955282973525019424L, 82411529L),
-      (466617675313949775L, 220522875L))
-    rows.zip(expected).foreach { case (r, (h60, h28)) =>
+      (648541476951500027L, 14063167L, 1045467851605560530L),
+      (955282973525019424L, 82411529L, 927435580917182677L),
+      (466617675313949775L, 220522875L, 60703939770220659L))
+    rows.zip(expected).foreach { case (r, (h60, h28, seeded3)) =>
       assert(r.getLong(0) == h60)
       assert(r.getLong(1) == h28)
-      assert(r.getLong(2) == h60 + 3L * h28)
+      assert(r.getLong(2) == seeded3)
     }
   }
 

@@ -52,5 +52,35 @@ class IncrementalDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands2.contains((11L, 20L)) && cands2.contains((12L, 20L)),
       s"epoch composition broken: $cands2")
+
+    // REPROCESSING after a checkpoint loss: batch 1's docs are already in
+    // the index, so its in-batch pairs come back via the corpus path — they
+    // must arrive CANONICALIZED (id_a < id_b) or the idempotent append
+    // would treat the reversed orientation as a new pair
+    val reprocessed = Dedup.incrementalCandidates(b1,
+        spark.read.parquet(indexPath), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reprocessed.forall { case (a, b) => a < b },
+      s"non-canonical pair orientation: ${reprocessed.toSeq}")
+    assert(reprocessed.toSet.contains((11L, 12L)))
+    assert(!reprocessed.toSet.contains((12L, 11L)))
+  }
+
+  test("flooded index buckets are capped by document frequency") {
+    val text = doc(1 to 40)
+    // six identical corpus docs share every bucket
+    val corpusBuckets = Dedup.lshBuckets(
+      (1L to 6L).map(i => (i, text)).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Dedup.lshBuckets(
+      Seq((100L, doc(1 to 40, Map(20 -> "CHANGED")))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // cap below the flood: no candidates from the boilerplate buckets
+    assert(Dedup.incrementalCandidates(batch, corpusBuckets, "doc_id",
+      maxBucket = 5).count() == 0)
+    // generous cap: the near-dup pairs surface
+    val found = Dedup.incrementalCandidates(batch, corpusBuckets, "doc_id",
+        maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == (1L to 6L).map(i => (i, 100L)).toSet, s"got $found")
   }
 }

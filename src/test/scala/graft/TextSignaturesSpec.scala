@@ -52,6 +52,37 @@ class TextSignaturesSpec extends SparkSpec {
     assert(composed.contains(900004L))
   }
 
+  test("minhash seeds are genuinely independent (no degenerate family)") {
+    // REGRESSION: a narrow-offset double-hashing family (h60 + s*h28) made
+    // every seed share one argmin gram — the signature was an arithmetic
+    // progression and all 32 components carried ONE hash function's
+    // information. Pin both symptoms away.
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesFused(docs, "doc_id", "text",
+        numHashes = 32, shingleN = 3)
+      .collect().map(_.getSeq[Long](1))
+    assert(sigs.length > 10)
+    val arithmetic = sigs.count { s =>
+      val diffs = s.sliding(2).map(p => p(1) - p(0)).toSet
+      diffs.size == 1
+    }
+    assert(arithmetic == 0, s"$arithmetic arithmetic-progression signatures")
+    // near-dup estimate behaves statistically: a pair sharing ~half its
+    // shingles estimates strictly inside (0, 1) — the degenerate family
+    // could only ever report 0 or 1
+    import spark.implicits._
+    val half = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val a = half + " " + (1 to 30).map(i => s"left$i").mkString(" ")
+    val b = half + " " + (1 to 30).map(i => s"right$i").mkString(" ")
+    val est = Dedup.minhashSignaturesFused(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 32, shingleN = 3)
+      .groupBy().pivot("doc_id").agg(first("minhash"))
+      .select(Dedup.minhashJaccard("1", "2", 32).as("j"))
+      .head().getDouble(0)
+    assert(est > 0.05 && est < 0.95, s"estimate $est not statistical")
+  }
+
   test("fused simhash == composed on corpus + edges") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .unionByName(edgeDocs)
