@@ -72,6 +72,16 @@ object PortableHashExpression {
   def h28(d: Array[Byte]): Long =
     ((d(7) & 0x0FL) << 24) | ((d(8) & 0xFFL) << 16) |
       ((d(9) & 0xFFL) << 8) | (d(10) & 0xFFL)
+
+  /** Second 60-bit slice: hex digits 17..31 (bytes 8..14 + the high nibble
+    * of byte 15) — a full-width companion to [[h60]] for seeded families.
+    */
+  def h60b(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(15) & 0xF0L) >>> 4)
+  }
 }
 
 /** First 15 hex digits of MD5 as a non-negative long (== portableHash60). */
@@ -87,6 +97,25 @@ case class PortableHash60(child: Expression) extends PortableHashExpression {
   }
   override protected def sliceEval(d: Array[Byte]): Long =
     PortableHashExpression.h60(d)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hex digits 17..31 of MD5 as a second full-width 60-bit long — the seeded
+  * family's step (`portableSeededHash`). Full width matters: a narrow step
+  * cannot reorder values spread over the 60-bit range (the degenerate-family
+  * lesson in TextSignatures.minhash's scaladoc).
+  */
+case class PortableHash60B(child: Expression) extends PortableHashExpression {
+  override def prettyName: String = "portable_hash60b"
+  override protected def sliceJava(d: String): String = {
+    val first7 = (8 until 15)
+      .map(i => s"((long)($d[$i] & 0xFF) << ${8 * (14 - i) + 4})")
+      .mkString(" | ")
+    s"$first7 | ((long)($d[15] & 0xF0) >>> 4)"
+  }
+  override protected def sliceEval(d: Array[Byte]): Long =
+    PortableHashExpression.h60b(d)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

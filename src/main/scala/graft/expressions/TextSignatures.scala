@@ -220,25 +220,31 @@ object TextSignatures {
     out
   }
 
+  private final val Mask60 = (1L << 60) - 1
+
   /** MinHash signature of a NORMALIZED (single-space) document, or null
     * when it has fewer than `n` words. Seed s hashes gram g as
-    * `portableHash60("s:" + g)` — genuinely independent functions per seed
-    * (distinct md5 inputs). A narrow-offset double-hashing family
-    * (`h60 + s·h28`) is NOT acceptable here: a 28-bit step never outweighs
-    * the ~2⁶⁰-range gaps between gram hashes, so every seed shares one
-    * argmin gram and all components collapse to a single hash function —
-    * the signature degenerates to an arithmetic progression
-    * (regression-pinned in TextSignaturesSpec).
+    * `(h60(g) + s·h60b(g)) mod 2⁶⁰` — full-width Kirsch–Mitzenmacher, ONE
+    * md5 per gram for all seeds (HashFunctions.portableSeededHash is the
+    * Column form of the same definition). The step MUST be full-width: a
+    * narrow one (the h28 mistake) never outweighs the 2⁶⁰-range gaps
+    * between gram hashes, every seed shares one argmin, and the signature
+    * degenerates to an arithmetic progression (regression-pinned in
+    * TextSignaturesSpec). JVM wrap-around addition is exact here:
+    * x mod 2⁶⁴ then mask 60 bits equals x mod 2⁶⁰ because 2⁶⁰ | 2⁶⁴.
     */
   def minhash(normalized: String, numHashes: Int, n: Int): Array[Long] = {
     val words = normalized.split(' ')
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val grams = foreachGram(words, n) { gram =>
+      val d = PortableHashExpression.digest(gram.getBytes("UTF-8"))
+      val h2 = PortableHashExpression.h60b(d)
+      var v = PortableHashExpression.h60(d)
       var s = 0
       while (s < numHashes) {
-        val v = PortableHashExpression.h60(PortableHashExpression.digest(
-          (s + ":" + gram).getBytes("UTF-8")))
-        if (v < mins(s)) mins(s) = v
+        val m = v & Mask60
+        if (m < mins(s)) mins(s) = m
+        v += h2 // wraps mod 2^64; masking restores mod 2^60
         s += 1
       }
     }

@@ -61,12 +61,32 @@ object HashFunctions {
       graft.expressions.PortableHash28(
         org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
 
-  /** The i-th member of the portable seeded family: the 60-bit hash of
-    * `"i:" + c` — distinct md5 inputs per seed, so the members are
-    * genuinely independent (each is a fresh uniform draw per value).
+  /** The second full-width 60-bit slice of the same MD5 (hex digits
+    * 17..31) — the seeded family's step. */
+  def portableHash60b(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PortableHash60B(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
+
+  /** The i-th member of the portable seeded family:
+    * `(h60 + i·h60b) mod 2⁶⁰` — full-width Kirsch–Mitzenmacher, ONE md5 per
+    * value for all seeds. The step must be FULL-width: a narrow step (the
+    * h28 mistake) cannot reorder values spread over the 60-bit range and
+    * the family collapses min-wise to a single function.
+    *
+    * The mod-2⁶⁰ arithmetic is written piecewise (split the step into
+    * 30-bit halves) so every intermediate stays below 2⁶² — exact on any
+    * engine's checked 64-bit integers, no ANSI overflow, no 128-bit types:
+    * `(h1 + ((i·hi) mod 2³⁰)·2³⁰ + i·lo) AND (2⁶⁰−1)`.
     */
-  def portableSeededHash(c: Column, i: Int): Column =
-    portableHash60(concat(lit(s"$i:"), c))
+  def portableSeededHash(c: Column, i: Int): Column = {
+    val h1 = portableHash60(c)
+    val h2 = portableHash60b(c)
+    val hi = shiftright(h2, 30)
+    val lo = h2.bitwiseAND(lit((1L << 30) - 1))
+    (h1 + (lit(i.toLong) * hi % lit(1L << 30)) * lit(1L << 30) +
+      lit(i.toLong) * lo).bitwiseAND(lit((1L << 60) - 1))
+  }
 
   /** Fused per-document MinHash signature over an ALREADY-NORMALIZED text
     * column — see graft.expressions.MinhashSignature. Null when the doc has

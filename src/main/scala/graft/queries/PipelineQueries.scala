@@ -299,10 +299,10 @@ object PipelineQueries {
   private def pHash60(c: String): String =
     s"CAST(concat('0x', substr(md5($c), 1, 15)) AS BIGINT)"
 
-  /** DuckDB fragment: the portable 28-bit companion hash
-    * (`HashFunctions.portableHash28`). */
-  private def pHash28(c: String): String =
-    s"CAST(concat('0x', substr(md5($c), 16, 7)) AS BIGINT)"
+  /** DuckDB fragment: the second full-width 60-bit slice
+    * (`HashFunctions.portableHash60b`). */
+  private def pHash60b(c: String): String =
+    s"CAST(concat('0x', substr(md5($c), 17, 15)) AS BIGINT)"
 
   // SimHash bit-votes and bit-packing, one term per signature bit — mirrors
   // Dedup.simhashSignatures (60 portable bits).
@@ -339,11 +339,16 @@ object PipelineQueries {
          SELECT doc_id, array_to_string(words[i:i+2], ' ') AS s
          FROM norm, unnest(generate_series(1, len(words) - 2)) u(i)),
        hashed AS (
-         SELECT doc_id, s, ${pHash60("s")} AS h1 FROM grams),
+         SELECT doc_id, s, ${pHash60("s")} AS h1, ${pHash60b("s")} AS h2
+         FROM grams),
+       -- seed member = (h1 + seed*h2) mod 2^60, written piecewise so every
+       -- intermediate fits checked 64-bit integers (mirror of
+       -- HashFunctions.portableSeededHash)
        sigs AS (
          SELECT doc_id, seed,
-           min(${pHash60("concat(CAST(seed AS VARCHAR), ':', s)")}) AS mh
-         FROM grams, unnest(generate_series(0, 31)) t(seed)
+           min((h1 + ((seed * (h2 >> 30)) % 1073741824) * 1073741824
+                + seed * (h2 & 1073741823)) & 1152921504606846975) AS mh
+         FROM hashed, unnest(generate_series(0, 31)) t(seed)
          GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, seed // 4 AS band,

@@ -133,19 +133,22 @@ class FunctionsSpec extends SparkSpec {
     val df = Seq("abc", "", "graft").toDF("s")
     val rows = df.select(
       HashFunctions.portableHash60(col("s")).as("h60"),
+      HashFunctions.portableHash60b(col("s")).as("h60b"),
       HashFunctions.portableHash28(col("s")).as("h28"),
       HashFunctions.portableSeededHash(col("s"), 3).as("h3"))
       .collect()
-    // seeded member 3 = portableHash60("3:" + s) — an independent md5 draw,
-    // NOT an arithmetic offset of h60 (see HashFunctions scaladoc)
+    // seeded member 3 = (h60 + 3*h60b) mod 2^60 — full-width step
+    // (see HashFunctions scaladoc for why narrow steps are forbidden)
     val expected = Seq(
-      (648541476951500027L, 14063167L, 1045467851605560530L),
-      (955282973525019424L, 82411529L, 927435580917182677L),
-      (466617675313949775L, 220522875L, 60703939770220659L))
-    rows.zip(expected).foreach { case (r, (h60, h28, seeded3)) =>
+      (648541476951500027L, 966413511088281591L, 14063167L, 89017496395803872L),
+      (955282973525019424L, 1051591172516971559L, 82411529L, 651291977255393173L),
+      (466617675313949775L, 166237039987768099L, 220522875L, 965328795277254072L))
+    rows.zip(expected).foreach { case (r, (h60, h60b, h28, seeded3)) =>
       assert(r.getLong(0) == h60)
-      assert(r.getLong(1) == h28)
-      assert(r.getLong(2) == seeded3)
+      assert(r.getLong(1) == h60b)
+      assert(r.getLong(2) == h28)
+      assert(r.getLong(3) == seeded3)
+      assert(seeded3 == ((h60 + 3 * h60b) & ((1L << 60) - 1)))
     }
   }
 
