@@ -66,6 +66,40 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(!reprocessed.toSet.contains((12L, 11L)))
   }
 
+  test("incremental composes: split ingestion finds exactly the one-shot pairs") {
+    // seeded random corpus with planted near-dups scattered across the split
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 80).map(i => s"w$i")
+    def randDoc() = Seq.fill(50)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bases = (1L to 20L).map(i => (i, randDoc()))
+    val nearDups = bases.take(6).map { case (i, t) =>
+      val words = t.split(' '); words(25) = "MUTATED"
+      (i + 1000L, words.mkString(" "))
+    }
+    val all = (bases ++ nearDups).toList
+    val oneShot = Dedup.lshCandidates(
+        Dedup.minhashSignaturesFused(all.toDF("doc_id", "text"), "doc_id", "text",
+          numHashes = 32, shingleN = 3), "doc_id", bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // split: first 13 docs become the index, the rest arrive as a batch
+    val (corpus, batch) = all.splitAt(13)
+    val ixBuckets = Dedup.lshBuckets(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val newBuckets = Dedup.lshBuckets(batch.toDF("doc_id", "text"), "doc_id", "text")
+    val incremental = Dedup.incrementalCandidates(newBuckets, ixBuckets, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ixInternal = Dedup.lshCandidates(
+        Dedup.minhashSignaturesFused(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          numHashes = 32, shingleN = 3), "doc_id", bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // incremental(batch | index) + pairs already internal to the index
+    // reconstruct the one-shot candidate set exactly
+    assert((incremental ++ ixInternal) == oneShot,
+      s"composability broken:\n one-shot=$oneShot\n split=${incremental ++ ixInternal}")
+    assert(oneShot.nonEmpty) // the planted near-dups actually collide
+  }
+
   test("flooded index buckets are capped by document frequency") {
     val text = doc(1 to 40)
     // six identical corpus docs share every bucket
