@@ -65,13 +65,13 @@ object Dedup {
 
   /** MinHash signatures `(idCol, minhash: array<long>)` via the portable
     * seeded family ([[HashFunctions.portableSeededHash]]): seed i hashes a
-    * shingle as `portableHash60("i:" + shingle)` — genuinely independent
-    * per-seed functions (distinct md5 inputs) that any engine reproduces,
-    * so the signatures are oracle-checkable, not engine-private. (Do NOT
-    * substitute a narrow-offset double-hashing family here — a small
-    * additive step never outweighs the hash-range gaps between shingles,
-    * all seeds share one argmin, and the signature degenerates to a single
-    * hash function; TextSignaturesSpec pins the regression.)
+    * shingle as `(h60 + i·h60b) mod 2⁶⁰` — full-width Kirsch–Mitzenmacher
+    * over two 60-bit slices of ONE md5, exact integer arithmetic any
+    * engine reproduces, so the signatures are oracle-checkable, not
+    * engine-private. (The step must be FULL-width: a narrow one — the
+    * 28-bit h2 mistake — never outweighs the hash-range gaps between
+    * shingles, all seeds share one argmin, and the signature degenerates
+    * to a single hash function; TextSignaturesSpec pins the regression.)
     *
     * Shape matters at scale: shingles stream out of [[shingleRows]] and the
     * per-seed minima are plain `min` aggregates — fully codegen'd with
@@ -412,23 +412,32 @@ object Dedup {
     * Scale shape: |batch| × bands rows join the index on (band, bucket) —
     * with the index bucketed/partitioned on the join key this is the same
     * pruned-probe discipline as everything else. `maxBucket` caps
-    * boilerplate fan-out on BOTH sides: in-batch groups via
-    * [[pairsWithinGroups]], and index buckets by document frequency
-    * (counted only over buckets the batch touches — an anti-join drops the
-    * flooded ones), keeping each drain linear in the batch.
+    * boilerplate fan-out PER SIDE: in-batch groups via
+    * [[pairsWithinGroups]], and in the cross join both the index side (by
+    * document frequency over buckets the batch touches) and the batch side
+    * are anti-joined against their flooded buckets — each drain stays
+    * linear in the batch. When no cap binds, incremental candidates over a
+    * split corpus reproduce the one-shot [[lshCandidates]] set exactly
+    * (spec-pinned); a binding cap is per-side here vs combined-group-size
+    * there, so boundary behavior can differ — caps are a scale guard, not
+    * part of the exact-parity contract.
     */
   def incrementalCandidates(newBuckets: DataFrame, indexBuckets: DataFrame,
                             idCol: String,
                             maxBucket: Int = 10000): DataFrame = {
     val batchKeys = newBuckets.select("band", "bucket").distinct()
-    val flooded = indexBuckets.join(batchKeys, Seq("band", "bucket"))
-      .groupBy("band", "bucket").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxBucket)
-      .select("band", "bucket")
+    def flooded(df: DataFrame): DataFrame =
+      df.groupBy("band", "bucket").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxBucket)
+        .select("band", "bucket")
     val vsCorpus = indexBuckets
-      .join(flooded, Seq("band", "bucket"), "left_anti")
+      .join(batchKeys, Seq("band", "bucket")) // only buckets the batch touches
+      .join(flooded(indexBuckets.join(batchKeys, Seq("band", "bucket"))),
+        Seq("band", "bucket"), "left_anti")
       .select(col(idCol).as("__ia"), col("band"), col("bucket"))
-      .join(newBuckets.select(col(idCol).as("__ib"), col("band"), col("bucket")),
+      .join(newBuckets
+          .join(flooded(newBuckets), Seq("band", "bucket"), "left_anti")
+          .select(col(idCol).as("__ib"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .filter(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),

@@ -11,11 +11,14 @@ import graft.sources.Tables
   * SURVEY.md §2): deduplication, similarity search, and text analysis over
   * the `documents` / `embeddings` tables.
   *
-  * Oracle strategy: everything whose values DuckDB can reproduce exactly gets
-  * an oracle; the hash-seeded operators (MinHash/SimHash/LSH buckets) are
-  * engine-specific by construction and declared without oracles (the driver
-  * records the weaker rows-only check), with exact-arithmetic companions
-  * (n-gram Jaccard, brute-force cosine) oracled to pin the semantics.
+  * Oracle strategy: EVERY query here is oracled. The hash-seeded operators
+  * (MinHash/SimHash/LSH/winnowing) build on the portable md5 hash family
+  * and md5-derived hyperplanes, so DuckDB replays their construction
+  * bit-for-bit; exact-arithmetic companions (n-gram Jaccard, brute-force
+  * cosine) additionally pin the verification semantics. Mirror-blindness
+  * caveat: an oracle derived from the same construction cannot catch a
+  * degenerate DESIGN — statistical behavior is pinned separately in
+  * TextSignaturesSpec.
   */
 object PipelineQueries {
 
@@ -73,11 +76,11 @@ object PipelineQueries {
         .orderBy("keeper_id")
     }),
 
-    // MinHash + LSH near-dup candidates, verified with exact n-gram Jaccard.
-    // Scale shape: |docs|×bands bucket rows → ONE shuffle into bucket groups
-    // with in-place pair expansion; exact Jaccard only on candidates.
-    // ORACLED end-to-end: the portable double-hashing MinHash family is
-    // exact integer arithmetic DuckDB replays.
+    // MinHash + LSH near-dup candidates, verified with exact Jaccard.
+    // Scale shape: fused per-doc signatures (zero shuffles) → ONE shuffle
+    // into bucket groups with in-place pair expansion; exact Jaccard only
+    // on candidates. ORACLED end-to-end: the full-width portable seeded
+    // family is exact integer arithmetic DuckDB replays.
     "q65_minhash_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       // fused signature kernel — zero shuffles; value-identical to the
@@ -158,6 +161,11 @@ object PipelineQueries {
     }),
 
     // LSH-bucketed ANN (the 100 TB path) — same output shape as q69.
+    // Accepted measure-zero risk (same class as q73's argmin): the oracle's
+    // grouped projection sums may accumulate in a different order than the
+    // kernel's sequential loop, so a projection within rounding noise of
+    // 0.0 could flip a sign bit; with random embeddings P(|dot| < 1e-12)
+    // is negligible and the gate has never tripped on it.
     // nBits derived from corpus size (log₂(n/targetPop)) so mean bucket
     // population — and therefore the candidate stream — stays constant as
     // the corpus grows; see Similarity.deriveBits for the math. ORACLED:
@@ -190,7 +198,10 @@ object PipelineQueries {
     }),
 
     // IVF ANN (the second scale path): deterministic hash-sampled coarse
-    // cells, nProbe probes, exact re-rank within probed cells. ORACLED: the
+    // cells, nProbe probes, exact re-rank within probed cells. (Accepted
+    // measure-zero risk: argmin cell assignment compares distances whose
+    // last-ulp bits may differ across engines; a flip needs two centroid
+    // distances within ~1e-13 relative — never observed.) ORACLED: the
     // centers, the argmin assignment, and the rounded-cosine ranking are all
     // engine-reproducible (rank on round(cosine,6) + id tiebreak — the q69
     // discipline). The nProbe==nCentroids==bruteforce invariant is in

@@ -138,17 +138,10 @@ object BronzeIngest {
         val n = r.getLong(1) / 8
         if (n == 0) Row(pathStr, 0L, null, null)
         else {
-          val p = new org.apache.hadoop.fs.Path(pathStr)
-          val in = p.getFileSystem(conf.value).open(p)
-          try {
-            val buf = new Array[Byte](8)
-            in.readFully(0L, buf)
-            val first = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
-            in.readFully((n - 1) * 8, buf)
-            val last = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
-            // clock files are written monotonically; min/max guards misorder
-            Row(pathStr, n, math.min(first, last), math.max(first, last))
-          } finally in.close()
+          val (first, last) = ClockFormat.readFirstLast(
+            new org.apache.hadoop.fs.Path(pathStr), n, conf.value)
+          // clock files are written monotonically; min/max guards misorder
+          Row(pathStr, n, math.min(first, last), math.max(first, last))
         }
       }
     }(enc)

@@ -119,17 +119,23 @@ private[sources] class ClockScan(pathGlob: String, required: StructType,
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // metadata-only listing; every byte of file IO happens in executors
+    // metadata-only listing; every byte of file IO happens in executors.
+    // A path resolving to a DIRECTORY expands one level to its files (the
+    // binaryFile convention) — silently planning zero partitions for a
+    // directory load would return empty data with no signal.
     val spark = SparkSession.active
     val p = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    statuses.filter(_.isFile).map { st =>
-      require(st.getLen < Int.MaxValue.toLong,
-        s"graft-clock file ${st.getPath} is ${st.getLen} bytes; the format " +
-          "contract caps files below 2 GiB (hour-sized chunks)")
-      ClockFilePartition(st.getPath.toString, st.getLen): InputPartition
-    }
+    statuses
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath) else Array(st))
+      .filter(_.isFile)
+      .map { st =>
+        require(st.getLen < Int.MaxValue.toLong,
+          s"graft-clock file ${st.getPath} is ${st.getLen} bytes; the format " +
+            "contract caps files below 2 GiB (hour-sized chunks)")
+        ClockFilePartition(st.getPath.toString, st.getLen): InputPartition
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -176,18 +182,15 @@ private[sources] class ClockPartitionReader(
   private var data: ByteBuffer = _
   private var idx: Long = -1
   private var exhausted = nRows == 0
+  // one reusable row per reader — downstream copies (unsafe projection)
+  // before buffering, the standard DSv2 reader pattern
+  private val values = new Array[Any](colCodes.length)
+  private val row = new GenericInternalRow(values)
 
   private def overlaps(): Boolean = {
     if (lo == Long.MinValue && hi == Long.MaxValue) return true
-    val in = hadoopPath.getFileSystem(conf.value).open(hadoopPath)
-    try {
-      val buf = new Array[Byte](8)
-      in.readFully(0L, buf)
-      val first = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
-      in.readFully((nRows - 1) * 8, buf)
-      val last = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
-      math.max(first, last) >= lo && math.min(first, last) <= hi
-    } finally in.close()
+    val (first, last) = ClockFormat.readFirstLast(hadoopPath, nRows, conf.value)
+    math.max(first, last) >= lo && math.min(first, last) <= hi
   }
 
   private def load(): Unit = {
@@ -209,7 +212,6 @@ private[sources] class ClockPartitionReader(
   }
 
   override def get(): InternalRow = {
-    val values = new Array[Any](colCodes.length)
     var i = 0
     while (i < colCodes.length) {
       values(i) = colCodes(i) match {
@@ -219,8 +221,29 @@ private[sources] class ClockPartitionReader(
       }
       i += 1
     }
-    new GenericInternalRow(values)
+    row
   }
 
   override def close(): Unit = { data = null }
+}
+
+/** The clock-binary FORMAT contract in one place: little-endian uint64
+  * samples, written monotonically, so the first and last value bound every
+  * value in the file — the basis of every O(1) interval check (both the V2
+  * reader's skip and [[BronzeIngest.clockFileStats]]).
+  */
+private[sources] object ClockFormat {
+  /** Positioned reads of the first and last uint64 (two 8-byte reads). */
+  def readFirstLast(path: org.apache.hadoop.fs.Path, nRows: Long,
+                    conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    val in = path.getFileSystem(conf).open(path)
+    try {
+      val buf = new Array[Byte](8)
+      in.readFully(0L, buf)
+      val first = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
+      in.readFully((nRows - 1) * 8, buf)
+      val last = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN).getLong
+      (first, last)
+    } finally in.close()
+  }
 }
