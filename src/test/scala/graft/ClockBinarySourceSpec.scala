@@ -68,4 +68,9 @@ class ClockBinarySourceSpec extends SparkSpec {
   test("an interval past every file returns empty without error") {
     assert(readClock.filter(col("clock") > 99999L).count() == 0)
   }
+
+  test("loading a directory reads its files (no silent empty scan)") {
+    val df = spark.read.format("graft-clock").load(dir.toString)
+    assert(df.count() == 40)
+  }
 }
