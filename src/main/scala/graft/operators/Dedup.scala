@@ -142,12 +142,23 @@ object Dedup {
     * goes quadratic at 100 TB. Dropped groups are near-universal shingles or
     * hash buckets wider than the dedup radius — standard practice, and the
     * cap is mirrored in every oracle so it is part of the semantics.
+    *
+    * The cap is enforced BEFORE `collect_list`: a window `count` over the
+    * group keys tags each row with its group size and flooded rows are
+    * filtered out, so an oversized group (millions of identical docs in one
+    * bucket — the exact case the cap exists for) is never materialized in an
+    * aggregation buffer. `WindowExec` buffers with disk spill
+    * (`ExternalAppendOnlyUnsafeRowArray`), unlike a `collect_list` buffer,
+    * and the window's hash partitioning on the keys is reused by the
+    * `groupBy` — still ONE shuffle, still one pass over the input.
     */
   private def pairsWithinGroups(rows: DataFrame, keyCols: Seq[String],
                                 payload: Column, maxGroup: Int): DataFrame =
-    rows.groupBy(keyCols.map(col): _*)
+    rows.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("__n").between(2, maxGroup))
+      .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(payload)).as("__ps"))
-      .filter(size(col("__ps")).between(2, maxGroup))
       .select(posexplode(col("__ps")).as(Seq("__i", "__a")), col("__ps"))
       .select(col("__a"),
         explode(slice(col("__ps"), col("__i") + lit(2), size(col("__ps"))))

@@ -166,6 +166,48 @@ class OperatorsSpec extends SparkSpec {
       maxBucket = 4).count() == 0)
   }
 
+  test("pair expansion caps group size BEFORE collect_list (spill-safe window count)") {
+    // The flooded-bucket cap must drop oversized groups without ever
+    // materializing them in an aggregation buffer: the plan must count group
+    // sizes in a (spill-safe) Window and filter before the collect_list
+    // aggregate — and the window's partitioning must be reused, so the
+    // pair-expansion segment still has exactly one shuffle.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val text = (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, text)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesFused(docs, "doc_id", "text", numHashes = 32)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
+    cands.collect() // materialize so AQE's final plan is available
+    val plan = cands.queryExecution.executedPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    val nodes = walk(plan)
+    val collectAgg = nodes.find {
+      case a: ObjectHashAggregateExec => a.aggregateExpressions.exists(_.toString.contains("collect_list"))
+      case a: SortAggregateExec => a.aggregateExpressions.exists(_.toString.contains("collect_list"))
+      case a: HashAggregateExec => a.aggregateExpressions.exists(_.toString.contains("collect_list"))
+      case _ => false
+    }
+    assert(collectAgg.isDefined, "expected a collect_list aggregate in the plan")
+    // Below the collect_list aggregate: a Window (group-size count) and
+    // exactly one shuffle — the window filter rides the same exchange.
+    val below = walk(collectAgg.get)
+    assert(below.exists(_.isInstanceOf[WindowExec]),
+      "group-size cap must be a Window count below the collect_list aggregate")
+    assert(below.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "pair expansion must keep a single shuffle (window partitioning reused)")
+  }
+
   test("simhashNearDup: identical docs pair at hamming 0; disjoint docs don't pair") {
     val base = (1 to 100).map(i => s"word$i").mkString(" ")
     val other = (500 to 600).map(i => s"tok$i").mkString(" ")
