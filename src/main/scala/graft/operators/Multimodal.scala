@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
   * owns one batch of blobs — the Spark-side shape of a decode/feature
   * pipeline over 100 TB of media.
   *
-  * The decode kernels themselves are STUBBED with a deterministic fake (this
-  * container has no image/audio codecs — see the driver brief); everything
-  * around them — schema, partitioning, batch iteration, output contract — is
-  * real and tested. Swapping in a real decoder is replacing the body of one
-  * function.
+  * IMAGE decode is REAL: blobs carrying a PNG/BMP/GIF/JPEG magic number are
+  * decoded with the JDK's headless `javax.imageio.ImageIO` (no external
+  * dependency) into true dimensions plus a luminance-histogram feature
+  * vector. Audio/video blobs (no codec in the JDK, none in this container)
+  * fall back to a deterministic fake kernel so the pipeline shape — schema,
+  * partitioning, batch iteration, null-row discipline — exercises end to end
+  * regardless of payload type; swapping in a real A/V codec is replacing the
+  * body of one function.
   *
   * Reference analogue: per-frame video metadata + OpenCV frame extraction
   * (`aeon/dj_pipeline/utils/video.py:13-62`), kept behind a UDF boundary
@@ -33,10 +36,69 @@ object Multimodal {
     StructField("n_bytes", LongType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
 
-  /** STUB decode kernel — deterministic fake standing in for a real image
-    * decoder: "dimensions" derived from a byte hash, "features" a seeded
-    * per-blob byte histogram projection. Replace the body with e.g. a JNI
-    * codec call; the partition iteration and schema stay identical.
+  /** Magic-number sniff: true when the blob starts with a PNG, BMP, GIF, or
+    * JPEG signature — the formats the JDK's ImageIO decodes headlessly.
+    * Sniffing bytes (not a format column) is what lets one binary column
+    * carry mixed media, as the reference's chunk stores do.
+    */
+  private[operators] def isImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && {
+      val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF
+      val b2 = bytes(2) & 0xFF; val b3 = bytes(3) & 0xFF
+      (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') || // PNG
+      (b0 == 'B' && b1 == 'M') ||                            // BMP
+      (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||  // GIF
+      (b0 == 0xFF && b1 == 0xD8 && b2 == 0xFF)               // JPEG
+    }
+
+  /** Cap on pixels sampled per blob for the histogram: decode cost must be
+    * bounded per BLOB, not per image area, or one 100-megapixel scan stalls
+    * a task (the same per-unit memory discipline as [[extractFeatures]]).
+    */
+  private val MaxHistogramSamples = 1 << 16
+
+  /** REAL image decode via the JDK's headless ImageIO: true width/height and
+    * a `dim`-bucket luminance histogram (fraction of sampled pixels per
+    * bucket; ITU-R BT.601 integer luma). Pixels are stride-sampled on a
+    * deterministic grid capped at [[MaxHistogramSamples]], so features cost
+    * O(1) per blob regardless of image area. Returns None when ImageIO has
+    * no reader for the bytes or the payload is corrupt — the caller falls
+    * back to the opaque-blob kernel rather than dropping the row.
+    */
+  private def imageDecode(bytes: Array[Byte], dim: Int): Option[Row] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val step = math.max(1L, math.round(math.sqrt(
+          w.toLong * h / MaxHistogramSamples.toDouble))).toInt
+        val hist = new Array[Long](dim)
+        var sampled = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000 // 0..255
+            hist(lum * dim / 256) += 1
+            sampled += 1
+            x += step
+          }
+          y += step
+        }
+        val feats = hist.map(c => (c.toDouble / sampled).toFloat)
+        Some(Row(w, h, bytes.length.toLong, feats))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decode kernel for NON-image media (audio/video — no codec in the
+    * JDK): deterministic fake with "dimensions" derived from a byte hash and
+    * "features" a seeded per-blob byte-histogram projection. Replace the
+    * body with e.g. a JNI codec call; the partition iteration and schema
+    * stay identical.
     */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Row = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -50,6 +112,14 @@ object Multimodal {
     }
     Row(width, height, bytes.length.toLong, feats)
   }
+
+  /** Per-blob dispatch: real ImageIO decode for image-signature blobs
+    * (falling back to the opaque kernel on a corrupt payload), deterministic
+    * fake for everything else (audio/video).
+    */
+  private def decode(bytes: Array[Byte], dim: Int): Row =
+    if (isImage(bytes)) imageDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+    else fakeDecode(bytes, dim)
 
   /** Decode/feature-extract a binary column per partition. Keeps all input
     * columns and appends `featureSchema`'s fields. One blob is decoded at a
@@ -67,7 +137,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         val extra =
           if (bytes == null) Row(null, null, 0L, null)
-          else fakeDecode(bytes, dim)
+          else decode(bytes, dim)
         Row.fromSeq(r.toSeq ++ extra.toSeq)
       }
     }(enc)

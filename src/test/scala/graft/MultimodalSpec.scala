@@ -34,6 +34,44 @@ class MultimodalSpec extends SparkSpec {
     assert(nr.getAs[Any]("features") == null && nr.getAs[Long]("n_bytes") == 0L)
   }
 
+  test("extractFeatures decodes real images via ImageIO: true dims + luminance histogram") {
+    import java.awt.image.BufferedImage
+    def encoded(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val whitePng = encoded("png", 37, 23, 0xFFFFFF) // luma 255 → top bucket
+    val blackBmp = encoded("bmp", 5, 9, 0x000000)   // luma 0 → bottom bucket
+    val textBlob = "not an image at all, just opaque bytes".getBytes("UTF-8")
+    // PNG magic followed by garbage: decode fails, row must survive via the
+    // opaque-blob fallback rather than throwing or dropping
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42, 42, 42)
+
+    val df = Seq((1L, whitePng), (2L, blackBmp), (3L, textBlob), (4L, corrupt))
+      .toDF("id", "blob")
+    val out = Multimodal.extractFeatures(df, "blob", dim = 8)
+      .select("id", "width", "height", "features").orderBy("id").collect()
+
+    assert(out(0).getInt(1) == 37 && out(0).getInt(2) == 23)
+    val whiteFeats = out(0).getSeq[Float](3)
+    assert(math.abs(whiteFeats.sum - 1.0f) < 1e-5)
+    assert(whiteFeats(7) == 1.0f) // all-white image: all mass in the top bucket
+    assert(out(1).getInt(1) == 5 && out(1).getInt(2) == 9)
+    assert(out(1).getSeq[Float](3)(0) == 1.0f)
+
+    // non-image blob: deterministic opaque kernel, dims from the byte hash —
+    // the audio/video wire contract is unchanged by the ImageIO path
+    val hh = java.util.Arrays.hashCode(textBlob)
+    assert(out(2).getInt(1) == 64 + math.floorMod(hh, 1024))
+    assert(out(2).getInt(2) == 64 + math.floorMod(hh >> 10, 1024))
+    // corrupt image falls back the same way (no exception, no dropped row)
+    val ch = java.util.Arrays.hashCode(corrupt)
+    assert(out(3).getInt(1) == 64 + math.floorMod(ch, 1024))
+  }
+
   test("sampleFrames explodes every-Nth frame indices with byte slices") {
     val docs = Tables.documents(spark, sf0001).limit(3)
     val blobs = Multimodal.synthesizeBlobs(docs, "text", repeat = 128)
