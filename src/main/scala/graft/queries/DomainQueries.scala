@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.functions.{GeometryFunctions, TimeFunctions}
 import graft.operators.IntervalJoin
@@ -104,16 +105,19 @@ object DomainQueries {
         struct(lit(150.0).as("x"), lit(7.0).as("y")),
         struct(lit(100.0).as("x"), lit(12.0).as("y")),
         struct(lit(50.0).as("x"), lit(7.0).as("y")))
+      // sort below the projection (q48 rationale: sampling re-executes the
+      // subtree below Sort, and the exchange fans a one-row-group file out)
       Tables.events(s, d)
+        .orderBy("event_id")
         .select(col("event_id"),
           GeometryFunctions.pointInPolygon(
             col("value"), col("user_id").cast("double"), verts).as("in_nest"))
-        .orderBy("event_id")
     }),
 
     // Distance-to-target (tracking.py:290-302) + threshold flag.
     "q46_distance" -> ((s, d) => {
       Tables.events(s, d)
+        .orderBy("event_id")
         .select(col("event_id"),
           round(GeometryFunctions.euclidean(
             col("value"), col("user_id").cast("double"),
@@ -121,7 +125,6 @@ object DomainQueries {
           (GeometryFunctions.euclidean(
             col("value"), col("user_id").cast("double"),
             lit(100.0), lit(7.0)) < 25.0).as("in_patch"))
-        .orderBy("event_id")
     }),
 
     // P5 null-row semantics (acquisition.py:664-705): every (user, day) slot
@@ -176,22 +179,33 @@ object DomainQueries {
 
     // Scalar-function pack (§2.8): string/date/JSON functions over events.
     // prop_k demos regex extraction (codegen'd); prop_k_json demos REAL
-    // JSON-path extraction (get_json_object, $.k) — distinct semantics
-    // (nesting, signs), each mirrored exactly by the oracle.
+    // schema'd JSON parsing — ONE from_json per row with a tight schema,
+    // fields derived from the struct. (get_json_object would re-walk the
+    // document per extracted path; the single-parse struct is the scale
+    // shape, and was measured meaningfully faster here even with one path.)
+    // Top-level-$.k semantics are identical to the oracle's
+    // json_extract_string + cast on integer-valued payloads; malformed JSON
+    // yields null on both sides (PERMISSIVE).
+    // The projection sits ABOVE the sort on purpose: range partitioning's
+    // sampling pass re-executes everything below the Sort, and the sort
+    // exchange is also what fans a single-row-group input out across cores —
+    // projecting after it means the regex/JSON/format work runs ONCE, in
+    // parallel, instead of twice on however many partitions the file opened
+    // with. (Catalyst does not push projections below sorts, so the shape is
+    // stable.)
     "q48_scalar_functions" -> ((s, d) => {
       val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int")
+      val props = from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType))))
       Tables.events(s, d)
+        .orderBy("event_id")
         .select(col("event_id"),
           upper(col("event_type")).as("type_upper"),
           k.as("prop_k"),
-          // REAL JSON-path semantics ($.k — top-level only, handles nesting/
-          // signs), matching the oracle's json_extract_string; the regex
-          // column above is deliberately regex semantics on both sides
-          get_json_object(col("props"), "$.k").cast("int").as("prop_k_json"),
+          props.getField("k").as("prop_k_json"),
           date_trunc("hour", col("ts")).as("hour_bucket"),
           date_format(col("ts"), "yyyy-MM-dd").as("day_str"),
           concat_ws("_", col("event_type"), col("user_id")).as("type_user"))
-        .orderBy("event_id")
     })
   )
 

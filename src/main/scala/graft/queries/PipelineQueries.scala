@@ -33,18 +33,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Token counting: whitespace + BPE-ish regex counts.
+    // Token counting: whitespace + BPE-ish regex counts. (These text-pack
+    // projections sit ABOVE the sort — q48 rationale: range-partitioning's
+    // sampling pass re-executes the subtree below Sort, and the sort
+    // exchange fans a one-row-group file out across cores, so the expensive
+    // text kernels run once, in parallel.)
     "q61_token_count" -> ((s, d) => {
       Tables.documents(s, d)
+        .orderBy("doc_id")
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
           TextFunctions.subwordCount(col("text")).as("n_subwords"))
-        .orderBy("doc_id")
     }),
 
     // Quality scoring features (C4/Gopher-style heuristics).
     "q62_quality_features" -> ((s, d) => {
       Tables.documents(s, d)
+        .orderBy("doc_id")
         .withColumn("q", TextFunctions.qualityFeatures(col("text")))
         .select(col("doc_id"),
           col("q.n_chars").as("n_chars_m"),
@@ -52,17 +57,16 @@ object PipelineQueries {
           col("q.mean_word_len").as("mean_word_len"),
           col("q.digit_ratio").as("digit_ratio"),
           col("q.stopword_ratio").as("stopword_ratio"))
-        .orderBy("doc_id")
     }),
 
     // Language-ID heuristic (n-gram-free stopword argmax).
     "q63_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
+        .orderBy("doc_id")
         .select(col("doc_id"),
           TextFunctions.stopwordCount(col("text"), TextFunctions.EnglishStopwords)
             .as("en_stopwords"),
           TextFunctions.langIdHeuristic(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
     }),
 
     // Document fingerprinting — portable 60-bit exact-dup key + group sizes.
@@ -268,13 +272,14 @@ object PipelineQueries {
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com via https://example.org/d/"), col("doc_id")))
           .otherwise(col("text")).as("text"))
-      withPii.select(col("doc_id"),
+      withPii
+        .orderBy("doc_id")
+        .select(col("doc_id"),
           TextFunctions.countMatches(col("text"), TextFunctions.EmailPattern)
             .as("n_emails"),
           TextFunctions.countMatches(col("text"), TextFunctions.UrlPattern)
             .as("n_urls"),
           TextFunctions.scrubPii(col("text")).as("scrubbed"))
-        .orderBy("doc_id")
     }),
 
     // Repetition quality signal (Gopher-style): fraction of duplicate
