@@ -27,20 +27,79 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(col("query_id") === col("vec_id")).count() == 0)
   }
 
-  test("lshTopK results are a subset of the corpus with sane scores and " +
-    "reasonable recall vs brute force") {
-    val queries = emb.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id",
-        "embedding", k = 10)
+  // Planted-structure corpus: 16 clusters x 30 members in 16 dims, members
+  // tightly around their center (within-cluster cosine ~0.98, cross-cluster
+  // ~0). Recall floors on THIS corpus are tight: a correct LSH finds nearly
+  // all true neighbors here, so a floor of 0.75 has real teeth (the uniform
+  // random corpus has barely any neighbor structure to recall, which is why
+  // the old 0.3 floor proved nothing). Deterministic seed — the corpus is
+  // identical every run.
+  private lazy val planted: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = for (c <- 0 until 16; m <- 0 until 30) yield {
+      val v = centers(c).map(x => x + 0.12f * rnd.nextGaussian().toFloat)
+      (c * 100L + m, v)
+    }
+    rows.toDF("vec_id", "embedding").cache()
+  }
+
+  private def plantedQueries = planted
+    .filter(col("vec_id").isin(0L, 500L, 1100L))
+    .select(col("vec_id").as("query_id"), col("embedding"))
+
+  test("lshTopK on planted clusters: recall >= 0.75 vs brute force") {
+    val exact = Similarity.bruteForceTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "query_id",
-        "embedding", k = 10, nBits = 4, nTables = 8)
+    val approx = Similarity.lshTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10, nBits = 8, nTables = 8)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"LSH recall $recall too low — bucketing broken?")
+    assert(recall >= 0.75, s"LSH recall $recall below 0.75 — bucketing broken?")
+  }
+
+  test("lshTopK on the real corpus returns corpus subsets with sane scores") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Similarity.lshTopK(emb, queries, "vec_id", "query_id",
+      "embedding", k = 10, nBits = 4, nTables = 8).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9))
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("hyperplane family is non-degenerate; a constant-plane family fails the floor") {
+    import graft.functions.VectorFunctions
+    // Structural pin: within a table no two bit-planes coincide (the plane
+    // analogue of the r4 MinHash single-seed degeneracy), and tables differ.
+    val t0 = VectorFunctions.hyperplanes(nBits = 8, dim = 16, seed = 42)
+    val t1 = VectorFunctions.hyperplanes(nBits = 8, dim = 16, seed = 43)
+    assert(t0.map(_.toSeq).distinct.length == 8, "duplicate planes within a table")
+    assert(t0.map(_.toSeq).toSet != t1.map(_.toSeq).toSet, "tables share their plane set")
+
+    // Behavioral pin: 8 independent planes spread 480 clustered vectors over
+    // many buckets (>= 32 of 256); a CONSTANT-plane signature (every bit the
+    // same plane — the deliberate degeneracy) collapses to <= 2 buckets and
+    // fails the same floor, so the floor has teeth.
+    val realDistinct = planted
+      .select(VectorFunctions.simhashBucket(col("embedding"), nBits = 8,
+        seed = 42, dim = 16).as("b"))
+      .agg(countDistinct(col("b"))).head().getLong(0)
+    assert(realDistinct >= 32, s"only $realDistinct distinct buckets of 256")
+
+    val plane0 = VectorFunctions.hyperplanes(nBits = 8, dim = 16, seed = 42)(0).toSeq
+    val constantBucket = (0 until 8).map { i =>
+      when(VectorFunctions.dot(col("embedding"), typedlit(plane0)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val degenerateDistinct = planted.select(constantBucket.as("b"))
+      .agg(countDistinct(col("b"))).head().getLong(0)
+    assert(degenerateDistinct <= 2, "constant-plane control unexpectedly spread")
+    assert(degenerateDistinct < 32, "degenerate family passed the floor — floor is toothless")
   }
 
   test("materialized IVF index: probe equals inline ivfTopK and prunes partitions") {
@@ -89,17 +148,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfAll == exact)
   }
 
-  test("ivfTopK probing few cells still finds most true neighbors") {
-    val queries = emb.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id",
-        "embedding", k = 10)
+  test("ivfTopK probing few cells finds nearly all true neighbors on planted clusters") {
+    // Probing 4 of 16 cells on the clustered corpus must keep >= 0.8 of the
+    // true top-10: a query's cluster-mates land in the query's own nearest
+    // cell, so missing them means assignment or probing is broken. (The old
+    // 0.5 floor on the uniform corpus tolerated a half-broken quantizer.)
+    val exact = Similarity.bruteForceTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "query_id",
-        "embedding", k = 10, nCentroids = 8, nProbe = 4)
+    val ivf = Similarity.ivfTopK(planted, plantedQueries, "vec_id", "query_id",
+        "embedding", k = 10, nCentroids = 16, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low")
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
   test("nearDupPairs finds planted identical vectors and orders ids") {

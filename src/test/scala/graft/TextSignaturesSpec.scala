@@ -83,6 +83,60 @@ class TextSignaturesSpec extends SparkSpec {
     assert(est > 0.05 && est < 0.95, s"estimate $est not statistical")
   }
 
+  test("minhash estimates track exact Jaccard (mean error bound); " +
+    "a single-seed family violates the bound") {
+    // Signature QUALITY pin, not value equality: across pairs spanning the
+    // whole Jaccard range, the 64-hash estimate must track the exact
+    // 3-shingle Jaccard within the family's statistical error
+    // (se = sqrt(J(1-J)/64) <= 0.0625). The DuckDB oracle mirrors the
+    // construction and so can never catch an engine-mirrored degeneracy —
+    // this bound can: the r4-class single-seed family estimates only {0, 1}
+    // and blows the same bound (asserted below).
+    val base = (0 until 60).map(i => s"w$i")
+    val docs = (0 to 9).map { j =>
+      // replace the first 6*j words: exact Jaccard sweeps ~1.0 down to ~0.05
+      val repl = base.zipWithIndex.map { case (w, i) => if (i < 6 * j) s"x${j}_$i" else w }
+      (j.toLong, repl.mkString(" "))
+    }
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val exactJ = docs.map { case (j, text) =>
+      val a = shingleSet(docs.head._2); val b = shingleSet(text)
+      j -> (a & b).size.toDouble / (a | b).size
+    }.toMap
+
+    val sigs = Dedup.minhashSignaturesFused(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        numHashes = 64, shingleN = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def estimate(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+    val errs = (1 to 9).map { j =>
+      math.abs(estimate(sigs(0L), sigs(j.toLong)) - exactJ(j.toLong))
+    }
+    val meanErr = errs.sum / errs.length
+    assert(meanErr <= 0.06, s"mean |estimate - exact| $meanErr exceeds 0.06")
+    assert(errs.max <= 0.2, s"max |estimate - exact| ${errs.max} exceeds 0.2")
+
+    // Deliberately-degenerate control: every component the SAME seed — the
+    // statistical signature of the r4 bug. Its estimates are 0/1 step
+    // functions and the mean error explodes past the bound, so the bound
+    // has teeth.
+    val degSigs = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.minhashSignature(
+          graft.functions.TextFunctions.normalizeForDedup(col("text")),
+          numHashes = 1, shingleN = 3).as("m1"))
+      .collect().map(r => r.getLong(0) -> Seq.fill(64)(r.getSeq[Long](1).head)).toMap
+    val degErrs = (1 to 9).map { j =>
+      math.abs(estimate(degSigs(0L), degSigs(j.toLong)) - exactJ(j.toLong))
+    }
+    val degMean = degErrs.sum / degErrs.length
+    assert(degMean > 0.06,
+      s"single-seed family mean error $degMean passed the bound — bound is toothless")
+  }
+
   test("fused simhash == composed on corpus + edges") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .unionByName(edgeDocs)
