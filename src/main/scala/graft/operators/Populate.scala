@@ -49,10 +49,11 @@ object Populate {
     *
     * Guarantee: idempotent under RETRIES of a single writer (re-running the
     * same populate never duplicates rows). NOT safe under concurrent writers
-    * to the same table — plain parquet has no atomic read-check-append; the
-    * reference used MySQL transactions for that (`acquisition.py:547-549`).
-    * Run one populate per table at a time (the reference's populate loop is
-    * likewise serialized per table via its job reservation table).
+    * to the same table — plain parquet append has no atomic
+    * read-check-append. For multi-worker populates use
+    * [[appendIdempotentExclusive]], which restores the reference's
+    * MySQL-transaction safety (`acquisition.py:547-549`) via a staged
+    * commit under an exclusive lock.
     */
   /** Read a parquet table that may not exist yet. ONLY a genuinely-absent
     * path maps to None; any other read failure (transient FS error,
@@ -81,5 +82,119 @@ object Populate {
       if (n > 0) cached.write.mode(SaveMode.Append).parquet(tablePath)
       n
     } finally cached.unpersist()
+  }
+
+  /** [[readIfExists]] that additionally maps a present-but-EMPTY table
+    * directory (created by the exclusive-lock protocol before any data
+    * lands) to None. The emptiness is verified by listing — a directory
+    * that HAS data files but fails schema inference still rethrows.
+    */
+  private def readIfNonEmpty(spark: org.apache.spark.sql.SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             table: org.apache.hadoop.fs.Path): Option[DataFrame] =
+    try readIfExists(spark, table.toString).filter { df =>
+      fs.listStatus(table).exists { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass != null &&
+            e.getErrorClass.startsWith("UNABLE_TO_INFER_SCHEMA") &&
+            !fs.listStatus(table).exists { f =>
+              val n = f.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            } => None
+    }
+
+  /** Create-exclusive lock-file acquisition. Local paths go through
+    * java.nio (O_EXCL — genuinely atomic); anything else uses the Hadoop
+    * `create(overwrite = false)` contract, which HDFS implements atomically
+    * at the namenode. Object stores do NOT provide an exclusive create —
+    * on S3-class storage use a real table format (Delta/Iceberg), whose
+    * optimistic commit protocol replaces this lock; the operator semantics
+    * here are unchanged by that substitution.
+    */
+  private def tryLock(fs: org.apache.hadoop.fs.FileSystem,
+                      lock: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(lock.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
+  /** [[appendIdempotent]] made safe under CONCURRENT writers — the staged-
+    * commit analogue of the reference's MySQL-transaction inserts
+    * (`acquisition.py:547-549`), which this library previously declared out
+    * of scope for plain parquet.
+    *
+    * Protocol, per append:
+    *  1. acquire `tablePath/_graft_commit.lock` by atomic create-exclusive
+    *     (spin with backoff up to `lockTimeoutMs`, then fail loudly naming
+    *     the path — a crashed holder's stale lock is an operator-visible
+    *     condition, exactly like an abandoned row lock in the reference);
+    *  2. under the lock, SNAPSHOT the committed table and anti-join the
+    *     candidate rows on `pk` (the manifest re-check: rows another writer
+    *     committed between this writer's derivation and its lock grant are
+    *     seen here and dropped);
+    *  3. write survivors to `tablePath/.staging-<uuid>` — dot-prefixed, so
+    *     Spark's file index never lists it: readers CANNOT observe a
+    *     half-written append;
+    *  4. publish by renaming each fully-written part file into the table
+    *     root (atomic per file on POSIX/HDFS; part names carry write UUIDs
+    *     so they never collide), then delete the staging dir and release.
+    *
+    * Guarantees: no duplicate PKs under any interleaving of concurrent
+    * writers (mutual exclusion makes check-then-append atomic); readers
+    * only ever see complete part files (write-then-rename); a crash before
+    * publish leaves only an invisible staging dir; a crash MID-publish
+    * leaves a prefix of complete files whose rows the PK re-check skips on
+    * retry — so retry-after-crash converges without duplicates. Stale
+    * `.staging-*` dirs and the stale lock are inert garbage, surfaced by
+    * the timeout message rather than silently stolen.
+    */
+  def appendIdempotentExclusive(result: DataFrame, tablePath: String,
+                                pk: Seq[String],
+                                lockTimeoutMs: Long = 60000L): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = result.sparkSession
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(table) // so the lock has a home before the first append
+    val lock = new Path(table, "_graft_commit.lock")
+
+    val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
+    var sleep = 50L
+    while (!tryLock(fs, lock)) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"could not acquire $lock within ${lockTimeoutMs}ms — another " +
+            "writer holds it, or a crashed writer left it stale (remove the " +
+            "file to recover)")
+      Thread.sleep(sleep)
+      sleep = math.min(sleep * 2, 1000L)
+    }
+    try {
+      val fresh = readIfNonEmpty(spark, fs, table) match {
+        case Some(e) => result.join(e.select(pk.map(col): _*).distinct(), pk, "left_anti")
+        case None    => result
+      }
+      val staging = new Path(table, s".staging-${java.util.UUID.randomUUID()}")
+      val cached = fresh.cache()
+      try {
+        val n = cached.count()
+        if (n > 0) {
+          cached.write.parquet(staging.toString)
+          fs.listStatus(staging)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .foreach(f => fs.rename(f.getPath, new Path(table, f.getPath.getName)))
+        }
+        fs.delete(staging, true)
+        n
+      } finally cached.unpersist()
+    } finally fs.delete(lock, false)
   }
 }
