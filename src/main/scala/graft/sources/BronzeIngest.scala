@@ -45,18 +45,18 @@ object BronzeIngest {
   /** Flat float32 binary (`np.fromfile(dtype="<f4").reshape(-1, n)`,
     * reference `aeon/schema/ephys.py:12-23` Binary reader): one row per
     * sample, columns as named. Little-endian, as numpy defaults.
+    *
+    * Delegates to the `graft-clock` V2 source (`format=f32`) so Catalyst
+    * sees a real scan — column pruning reaches the decode, and a
+    * `clockDir` companion adds a pushed-down `clock` column
+    * ([[ClockBinarySource]]).
     */
   def flatBinaryF32(spark: SparkSession, pathGlob: String,
-                    colNames: Seq[String]): DataFrame = {
-    val n = colNames.length
-    val schema = withFileCols(colNames.map(StructField(_, FloatType, nullable = false)))
-    decodeBinary(spark, pathGlob, schema) { (bytes, file) =>
-      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      val rows = bytes.length / (4 * n)
-      (0L until rows).iterator.map { r =>
-        Row.fromSeq(file +: r +: (0 until n).map(c => buf.getFloat(((r * n + c) * 4).toInt)))
-      }
-    }
+                    colNames: Seq[String],
+                    clockDir: Option[String] = None): DataFrame = {
+    val r = spark.read.format("graft-clock")
+      .option("format", "f32").option("cols", colNames.mkString(","))
+    clockDir.fold(r)(d => r.option("clock", d)).load(pathGlob)
   }
 
   /** Flat uint64 binary (ONIX Clock, `aeon/schema/ephys.py:74-76`): ticks as
@@ -76,22 +76,19 @@ object BronzeIngest {
   /** Flat uint16 binary reshaped to n channels (AmplifierData,
     * `aeon/dj_pipeline/spike_sorting.py:266-290`): per-sample array column +
     * optional gain/offset µV conversion (`:209-211`).
+    *
+    * Delegates to the `graft-clock` V2 source (`format=u16`); a `clockDir`
+    * companion adds a `clock` column with file-skip pushdown, so an ephys
+    * interval read touches only overlapping chunk files
+    * ([[ClockBinarySource]]).
     */
   def flatBinaryU16(spark: SparkSession, pathGlob: String, nChannels: Int,
-                    gain: Double = 1.0, offset: Double = 0.0): DataFrame = {
-    val schema = withFileCols(Seq(
-      StructField("samples", ArrayType(DoubleType, containsNull = false), nullable = false)))
-    decodeBinary(spark, pathGlob, schema) { (bytes, file) =>
-      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      val rows = bytes.length / (2 * nChannels)
-      (0L until rows).iterator.map { r =>
-        val arr = Array.tabulate(nChannels) { c =>
-          val raw = buf.getShort(((r * nChannels + c) * 2).toInt) & 0xFFFF
-          raw * gain + offset
-        }
-        Row(file, r, arr)
-      }
-    }
+                    gain: Double = 1.0, offset: Double = 0.0,
+                    clockDir: Option[String] = None): DataFrame = {
+    val r = spark.read.format("graft-clock")
+      .option("format", "u16").option("channels", nChannels.toString)
+      .option("gain", gain.toString).option("offset", offset.toString)
+    clockDir.fold(r)(d => r.option("clock", d)).load(pathGlob)
   }
 
   private def decodeBinary(spark: SparkSession, pathGlob: String, schema: StructType)

@@ -73,4 +73,128 @@ class ClockBinarySourceSpec extends SparkSpec {
     val df = spark.read.format("graft-clock").load(dir.toString)
     assert(df.count() == 40)
   }
+
+  test("multi-path load reads every listed glob (paths property)") {
+    val df = spark.read.format("graft-clock")
+      .load(dir.resolve("Dev_Clock_0.bin").toString,
+        dir.resolve("Dev_Clock_2.bin").toString)
+    assert(df.count() == 20)
+  }
+
+  test("nested directories are listed recursively") {
+    val root = Files.createTempDirectory("clock_nested")
+    val sub = Files.createDirectories(root.resolve("epoch1/device"))
+    val buf = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(5L, 6L, 7L).foreach(buf.putLong)
+    Files.write(sub.resolve("c.bin"), buf.array())
+    assert(spark.read.format("graft-clock").load(root.toString).count() == 3)
+  }
+
+  // --- payload formats (f32 / u16) with companion-clock pushdown ---
+
+  /** 3 ephys chunks: u16 payload (2 channels x 8 samples) + companion clock
+    * files (8 uint64s) in a sibling dir, chunk k clocking [k*1000, k*1000+700].
+    */
+  private lazy val ephys: (String, String) = {
+    val d = Files.createTempDirectory("ephys_v2")
+    val amp = Files.createDirectories(d.resolve("amp"))
+    val clk = Files.createDirectories(d.resolve("clock"))
+    for (k <- 0 until 3) {
+      val pay = ByteBuffer.allocate(8 * 2 * 2).order(ByteOrder.LITTLE_ENDIAN)
+      for (r <- 0 until 8; c <- 0 until 2)
+        pay.putShort((k * 100 + r * 10 + c).toShort)
+      Files.write(amp.resolve(s"chunk_$k.bin"), pay.array())
+      val cb = ByteBuffer.allocate(8 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 8).foreach(r => cb.putLong(k * 1000L + r * 100L))
+      Files.write(clk.resolve(s"chunk_$k.bin"), cb.array())
+    }
+    (amp.resolve("*.bin").toString, clk.toString)
+  }
+
+  private def readEphys = spark.read.format("graft-clock")
+    .option("format", "u16").option("channels", "2")
+    .option("gain", "0.195").option("offset", "-3.0")
+    .option("clock", ephys._2)
+    .load(ephys._1)
+
+  test("u16 ephys read: samples scaled by gain/offset, clock from companion") {
+    val rows = readEphys.orderBy("clock").collect()
+    assert(rows.length == 24)
+    val first = rows.head
+    assert(first.getAs[Long]("clock") == 0L)
+    val samples = first.getSeq[Double](first.fieldIndex("samples"))
+    assert(samples == Seq(0 * 0.195 - 3.0, 1 * 0.195 - 3.0))
+    val last = rows.last
+    assert(last.getAs[Long]("clock") == 2700L)
+    assert(last.getSeq[Double](last.fieldIndex("samples")).head == 270 * 0.195 - 3.0)
+  }
+
+  test("u16 clock-range filter pushes down and prunes to the overlapping chunk") {
+    val df = readEphys.filter(col("clock").between(1000L, 1150L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("clockRange=[1000,1150]"), s"pushdown missing in:\n$plan")
+    val rows = df.select("file", "clock").collect()
+    assert(rows.length == 2) // clocks 1000 and 1100 of chunk_1
+    assert(rows.forall(_.getString(0).contains("chunk_1")))
+  }
+
+  test("f32 payload with named cols and companion clock matches written values") {
+    val d = Files.createTempDirectory("f32_v2")
+    val pay = Files.createDirectories(d.resolve("pos"))
+    val clk = Files.createDirectories(d.resolve("clock"))
+    val pb = ByteBuffer.allocate(4 * 2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+    for (r <- 0 until 4; c <- 0 until 2) pb.putFloat(r + c / 10.0f)
+    Files.write(pay.resolve("p.bin"), pb.array())
+    val cb = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(r => cb.putLong(r * 50L))
+    Files.write(clk.resolve("p.bin"), cb.array())
+
+    val df = spark.read.format("graft-clock")
+      .option("format", "f32").option("cols", "x,y")
+      .option("clock", clk.toString)
+      .load(pay.resolve("*.bin").toString)
+    assert(df.schema.fieldNames.toSeq == Seq("file", "row_index", "clock", "x", "y"))
+    val r2 = df.filter(col("clock") === 100L).collect()
+    assert(r2.length == 1 && r2.head.getAs[Float]("x") == 2.0f
+      && r2.head.getAs[Float]("y") == 2.1f)
+    // pruned projection: payload-only scan (no clock column) still decodes
+    val xs = df.select("x").as[Float].collect().sorted
+    assert(xs.sameElements(Array(0.0f, 1.0f, 2.0f, 3.0f)))
+  }
+
+  test("delegated BronzeIngest.flatBinaryU16 equals the inline decode contract") {
+    val df = graft.sources.BronzeIngest.flatBinaryU16(spark, ephys._1,
+      nChannels = 2, gain = 2.0, offset = 1.0)
+    assert(df.schema.fieldNames.toSeq == Seq("file", "row_index", "samples"))
+    val r0 = df.orderBy("file", "row_index").head()
+    assert(r0.getSeq[Double](2) == Seq(0 * 2.0 + 1.0, 1 * 2.0 + 1.0))
+    assert(df.count() == 24)
+  }
+
+  test("companion row-count mismatch fails loudly, not by misalignment") {
+    val d = Files.createTempDirectory("mismatch_v2")
+    val pay = Files.createDirectories(d.resolve("amp"))
+    val clk = Files.createDirectories(d.resolve("clock"))
+    Files.write(pay.resolve("a.bin"), new Array[Byte](2 * 2 * 4)) // 4 rows
+    Files.write(clk.resolve("a.bin"), new Array[Byte](8 * 3))     // 3 rows
+    val err = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft-clock")
+        .option("format", "u16").option("channels", "2")
+        .option("clock", clk.toString)
+        .load(pay.resolve("*.bin").toString)
+        .filter(col("clock") >= 0L).count()
+    }
+    assert(err.getMessage.contains("rows") || err.getCause != null)
+  }
+
+  test("missing required payload options fail with a clear message") {
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-clock").option("format", "u16").load(ephys._1)
+    }
+    assert(e1.getMessage.contains("channels"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-clock").option("format", "f32").load(ephys._1)
+    }
+    assert(e2.getMessage.contains("cols"))
+  }
 }
