@@ -125,6 +125,29 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](1).toArray)
 
+  /** Train the IVF coarse quantizer OFFLINE with MLlib KMeans — the scale
+    * path the [[ivfTopK]]/[[writeIvfIndex]] scaladoc promises: run this once
+    * per corpus (or per re-index), persist the returned matrix, and pass it
+    * as `centers` everywhere. Lloyd-refined centers cut quantization error
+    * versus the hash-sampled fallback, which lifts probe recall at the same
+    * nProbe (spec-asserted on a planted-cluster corpus).
+    *
+    * Deliberately NOT wired into the oracled query path: KMeans iteration
+    * order is engine-private, so trained centers are reproducible only given
+    * the same library — the deterministic hash-sample stays the
+    * cross-engine-checkable default ([[sampledCenters]]).
+    */
+  def trainCenters(corpus: DataFrame, vecCol: String, nCentroids: Int,
+                   maxIter: Int = 20, seed: Long = 42L): Array[Array[Float]] = {
+    val ds = corpus.select(org.apache.spark.ml.functions.array_to_vector(
+      col(vecCol).cast("array<double>")).as("features"))
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setMaxIter(maxIter).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(ds)
+      .clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path beside
     * LSH: a coarse quantizer partitions the corpus into cells; each query
     * probes its `nProbe` nearest cells and re-ranks exactly within them. At

@@ -163,6 +163,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("KMeans-trained centers beat hash-sampled centers on quantization and recall@10") {
+    val trained = Similarity.trainCenters(planted, "embedding", nCentroids = 16)
+    assert(trained.length == 16 && trained.head.length == 16)
+
+    // the hash-sampled fallback, reproduced by its documented construction
+    val sampled = planted.select(col("vec_id"), col("embedding"))
+      .orderBy(graft.functions.HashFunctions.portableHash60(
+        col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).collect().map(_.getSeq[Float](1).toArray)
+
+    // Lloyd refinement must strictly cut quantization error (the KMeans
+    // objective) vs a raw corpus sample — deterministic on the seeded corpus
+    val vecs = planted.select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    def cost(cents: Array[Array[Float]]): Double = vecs.map { v =>
+      cents.map(c => c.zip(v).map { case (a, b) => (a - b).toDouble * (a - b) }.sum).min
+    }.sum / vecs.length
+    assert(cost(trained) < cost(sampled),
+      s"trained cost ${cost(trained)} not below sampled ${cost(sampled)}")
+
+    val exact = Similarity.bruteForceTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(cents: Array[Array[Float]]): Double = {
+      val got = Similarity.ivfTopK(planted, plantedQueries, "vec_id", "query_id",
+          "embedding", k = 10, nCentroids = 16, nProbe = 2, centers = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val (rT, rS) = (recall(trained), recall(sampled))
+    assert(rT >= 0.9, s"trained-center recall $rT below 0.9")
+    assert(rT >= rS, s"trained recall $rT below sampled recall $rS")
+  }
+
   test("nearDupPairs finds planted identical vectors and orders ids") {
     import spark.implicits._
     val planted = Seq(
