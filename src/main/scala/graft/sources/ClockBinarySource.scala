@@ -156,12 +156,23 @@ private[sources] class ClockBinaryTable(opts: FlatBinaryOptions)
     new ClockScanBuilder(opts)
 }
 
+/** Per-file aggregate codes for pushed-down min/max/count — each computed
+  * from the clock stream's 16 stat bytes (or the file length alone), never
+  * a decode.
+  */
+private[sources] object AggCode {
+  val MinClock = 0; val MaxClock = 1; val CountRows = 2
+}
+
 private[sources] class ClockScanBuilder(opts: FlatBinaryOptions)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = opts.schema
   private var accepted: Array[Filter] = Array.empty
+  private var aggCodes: Option[Array[Int]] = None
+  private var pushedAggDesc: Seq[String] = Nil
   private var lo: Long = Long.MinValue
   private var hi: Long = Long.MaxValue
 
@@ -186,19 +197,74 @@ private[sources] class ClockScanBuilder(opts: FlatBinaryOptions)
     filters // everything stays residual: Spark re-applies exact row predicates
   }
   override def pushedFilters(): Array[Filter] = accepted
+
+  /** MIN/MAX(clock) and COUNT answer from per-file stats: the format
+    * contract (first/last bound every value — [[ClockFormat]]) makes the 16
+    * stat bytes the whole computation, the exact semantics parquet footer
+    * stats give its aggregate pushdown (`onix_imu.py:112-130` is this check
+    * in the reference). PARTIAL pushdown: each file partition emits one
+    * stats row; Spark's final aggregate merges them — which is why this
+    * composes with any number of files. Spark only offers aggregates when
+    * no residual filters remain, and every filter here stays residual, so
+    * pushed aggregates and pushed row filters never mix (same as parquet).
+    */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def isClock(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.sameElements(Array("clock"))
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val exprs = aggregation.aggregateExpressions
+    val codes = exprs.flatMap {
+      case _: CountStar => Some(AggCode.CountRows)
+      case m: Min if opts.hasClock && isClock(m.column) => Some(AggCode.MinClock)
+      case m: Max if opts.hasClock && isClock(m.column) => Some(AggCode.MaxClock)
+      // clock is non-nullable, so COUNT(clock) == COUNT(*)
+      case c: Count if !c.isDistinct && isClock(c.column) => Some(AggCode.CountRows)
+      case _ => None
+    }
+    if (codes.length != exprs.length) false
+    else {
+      aggCodes = Some(codes)
+      pushedAggDesc = exprs.map(_.describe).toSeq
+      true
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ClockScan(opts, required, accepted, lo, hi)
+  override def build(): Scan = {
+    // With a pushed aggregation the scan's output IS the per-file partial
+    // aggregate row — Spark maps scan columns to the rewritten final
+    // aggregate positionally, so the schema must be one (nullable for
+    // min/max: empty files) long per aggregate, not the row schema.
+    val schema = aggCodes match {
+      case Some(codes) => StructType(codes.zip(pushedAggDesc).map { case (c, d) =>
+        StructField(d, LongType, nullable = c != AggCode.CountRows) })
+      case None => required
+    }
+    new ClockScan(opts, schema, accepted, lo, hi, aggCodes, pushedAggDesc)
+  }
 }
 
 private[sources] class ClockScan(opts: FlatBinaryOptions, required: StructType,
-                                 pushed: Array[Filter], lo: Long, hi: Long)
+                                 pushed: Array[Filter], lo: Long, hi: Long,
+                                 aggCodes: Option[Array[Int]] = None,
+                                 aggDesc: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-clock(${opts.paths.mkString(",")}) clockRange=[$lo,$hi] " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}] " +
+      s"PushedAggregates: [${aggDesc.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // metadata-only listing; every byte of file IO happens in executors.
@@ -226,7 +292,10 @@ private[sources] class ClockScan(opts: FlatBinaryOptions, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    new ClockReaderFactory(opts, required.fieldNames, lo, hi, conf)
+    aggCodes match {
+      case Some(codes) => new ClockAggReaderFactory(opts, codes, conf)
+      case None => new ClockReaderFactory(opts, required.fieldNames, lo, hi, conf)
+    }
   }
 }
 
@@ -240,6 +309,51 @@ private[sources] class ClockReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ClockFilePartition]
     new ClockPartitionReader(part, opts, requiredCols, lo, hi, conf)
+  }
+}
+
+/** Aggregate-pushdown reader: ONE partial-stats row per file, computed from
+  * the clock stream's first/last uint64 (16 bytes) and the file length —
+  * no payload byte is ever decoded. Spark's final aggregate merges the
+  * per-file partials. Empty files contribute (null, null, 0), the standard
+  * partial-aggregate identity.
+  */
+private[sources] class ClockAggReaderFactory(
+    opts: FlatBinaryOptions, codes: Array[Int],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[ClockFilePartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val path = new org.apache.hadoop.fs.Path(part.path)
+        val nRows = part.length / opts.rowSize
+        val bounds: Option[(Long, Long)] =
+          if (nRows == 0 || !codes.exists(c => c != AggCode.CountRows)) None
+          else {
+            val (cPath, cRows) = opts.format match {
+              case "u64" => (path, nRows)
+              case _ =>
+                val cp = opts.clockPathFor(path)
+                val cr = cp.getFileSystem(conf.value).getFileStatus(cp).getLen / 8
+                require(cr == nRows,
+                  s"companion clock $cp has $cr rows but ${part.path} has $nRows")
+                (cp, cr)
+            }
+            val (first, last) = ClockFormat.readFirstLast(cPath, cRows, conf.value)
+            Some((math.min(first, last), math.max(first, last)))
+          }
+        val values: Array[Any] = codes.map {
+          case AggCode.CountRows => nRows: Any
+          case AggCode.MinClock  => bounds.map(_._1: Any).orNull
+          case AggCode.MaxClock  => bounds.map(_._2: Any).orNull
+        }
+        new GenericInternalRow(values)
+      }
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -187,6 +187,49 @@ class ClockBinarySourceSpec extends SparkSpec {
     assert(err.getMessage.contains("rows") || err.getCause != null)
   }
 
+  test("min/max/count aggregates push into the scan and merge across files") {
+    val agg = readClock.agg(min("clock").as("mn"), max("clock").as("mx"),
+      count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [MIN(clock), MAX(clock), COUNT(*)]"),
+      s"aggregates not pushed in:\n$plan")
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (0L, 3900L, 40L))
+  }
+
+  test("pushed aggregates read ONLY the 16 stat bytes (interior never decoded)") {
+    // a file deliberately violating the monotonic contract: interior value 5
+    // sits below first=100. A stats-only aggregate reports min=100 (exactly
+    // parquet-footer-stats semantics); a decoding aggregate would report 5 —
+    // so this asserts no payload byte was read.
+    val d = Files.createTempDirectory("agg_stats")
+    val buf = ByteBuffer.allocate(3 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(100L, 5L, 900L).foreach(buf.putLong)
+    Files.write(d.resolve("c.bin"), buf.array())
+    val r = spark.read.format("graft-clock").load(d.resolve("*.bin").toString)
+      .agg(min("clock"), max("clock"), count(lit(1))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (100L, 900L, 3L))
+  }
+
+  test("a row filter blocks aggregate pushdown and results stay exact") {
+    val agg = readClock.filter(col("clock") >= 1000L)
+      .agg(min("clock").as("mn"), max("clock").as("mx"), count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates: [MIN"),
+      "aggregates must not push under a residual row filter")
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1000L, 3900L, 30L))
+  }
+
+  test("count(*) pushes for payload formats via file length alone") {
+    val agg = spark.read.format("graft-clock")
+      .option("format", "u16").option("channels", "2")
+      .load(ephys._1).agg(count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), s"no count pushdown:\n$plan")
+    assert(agg.head().getLong(0) == 24L)
+  }
+
   test("missing required payload options fail with a clear message") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-clock").option("format", "u16").load(ephys._1)
