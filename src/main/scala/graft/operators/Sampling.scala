@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Deterministic corpus sampling and sequence packing — the selection layer
+  * of a training-data pipeline (what runs AFTER dedup/quality filtering and
+  * BEFORE tokenized shards are written).
+  *
+  * All selection here is HASH-GATED, never `rand()`: the accept/reject
+  * decision for a row is a pure function of its id, so (a) re-running the
+  * job — or re-attempting a lost task — selects the identical corpus
+  * (`rand()` breaks exactly-once under shuffle retry, the SPARK-23207
+  * class designed out in [[Skew]]), and (b) an external system (or the
+  * DuckDB oracle) can replay the selection bit-for-bit from the portable
+  * md5-derived hash ([[HashFunctions.portableHash60]]).
+  *
+  * Scale shape: sampling is a pure per-row filter — no shuffle, pushes
+  * behind any scan Catalyst can prune. Mixture rebalancing adds one
+  * catalog-scale aggregate (rows = #strata) broadcast back onto the corpus.
+  * Sequence packing windows per SHARD, so packing parallelism is the shard
+  * count, never a global sort.
+  */
+object Sampling {
+
+  /** 2^60 as a double — the hash-space width of [[HashFunctions.portableHash60]].
+    * Exact in double (a power of two), so `rate * HashSpace` is a single
+    * correctly-rounded IEEE multiply any engine reproduces.
+    */
+  val HashSpace: Double = (1L << 60).toDouble
+
+  /** The per-row acceptance gate: accept iff
+    * `portableHash60(tag || ':' || id) < rate * 2^60`. The `tag` keys the
+    * draw, so independent sampling stages over the same corpus (e.g. a
+    * validation split after a mixture pass) use independent hash draws.
+    * The comparison is done in DOUBLE space — the hash (< 2^60) casts to
+    * double with one half-even rounding, identical on every IEEE engine.
+    */
+  def acceptGate(id: Column, rate: Column, tag: String): Column =
+    HashFunctions.portableHash60(concat(lit(tag + ":"), id.cast("string")))
+      .cast("double") < rate * lit(HashSpace)
+
+  /** Stratified sampling with per-stratum rates: keep a row of stratum `s`
+    * with probability `rates(s)` (else `defaultRate`), deterministically in
+    * the row id. The LLM-pipeline use: DOWN-sample an over-represented
+    * language/domain while keeping low-resource strata at full rate.
+    *
+    * No shuffle — the stratum→rate map becomes a codegen'd CASE chain.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       tag: String = "strat"): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 1))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(acceptGate(col(idCol), rate, tag))
+  }
+
+  /** Rebalance a corpus toward explicit target mixture WEIGHTS: given
+    * `weights(s)` (relative target share of stratum `s`), keep stratum `s`
+    * at rate `c·w_s/n_s` where `c = min_s(n_s/w_s)` — the largest scaling
+    * for which no stratum needs up-sampling (all rates ≤ 1, the binding
+    * stratum kept whole). This is the "data mixture" knob of an LLM
+    * pipeline (e.g. cap web-crawl at 60%, keep code/books whole).
+    *
+    * Scale shape: one aggregate of #strata rows, window-min over that tiny
+    * frame, broadcast-joined back onto the corpus; the corpus itself is
+    * touched once by a pure filter. Rates are derived IN-PLAN (no driver
+    * collect) and every arithmetic step is order-fixed IEEE double, so the
+    * oracle replays the selection exactly.
+    */
+  def mixtureRebalance(df: DataFrame, strataCol: String, idCol: String,
+                       weights: Map[String, Double],
+                       tag: String = "mix"): DataFrame = {
+    require(weights.values.forall(_ > 0), "mixture weights must be positive")
+    val w = weights.foldLeft(lit(null).cast("double")) { case (acc, (s, wt)) =>
+      when(col(strataCol) === s, lit(wt)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", w)
+      .filter(col("__w").isNotNull) // strata without a weight are dropped
+      .withColumn("__c", min(col("__n") / col("__w")).over(Window.partitionBy()))
+      .withColumn("__rate", col("__c") * col("__w") / col("__n"))
+      .select(col(strataCol), col("__rate"))
+    df.join(broadcast(counts), strataCol)
+      .filter(acceptGate(col(idCol), col("__rate"), tag))
+      .drop("__rate")
+  }
+
+  /** Sequence packing: lay documents end-to-end in token space within each
+    * SHARD (ordered by `orderCol`) and chunk the concatenated stream into
+    * fixed `seqLen`-token training sequences. Emits for each document its
+    * first sequence (`seq_id`), offset within it (`seq_offset`), and how
+    * many sequences it spans (`n_seqs`) — the contiguous-chunking semantics
+    * of standard LLM pretraining packing (documents straddle sequence
+    * boundaries; nothing is dropped).
+    *
+    * Scale shape: ONE window per shard — packing parallelism is the shard
+    * count and no global order exists. At 100 TB the shard column is the
+    * file/partition the tokenizer writes, exactly how packing is sharded in
+    * production pipelines.
+    */
+  def sequencePack(df: DataFrame, shardCol: String, orderCol: String,
+                   tokensCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0)
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = (sum(col(tokensCol)).over(w) - col(tokensCol)).cast("long")
+    df.withColumn("__start", start)
+      .withColumn("seq_id", floor(col("__start") / seqLen))
+      .withColumn("seq_offset", col("__start") % seqLen)
+      .withColumn("n_seqs",
+        floor((col("__start") + greatest(col(tokensCol).cast("long"), lit(1L)) -
+          1L) / seqLen) - col("seq_id") + 1L)
+      .drop("__start")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity, Skew}
+import graft.operators.{Dedup, Sampling, Similarity, Skew}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -291,6 +291,65 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic stratified sampling: down-sample over-represented 'en'
+    // to 10%, keep every other language at 50% — hash-gated (never rand()),
+    // so re-runs and task re-attempts select the identical corpus and the
+    // oracle replays the draw from the portable hash. Pure filter: no
+    // shuffle, pushes behind the scan.
+    "q90_stratified_sample" -> ((s, d) => {
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+        rates = Map("en" -> 0.1), defaultRate = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: documents laid end-to-end in token space per SHARD
+    // (source), chunked into 512-token training sequences. Parallelism =
+    // shard count; no global sort anywhere.
+    "q91_sequence_pack" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Sampling.sequencePack(toks, "source", "doc_id", "n_tokens", seqLen = 512)
+        .select("doc_id", "source", "n_tokens", "seq_id", "seq_offset", "n_seqs")
+        .orderBy("doc_id")
+    }),
+
+    // Mixture rebalance toward explicit target weights (the data-mixture
+    // knob): en capped at 40% of the output, the rest split evenly. Rates
+    // are derived IN-PLAN from per-stratum counts (c = min n_s/w_s), the
+    // tiny rate table broadcast back onto the corpus, acceptance hash-gated.
+    "q92_mixture_weights" -> ((s, d) => {
+      Sampling.mixtureRebalance(Tables.documents(s, d), "lang", "doc_id",
+        weights = Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15,
+          "es" -> 0.15, "zh" -> 0.15))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end curation pipeline — the composite a reference user actually
+    // runs before training: language filter (en), minimum length, quality
+    // gates (digit ratio, n-gram repetition), then exact dedup keep-first.
+    // Each stage is a previously-oracled operator; this pins their
+    // COMPOSITION (filter ordering, join shape, dedup-after-filter).
+    "q93_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rep = Dedup.ngramRepetition(
+        docs.select("doc_id", "text"), "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("dup_fraction"))
+      val filtered = docs
+        .withColumn("lang_pred", TextFunctions.langIdHeuristic(col("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .withColumn("q", TextFunctions.qualityFeatures(col("text")))
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 20 &&
+          col("q.digit_ratio") < 0.2)
+        .join(rep, "doc_id")
+        .filter(col("dup_fraction") < 0.3)
+      Dedup.keepFirst(filtered, Seq("text"), "doc_id")
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Per-source corpus stats — the "document table health" rollup every
     // training-data pipeline runs before a job.
     "q72_corpus_stats" -> ((s, d) => {
@@ -319,6 +378,34 @@ object PipelineQueries {
     * (`HashFunctions.portableHash60b`). */
   private def pHash60b(c: String): String =
     s"CAST(concat('0x', substr(md5($c), 17, 15)) AS BIGINT)"
+
+  /** DuckDB fragment: `Sampling.acceptGate` — accept iff the tagged portable
+    * hash of the id, cast to double, is below `rate · 2⁶⁰`. `rateSql` must
+    * reproduce the Spark rate expression's IEEE arithmetic order exactly.
+    */
+  private def acceptSql(idCol: String, tag: String, rateSql: String): String =
+    s"CAST(${pHash60(s"concat('$tag:', CAST($idCol AS VARCHAR))")} AS DOUBLE)" +
+      s" < ($rateSql) * 1152921504606846976.0"
+
+  /** DuckDB fragments: per-language stopword scores + the argmax CASE —
+    * shared by q63 and q93 so the two oracles cannot desynchronize from
+    * `TextFunctions.langIdHeuristic` independently. */
+  private def langScoresSql(textCol: String): String =
+    s"""len(regexp_extract_all($textCol,
+        '(?i)\\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|are|at|be|this|by|an)\\b'))
+          AS s_en,
+        len(regexp_extract_all($textCol,
+          '(?i)\\b(der|die|das|und|ist|nicht|ein|eine|mit|für)\\b')) AS s_de,
+        len(regexp_extract_all($textCol,
+          '(?i)\\b(le|la|les|et|est|une|des|dans|pour|que)\\b')) AS s_fr,
+        len(regexp_extract_all($textCol,
+          '(?i)\\b(el|la|los|las|es|una|por|con|para|como)\\b')) AS s_es"""
+
+  private val langPredSql: String =
+    """CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         ELSE (SELECT max(x.l) FROM (VALUES (s_en, 'en'), (s_de, 'de'),
+               (s_fr, 'fr'), (s_es, 'es')) AS x(s, l)
+               WHERE x.s = greatest(s_en, s_de, s_fr, s_es)) END"""
 
   // SimHash bit-votes and bit-packing, one term per signature bit — mirrors
   // Dedup.simhashSignatures (60 portable bits).
@@ -455,23 +542,10 @@ object PipelineQueries {
            AS stopword_ratio
        FROM documents ORDER BY doc_id""",
     "q63_lang_id" ->
-      """WITH scores AS (
-         SELECT doc_id,
-           len(regexp_extract_all(text,
-             '(?i)\b(the|and|of|to|a|in|is|it|that|for|on|with|as|was|are|at|be|this|by|an)\b'))
-             AS s_en,
-           len(regexp_extract_all(text,
-             '(?i)\b(der|die|das|und|ist|nicht|ein|eine|mit|für)\b')) AS s_de,
-           len(regexp_extract_all(text,
-             '(?i)\b(le|la|les|et|est|une|des|dans|pour|que)\b')) AS s_fr,
-           len(regexp_extract_all(text,
-             '(?i)\b(el|la|los|las|es|una|por|con|para|como)\b')) AS s_es
+      s"""WITH scores AS (
+         SELECT doc_id, ${langScoresSql("text")}
          FROM documents)
-       SELECT doc_id, s_en AS en_stopwords,
-         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-              ELSE (SELECT max(x.l) FROM (VALUES (s_en, 'en'), (s_de, 'de'),
-                    (s_fr, 'fr'), (s_es, 'es')) AS x(s, l)
-                    WHERE x.s = greatest(s_en, s_de, s_fr, s_es)) END AS lang_pred
+       SELECT doc_id, s_en AS en_stopwords, $langPredSql AS lang_pred
        FROM scores ORDER BY doc_id""",
     "q67_ngram_jaccard" ->
       """WITH norm AS (
@@ -644,6 +718,76 @@ object PipelineQueries {
          CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli,
          min(value) AS min_value, max(value) AS max_value
        FROM events GROUP BY user_id ORDER BY user_id""",
+    "q90_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+       WHERE ${acceptSql("doc_id", "strat",
+          "CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END")}
+       ORDER BY doc_id""",
+    "q91_sequence_pack" ->
+      s"""WITH toks AS (
+         SELECT doc_id, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         FROM documents),
+       cum AS (
+         SELECT *, CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS s0
+         FROM toks)
+       SELECT doc_id, source, n_tokens,
+         CAST(floor(s0 / 512.0) AS BIGINT) AS seq_id,
+         s0 % 512 AS seq_offset,
+         CAST(floor((s0 + greatest(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+           - CAST(floor(s0 / 512.0) AS BIGINT) + 1 AS n_seqs
+       FROM cum ORDER BY doc_id""",
+    "q92_mixture_weights" ->
+      s"""WITH counts AS (
+         SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+       ww AS (
+         SELECT lang, n,
+           CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 WHEN 'fr' THEN 0.15
+             WHEN 'es' THEN 0.15 WHEN 'zh' THEN 0.15 END AS w
+         FROM counts),
+       -- rate = c·w/n with c = min(n/w): same association order as
+       -- Sampling.mixtureRebalance ((c * w) / n) so the IEEE double value
+       -- is bit-identical
+       rates AS (
+         SELECT lang, min(n / w) OVER () * w / n AS rate
+         FROM ww WHERE w IS NOT NULL)
+       SELECT d.doc_id, d.lang, d.source
+       FROM documents d JOIN rates r USING (lang)
+       WHERE ${acceptSql("d.doc_id", "mix", "r.rate")}
+       ORDER BY d.doc_id""",
+    "q93_curation_pipeline" ->
+      s"""WITH rep AS (
+         SELECT doc_id,
+           round((count(*) - count(DISTINCT s)) / CAST(count(*) AS DOUBLE), 4)
+             AS dup_fraction
+         FROM (
+           SELECT doc_id, array_to_string(words[i:i+1], ' ') AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(${normSql("text")}, ' ') AS words
+                 FROM documents) n,
+             unnest(generate_series(1, len(words) - 1)) u(i))
+         GROUP BY doc_id),
+       scored AS (
+         SELECT doc_id, text, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+             greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS digit_ratio,
+           ${langScoresSql("text")}
+         FROM documents),
+       filtered AS (
+         SELECT s.doc_id, s.text, s.source, s.n_tokens
+         FROM scored s JOIN rep USING (doc_id)
+         WHERE $langPredSql = 'en' AND s.n_tokens >= 20
+           AND s.digit_ratio < 0.2 AND rep.dup_fraction < 0.3),
+       deduped AS (
+         SELECT doc_id, source, n_tokens,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         FROM filtered)
+       SELECT doc_id, source, n_tokens FROM deduped WHERE rn = 1
+       ORDER BY doc_id""",
     "q72_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    spark.range(n).select(col("id"),
+      // 4 strata with a 4:2:1:1 skew — stratum is a pure function of id
+      when(col("id") % 8 < 4, "en").when(col("id") % 8 < 6, "de")
+        .when(col("id") % 8 === 6, "fr").otherwise("es").as("lang"),
+      (col("id") % 16).cast("string").as("shard"))
+
+  test("stratifiedSample hits per-stratum rates within binomial tolerance") {
+    val n = 8000
+    val out = Sampling.stratifiedSample(corpus(n), "lang", "id",
+      rates = Map("en" -> 0.1, "de" -> 0.8), defaultRate = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // per-stratum sizes: en=4000, de=2000, fr=1000, es=1000; tolerance ~5σ
+    assert(math.abs(out("en") - 400.0) < 5 * math.sqrt(4000 * 0.1 * 0.9))
+    assert(math.abs(out("de") - 1600.0) < 5 * math.sqrt(2000 * 0.8 * 0.2))
+    assert(math.abs(out("fr") - 500.0) < 5 * math.sqrt(1000 * 0.25))
+    assert(math.abs(out("es") - 500.0) < 5 * math.sqrt(1000 * 0.25))
+  }
+
+  test("sampling is deterministic and tag-keyed draws are independent") {
+    val df = corpus(2000)
+    val a = Sampling.stratifiedSample(df, "lang", "id", Map(), 0.5, tag = "t1")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(df, "lang", "id", Map(), 0.5, tag = "t1")
+      .select("id").as[Long].collect().toSet
+    val c = Sampling.stratifiedSample(df, "lang", "id", Map(), 0.5, tag = "t2")
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "same tag must reselect the identical corpus")
+    // independent 50% draws overlap in ~25% of rows, not ~50%
+    val overlap = (a & c).size.toDouble / 2000
+    assert(overlap > 0.15 && overlap < 0.35,
+      s"t1/t2 overlap $overlap should look independent (~0.25)")
+  }
+
+  test("mixtureRebalance achieves the target mixture; binding stratum kept whole") {
+    val n = 8000
+    val out = Sampling.mixtureRebalance(corpus(n), "lang", "id",
+      weights = Map("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // equal target weights: c = min(n_s/w_s) binds at fr/es (1000 docs) →
+    // every stratum should land near 1000 selected
+    assert(out("fr") == 1000L, "binding stratum must be kept whole (rate 1)")
+    assert(out("es") == 1000L)
+    assert(math.abs(out("en") - 1000.0) < 5 * math.sqrt(1000.0))
+    assert(math.abs(out("de") - 1000.0) < 5 * math.sqrt(1000.0))
+  }
+
+  test("mixtureRebalance drops strata without a weight") {
+    val out = Sampling.mixtureRebalance(corpus(800), "lang", "id",
+      weights = Map("en" -> 1.0, "de" -> 1.0))
+      .select("lang").distinct().as[String].collect().toSet
+    assert(out == Set("en", "de"))
+  }
+
+  test("sequencePack: contiguous token layout, bounded offsets, span counts") {
+    val toks = corpus(500)
+      .select(col("id"), col("shard"), (col("id") % 300 + 1).cast("int").as("n_tokens"))
+    val seqLen = 128
+    val packed = Sampling.sequencePack(toks, "shard", "id", "n_tokens", seqLen)
+      .select("id", "shard", "n_tokens", "seq_id", "seq_offset", "n_seqs")
+      .as[(Long, String, Int, Long, Long, Long)].collect()
+
+    assert(packed.length == 500, "packing drops nothing")
+    packed.foreach { case (id, _, nt, seqId, off, nSeqs) =>
+      assert(off >= 0 && off < seqLen, s"doc $id offset $off out of range")
+      assert(seqId >= 0 && nSeqs >= 1)
+      // span math: a doc starting at offset `off` with nt tokens covers
+      // exactly ceil((off + max(nt,1)) / seqLen) sequences from seq_id
+      val expectSpan =
+        (off + math.max(nt, 1) + seqLen - 1) / seqLen
+      assert(nSeqs == expectSpan, s"doc $id: n_seqs $nSeqs != $expectSpan")
+    }
+    // per shard: starts are contiguous (each doc starts where the previous
+    // ended) — the invariant that makes the packing a valid token stream
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._1)
+      ordered.sliding(2).foreach {
+        case Array((_, _, nt, s1, o1, _), (_, _, _, s2, o2, _)) =>
+          val endPrev = s1 * seqLen + o1 + nt
+          assert(s2 * seqLen + o2 == endPrev, "token stream must be contiguous")
+        case _ => ()
+      }
+    }
+  }
+
+  test("sampling filters contain no shuffle (pure per-row gate)") {
+    val plan = Sampling.stratifiedSample(corpus(100), "lang", "id", Map("en" -> 0.2), 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
+  }
+}
