@@ -166,6 +166,102 @@ object Multimodal {
       .drop(binaryCol, "frame_pos")
   }
 
+  /** Maximum output dimension guard for [[thumbnails]]: a resize kernel that
+    * allocates the OUTPUT raster must bound it — the input is already
+    * bounded per-blob by the decode.
+    */
+  private val MaxThumbDim = 4096
+
+  /** REAL image re-encode: decode (ImageIO), downscale so the longer edge is
+    * ≤ `maxDim` (never upscales), re-encode as `format` (`jpg`/`png`/`bmp` —
+    * the JDK's headless writers). Non-image or corrupt blobs yield NULL (the
+    * P5 null-row discipline — the row survives, the media column is absent).
+    *
+    * This is the resize/transcode stage of a media training pipeline (the
+    * reference's frame → JPEG export, `aeon/dj_pipeline/utils/video.py:49-62`)
+    * as a per-partition kernel: one blob in flight per task, output bounded
+    * by `maxDim²`, no driver involvement.
+    */
+  def thumbnails(df: DataFrame, binaryCol: String, maxDim: Int,
+                 format: String = "jpg",
+                 outCol: String = "thumbnail"): DataFrame = {
+    require(maxDim > 0 && maxDim <= MaxThumbDim, s"maxDim must be 1..$MaxThumbDim")
+    require(Set("jpg", "jpeg", "png", "bmp")(format.toLowerCase),
+      s"no headless JDK writer for format '$format'")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField(outCol, BinaryType, nullable = true))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val thumb =
+          if (bytes == null || !isImage(bytes)) null
+          else reencode(bytes, maxDim, format).orNull
+        Row.fromSeq(r.toSeq :+ thumb)
+      }
+    }(enc)
+  }
+
+  /** Decode → bounded downscale → encode. None when ImageIO cannot read the
+    * payload or produces an empty image. JPEG has no alpha channel, so the
+    * scaled raster is drawn into TYPE_INT_RGB over white (the standard
+    * alpha-flatten); bilinear interpolation for the downscale.
+    */
+  private def reencode(bytes: Array[Byte], maxDim: Int,
+                       format: String): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val scale = math.min(1.0,
+          maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val w = math.max(1, math.round(img.getWidth * scale).toInt)
+        val h = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.setColor(java.awt.Color.WHITE)
+          g.fillRect(0, 0, w, h)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(out, format, buf)) None
+        else Some(buf.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** File-export sink: write each blob as `dir/<id>.<ext>` — the reference's
+    * per-frame JPEG export (`video.py:49-62`) as a DISTRIBUTED sink: each
+    * task writes its own partition's files through the Hadoop FS (no driver
+    * collect, works against any FS the session is configured for). Null
+    * blobs are skipped. Ids must be unique — last-writer-wins otherwise,
+    * exactly like any keyed file sink.
+    */
+  def exportBlobs(df: DataFrame, idCol: String, blobCol: String,
+                  dir: String, ext: String): Unit = {
+    val conf = new graft.sources.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.foreachPartition { rows: Iterator[Row] =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(conf.value)
+      rows.foreach { r =>
+        val bytes = r.getAs[Array[Byte]](blobIdx)
+        if (bytes != null) {
+          val p = new org.apache.hadoop.fs.Path(dir, s"${r.get(idIdx)}.$ext")
+          val out = fs.create(p, true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    }
+  }
+
   /** Synthesize an opaque binary column from any string column — the test/
     * bench harness for the multimodal path in this codec-less container.
     */

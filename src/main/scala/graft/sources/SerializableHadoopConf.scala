@@ -5,7 +5,7 @@ package graft.sources
   * session's FS settings. Public-API-only equivalent of Spark's internal
   * wrapper.
   */
-private[sources] final class SerializableHadoopConf(
+private[graft] final class SerializableHadoopConf(
     @transient var value: org.apache.hadoop.conf.Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {

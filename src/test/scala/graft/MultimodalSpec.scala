@@ -86,4 +86,53 @@ class MultimodalSpec extends SparkSpec {
     val lens = frames.select(length(col("frame_bytes"))).as[Int].collect()
     assert(lens.forall(l => l > 0 && l <= 1024))
   }
+
+  private def encodedImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("thumbnails: real downscale + JPEG re-encode, round-trip decodable") {
+    val bigPng = encodedImage("png", 200, 100, 0x3366CC)
+    val smallBmp = encodedImage("bmp", 16, 8, 0xCC3366) // under maxDim: kept as-is
+    val textBlob = "opaque non-image bytes".getBytes("UTF-8")
+    val df = Seq((1L, bigPng), (2L, smallBmp), (3L, textBlob),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "blob")
+
+    val out = Multimodal.thumbnails(df, "blob", maxDim = 64, format = "jpg")
+      .select("id", "thumbnail").orderBy("id").collect()
+
+    val t1 = out(0).getAs[Array[Byte]](1)
+    assert(t1 != null && t1.length >= 3 &&
+      (t1(0) & 0xFF) == 0xFF && (t1(1) & 0xFF) == 0xD8, "JPEG magic expected")
+    val dec1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t1))
+    assert(dec1.getWidth == 64 && dec1.getHeight == 32,
+      "200x100 scaled so the longer edge is 64, aspect preserved")
+
+    val dec2 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1).getAs[Array[Byte]](1)))
+    assert(dec2.getWidth == 16 && dec2.getHeight == 8, "no upscaling")
+
+    assert(out(2).getAs[Array[Byte]](1) == null, "non-image → null thumbnail")
+    assert(out(3).getAs[Array[Byte]](1) == null, "null blob → null thumbnail")
+  }
+
+  test("exportBlobs writes one decodable file per row from executor tasks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val df = Seq((7L, encodedImage("png", 12, 5, 0x112233)),
+      (8L, encodedImage("png", 3, 4, 0x445566)),
+      (9L, null.asInstanceOf[Array[Byte]])).toDF("id", "blob")
+    Multimodal.exportBlobs(df.repartition(2), "id", "blob", dir, "png")
+
+    val f7 = new java.io.File(dir, "7.png")
+    val f8 = new java.io.File(dir, "8.png")
+    assert(f7.exists && f8.exists)
+    assert(!new java.io.File(dir, "9.png").exists, "null blob skipped")
+    val img = javax.imageio.ImageIO.read(f7)
+    assert(img.getWidth == 12 && img.getHeight == 5)
+  }
 }
