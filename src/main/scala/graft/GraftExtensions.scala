@@ -1,49 +1,123 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{GraftColumnBridge, GraftRegistryBridge}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{PortableHash28, PortableHash60, VecCosine, VecDot}
+import graft.functions._
 
-/** SparkSessionExtensions entry point: registers graft's custom expressions
-  * as SQL functions, so `spark.sql("SELECT vec_cosine(a, b) ...")` works and
-  * the engine is usable from pure-SQL clients (SURVEY.md §7.4 custom path
-  * (b), wired through the supported extension mechanism).
+/** SQL surface for the graft function library: every Column-level operator —
+  * including the custom codegen'd Catalyst expressions (portable hashes,
+  * vector kernels, fused MinHash) — callable from `spark.sql("...")` by name.
   *
-  * Activate with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * programmatically via `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  * Production route: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) — functions are injected at
+  * session build, exactly how Spark extension libraries ship their SQL
+  * surface. For a session you didn't build (notebook/REPL),
+  * [[GraftFunctions.register]] adds them to the live session's registry.
+  *
+  * The builders go through the same Column combinators as the Scala API, so
+  * SQL and DataFrame calls produce IDENTICAL expression trees — one
+  * implementation, two frontends (pinned by GraftFunctionsSpec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "vec_dot takes exactly 2 arguments")
-        VecDot(children(0), children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("vec_cosine"),
-      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "vec_cosine takes exactly 2 arguments")
-        VecCosine(children(0), children(1))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("portable_hash60"),
-      new ExpressionInfo(classOf[PortableHash60].getName, "portable_hash60"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "portable_hash60 takes exactly 1 argument")
-        PortableHash60(children.head)
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("portable_hash28"),
-      new ExpressionInfo(classOf[PortableHash28].getName, "portable_hash28"),
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "portable_hash28 takes exactly 1 argument")
-        PortableHash28(children.head)
-      }))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}
+
+object GraftFunctions {
+
+  private def toCol(e: Expression): Column = GraftColumnBridge.column(e)
+  // EAGER conversion — a builder's return value goes straight into the
+  // analyzer, so no lazy ColumnNodeExpression wrappers may remain (see
+  // GraftColumnBridge.eagerExpression).
+  private def toExpr(c: Column): Expression = GraftColumnBridge.eagerExpression(c)
+
+  private def lift(name: String, arity: Int)(
+      f: Seq[Column] => Column): (String, Seq[Expression] => Expression) =
+    name -> { exprs =>
+      require(exprs.length == arity,
+        s"$name expects $arity argument(s), got ${exprs.length}")
+      toExpr(f(exprs.map(toCol)))
+    }
+
+  /** Plan-time INT parameter (seed counts, shingle widths): must be a
+    * literal — these select a codegen kernel shape, they are not data. */
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an INT literal, got ${other.sql}")
   }
+
+  /** name → expression builder, in one place so the config-time injection
+    * and the live-session registration cannot drift apart. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq[
+      (String, Seq[Expression] => Expression)](
+    // raw Catalyst kernels under their original SQL names (SURVEY.md §7.4
+    // custom path (b)); no implicit cast — string/array inputs required
+    "vec_dot" -> { exprs =>
+      require(exprs.length == 2, "vec_dot takes exactly 2 arguments")
+      graft.expressions.VecDot(exprs(0), exprs(1))
+    },
+    "vec_cosine" -> { exprs =>
+      require(exprs.length == 2, "vec_cosine takes exactly 2 arguments")
+      graft.expressions.VecCosine(exprs(0), exprs(1))
+    },
+    "portable_hash60" -> { exprs =>
+      require(exprs.length == 1, "portable_hash60 takes exactly 1 argument")
+      graft.expressions.PortableHash60(exprs.head)
+    },
+    "portable_hash28" -> { exprs =>
+      require(exprs.length == 1, "portable_hash28 takes exactly 1 argument")
+      graft.expressions.PortableHash28(exprs.head)
+    },
+    // portable hashing (the oracle-replayable md5 family; casts to string)
+    lift("graft_hash60", 1) { case Seq(c) => HashFunctions.portableHash60(c) },
+    lift("graft_hash60b", 1) { case Seq(c) => HashFunctions.portableHash60b(c) },
+    "graft_seeded_hash" -> { exprs =>
+      require(exprs.length == 2, s"graft_seeded_hash expects 2 arguments")
+      toExpr(HashFunctions.portableSeededHash(toCol(exprs.head),
+        intLit(exprs(1), "graft_seeded_hash", 1)))
+    },
+    // text analysis
+    lift("graft_norm_text", 1) { case Seq(c) => TextFunctions.normalizeForDedup(c) },
+    lift("graft_fingerprint", 1) { case Seq(c) => TextFunctions.portableFingerprint(c) },
+    lift("graft_token_count", 1) { case Seq(c) => TextFunctions.tokenCount(c) },
+    lift("graft_subword_count", 1) { case Seq(c) => TextFunctions.subwordCount(c) },
+    lift("graft_lang_id", 1) { case Seq(c) => TextFunctions.langIdHeuristic(c) },
+    lift("graft_scrub_pii", 1) { case Seq(c) => TextFunctions.scrubPii(c) },
+    lift("graft_quality", 1) { case Seq(c) => TextFunctions.qualityFeatures(c) },
+    "graft_minhash" -> { exprs =>
+      require(exprs.length == 3,
+        "graft_minhash expects (text, numHashes, shingleN)")
+      toExpr(HashFunctions.minhashSignature(
+        TextFunctions.normalizeForDedup(toCol(exprs.head)),
+        intLit(exprs(1), "graft_minhash", 1), intLit(exprs(2), "graft_minhash", 2)))
+    },
+    // vector kernels (codegen'd Catalyst expressions)
+    lift("graft_vec_dot", 2) { case Seq(a, b) => VectorFunctions.dot(a, b) },
+    lift("graft_vec_cosine", 2) { case Seq(a, b) => VectorFunctions.cosine(a, b) },
+    // geometry
+    lift("graft_point_in_polygon", 3) { case Seq(x, y, v) =>
+      GeometryFunctions.pointInPolygon(x, y, v) },
+    lift("graft_distance", 4) { case Seq(x, y, tx, ty) =>
+      GeometryFunctions.euclidean(x, y, tx, ty) },
+    // acquisition time
+    lift("graft_harp_ts", 1) { case Seq(c) => TimeFunctions.harpToTimestamp(c) },
+    lift("graft_ts_harp", 1) { case Seq(c) => TimeFunctions.timestampToHarp(c) },
+    lift("graft_chunk_start", 1) { case Seq(c) => TimeFunctions.chunkStart(c) })
+
+  /** Config-time injection (`spark.sql.extensions=graft.GraftExtensions`). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftFunctions", name), builder))
+    }
+
+  /** Live-session registration for sessions built without the extension. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      GraftRegistryBridge.register(spark, name, builder)
+    }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftFunctions
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, Sampling, Similarity, Skew}
 import graft.sources.Tables
@@ -348,6 +349,21 @@ object PipelineQueries {
       Dedup.keepFirst(filtered, Seq("text"), "doc_id")
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // SQL-frontend end-to-end: the registered function surface
+    // (GraftFunctions) driven through spark.sql and the driver's oracle
+    // gate — pins that the SQL and Column frontends are ONE implementation
+    // (the builders construct the same expression trees GraftFunctionsSpec
+    // checks value-equal).
+    "q94_sql_frontend" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
+      s.sql("""SELECT doc_id, graft_hash60(text) AS h60,
+          graft_fingerprint(text) AS fp,
+          graft_token_count(text) AS n_tokens,
+          graft_lang_id(text) AS lang_pred
+        FROM graft_sql_docs ORDER BY doc_id""")
     }),
 
     // Per-source corpus stats — the "document table health" rollup every
@@ -788,6 +804,15 @@ object PipelineQueries {
          FROM filtered)
        SELECT doc_id, source, n_tokens FROM deduped WHERE rn = 1
        ORDER BY doc_id""",
+    "q94_sql_frontend" ->
+      s"""WITH scored AS (
+         SELECT doc_id, text, ${langScoresSql("text")}
+         FROM documents)
+       SELECT doc_id, ${pHash60("text")} AS h60,
+         ${pHash60(normSql("text"))} AS fp,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         $langPredSql AS lang_pred
+       FROM scored ORDER BY doc_id""",
     "q72_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS total_chars,
