@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: blobs carrying a PNG/BMP/GIF/JPEG magic number are
   * decoded with the JDK's headless `javax.imageio.ImageIO` (no external
   * dependency) into true dimensions plus a luminance-histogram feature
-  * vector. Audio/video blobs (no codec in the JDK, none in this container)
-  * fall back to a deterministic fake kernel so the pipeline shape — schema,
-  * partitioning, batch iteration, null-row discipline — exercises end to end
-  * regardless of payload type; swapping in a real A/V codec is replacing the
-  * body of one function.
+  * vector. VIDEO decode is REAL for MJPEG-AVI (the container the reference's
+  * cameras write): [[graft.sources.AviMjpeg]] walks the RIFF structure and
+  * ImageIO decodes the JPEG frames. Only audio and non-MJPEG codecs (no
+  * decoder in the JDK, none in this container) fall back to a deterministic
+  * fake kernel so the pipeline shape — schema, partitioning, batch
+  * iteration, null-row discipline — exercises end to end regardless of
+  * payload type; swapping in a real codec is replacing the body of one
+  * function.
   *
   * Reference analogue: per-frame video metadata + OpenCV frame extraction
   * (`aeon/dj_pipeline/utils/video.py:13-62`), kept behind a UDF boundary
@@ -94,11 +97,29 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode kernel for NON-image media (audio/video — no codec in the
-    * JDK): deterministic fake with "dimensions" derived from a byte hash and
-    * "features" a seeded per-blob byte-histogram projection. Replace the
-    * body with e.g. a JNI codec call; the partition iteration and schema
-    * stay identical.
+  /** REAL video decode for MJPEG-AVI blobs: container metadata (true
+    * width/height from the `avih` header) via the streaming RIFF walker, plus
+    * the luminance histogram of the FIRST frame (each MJPEG chunk is a
+    * complete JPEG that ImageIO decodes). One frame bounds the cost per blob
+    * exactly like [[MaxHistogramSamples]] bounds images. None when the
+    * container is corrupt or the frame isn't decodable — caller falls back.
+    */
+  private def aviDecode(bytes: Array[Byte], dim: Int): Option[Row] =
+    graft.sources.AviMjpeg.parseBytes(bytes, everyNth = 1, maxFrames = 1)
+      .flatMap { case (info, frames) =>
+        val frameRow = frames.headOption.flatMap(f => imageDecode(f.jpeg, dim))
+        if (info.width > 0 && info.height > 0)
+          Some(Row(info.width, info.height, bytes.length.toLong,
+            frameRow.map(_.get(3)).orNull))
+        else frameRow.map(r =>
+          Row(r.get(0), r.get(1), bytes.length.toLong, r.get(3)))
+      }
+
+  /** STUB decode kernel for NON-image, NON-AVI media (audio, non-MJPEG
+    * video — no codec in the JDK): deterministic fake with "dimensions"
+    * derived from a byte hash and "features" a seeded per-blob
+    * byte-histogram projection. Replace the body with e.g. a JNI codec call;
+    * the partition iteration and schema stay identical.
     */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Row = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -113,12 +134,15 @@ object Multimodal {
     Row(width, height, bytes.length.toLong, feats)
   }
 
-  /** Per-blob dispatch: real ImageIO decode for image-signature blobs
-    * (falling back to the opaque kernel on a corrupt payload), deterministic
-    * fake for everything else (audio/video).
+  /** Per-blob dispatch: real ImageIO decode for image-signature blobs, real
+    * RIFF-walk + first-frame decode for MJPEG-AVI blobs (both falling back
+    * to the opaque kernel on a corrupt payload), deterministic fake for
+    * everything else (audio, exotic containers).
     */
   private def decode(bytes: Array[Byte], dim: Int): Row =
     if (isImage(bytes)) imageDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
+    else if (graft.sources.AviMjpeg.isAvi(bytes))
+      aviDecode(bytes, dim).getOrElse(fakeDecode(bytes, dim))
     else fakeDecode(bytes, dim)
 
   /** Decode/feature-extract a binary column per partition. Keeps all input
@@ -164,6 +188,166 @@ object Multimodal {
       .withColumn("frame_bytes",
         expr(s"substring($binaryCol, frame_index * 1024 + 1, 1024)"))
       .drop(binaryCol, "frame_pos")
+  }
+
+  /** Output schema of [[audioFeatures]]: per-blob header metadata + an
+    * RMS-envelope feature vector. Nullable payload columns: a null or
+    * undecodable blob keeps its row with null audio fields (P5 discipline).
+    */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_sec", DoubleType, nullable = true),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = true)))
+
+  /** WAV magic sniff: RIFF container with a WAVE form — the audio format the
+    * JDK decodes without any external codec (`javax.sound.sampled`).
+    */
+  private[operators] def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** REAL audio decode via `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU —
+    * the JDK's built-in formats, headless): header metadata plus a `dim`-
+    * bucket RMS envelope of the normalized waveform (bucket b covers frames
+    * [b·n/dim, (b+1)·n/dim), all channels pooled). ONE sequential pass,
+    * O(dim) state — per-blob cost is linear in the payload the task already
+    * holds. None when the JDK has no reader for the bytes.
+    */
+  private def audioDecode(bytes: Array[Byte], dim: Int): Option[Row] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val rate = math.round(fmt.getSampleRate).toInt
+        val dur = if (rate > 0) nFrames.toDouble / rate else 0.0
+        // RMS envelope: only 16-bit little-endian signed PCM is decoded for
+        // features (the reference hardware's own sample format); other
+        // encodings keep metadata-only rows (features null).
+        val feats: Array[Float] =
+          if (bits == 16 && !fmt.isBigEndian &&
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              nFrames > 0) {
+            val sumSq = new Array[Double](dim)
+            val counts = new Array[Long](dim)
+            val frameBytes = fmt.getFrameSize
+            val buf = new Array[Byte](frameBytes * 1024)
+            var frame = 0L
+            var read = in.read(buf)
+            while (read > 0) {
+              var off = 0
+              while (off + frameBytes <= read) {
+                val b = ((frame * dim) / nFrames).toInt.min(dim - 1)
+                var c = 0
+                while (c < ch) {
+                  val lo = buf(off + 2 * c) & 0xFF
+                  val hi = buf(off + 2 * c + 1)
+                  val s = ((hi << 8) | lo) / 32768.0
+                  sumSq(b) += s * s
+                  c += 1
+                }
+                counts(b) += ch
+                frame += 1
+                off += frameBytes
+              }
+              read = in.read(buf)
+            }
+            Array.tabulate(dim)(b =>
+              if (counts(b) == 0) 0.0f
+              else math.sqrt(sumSq(b) / counts(b)).toFloat)
+          } else null
+        Some(Row(rate, ch, bits, nFrames, dur, bytes.length.toLong,
+          if (feats == null) null else feats))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio feature extraction over a binary column: REAL decode for the
+    * JDK's audio formats (WAV PCM et al.), null audio fields for anything
+    * else — the audio twin of [[extractFeatures]], with audio-shaped
+    * metadata instead of the image schema.
+    */
+  def audioFeatures(df: DataFrame, binaryCol: String, dim: Int = 16): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ audioSchema.fields)
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val extra =
+          if (bytes == null) Row(null, null, null, null, null, 0L, null)
+          else audioDecode(bytes, dim).getOrElse(
+            Row(null, null, null, null, null, bytes.length.toLong, null))
+        Row.fromSeq(r.toSeq ++ extra.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Canonical 44-byte-header PCM16LE WAV writer — fixture/export twin of
+    * [[audioFeatures]]. Byte-for-byte deterministic (no encoder in the
+    * loop), so round-trip queries can be oracled exactly.
+    */
+  def buildWavPcm16(samples: Array[Short], sampleRate: Int,
+                    channels: Int = 1): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL video frame sampling for MJPEG-AVI blob columns: one output row
+    * per sampled frame with the frame's actual JPEG bytes — the
+    * blob-column twin of [[graft.sources.AviMjpeg.videoFrames]] (which
+    * streams from files) and the real version of [[sampleFrames]] (which
+    * byte-slices opaque blobs). Non-AVI / corrupt blobs yield zero frames.
+    * Memory per task is bounded by `maxFrames` decoded chunks, and skipped
+    * frames cost 8 header bytes in the walker.
+    */
+  def sampleAviFrames(df: DataFrame, binaryCol: String, idCols: Seq[String],
+                      everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
+    require(everyNth > 0 && maxFrames > 0)
+    val inSchema = df.schema
+    val idIdxs = idCols.map(inSchema.fieldIndex)
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val outSchema = StructType(
+      idCols.map(c => inSchema(inSchema.fieldIndex(c))) ++ Seq(
+        StructField("width", IntegerType, nullable = false),
+        StructField("height", IntegerType, nullable = false),
+        StructField("frame_index", LongType, nullable = false),
+        StructField("frame_jpeg", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val ids = idIdxs.map(r.get)
+        if (bytes == null) Iterator.empty
+        else graft.sources.AviMjpeg.parseBytes(bytes, everyNth, maxFrames)
+          .iterator.flatMap { case (info, frames) =>
+            frames.map(f =>
+              Row.fromSeq(ids ++ Seq(info.width, info.height, f.index, f.jpeg)))
+          }
+      }
+    }(enc)
   }
 
   /** Maximum output dimension guard for [[thumbnails]]: a resize kernel that

@@ -1,13 +1,15 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.Multimodal
 import graft.pipelines.{CameraQC, PositionSlice}
-import graft.sources.Tables
+import graft.sources.{AviMjpeg, Tables, ZarrSource}
 import graft.streaming.StreamOps
 
 /** System pack: the streaming transforms run in batch mode (they are
@@ -102,6 +104,93 @@ object SystemQueries {
         .agg(count(lit(1)).as("n_frames"),
           max(col("frame_index")).as("max_frame"))
         .orderBy("doc_id")
+    }),
+
+    // REAL video round trip: per doc, build an MJPEG AVI (dimensions and
+    // frame count derived from doc_id) in executor tasks, then sample it
+    // through the RIFF walker. ORACLED end-to-end: width/height replay the
+    // avih container header, n_sampled/max_frame the every-2nd stride — any
+    // corruption in the AVI writer, the streaming parser, or the sampling
+    // arithmetic breaks the hash.
+    "q95_video_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val blobSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType, nullable = false)))
+      val enc = RowEncoder.encoderFor(blobSchema)
+      val blobs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = 16 + (id % 4).toInt * 8; val h = 16
+          val n = 1 + (id % 5).toInt
+          val frames = (0 until n).map { i =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try {
+              g.setColor(new java.awt.Color(i * 40 % 256, 128, 200))
+              g.fillRect(0, 0, w, h)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          Row(id, AviMjpeg.build(frames, w, h, fps = 50.0))
+        }
+      }(enc)
+      Multimodal.sampleAviFrames(blobs, "blob", Seq("doc_id"),
+        everyNth = 2, maxFrames = 8)
+        .groupBy(col("doc_id"))
+        .agg(first(col("width")).as("width"),
+          first(col("height")).as("height"),
+          count(lit(1)).as("n_sampled"),
+          max(col("frame_index")).as("max_frame"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio round trip: per doc, hand-write a canonical PCM16 WAV
+    // (byte-deterministic — no encoder in the loop) in executor tasks and
+    // decode it through javax.sound.sampled. ORACLED on the full header
+    // surface: rate/channels/bits/frame-count/duration replay the WAV spec
+    // arithmetic; the RMS feature path is pinned in MultimodalSpec.
+    "q97_audio_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id")
+      val blobSchema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType, nullable = false)))
+      val enc = RowEncoder.encoderFor(blobSchema)
+      val blobs = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = 64 + (id % 32).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((id * 7 + i * 13) % 2003 - 1001).toShort)
+          Row(id, Multimodal.buildWavPcm16(samples, sampleRate = 8000))
+        }
+      }(enc)
+      Multimodal.audioFeatures(blobs, "blob", dim = 4)
+        .select("doc_id", "sample_rate", "channels", "bits", "n_frames",
+          "duration_sec")
+        .orderBy("doc_id")
+    }),
+
+    // REAL zarr round trip: write a deterministic u16 store (zlib chunks,
+    // edge chunk included: 200 rows / 64-row chunks), read it back
+    // distributed with µV gain/offset. ORACLED against pure SQL arithmetic —
+    // chunk-grid layout, zlib inflate, edge-chunk truncation, and scaling
+    // all participate in the hash. No table input: the fixture IS the
+    // construction, exactly like the reference's compression round-trip.
+    "q96_zarr_roundtrip" -> ((s, _) => {
+      val data = Array.tabulate(200, 4)((r, c) => ((r * 31 + c * 13) % 4096).toDouble)
+      val store = java.nio.file.Files.createTempDirectory("graft-zarr-q96")
+        .toString + "/amp.zarr"
+      ZarrSource.write(s, store, data, dtype = "<u2", chunkRows = 64,
+        compressor = Some("zlib"))
+      ZarrSource.read(s, store, gain = 0.195, offset = -1000.0)
+        .select(col("row_index"),
+          col("channels")(0).as("ch0"), col("channels")(1).as("ch1"),
+          col("channels")(2).as("ch2"), col("channels")(3).as("ch3"))
+        .orderBy("row_index")
     })
   )
 
@@ -184,6 +273,28 @@ object SystemQueries {
        SELECT doc_id,
          CAST((nf - 1) // 7 + 1 AS BIGINT) AS n_frames,
          CAST(7 * ((nf - 1) // 7) AS INTEGER) AS max_frame
-       FROM n ORDER BY doc_id"""
+       FROM n ORDER BY doc_id""",
+    "q95_video_roundtrip" ->
+      """SELECT doc_id,
+         CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+         CAST(16 AS INTEGER) AS height,
+         CAST((doc_id % 5) // 2 + 1 AS BIGINT) AS n_sampled,
+         CAST(2 * ((doc_id % 5) // 2) AS BIGINT) AS max_frame
+       FROM documents ORDER BY doc_id""",
+    "q97_audio_roundtrip" ->
+      """SELECT doc_id,
+         CAST(8000 AS INTEGER) AS sample_rate,
+         CAST(1 AS INTEGER) AS channels,
+         CAST(16 AS INTEGER) AS bits,
+         CAST(64 + doc_id % 32 AS BIGINT) AS n_frames,
+         (64 + doc_id % 32) / (8000.0::DOUBLE) AS duration_sec
+       FROM documents ORDER BY doc_id""",
+    "q96_zarr_roundtrip" ->
+      """SELECT CAST(r AS BIGINT) AS row_index,
+         ((r * 31 +  0) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch0,
+         ((r * 31 + 13) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch1,
+         ((r * 31 + 26) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch2,
+         ((r * 31 + 39) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch3
+       FROM generate_series(0, 199) AS t(r) ORDER BY row_index"""
   )
 }

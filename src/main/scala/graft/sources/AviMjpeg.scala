@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MJPEG-AVI container reader (S7 — the REAL video pixel path).
+  *
+  * The reference's cameras record AVI files read with OpenCV
+  * (`aeon/dj_pipeline/utils/video.py:29-62` `retrieve_video_frames`: load a
+  * frame slice, JPEG-encode each frame). An MJPEG AVI is a RIFF container
+  * whose video chunks ARE complete JPEG images, so the JDK alone can do the
+  * whole job: this walker parses the RIFF structure (pure byte plumbing) and
+  * `javax.imageio.ImageIO` decodes the extracted frames — no native codec.
+  *
+  * Scale discipline:
+  *  - the walker is STREAMING: it reads chunk headers (8 bytes each) and
+  *    `skip()`s unsampled frame payloads, so sampling every Nth frame costs
+  *    8 bytes per skipped frame, not the payload;
+  *  - [[videoFrames]] opens each file as a Hadoop FS stream inside a task —
+  *    a file is never materialized whole, memory is bounded by one frame;
+  *  - per-file frame caps bound task output exactly like
+  *    [[graft.operators.Multimodal.sampleFrames]].
+  *
+  * AVI 1.0 only (single RIFF segment, the format the reference's cameras
+  * write). OpenDML `AVIX` continuation segments hold frames beyond 1 GiB;
+  * the walker stops cleanly at the first segment boundary — extend by
+  * looping `parseSegment` if such files appear.
+  */
+object AviMjpeg {
+
+  /** Container metadata from the `avih` main header: true pixel dimensions,
+    * frame interval, and the header's declared frame count (the walker also
+    * counts real video chunks — trust those over the header).
+    */
+  final case class AviInfo(width: Int, height: Int, microSecPerFrame: Long,
+                           totalFrames: Long)
+
+  /** One sampled frame: ordinal within the video stream + raw JPEG bytes. */
+  final case class AviFrame(index: Long, jpeg: Array[Byte])
+
+  /** RIFF/AVI magic sniff — mirrors [[graft.operators.Multimodal.isImage]]:
+    * bytes 0-3 "RIFF", bytes 8-11 "AVI ".
+    */
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** Guard against a corrupt header walking the task into a multi-GiB
+    * allocation: one MJPEG frame is KBs–MBs; anything past this is a
+    * malformed size field and the parse stops.
+    */
+  private val MaxFrameBytes: Long = 64L << 20
+
+  private def readU32LE(in: DataInputStream): Long = {
+    val b0 = in.read(); val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+    if ((b0 | b1 | b2 | b3) < 0) throw new EOFException()
+    (b0.toLong) | (b1.toLong << 8) | (b2.toLong << 16) | (b3.toLong << 24)
+  }
+
+  private def readFourCC(in: DataInputStream): String = {
+    val b = new Array[Byte](4)
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  private def skipFully(in: DataInputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) throw new EOFException() else left -= 1
+    }
+  }
+
+  /** Walk one RIFF segment, collecting `avih` metadata and every
+    * `everyNth`-th video chunk (`##dc`/`##db`) up to `maxFrames`. LISTs
+    * (`hdrl`, `movi`, nested `rec `) are entered, not skipped, so the walk is
+    * a single linear pass; everything else (`idx1`, `strh`, `JUNK`, audio
+    * `##wb`) is skipped by size. Returns None when the stream is not an AVI.
+    */
+  def parse(raw: InputStream, everyNth: Int = 1,
+            maxFrames: Int = Int.MaxValue): Option[(AviInfo, Vector[AviFrame])] = {
+    require(everyNth > 0 && maxFrames > 0)
+    val in = new DataInputStream(raw)
+    try {
+      if (readFourCC(in) != "RIFF") return None
+      readU32LE(in) // RIFF size — EOF terminates the walk instead
+      if (readFourCC(in) != "AVI ") return None
+
+      var width = 0; var height = 0
+      var usPerFrame = 0L; var headerFrames = 0L
+      var videoChunks = 0L
+      val frames = Vector.newBuilder[AviFrame]
+      var collected = 0
+      var walkedToEof = false
+
+      try {
+        while (collected < maxFrames || videoChunks == 0) {
+          val id = readFourCC(in)
+          val size = readU32LE(in)
+          val padded = size + (size & 1) // chunks are word-aligned
+          id match {
+            case "LIST" =>
+              readFourCC(in) // hdrl | movi | rec  | … — descend either way
+            case "avih" =>
+              // dwMicroSecPerFrame, 3 skipped u32s, dwTotalFrames, 2 skipped,
+              // 1 skipped, dwWidth, dwHeight (avih is ≥ 40 bytes by spec)
+              usPerFrame = readU32LE(in)
+              skipFully(in, 12)
+              headerFrames = readU32LE(in)
+              skipFully(in, 12)
+              width = readU32LE(in).toInt
+              height = readU32LE(in).toInt
+              skipFully(in, padded - 40)
+            case _ if id(0).isDigit && id(1).isDigit &&
+                      id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') =>
+              val take = videoChunks % everyNth == 0 && collected < maxFrames
+              if (take && size > 0 && size <= MaxFrameBytes) {
+                val buf = new Array[Byte](size.toInt)
+                in.readFully(buf)
+                frames += AviFrame(videoChunks, buf)
+                collected += 1
+                skipFully(in, padded - size)
+              } else skipFully(in, padded)
+              videoChunks += 1
+            case _ =>
+              skipFully(in, padded)
+          }
+        }
+      } catch { case _: EOFException => walkedToEof = true } // end of segment
+
+      // A full walk counts frames exactly; an early stop (frame cap hit)
+      // trusts the header's declared count instead.
+      val totalFrames =
+        if (walkedToEof || headerFrames == 0) videoChunks else headerFrames
+      Some((AviInfo(width, height, usPerFrame, totalFrames), frames.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Blob-column convenience: parse an in-memory AVI payload. */
+  def parseBytes(bytes: Array[Byte], everyNth: Int = 1,
+                 maxFrames: Int = Int.MaxValue): Option[(AviInfo, Vector[AviFrame])] =
+    if (!isAvi(bytes)) None
+    else parse(new java.io.ByteArrayInputStream(bytes), everyNth, maxFrames)
+
+  private def writeU32LE(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+    out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+  }
+
+  private def writeFourCC(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, id: String,
+                         body: Array[Byte]): Unit = {
+    writeFourCC(out, id); writeU32LE(out, body.length.toLong)
+    out.write(body)
+    if ((body.length & 1) == 1) out.write(0) // word alignment pad
+  }
+
+  /** Build a minimal standards-shaped MJPEG AVI (RIFF → hdrl(avih, strl(strh
+    * vids/MJPG, strf BITMAPINFOHEADER)) → movi(`00dc` JPEG chunks) → idx1).
+    * The write twin of [[parse]]: the per-frame JPEG export sink
+    * (`video.py:49-62`) lifted to a whole-container writer, and the fixture
+    * generator for round-trip specs. Frames must be complete JPEG payloads.
+    */
+  def build(frames: Seq[Array[Byte]], width: Int, height: Int,
+            fps: Double = 50.0): Array[Byte] = {
+    require(fps > 0 && width > 0 && height > 0)
+    val usPerFrame = math.round(1e6 / fps)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+
+    val avih = new java.io.ByteArrayOutputStream()
+    writeU32LE(avih, usPerFrame); writeU32LE(avih, 0L); writeU32LE(avih, 0L)
+    writeU32LE(avih, 0x10L) // AVIF_HASINDEX
+    writeU32LE(avih, frames.length.toLong); writeU32LE(avih, 0L)
+    writeU32LE(avih, 1L) // one stream
+    writeU32LE(avih, maxFrame.toLong)
+    writeU32LE(avih, width.toLong); writeU32LE(avih, height.toLong)
+    (0 until 4).foreach(_ => writeU32LE(avih, 0L)) // dwReserved[4]
+
+    val strh = new java.io.ByteArrayOutputStream()
+    writeFourCC(strh, "vids"); writeFourCC(strh, "MJPG")
+    writeU32LE(strh, 0L); writeU32LE(strh, 0L) // flags, prio+lang
+    writeU32LE(strh, 0L) // initial frames
+    writeU32LE(strh, 1000000L) // scale
+    writeU32LE(strh, math.round(fps * 1000000)) // rate: fps = rate/scale
+    writeU32LE(strh, 0L); writeU32LE(strh, frames.length.toLong) // start, length
+    writeU32LE(strh, maxFrame.toLong); writeU32LE(strh, 10000L) // bufsize, quality
+    writeU32LE(strh, 0L) // sample size
+    writeU32LE(strh, 0L); writeU32LE(strh, (height.toLong << 16) | width.toLong) // rcFrame
+
+    val strf = new java.io.ByteArrayOutputStream()
+    writeU32LE(strf, 40L); writeU32LE(strf, width.toLong); writeU32LE(strf, height.toLong)
+    writeU32LE(strf, (24L << 16) | 1L) // planes=1, bitcount=24
+    writeFourCC(strf, "MJPG"); writeU32LE(strf, width.toLong * height * 3)
+    (0 until 4).foreach(_ => writeU32LE(strf, 0L))
+
+    val strl = new java.io.ByteArrayOutputStream()
+    writeFourCC(strl, "strl")
+    writeChunk(strl, "strh", strh.toByteArray)
+    writeChunk(strl, "strf", strf.toByteArray)
+
+    val hdrl = new java.io.ByteArrayOutputStream()
+    writeFourCC(hdrl, "hdrl")
+    writeChunk(hdrl, "avih", avih.toByteArray)
+    writeChunk(hdrl, "LIST", strl.toByteArray)
+
+    val movi = new java.io.ByteArrayOutputStream()
+    writeFourCC(movi, "movi")
+    val offsets = frames.map { f =>
+      val off = movi.size() - 4 // offset of chunk id relative to movi data
+      writeChunk(movi, "00dc", f)
+      off
+    }
+
+    val idx1 = new java.io.ByteArrayOutputStream()
+    frames.zip(offsets).foreach { case (f, off) =>
+      writeFourCC(idx1, "00dc"); writeU32LE(idx1, 0x10L) // AVIIF_KEYFRAME
+      writeU32LE(idx1, off.toLong + 4); writeU32LE(idx1, f.length.toLong)
+    }
+
+    val riff = new java.io.ByteArrayOutputStream()
+    writeFourCC(riff, "AVI ")
+    writeChunk(riff, "LIST", hdrl.toByteArray)
+    writeChunk(riff, "LIST", movi.toByteArray)
+    writeChunk(riff, "idx1", idx1.toByteArray)
+
+    val out = new java.io.ByteArrayOutputStream()
+    writeChunk(out, "RIFF", riff.toByteArray)
+    out.toByteArray
+  }
+
+  /** Output schema of [[videoFrames]]: one row per sampled frame with its
+    * presentation time derived from the container frame interval.
+    */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps", DoubleType, nullable = true),
+    StructField("frame_index", LongType, nullable = false),
+    StructField("frame_time_sec", DoubleType, nullable = true),
+    StructField("frame_jpeg", BinaryType, nullable = false)))
+
+  /** Distributed frame extraction over a directory of MJPEG-AVI files — the
+    * reference's `retrieve_video_frames` slice as one scan. The listing is a
+    * metadata-only `binaryFile` scan (content column unselected, never
+    * fetched); each task then re-opens its files as Hadoop FS streams, so
+    * memory per task is ONE frame, and every `everyNth` stride costs only
+    * chunk-header reads on the skipped frames.
+    *
+    * Non-AVI / corrupt files yield zero rows (P5 discipline is per-file here:
+    * a bad file is observable via an anti-join against the listing).
+    */
+  def videoFrames(spark: SparkSession, pathGlob: String, everyNth: Int = 1,
+                  maxFramesPerFile: Int = 64): DataFrame = {
+    val listing = spark.read.format("binaryFile").load(pathGlob).select(col("path"))
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val enc = RowEncoder.encoderFor(frameSchema)
+    listing.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val pathStr = r.getString(0)
+        val p = new org.apache.hadoop.fs.Path(pathStr)
+        val in = p.getFileSystem(conf.value).open(p)
+        val parsed =
+          try parse(in, everyNth, maxFramesPerFile)
+          finally in.close()
+        parsed.iterator.flatMap { case (info, frames) =>
+          val fps =
+            if (info.microSecPerFrame > 0) 1e6 / info.microSecPerFrame else null
+          frames.map { f =>
+            val t =
+              if (info.microSecPerFrame > 0) f.index * info.microSecPerFrame / 1e6
+              else null
+            Row(pathStr, info.width, info.height, fps, f.index, t, f.jpeg)
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,311 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Zarr v2 store reader (S10 — the compressed-ephys ".zarr twin").
+  *
+  * The reference's compression companion rewrites raw amplifier `.bin` files
+  * as zarr archives; `resolve_ephys_file`
+  * (`aeon/dj_pipeline/utils/ephys_utils.py:24-72`) prefers that twin over the
+  * raw binary. Zarr v2 is an open, simple layout — a directory holding a
+  * `.zarray` JSON header (shape / chunks / dtype / compressor) plus one file
+  * per chunk, named by grid coordinates (`"0.0"`, `"1.0"`, …) — so a reader
+  * needs nothing beyond JSON (Spark's shaded Jackson) and the JDK's zlib.
+  * Supported here: C-order 1-D/2-D arrays, little-endian integer/float
+  * dtypes, and `null` / `zlib` / `gzip` compressors — the subset the ephys
+  * twin uses. Blosc-compressed stores (native lib) are rejected with a clear
+  * error.
+  *
+  * Scale shape: ONE task per chunk file. A zarr chunk is the store's own
+  * memory bound (the writer sized it to fit in RAM); each task reads and
+  * inflates exactly one chunk, emits its rows, and never sees the rest of
+  * the array. The chunk-grid listing is catalog-scale driver metadata, the
+  * same class as any file-source listing.
+  */
+object ZarrSource {
+
+  /** Parsed `.zarray` header. `chunks`/`shape` are row-major (C order). */
+  final case class ZarrMeta(shape: Seq[Long], chunks: Seq[Int], dtype: String,
+                            compressor: Option[String], order: String,
+                            dimSeparator: String) {
+    require(order == "C", s"only C-order zarr supported, got '$order'")
+    require(shape.nonEmpty && shape.length <= 2,
+      s"only 1-D/2-D zarr arrays supported, got shape $shape")
+    require(shape.length == chunks.length, "shape/chunks rank mismatch")
+
+    /** Bytes per element, from the numpy dtype string (e.g. `<u2`, `<f4`). */
+    def elemBytes: Int = dtype.drop(2).toInt
+
+    /** Chunk-grid extent per dimension: ceil(shape / chunks). */
+    def grid: Seq[Long] = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+  }
+
+  @transient private lazy val jsonMapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Read and validate a store's `.zarray` header. */
+  def readMeta(spark: SparkSession, storePath: String): ZarrMeta = {
+    val p = new org.apache.hadoop.fs.Path(storePath, ".zarray")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val doc =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+    parseMeta(doc)
+  }
+
+  private[graft] def parseMeta(doc: String): ZarrMeta = {
+    import scala.jdk.CollectionConverters._
+    val root = jsonMapper.readTree(doc)
+    require(root.path("zarr_format").asInt(2) == 2,
+      "only zarr v2 stores supported")
+    val dtype = root.path("dtype").asText()
+    require(dtype.matches("[<|][uif][1248]"),
+      s"unsupported dtype '$dtype' (need little-endian/byte-order-free numeric)")
+    require(root.path("filters").isNull || root.path("filters").isMissingNode ||
+      root.path("filters").isEmpty, "zarr filters not supported")
+    val comp = root.path("compressor")
+    val compId =
+      if (comp.isNull || comp.isMissingNode) None
+      else Some(comp.path("id").asText())
+    compId.foreach(id => require(id == "zlib" || id == "gzip",
+      s"unsupported compressor '$id' (zlib/gzip/null only — blosc needs a native lib)"))
+    ZarrMeta(
+      shape = root.path("shape").elements().asScala.map(_.asLong()).toSeq,
+      chunks = root.path("chunks").elements().asScala.map(_.asInt()).toSeq,
+      dtype = dtype,
+      compressor = compId,
+      order = root.path("order").asText("C"),
+      dimSeparator = root.path("dimension_separator").asText("."))
+  }
+
+  /** Inflate one chunk payload to its raw C-order buffer. */
+  private def decompress(bytes: Array[Byte], compressor: Option[String],
+                         rawLen: Int): Array[Byte] = compressor match {
+    case None => bytes
+    case Some("zlib") =>
+      val inf = new java.util.zip.Inflater()
+      try {
+        inf.setInput(bytes)
+        val out = new Array[Byte](rawLen)
+        var off = 0
+        while (off < rawLen && !inf.finished()) off += inf.inflate(out, off, rawLen - off)
+        require(off == rawLen, s"zlib chunk inflated to $off of $rawLen bytes")
+        out
+      } finally inf.end()
+    case Some("gzip") =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val out = new Array[Byte](rawLen)
+        var off = 0
+        var n = 0
+        while (off < rawLen && n >= 0) {
+          n = in.read(out, off, rawLen - off)
+          if (n > 0) off += n
+        }
+        require(off == rawLen, s"gzip chunk inflated to $off of $rawLen bytes")
+        out
+      } finally in.close()
+    case Some(other) => throw new IllegalArgumentException(s"compressor $other")
+  }
+
+  /** Typed element read from a chunk buffer as Double (ephys payloads are
+    * small ints / floats — double is lossless for all supported widths
+    * except full-range u8/i8-exceeding longs, which ephys never uses).
+    */
+  private def readElem(buf: ByteBuffer, idx: Int, dtype: String): Double = {
+    val kind = dtype(1); val width = dtype(2)
+    (kind, width) match {
+      case ('u', '1') => (buf.get(idx) & 0xFF).toDouble
+      case ('i', '1') => buf.get(idx).toDouble
+      case ('u', '2') => (buf.getShort(idx * 2) & 0xFFFF).toDouble
+      case ('i', '2') => buf.getShort(idx * 2).toDouble
+      case ('u', '4') => (buf.getInt(idx * 4) & 0xFFFFFFFFL).toDouble
+      case ('i', '4') => buf.getInt(idx * 4).toDouble
+      case ('u', '8') | ('i', '8') => buf.getLong(idx * 8).toDouble
+      case ('f', '4') => buf.getFloat(idx * 4).toDouble
+      case ('f', '8') => buf.getDouble(idx * 8)
+      case _ => throw new IllegalArgumentException(s"dtype $dtype")
+    }
+  }
+
+  /** Output schema of [[read]]: one row per outer-dimension index, channel
+    * values as an array (1-D stores yield single-element arrays).
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("row_index", LongType, nullable = false),
+    StructField("channels", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  /** Read a zarr store into `(file, row_index, channels)` rows with optional
+    * gain/offset µV conversion — the drop-in twin of
+    * [[BronzeIngest.flatBinaryU16]] for the compressed path
+    * (`spike_sorting.py:209-211` scaling).
+    *
+    * 2-D stores must chunk the channel dimension in full (`chunks(1) ==
+    * shape(1)`, the layout the time-seriescompression writer emits) so each
+    * sample's channels live in one chunk file and no regrouping shuffle is
+    * needed; a channel-split store fails fast with the layout in the message.
+    */
+  def read(spark: SparkSession, storePath: String,
+           gain: Double = 1.0, offset: Double = 0.0): DataFrame = {
+    val meta = readMeta(spark, storePath)
+    if (meta.shape.length == 2)
+      require(meta.chunks(1) == meta.shape(1).toInt,
+        s"channel-split zarr layout ${meta.chunks} for shape ${meta.shape}: " +
+          "samples span chunk files; rechunk with chunks=(t, n_channels)")
+
+    // Chunk-grid → file list (driver-side, catalog-scale: one entry per chunk
+    // FILE, the same metadata class as a parquet file listing).
+    val sep = meta.dimSeparator
+    val coords: Seq[Seq[Long]] = meta.grid match {
+      case Seq(g0) => (0L until g0).map(Seq(_))
+      case Seq(g0, g1) =>
+        for (i <- 0L until g0; j <- 0L until g1) yield Seq(i, j)
+    }
+    val files = coords.map(c =>
+      (new org.apache.hadoop.fs.Path(storePath, c.mkString(sep)).toString, c.head))
+
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val enc = RowEncoder.encoderFor(schema)
+    val nRows = meta.shape.head
+    val nCols = if (meta.shape.length == 2) meta.shape(1).toInt else 1
+    val chunkRows = meta.chunks.head
+    val storeName = storePath
+
+    spark.createDataFrame(files).toDF("path", "chunk_row")
+      .repartition(math.min(files.size, 64).max(1))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = new org.apache.hadoop.fs.Path(r.getString(0))
+          val chunkRow = r.getLong(1)
+          val fs = p.getFileSystem(conf.value)
+          if (!fs.exists(p)) Iterator.empty // absent chunk = all fill_value; ephys stores are dense
+          else {
+            val in = fs.open(p)
+            val raw =
+              try {
+                val out = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+                out.toByteArray
+              } finally in.close()
+            val rawLen = chunkRows * nCols * meta.elemBytes
+            val buf = ByteBuffer.wrap(decompress(raw, meta.compressor, rawLen))
+              .order(ByteOrder.LITTLE_ENDIAN)
+            val base = chunkRow * chunkRows
+            // edge chunks are written full-size but only rows < shape count
+            val validRows = math.min(chunkRows.toLong, nRows - base).toInt
+            (0 until validRows).iterator.map { lr =>
+              val vals = new Array[Double](nCols)
+              var c = 0
+              while (c < nCols) {
+                vals(c) = readElem(buf, lr * nCols + c, meta.dtype) * gain + offset
+                c += 1
+              }
+              Row(storeName, base + lr, vals)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** The raw→compressed path convention (`ephys_utils.py:24-72`
+    * `resolve_ephys_file`): a raw file `…/raw/<sub>/<name>.bin` has its zarr
+    * twin at `…/processed/<sub>/<name>.zarr`; prefer the twin, fall back to
+    * raw. Same fixed single-`raw`-component contract as the reference.
+    */
+  def resolveEphysPath(spark: SparkSession, rawBinPath: String): String = {
+    val parts = rawBinPath.split('/')
+    val rawCount = parts.count(_ == "raw")
+    require(rawCount <= 1,
+      s"multiple 'raw' components in $rawBinPath: processed root ambiguous")
+    if (rawCount == 0) return rawBinPath
+    val i = parts.indexOf("raw")
+    val twin = (parts.take(i) :+ "processed") ++ parts.drop(i + 1)
+    val twinPath = twin.mkString("/").replaceAll("\\.bin$", ".zarr")
+    val fs = new org.apache.hadoop.fs.Path(rawBinPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(twinPath))) twinPath
+    else rawBinPath
+  }
+
+  /** Write a small zarr v2 store (fixture/export twin of [[read]]): data as
+    * row-major doubles cast to `dtype`, chunked `(chunkRows, nCols)`. This is
+    * the writer side of the compression companion's contract — and what the
+    * round-trip spec drives.
+    */
+  def write(spark: SparkSession, storePath: String, data: Array[Array[Double]],
+            dtype: String = "<f8", chunkRows: Int = 1024,
+            compressor: Option[String] = Some("zlib")): Unit = {
+    require(data.nonEmpty)
+    val nCols = data.head.length
+    val meta = ZarrMeta(Seq(data.length.toLong, nCols.toLong),
+      Seq(math.min(chunkRows, data.length), nCols), dtype, compressor, "C", ".")
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(storePath))
+
+    val compJson = compressor match {
+      case Some(id) => s"""{"id": "$id", "level": 1}"""
+      case None => "null"
+    }
+    val header =
+      s"""{"zarr_format": 2, "shape": [${data.length}, $nCols],
+         | "chunks": [${meta.chunks.head}, $nCols], "dtype": "$dtype",
+         | "compressor": $compJson, "fill_value": 0, "order": "C",
+         | "filters": null}""".stripMargin
+    val hOut = fs.create(new org.apache.hadoop.fs.Path(storePath, ".zarray"), true)
+    try hOut.write(header.getBytes("UTF-8")) finally hOut.close()
+
+    val cr = meta.chunks.head
+    data.grouped(cr).zipWithIndex.foreach { case (chunk, ci) =>
+      // edge chunks are stored FULL-SIZE (zarr contract), zero-padded
+      val buf = ByteBuffer.allocate(cr * nCols * meta.elemBytes)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      chunk.foreach(row => row.foreach(v => putElem(buf, v, dtype)))
+      val raw = buf.array()
+      val payload = compressor match {
+        case None => raw
+        case Some("zlib") =>
+          val d = new java.util.zip.Deflater(1)
+          try {
+            d.setInput(raw); d.finish()
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](64 * 1024)
+            while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+            out.toByteArray
+          } finally d.end()
+        case Some("gzip") =>
+          val out = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(out)
+          try { g.write(raw); g.finish() } finally g.close()
+          out.toByteArray
+        case Some(other) => throw new IllegalArgumentException(other)
+      }
+      val cOut = fs.create(
+        new org.apache.hadoop.fs.Path(storePath, s"$ci.0"), true)
+      try cOut.write(payload) finally cOut.close()
+    }
+  }
+
+  private def putElem(buf: ByteBuffer, v: Double, dtype: String): Unit =
+    (dtype(1), dtype(2)) match {
+      case ('u', '1') | ('i', '1') => buf.put(v.toByte)
+      case ('u', '2') | ('i', '2') => buf.putShort(v.toShort)
+      case ('u', '4') | ('i', '4') => buf.putInt(v.toInt)
+      case ('u', '8') | ('i', '8') => buf.putLong(v.toLong)
+      case ('f', '4') => buf.putFloat(v.toFloat)
+      case ('f', '8') => buf.putDouble(v)
+      case _ => throw new IllegalArgumentException(s"dtype $dtype")
+    }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.sources.AviMjpeg
+
+class AviMjpegSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no jpg writer")
+    bos.toByteArray
+  }
+
+  private def testAvi(nFrames: Int, w: Int = 32, h: Int = 16,
+                      fps: Double = 50.0): Array[Byte] =
+    AviMjpeg.build((0 until nFrames).map(i => jpegFrame(w, h, i * 0x010101)),
+      w, h, fps)
+
+  test("build → parse round trip: header metadata and every frame decodable") {
+    val avi = testAvi(nFrames = 9, w = 40, h = 24, fps = 25.0)
+    assert(AviMjpeg.isAvi(avi))
+
+    val (info, frames) = AviMjpeg.parseBytes(avi).get
+    assert(info.width == 40 && info.height == 24)
+    assert(info.totalFrames == 9)
+    assert(math.abs(1e6 / info.microSecPerFrame - 25.0) < 0.01)
+    assert(frames.length == 9)
+    assert(frames.map(_.index) == (0L until 9L).toVector)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.jpeg))
+      assert(img != null && img.getWidth == 40 && img.getHeight == 24,
+        "each MJPEG chunk is a complete ImageIO-decodable JPEG")
+    }
+  }
+
+  test("parse samples every Nth frame and respects the frame cap") {
+    val avi = testAvi(nFrames = 20)
+    val (_, sampled) = AviMjpeg.parseBytes(avi, everyNth = 7).get
+    assert(sampled.map(_.index) == Vector(0L, 7L, 14L))
+
+    val (infoCapped, capped) = AviMjpeg.parseBytes(avi, everyNth = 1, maxFrames = 4).get
+    assert(capped.map(_.index) == Vector(0L, 1L, 2L, 3L))
+    // early stop trusts the avih header's declared count
+    assert(infoCapped.totalFrames == 20)
+  }
+
+  test("parse rejects non-AVI and survives corrupt containers") {
+    assert(AviMjpeg.parseBytes("not riff at all".getBytes("UTF-8")).isEmpty)
+    // valid magic, garbage body: parse must not throw
+    val garbage = "RIFF0000AVI then chaos".getBytes("UTF-8")
+    AviMjpeg.parseBytes(garbage) // must not throw; content-dependent result
+  }
+
+  test("videoFrames streams sampled frames from files without loading them whole") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "cam0_2024-01-01T00-00-00.avi"),
+      testAvi(nFrames = 12, w = 32, h = 16, fps = 50.0))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "cam1_2024-01-01T00-00-00.avi"),
+      testAvi(nFrames = 5, w = 64, h = 48, fps = 10.0))
+    // a non-AVI straggler in the same directory yields zero rows, not a crash
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "notes.txt"), "hello".getBytes("UTF-8"))
+
+    val out = AviMjpeg.videoFrames(spark, dir + "/*", everyNth = 5,
+      maxFramesPerFile = 8)
+    val rows = out.orderBy("file", "frame_index").collect()
+
+    val cam0 = rows.filter(_.getString(0).contains("cam0"))
+    assert(cam0.map(_.getLong(4)).toSeq == Seq(0L, 5L, 10L))
+    assert(cam0.forall(r => r.getInt(1) == 32 && r.getInt(2) == 16))
+    assert(math.abs(cam0.head.getDouble(3) - 50.0) < 0.01)
+    // frame_time_sec = index / fps
+    assert(math.abs(cam0.last.getDouble(5) - 10.0 / 50.0) < 1e-6)
+
+    val cam1 = rows.filter(_.getString(0).contains("cam1"))
+    assert(cam1.map(_.getLong(4)).toSeq == Seq(0L))
+    assert(cam1.forall(r => r.getInt(1) == 64 && r.getInt(2) == 48))
+
+    rows.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](6)))
+      assert(img != null && img.getWidth == r.getInt(1))
+    }
+  }
+
+  test("extractFeatures dispatches AVI blobs to the real container decode") {
+    val whiteAvi = AviMjpeg.build(
+      Seq(jpegFrame(30, 20, 0xFFFFFF), jpegFrame(30, 20, 0x000000)), 30, 20)
+    val df = Seq((1L, whiteAvi)).toDF("id", "blob")
+    val r = Multimodal.extractFeatures(df, "blob", dim = 8).head()
+    assert(r.getAs[Int]("width") == 30 && r.getAs[Int]("height") == 20,
+      "dims come from the avih container header")
+    val feats = r.getSeq[Float](r.fieldIndex("features"))
+    // histogram of the FIRST frame (all white → all mass in the top bucket,
+    // modulo JPEG ringing at the 8x8 block edges)
+    assert(feats.sum > 0.999f && feats.last > 0.9f)
+  }
+
+  test("sampleAviFrames emits real JPEG frames for AVI blobs, nothing for others") {
+    val df = Seq(
+      (1L, testAvi(nFrames = 10, w = 32, h = 16)),
+      (2L, "opaque audio-ish bytes".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "blob")
+    val frames = Multimodal.sampleAviFrames(df, "blob", Seq("id"),
+      everyNth = 4, maxFrames = 8)
+    val rows = frames.orderBy("id", "frame_index").collect()
+    assert(rows.map(_.getLong(0)).distinct.toSeq == Seq(1L),
+      "non-AVI and null blobs contribute no frames")
+    assert(rows.map(_.getLong(3)).toSeq == Seq(0L, 4L, 8L))
+    rows.foreach { r =>
+      val b = r.getAs[Array[Byte]](4)
+      assert((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8, "JPEG magic")
+    }
+  }
+}

@@ -121,6 +121,55 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3).getAs[Array[Byte]](1) == null, "null blob → null thumbnail")
   }
 
+  test("audioFeatures decodes real WAV PCM via javax.sound: header + RMS envelope") {
+    // constant-amplitude mono: every RMS bucket = |a|/32768
+    val a: Short = 16384
+    val mono = Multimodal.buildWavPcm16(Array.fill(800)(a), sampleRate = 8000)
+    // stereo: L constant, R zero → pooled RMS = a/32768/sqrt(2)
+    val stereo = Multimodal.buildWavPcm16(
+      Array.tabulate(400)(i => if (i % 2 == 0) a else 0: Short),
+      sampleRate = 16000, channels = 2)
+    val notAudio = "definitely not a wav".getBytes("UTF-8")
+    val df = Seq((1L, mono), (2L, stereo), (3L, notAudio),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "blob")
+
+    val out = Multimodal.audioFeatures(df, "blob", dim = 4)
+      .orderBy("id").collect()
+
+    val m = out(0)
+    assert(m.getAs[Int]("sample_rate") == 8000 && m.getAs[Int]("channels") == 1)
+    assert(m.getAs[Int]("bits") == 16 && m.getAs[Long]("n_frames") == 800L)
+    assert(math.abs(m.getAs[Double]("duration_sec") - 0.1) < 1e-9)
+    val mf = m.getSeq[Float](m.fieldIndex("features"))
+    assert(mf.length == 4)
+    mf.foreach(v => assert(math.abs(v - a / 32768.0) < 1e-4))
+
+    val st = out(1)
+    assert(st.getAs[Int]("channels") == 2 && st.getAs[Long]("n_frames") == 200L)
+    val sf = st.getSeq[Float](st.fieldIndex("features"))
+    sf.foreach(v => assert(math.abs(v - a / 32768.0 / math.sqrt(2)) < 1e-4))
+
+    // non-audio and null blobs keep their rows with null audio fields
+    assert(out(2).getAs[Any]("sample_rate") == null)
+    assert(out(2).getAs[Long]("n_bytes") == notAudio.length.toLong)
+    assert(out(3).getAs[Any]("sample_rate") == null)
+    assert(out(3).getAs[Long]("n_bytes") == 0L)
+  }
+
+  test("buildWavPcm16 is byte-deterministic with a canonical 44-byte header") {
+    val s = Array.tabulate(10)(i => (i * 1000).toShort)
+    val w1 = Multimodal.buildWavPcm16(s, 44100)
+    val w2 = Multimodal.buildWavPcm16(s, 44100)
+    assert(java.util.Arrays.equals(w1, w2))
+    assert(w1.length == 44 + 20)
+    assert(new String(w1.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(w1.slice(8, 12), "US-ASCII") == "WAVE")
+    // decodable by the JDK itself
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(w1))
+    assert(in.getFormat.getSampleRate == 44100f && in.getFrameLength == 10L)
+  }
+
   test("exportBlobs writes one decodable file per row from executor tasks") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
     val df = Seq((7L, encodedImage("png", 12, 5, 0x112233)),

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZarrSource
+
+class ZarrSourceSpec extends SparkSpec {
+
+  private def tmpStore(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-zarr-$name").toString + "/store.zarr"
+
+  test("zlib u16 round trip with gain/offset and an edge chunk") {
+    // 10 samples × 3 channels, chunked 4 rows → chunks of 4/4/2 (edge)
+    val data = Array.tabulate(10, 3)((r, c) => (r * 100 + c * 7).toDouble)
+    val store = tmpStore("u16")
+    ZarrSource.write(spark, store, data, dtype = "<u2", chunkRows = 4,
+      compressor = Some("zlib"))
+
+    // µV conversion exactly like flatBinaryU16: v * gain + offset
+    val out = ZarrSource.read(spark, store, gain = 0.5, offset = -1.0)
+      .orderBy("row_index").collect()
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case (row, r) =>
+      assert(row.getLong(1) == r)
+      val ch = row.getSeq[Double](2)
+      assert(ch.length == 3)
+      (0 until 3).foreach(c => assert(ch(c) == (r * 100 + c * 7) * 0.5 - 1.0))
+    }
+  }
+
+  test("gzip f4 and uncompressed f8 stores read back exactly") {
+    val data = Array.tabulate(7, 2)((r, c) => r + c / 4.0)
+    val gz = tmpStore("f4")
+    ZarrSource.write(spark, gz, data, dtype = "<f4", chunkRows = 3,
+      compressor = Some("gzip"))
+    val gzOut = ZarrSource.read(spark, gz).orderBy("row_index").collect()
+    assert(gzOut.length == 7)
+    assert(gzOut(6).getSeq[Double](2) == Seq(6.0, 6.25))
+
+    val raw = tmpStore("f8")
+    ZarrSource.write(spark, raw, data, dtype = "<f8", chunkRows = 7,
+      compressor = None)
+    val rawOut = ZarrSource.read(spark, raw).orderBy("row_index").collect()
+    assert(rawOut.length == 7)
+    assert(rawOut(3).getSeq[Double](2) == Seq(3.0, 3.25))
+  }
+
+  test("header validation: blosc, filters, channel-split layouts fail fast") {
+    val blosc = intercept[IllegalArgumentException] {
+      ZarrSource.parseMeta(
+        """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2],
+           "dtype": "<u2", "compressor": {"id": "blosc"}, "order": "C",
+           "fill_value": 0, "filters": null}""")
+    }
+    assert(blosc.getMessage.contains("blosc"))
+
+    // channel-split chunking: samples span files → rejected at read
+    val store = tmpStore("split")
+    val data = Array.tabulate(4, 2)((r, c) => (r + c).toDouble)
+    ZarrSource.write(spark, store, data, dtype = "<f8", chunkRows = 2)
+    // hand-edit the header to claim channel-split chunks
+    val p = java.nio.file.Paths.get(store.stripPrefix("file:"), ".zarray")
+    val doc = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace(s""""chunks": [2, 2]""", s""""chunks": [2, 1]""")
+    java.nio.file.Files.write(p, doc.getBytes("UTF-8"))
+    // drop the Hadoop LocalFS checksum sidecar invalidated by the hand-edit
+    java.nio.file.Files.deleteIfExists(p.resolveSibling("..zarray.crc"))
+    val split = intercept[IllegalArgumentException] {
+      ZarrSource.read(spark, store).collect()
+    }
+    assert(split.getMessage.contains("rechunk"))
+  }
+
+  test("resolveEphysPath prefers the processed .zarr twin when it exists") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ephys").toString
+    val rawDir = java.nio.file.Paths.get(root, "raw", "subj1")
+    java.nio.file.Files.createDirectories(rawDir)
+    val rawBin = rawDir.resolve("amp_0.bin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(rawBin), Array[Byte](1, 2))
+
+    // no twin yet: falls back to raw
+    assert(ZarrSource.resolveEphysPath(spark, rawBin) == rawBin)
+
+    // write the twin store at the processed mirror path
+    val twin = java.nio.file.Paths.get(root, "processed", "subj1", "amp_0.zarr")
+    java.nio.file.Files.createDirectories(twin.getParent)
+    ZarrSource.write(spark, twin.toString,
+      Array(Array(1.0, 2.0)), dtype = "<u2", chunkRows = 1)
+    assert(ZarrSource.resolveEphysPath(spark, rawBin) == twin.toString)
+
+    // ambiguous double-'raw' paths are rejected like the reference
+    val bad = intercept[IllegalArgumentException] {
+      ZarrSource.resolveEphysPath(spark, "/data/raw/x/raw/y.bin")
+    }
+    assert(bad.getMessage.contains("ambiguous"))
+  }
+
+  test("raw .bin and zarr twin of the same recording decode identically") {
+    // the S10 contract: compressed twin ≡ raw flat binary, same µV scaling
+    val nCh = 4
+    val samples = Array.tabulate(50, nCh)((r, c) => ((r * 31 + c * 13) % 4096).toDouble)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-twin").toString
+    // raw .bin: little-endian u16, C order — flatBinaryU16's input format
+    val buf = java.nio.ByteBuffer.allocate(50 * nCh * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(_.foreach(v => buf.putShort(v.toShort)))
+    val binPath = java.nio.file.Paths.get(dir, "amp.bin")
+    java.nio.file.Files.write(binPath, buf.array())
+
+    val zarrPath = dir + "/amp.zarr"
+    ZarrSource.write(spark, zarrPath, samples, dtype = "<u2", chunkRows = 16)
+
+    val gain = 0.195; val offset = -6389.76
+    val viaBin = graft.sources.BronzeIngest
+      .flatBinaryU16(spark, binPath.toString, nCh, gain, offset)
+      .select(col("row_index"), col("samples").as("channels"))
+      .orderBy("row_index").collect()
+    val viaZarr = ZarrSource.read(spark, zarrPath, gain, offset)
+      .select(col("row_index"), col("channels"))
+      .orderBy("row_index").collect()
+
+    assert(viaBin.length == 50 && viaZarr.length == 50)
+    viaBin.zip(viaZarr).foreach { case (b, z) =>
+      assert(b.getLong(0) == z.getLong(0))
+      val bc = b.getSeq[Double](1); val zc = z.getSeq[Double](1)
+      bc.zip(zc).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+}
