@@ -303,6 +303,43 @@ object Dedup {
   def ngramJaccard(textA: String, textB: String, n: Int = 3): org.apache.spark.sql.Column =
     jaccard(TextFunctions.shingles(col(textA), n), TextFunctions.shingles(col(textB), n))
 
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * `n`-gram with a benchmark/test set — the standard guard against
+    * evaluation contamination in a training-data pipeline (every doc keeps
+    * its row; `contaminated` + hit counts are appended).
+    *
+    * Scale shape: the BENCHMARK side is the small one (eval suites are MBs
+    * against a 100 TB corpus), so its distinct `(shingle-hash, bench-doc)`
+    * pairs broadcast and the corpus-side shingle stream joins map-side —
+    * no shuffle of corpus text, no shuffle at all before the per-doc
+    * aggregate, and join keys are 8-byte longs ([[HashFunctions
+    * .portableHash60]], the same portable family the MinHash pipeline
+    * uses — collisions at 60 bits are vanishing for eval-suite set sizes).
+    * Output: input columns of `docs` + `n_contaminated_ngrams` (distinct
+    * contaminated n-grams in the doc), `n_benchmark_docs` (distinct
+    * benchmark docs hit), `contaminated`.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    benchmarks: DataFrame, benchIdCol: String,
+                    benchTextCol: String, n: Int = 8): DataFrame = {
+    val docSh = shingleRows(docs.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col(idCol), HashFunctions.portableHash60(col("__s")).as("__h"))
+    // distinct (hash, bench id) — duplicates inside one bench doc must not
+    // inflate n_contaminated_ngrams via the join
+    val benchDistinct = shingleRows(
+        benchmarks.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__btext")),
+        "__bid", "__btext", n)
+      .select(HashFunctions.portableHash60(col("__s")).as("__h"), col("__bid"))
+      .distinct()
+    val hits = docSh.join(broadcast(benchDistinct), "__h")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__h")).as("n_contaminated_ngrams"),
+        countDistinct(col("__bid")).as("n_benchmark_docs"))
+    docs.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_contaminated_ngrams", "n_benchmark_docs"))
+      .withColumn("contaminated", col("n_contaminated_ngrams") > 0)
+  }
+
   /** Signature width of [[simhashSignatures]]: 60 bits — the width of the
     * portable hash, so every bit of the fingerprint carries an actual vote
     * and the whole construction is engine-independent.

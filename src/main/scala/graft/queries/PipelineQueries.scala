@@ -377,6 +377,19 @@ object PipelineQueries {
           sum(TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("source")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any word 8-gram
+    // with the "benchmark" subset (docs with id % 41 = 0 stand in for an
+    // eval suite). Benchmark shingle-hash set broadcasts; corpus shingles
+    // join map-side on 8-byte longs — zero shuffles before the per-doc agg.
+    "q98_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+      Dedup.decontaminate(docs, "doc_id", "text", bench, "doc_id", "text", n = 8)
+        .select("doc_id", "n_contaminated_ngrams", "n_benchmark_docs",
+          "contaminated")
+        .orderBy("doc_id")
     })
   )
 
@@ -820,6 +833,27 @@ object PipelineQueries {
          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
            AS total_tokens,
          count(DISTINCT lang) AS n_langs
-       FROM documents GROUP BY source ORDER BY source"""
+       FROM documents GROUP BY source ORDER BY source""",
+    "q98_decontaminate" ->
+      s"""WITH norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
+         FROM documents),
+       grams AS (
+         SELECT doc_id, ${pHash60("array_to_string(words[i:i+7], ' ')")} AS h
+         FROM norm, unnest(generate_series(1, len(words) - 7)) u(i)),
+       bench AS (
+         SELECT DISTINCT doc_id AS bid, h FROM grams WHERE doc_id % 41 = 0),
+       hits AS (
+         SELECT g.doc_id,
+           count(DISTINCT g.h) AS n_contaminated_ngrams,
+           count(DISTINCT b.bid) AS n_benchmark_docs
+         FROM grams g JOIN bench b USING (h)
+         GROUP BY g.doc_id)
+       SELECT n.doc_id,
+         coalesce(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+         coalesce(h.n_benchmark_docs, 0) AS n_benchmark_docs,
+         coalesce(h.n_contaminated_ngrams, 0) > 0 AS contaminated
+       FROM norm n LEFT JOIN hits h ON n.doc_id = h.doc_id
+       ORDER BY n.doc_id"""
   )
 }

@@ -273,6 +273,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(1) == 4 && out(1).getDouble(3) == 0.0)
   }
 
+  test("decontaminate flags docs sharing an n-gram with the benchmark set") {
+    val corpus = Seq(
+      // full copy of bench text → contaminated by bench doc 100
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      // embeds bench 101's 8-gram inside unrelated text
+      (2L, "intro words then alpha beta gamma delta epsilon zeta eta theta and more"),
+      // clean doc, same vocabulary but no shared 8-gram
+      (3L, "fox dog quick brown lazy the over jumps dog the fox"),
+      // too short for any 8-gram: row must survive with zeros
+      (4L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+
+    val out = graft.operators.Dedup
+      .decontaminate(corpus, "doc_id", "text", bench, "doc_id", "text", n = 8)
+      .orderBy("doc_id").collect()
+
+    assert(out.length == 4, "every corpus row survives")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_contaminated_ngrams"), r.getAs[Long]("n_benchmark_docs"),
+        r.getAs[Boolean]("contaminated"))).toMap
+    assert(byId(1L)._3 && byId(1L)._1 == 3 && byId(1L)._2 == 1,
+      "10-word copy shares all three 8-grams with bench 100")
+    assert(byId(2L)._3 && byId(2L)._1 == 1 && byId(2L)._2 == 1)
+    assert(!byId(3L)._3 && byId(3L)._1 == 0 && byId(3L)._2 == 0)
+    assert(!byId(4L)._3 && byId(4L)._1 == 0)
+
+    // the benchmark side must broadcast: corpus text never shuffles for this
+    val plan = graft.operators.Dedup
+      .decontaminate(corpus, "doc_id", "text", bench, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("SimHash: near-dups within small Hamming distance, unrelated far") {
     val base = (1 to 100).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 100).map(i => if (i % 50 == 0) "CHANGED" else s"word$i").mkString(" ")
