@@ -303,6 +303,64 @@ object Dedup {
   def ngramJaccard(textA: String, textB: String, n: Int = 3): org.apache.spark.sql.Column =
     jaccard(TextFunctions.shingles(col(textA), n), TextFunctions.shingles(col(textB), n))
 
+  /** Connected components over a candidate-pair edge list — the cluster
+    * resolution stage of near-dup dedup: LSH/SimHash emit PAIRS, but keeping
+    * one doc per duplicate GROUP needs the transitive closure (a≈b, b≈c ⇒
+    * one cluster {a,b,c}), exactly the reference-pipeline step between
+    * pairwise match and canonical selection.
+    *
+    * Algorithm: min-label propagation. Every node starts labeled with its
+    * own id; each round takes `least(own, min(neighbor labels))` until a
+    * fixpoint. One round = one shuffle join + one aggregate, and labels ride
+    * as 8-byte longs. Rounds needed = the graph diameter — for near-dup
+    * graphs that is small (LSH clusters are quasi-cliques of mutually
+    * similar docs, diameter ~2–3), which is why the simple propagation beats
+    * carrying the machinery of large-star/small-star here; a corpus whose
+    * duplicate graph has pathological chains (diameter > `maxIter`) fails
+    * fast rather than returning wrong clusters. Per-round lineage is cut
+    * with an eager `localCheckpoint` or the plan would double every
+    * iteration (at production scale prefer `sparkContext.setCheckpointDir` +
+    * `checkpoint()` for executor-loss resilience).
+    *
+    * Output: `(id, cluster)` for every node that appears in `pairs`;
+    * `cluster` = min id in the component. Singletons never enter the edge
+    * list — callers keep the full corpus with
+    * `coalesce(cluster, id)` after a left join (see q99).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true) // pairs may be an expensive LSH plan: run it ONCE
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__changed")).limit(1).isEmpty
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — duplicate " +
+        "graph diameter exceeds maxIter; raise it or pre-partition the corpus")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * `n`-gram with a benchmark/test set — the standard guard against
     * evaluation contamination in a training-data pipeline (every doc keeps

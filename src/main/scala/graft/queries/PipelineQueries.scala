@@ -87,30 +87,7 @@ object PipelineQueries {
     // on candidates. ORACLED end-to-end: the full-width portable seeded
     // family is exact integer arithmetic DuckDB replays.
     "q65_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-      // fused signature kernel — zero shuffles; value-identical to the
-      // composed shape the oracle replays (TextSignaturesSpec)
-      val sigs = Dedup.minhashSignaturesFused(docs, "doc_id", "text",
-        numHashes = 32, shingleN = 3)
-      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
-      // verify on HASHED shingle sets (same portable hash the signatures
-      // start from; Jaccard equals the string-set value up to 60-bit
-      // collisions, mirrored in the oracle). The set table is joined ONCE —
-      // pairs explode into (pair, side) rows and regroup — because a
-      // two-sided join would re-evaluate the whole shingle aggregate per
-      // side (exchange reuse does not fire across the differently-projected
-      // join branches; measured 2× the verify cost).
-      val sh = Dedup.withHashedShingles(docs, "doc_id", "text", n = 3)
-      val sides = cands.select(col("id_a"), col("id_b"),
-        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      sides.join(sh, "doc_id")
-        .groupBy("id_a", "id_b")
-        .agg(
-          max(when(col("doc_id") === col("id_a"), col("shingle_hashes"))).as("sh_a"),
-          max(when(col("doc_id") === col("id_b"), col("shingle_hashes"))).as("sh_b"))
-        .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
+      minhashVerifiedPairs(Tables.documents(s, d).select("doc_id", "text"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -390,8 +367,101 @@ object PipelineQueries {
         .select("doc_id", "n_contaminated_ngrams", "n_benchmark_docs",
           "contaminated")
         .orderBy("doc_id")
+    }),
+
+    // Cluster resolution: the transitive closure over q65's verified
+    // near-dup pairs (a≈b, b≈c ⇒ one cluster), min-label propagation to a
+    // fixpoint, every doc kept with its cluster id (= min doc id in the
+    // component; singletons cluster to themselves). This is the stage that
+    // turns PAIRS into the one-doc-per-group decision a dedup pipeline
+    // actually ships.
+    "q99_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pairs = minhashVerifiedPairs(docs)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          (coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+            .as("is_canonical"))
+        .orderBy("doc_id")
     })
   )
+
+  /** The q65 MinHash→LSH→verified-pairs pipeline (shared by q65 and the
+    * q99 cluster-resolution chain). Fused signature kernel — zero shuffles;
+    * value-identical to the composed shape the oracle replays
+    * (TextSignaturesSpec). Verification joins the HASHED shingle-set table
+    * ONCE — pairs explode into (pair, side) rows and regroup — because a
+    * two-sided join would re-evaluate the whole shingle aggregate per side
+    * (exchange reuse does not fire across the differently-projected join
+    * branches; measured 2× the verify cost).
+    */
+  private def minhashVerifiedPairs(docs: DataFrame): DataFrame = {
+    val sigs = Dedup.minhashSignaturesFused(docs, "doc_id", "text",
+      numHashes = 32, shingleN = 3)
+    val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 4)
+    val sh = Dedup.withHashedShingles(docs, "doc_id", "text", n = 3)
+    val sides = cands.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+    sides.join(sh, "doc_id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        max(when(col("doc_id") === col("id_a"), col("shingle_hashes"))).as("sh_a"),
+        max(when(col("doc_id") === col("id_b"), col("shingle_hashes"))).as("sh_b"))
+      .withColumn("jaccard", round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** DuckDB fragment: the q65 MinHash→LSH→candidate CTE chain (norm …
+    * gsets), shared by the q65 pair oracle and the q99 cluster oracle.
+    * Seed member = (h1 + seed·h2) mod 2⁶⁰, written piecewise so every
+    * intermediate fits checked 64-bit integers (mirror of
+    * `HashFunctions.portableSeededHash`).
+    */
+  private lazy val minhashPairCtesSql: String =
+    s"""norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
+         FROM documents),
+       grams AS (
+         SELECT doc_id, array_to_string(words[i:i+2], ' ') AS s
+         FROM norm, unnest(generate_series(1, len(words) - 2)) u(i)),
+       hashed AS (
+         SELECT doc_id, s, ${pHash60("s")} AS h1, ${pHash60b("s")} AS h2
+         FROM grams),
+       sigs AS (
+         SELECT doc_id, seed,
+           min((h1 + ((seed * (h2 >> 30)) % 1073741824) * 1073741824
+                + seed * (h2 & 1073741823)) & 1152921504606846975) AS mh
+         FROM hashed, unnest(generate_series(0, 31)) t(seed)
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, seed // 4 AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
+         FROM sigs GROUP BY doc_id, seed // 4),
+       sized AS (
+         SELECT band, bucket FROM bands GROUP BY band, bucket
+         HAVING count(*) BETWEEN 2 AND 10000),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN sized USING (band, bucket)
+           JOIN bands b USING (band, bucket)
+         WHERE a.doc_id < b.doc_id),
+       gsets AS (
+         SELECT doc_id, list_distinct(list(h1)) AS g FROM hashed GROUP BY doc_id)"""
+
+  /** DuckDB fragment: verified-pair select over [[minhashPairCtesSql]] (no
+    * ORDER BY — callers add their own or wrap it as a CTE). */
+  private lazy val minhashPairSelectSql: String =
+    """SELECT * FROM (
+         SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+         FROM cand c JOIN gsets a ON c.id_a = a.doc_id
+           JOIN gsets b ON c.id_b = b.doc_id)
+       WHERE jaccard >= 0.5"""
 
   /** DuckDB fragment: the dedup text normalization (must mirror
     * `TextFunctions.normalizeForDedup` exactly). */
@@ -464,45 +534,25 @@ object PipelineQueries {
          min(doc_id) AS keeper_id
        FROM norm GROUP BY 1 ORDER BY keeper_id""",
     "q65_minhash_lsh" ->
-      s"""WITH norm AS (
-         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
-         FROM documents),
-       grams AS (
-         SELECT doc_id, array_to_string(words[i:i+2], ' ') AS s
-         FROM norm, unnest(generate_series(1, len(words) - 2)) u(i)),
-       hashed AS (
-         SELECT doc_id, s, ${pHash60("s")} AS h1, ${pHash60b("s")} AS h2
-         FROM grams),
-       -- seed member = (h1 + seed*h2) mod 2^60, written piecewise so every
-       -- intermediate fits checked 64-bit integers (mirror of
-       -- HashFunctions.portableSeededHash)
-       sigs AS (
-         SELECT doc_id, seed,
-           min((h1 + ((seed * (h2 >> 30)) % 1073741824) * 1073741824
-                + seed * (h2 & 1073741823)) & 1152921504606846975) AS mh
-         FROM hashed, unnest(generate_series(0, 31)) t(seed)
-         GROUP BY doc_id, seed),
-       bands AS (
-         SELECT doc_id, seed // 4 AS band,
-           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bucket
-         FROM sigs GROUP BY doc_id, seed // 4),
-       sized AS (
-         SELECT band, bucket FROM bands GROUP BY band, bucket
-         HAVING count(*) BETWEEN 2 AND 10000),
-       cand AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN sized USING (band, bucket)
-           JOIN bands b USING (band, bucket)
-         WHERE a.doc_id < b.doc_id),
-       gsets AS (
-         SELECT doc_id, list_distinct(list(h1)) AS g FROM hashed GROUP BY doc_id)
-       SELECT * FROM (
-         SELECT c.id_a, c.id_b,
-           round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
-         FROM cand c JOIN gsets a ON c.id_a = a.doc_id
-           JOIN gsets b ON c.id_b = b.doc_id)
-       WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+      s"""WITH $minhashPairCtesSql
+       $minhashPairSelectSql ORDER BY id_a, id_b""",
+    "q99_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtesSql,
+       pairs AS ($minhashPairSelectSql),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       comp AS (
+         SELECT n AS did, least(min(m), n) AS cluster FROM reach GROUP BY n)
+       SELECT d.doc_id,
+         coalesce(c.cluster, d.doc_id) AS cluster,
+         coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+       FROM documents d LEFT JOIN comp c ON d.doc_id = c.did
+       ORDER BY d.doc_id""",
     "q66_simhash" ->
       s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
        words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),

@@ -308,6 +308,29 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("connectedComponents resolves transitive near-dup clusters to min ids") {
+    // chain 10-20, 20-30 (one cluster via transitivity), disjoint pair 40-50,
+    // plus a reversed/duplicate edge that must not matter
+    val pairs = Seq((20L, 10L), (20L, 30L), (30L, 20L), (40L, 50L))
+      .toDF("id_a", "id_b")
+    val comps = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id").collect()
+    assert(comps.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 10L), (20L, 10L), (30L, 10L), (40L, 40L), (50L, 40L)))
+
+    // a long chain needs diameter-many rounds: maxIter=1 must fail fast
+    // rather than return wrong clusters
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1)
+    }
+    assert(ex.getMessage.contains("converge"))
+    // and with enough rounds the same chain collapses to one cluster
+    val ok = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b")
+      .select("cluster").distinct().collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("SimHash: near-dups within small Hamming distance, unrelated far") {
     val base = (1 to 100).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 100).map(i => if (i % 50 == 0) "CHANGED" else s"word$i").mkString(" ")
