@@ -82,9 +82,14 @@ object AviMjpeg {
     * (`hdrl`, `movi`, nested `rec `) are entered, not skipped, so the walk is
     * a single linear pass; everything else (`idx1`, `strh`, `JUNK`, audio
     * `##wb`) is skipped by size. Returns None when the stream is not an AVI.
+    *
+    * `withPayload = false` records sampled frame INDICES but skips every
+    * payload (jpeg = null): the whole walk touches only 8-byte chunk
+    * headers — the column-pruned scan shape for metadata-only queries.
     */
   def parse(raw: InputStream, everyNth: Int = 1,
-            maxFrames: Int = Int.MaxValue): Option[(AviInfo, Vector[AviFrame])] = {
+            maxFrames: Int = Int.MaxValue,
+            withPayload: Boolean = true): Option[(AviInfo, Vector[AviFrame])] = {
     require(everyNth > 0 && maxFrames > 0)
     val in = new DataInputStream(raw)
     try {
@@ -121,11 +126,16 @@ object AviMjpeg {
                       id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') =>
               val take = videoChunks % everyNth == 0 && collected < maxFrames
               if (take && size > 0 && size <= MaxFrameBytes) {
-                val buf = new Array[Byte](size.toInt)
-                in.readFully(buf)
-                frames += AviFrame(videoChunks, buf)
+                if (withPayload) {
+                  val buf = new Array[Byte](size.toInt)
+                  in.readFully(buf)
+                  frames += AviFrame(videoChunks, buf)
+                  skipFully(in, padded - size)
+                } else {
+                  frames += AviFrame(videoChunks, null)
+                  skipFully(in, padded)
+                }
                 collected += 1
-                skipFully(in, padded - size)
               } else skipFully(in, padded)
               videoChunks += 1
             case _ =>

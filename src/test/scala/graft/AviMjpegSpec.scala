@@ -91,6 +91,43 @@ class AviMjpegSpec extends SparkSpec {
     }
   }
 
+  test("graft-avi V2 source: scan equivalence and payload-skipping column pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi-v2").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "cam0.avi"),
+      testAvi(nFrames = 12, w = 32, h = 16, fps = 50.0))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "cam1.avi"),
+      testAvi(nFrames = 5, w = 64, h = 48, fps = 10.0))
+
+    val v2 = spark.read.format("graft-avi")
+      .option("everyNth", "5").option("maxFrames", "8").load(dir + "/*")
+    // full-schema read matches the mapPartitions reader row for row
+    val viaFn = AviMjpeg.videoFrames(spark, dir + "/*", everyNth = 5,
+      maxFramesPerFile = 8)
+      .select("file", "width", "height", "frame_index")
+      .orderBy("file", "frame_index").collect()
+    val viaV2 = v2.select("file", "width", "height", "frame_index")
+      .orderBy("file", "frame_index").collect()
+    assert(viaV2.map(_.toSeq).toSeq == viaFn.map(_.toSeq).toSeq)
+    // payload is real when selected
+    val jpegs = v2.select("frame_jpeg").collect()
+    assert(jpegs.nonEmpty && jpegs.forall { r =>
+      val b = r.getAs[Array[Byte]](0); (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8
+    })
+
+    // metadata-only projection: the scan itself reports headers-only mode —
+    // no frame payload byte is read for fps/count audits
+    val pruned = v2.select("file", "frame_index", "fps")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("HEADERS-ONLY"),
+      s"pruned scan should walk chunk headers only:\n$planStr")
+    assert(pruned.count() == 4) // 3 sampled frames (cam0) + 1 (cam1)
+    // and the full read does NOT claim headers-only
+    assert(!v2.select("frame_jpeg").queryExecution.executedPlan.toString
+      .contains("HEADERS-ONLY"))
+  }
+
   test("extractFeatures dispatches AVI blobs to the real container decode") {
     val whiteAvi = AviMjpeg.build(
       Seq(jpegFrame(30, 20, 0xFFFFFF), jpegFrame(30, 20, 0x000000)), 30, 20)
