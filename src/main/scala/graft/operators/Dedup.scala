@@ -361,6 +361,27 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** End-of-pipeline canonical selection: given docs and their near-dup
+    * pair list, resolve clusters ([[connectedComponents]]) and keep ONE doc
+    * per cluster — the highest `scoreCol` (ties broken by min id, so the
+    * choice is deterministic under re-runs). Singletons always survive.
+    * This is the decision a dedup pipeline actually ships: pairs → clusters
+    * → per-cluster top-1 (one window over the cluster key, the W5 shape).
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String, bCol: String, scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val clustered = docs.join(comps, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    clustered
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank", "cluster")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * `n`-gram with a benchmark/test set — the standard guard against
     * evaluation contamination in a training-data pipeline (every doc keeps

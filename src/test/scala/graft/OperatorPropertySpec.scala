@@ -56,6 +56,85 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("zarr write→read is the identity over random arrays, dtypes, chunkings (8 trials)") {
+    for (trial <- 1 to 8) {
+      val nRows = 1 + rnd.nextInt(40)
+      val nCols = 1 + rnd.nextInt(6)
+      val (dtype, gen): (String, () => Double) = rnd.nextInt(4) match {
+        case 0 => ("<u2", () => rnd.nextInt(65536).toDouble)
+        case 1 => ("<i2", () => (rnd.nextInt(65536) - 32768).toDouble)
+        case 2 => ("<f4", () => rnd.nextFloat().toDouble)
+        case _ => ("<f8", () => rnd.nextDouble())
+      }
+      val comp = Seq(None, Some("zlib"), Some("gzip"))(rnd.nextInt(3))
+      val chunkRows = 1 + rnd.nextInt(nRows + 3) // exercises edge chunks
+      val data = Array.fill(nRows, nCols)(gen())
+
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft-zarr-prop$trial").toString + "/a.zarr"
+      graft.sources.ZarrSource.write(spark, store, data, dtype, chunkRows, comp)
+      val back = graft.sources.ZarrSource.read(spark, store)
+        .orderBy("row_index").collect()
+        .map(_.getSeq[Double](2).toArray)
+
+      assert(back.length == nRows, s"trial $trial: rows")
+      for (r <- 0 until nRows; c <- 0 until nCols) {
+        val tol = if (dtype == "<f4") 1e-7 * math.max(1.0, math.abs(data(r)(c))) else 0.0
+        assert(math.abs(back(r)(c) - data(r)(c)) <= tol,
+          s"trial $trial ($dtype, chunk $chunkRows, $comp) at ($r,$c)")
+      }
+    }
+  }
+
+  test("AVI build→parse round-trips counts, dims, and stride sampling (8 trials)") {
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    for (trial <- 1 to 8) {
+      val n = 1 + rnd.nextInt(15)
+      val w = 8 + rnd.nextInt(50)
+      val h = 8 + rnd.nextInt(30)
+      val stride = 1 + rnd.nextInt(6)
+      val avi = graft.sources.AviMjpeg.build(
+        (0 until n).map(i => jpeg(w, h, i * 1234567)), w, h,
+        fps = 1 + rnd.nextInt(99))
+      val (info, frames) = graft.sources.AviMjpeg.parseBytes(avi, stride).get
+      assert(info.width == w && info.height == h && info.totalFrames == n,
+        s"trial $trial header")
+      assert(frames.map(_.index) == (0L until n by stride).toVector,
+        s"trial $trial stride")
+      frames.foreach { f =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.jpeg))
+        assert(img != null && img.getWidth == w && img.getHeight == h,
+          s"trial $trial frame decode")
+      }
+    }
+  }
+
+  test("WAV build→decode round-trips header metadata over random shapes (8 trials)") {
+    for (trial <- 1 to 8) {
+      val ch = 1 + rnd.nextInt(2)
+      val nFrames = 1 + rnd.nextInt(500)
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val samples = Array.fill(nFrames * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val wav = graft.operators.Multimodal.buildWavPcm16(samples, rate, ch)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        assert(in.getFormat.getChannels == ch && in.getFrameLength == nFrames.toLong
+          && in.getFormat.getSampleRate == rate.toFloat, s"trial $trial")
+      } finally in.close()
+    }
+  }
+
   test("overlapBucketed matches brute-force overlap across bucket widths (5 trials)") {
     for (trial <- 1 to 5) {
       val left = (1 to 30).map { i =>

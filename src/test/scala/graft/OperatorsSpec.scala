@@ -331,6 +331,19 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("keepCanonical keeps the best-scored doc per cluster, singletons survive") {
+    val docs = Seq(
+      (10L, 0.3), (20L, 0.9), (30L, 0.5), // one cluster via 10-20, 20-30
+      (40L, 0.1), (50L, 0.1),             // pair cluster, tie → min id wins
+      (60L, 0.0)                          // singleton
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup
+      .keepCanonical(docs, "doc_id", pairs, "id_a", "id_b", "quality")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(20L, 40L, 60L))
+  }
+
   test("SimHash: near-dups within small Hamming distance, unrelated far") {
     val base = (1 to 100).map(i => s"word$i").mkString(" ")
     val nearDup = (1 to 100).map(i => if (i % 50 == 0) "CHANGED" else s"word$i").mkString(" ")
