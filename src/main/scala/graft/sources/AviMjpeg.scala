@@ -25,10 +25,10 @@ import org.apache.spark.sql.types._
   *  - per-file frame caps bound task output exactly like
   *    [[graft.operators.Multimodal.sampleFrames]].
   *
-  * AVI 1.0 only (single RIFF segment, the format the reference's cameras
-  * write). OpenDML `AVIX` continuation segments hold frames beyond 1 GiB;
-  * the walker stops cleanly at the first segment boundary — extend by
-  * looping `parseSegment` if such files appear.
+  * AVI 1.0 plus OpenDML continuations: frames past the 1 GiB AVI 1.0
+  * boundary live in `RIFF('AVIX')` segments appended after the first — the
+  * walker descends into them like any other container, so long recordings
+  * stream through with the same per-frame memory bound.
   */
 object AviMjpeg {
 
@@ -112,6 +112,11 @@ object AviMjpeg {
           id match {
             case "LIST" =>
               readFourCC(in) // hdrl | movi | rec  | … — descend either way
+            case "RIFF" =>
+              // OpenDML continuation segment (frames past the 1 GiB AVI 1.0
+              // boundary land in RIFF('AVIX') segments): consume the form
+              // type and keep walking — the frame stream continues inside
+              readFourCC(in)
             case "avih" =>
               // dwMicroSecPerFrame, 3 skipped u32s, dwTotalFrames, 2 skipped,
               // 1 skipped, dwWidth, dwHeight (avih is ≥ 40 bytes by spec)
@@ -242,6 +247,22 @@ object AviMjpeg {
     writeChunk(riff, "LIST", movi.toByteArray)
     writeChunk(riff, "idx1", idx1.toByteArray)
 
+    val out = new java.io.ByteArrayOutputStream()
+    writeChunk(out, "RIFF", riff.toByteArray)
+    out.toByteArray
+  }
+
+  /** Build an OpenDML `RIFF('AVIX')` continuation segment holding more
+    * frames — appended verbatim after [[build]]'s output (or a previous
+    * continuation) to extend a recording past the AVI 1.0 segment boundary.
+    */
+  def buildAvixSegment(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = new java.io.ByteArrayOutputStream()
+    writeFourCC(movi, "movi")
+    frames.foreach(f => writeChunk(movi, "00dc", f))
+    val riff = new java.io.ByteArrayOutputStream()
+    writeFourCC(riff, "AVIX")
+    writeChunk(riff, "LIST", movi.toByteArray)
     val out = new java.io.ByteArrayOutputStream()
     writeChunk(out, "RIFF", riff.toByteArray)
     out.toByteArray

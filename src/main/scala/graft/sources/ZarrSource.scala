@@ -152,13 +152,21 @@ object ZarrSource {
     * [[BronzeIngest.flatBinaryU16]] for the compressed path
     * (`spike_sorting.py:209-211` scaling).
     *
+    * `rowRange = Some((lo, hi))` (inclusive) PRUNES chunk files before any
+    * IO — chunk i covers rows `[i·chunkRows, (i+1)·chunkRows)`, so a time
+    * slice of a long recording opens only the overlapping chunks (the
+    * parquet row-group-pruning analogue; the reference's interval reads get
+    * this via `onix_imu.py:112-130`-style bound checks). The exact row
+    * predicate is applied on top, so the result is precisely the slice.
+    *
     * 2-D stores must chunk the channel dimension in full (`chunks(1) ==
     * shape(1)`, the layout the time-seriescompression writer emits) so each
     * sample's channels live in one chunk file and no regrouping shuffle is
     * needed; a channel-split store fails fast with the layout in the message.
     */
   def read(spark: SparkSession, storePath: String,
-           gain: Double = 1.0, offset: Double = 0.0): DataFrame = {
+           gain: Double = 1.0, offset: Double = 0.0,
+           rowRange: Option[(Long, Long)] = None): DataFrame = {
     val meta = readMeta(spark, storePath)
     if (meta.shape.length == 2)
       require(meta.chunks(1) == meta.shape(1).toInt,
@@ -166,12 +174,19 @@ object ZarrSource {
           "samples span chunk files; rechunk with chunks=(t, n_channels)")
 
     // Chunk-grid → file list (driver-side, catalog-scale: one entry per chunk
-    // FILE, the same metadata class as a parquet file listing).
+    // FILE, the same metadata class as a parquet file listing). A row-range
+    // read keeps only chunks whose extent overlaps [lo, hi] — no pruned
+    // chunk is ever listed, opened, or inflated.
     val sep = meta.dimSeparator
+    val cr0 = meta.chunks.head.toLong
+    val inRange: Long => Boolean = rowRange match {
+      case Some((lo, hi)) => i => i * cr0 <= hi && (i + 1) * cr0 - 1 >= lo
+      case None => _ => true
+    }
     val coords: Seq[Seq[Long]] = meta.grid match {
-      case Seq(g0) => (0L until g0).map(Seq(_))
+      case Seq(g0) => (0L until g0).filter(inRange).map(Seq(_))
       case Seq(g0, g1) =>
-        for (i <- 0L until g0; j <- 0L until g1) yield Seq(i, j)
+        for (i <- (0L until g0).filter(inRange); j <- 0L until g1) yield Seq(i, j)
     }
     val files = coords.map(c =>
       (new org.apache.hadoop.fs.Path(storePath, c.mkString(sep)).toString, c.head))
@@ -216,7 +231,11 @@ object ZarrSource {
             }
           }
         }
-      }(enc)
+      }(enc) match {
+        // exact slice on top of the chunk pruning
+        case df => rowRange.fold(df) { case (lo, hi) =>
+          df.filter(col("row_index").between(lo, hi)) }
+      }
   }
 
   /** The raw→compressed path convention (`ephys_utils.py:24-72`

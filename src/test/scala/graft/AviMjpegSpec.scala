@@ -50,6 +50,27 @@ class AviMjpegSpec extends SparkSpec {
     assert(infoCapped.totalFrames == 20)
   }
 
+  test("OpenDML AVIX continuation segments extend the frame stream") {
+    // 4 frames in the AVI 1.0 segment + 3 more in a RIFF('AVIX') continuation
+    val seg1 = testAvi(nFrames = 4, w = 24, h = 12)
+    val avix = AviMjpeg.buildAvixSegment(
+      (4 until 7).map(i => jpegFrame(24, 12, i * 0x030201)))
+    val full = seg1 ++ avix
+
+    val (info, frames) = AviMjpeg.parseBytes(full).get
+    assert(info.width == 24 && info.height == 12)
+    assert(frames.map(_.index) == (0L until 7L).toVector,
+      "frames continue across the segment boundary")
+    assert(info.totalFrames == 7)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.jpeg))
+      assert(img != null && img.getWidth == 24)
+    }
+    // stride sampling crosses the boundary too
+    val (_, strided) = AviMjpeg.parseBytes(full, everyNth = 3).get
+    assert(strided.map(_.index) == Vector(0L, 3L, 6L))
+  }
+
   test("parse rejects non-AVI and survives corrupt containers") {
     assert(AviMjpeg.parseBytes("not riff at all".getBytes("UTF-8")).isEmpty)
     // valid magic, garbage body: parse must not throw

@@ -45,6 +45,25 @@ class ZarrSourceSpec extends SparkSpec {
     assert(rawOut(3).getSeq[Double](2) == Seq(3.0, 3.25))
   }
 
+  test("rowRange prunes chunk files before IO and slices exactly") {
+    // 20 rows, 4-row chunks → 5 chunk files; rows 9..12 span chunks 2 and 3
+    val data = Array.tabulate(20, 2)((r, c) => (r * 10 + c).toDouble)
+    val store = tmpStore("range")
+    ZarrSource.write(spark, store, data, dtype = "<f8", chunkRows = 4)
+
+    val sliced = ZarrSource.read(spark, store, rowRange = Some((9L, 12L)))
+    // exact slice values
+    val rows = sliced.orderBy("row_index").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(9L, 10L, 11L, 12L))
+    assert(rows.head.getSeq[Double](2) == Seq(90.0, 91.0))
+    // pruning is physical: only the 2 overlapping chunk files are planned
+    // (the scan repartitions to the pruned file count)
+    assert(sliced.rdd.getNumPartitions == 2,
+      s"expected 2 pruned chunk partitions, got ${sliced.rdd.getNumPartitions}")
+    // full read plans all 5
+    assert(ZarrSource.read(spark, store).rdd.getNumPartitions == 5)
+  }
+
   test("header validation: blosc, filters, channel-split layouts fail fast") {
     val blosc = intercept[IllegalArgumentException] {
       ZarrSource.parseMeta(
