@@ -65,8 +65,8 @@ object Populate {
     try Some(spark.read.parquet(tablePath)) catch {
       case _: java.io.FileNotFoundException => None
       case e: org.apache.spark.sql.AnalysisException
-          if e.getErrorClass != null &&
-            e.getErrorClass.startsWith("PATH_NOT_FOUND") => None
+          if e.getCondition != null &&
+            e.getCondition.startsWith("PATH_NOT_FOUND") => None
     }
 
   def appendIdempotent(result: DataFrame, tablePath: String, pk: Seq[String]): Long = {
@@ -99,8 +99,8 @@ object Populate {
       }
     } catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getErrorClass != null &&
-            e.getErrorClass.startsWith("UNABLE_TO_INFER_SCHEMA") &&
+          if e.getCondition != null &&
+            e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") &&
             !fs.listStatus(table).exists { f =>
               val n = f.getPath.getName
               !n.startsWith("_") && !n.startsWith(".")

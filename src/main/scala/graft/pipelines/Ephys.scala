@@ -40,8 +40,8 @@ object Ephys {
       (col("sample_index") < col("own_end")) &&
       blockKeys.map(k => spikes(k) === withOffsets(k)).foldLeft(lit(true))(_ && _)
     spikes.join(broadcast(withOffsets), cond)
-      .select(spikes.columns.map(spikes(_)) ++
-        chunkKeys.map(withOffsets(_)) :+ col("own_start"): _*)
+      .select((spikes.columns.toIndexedSeq.map(spikes(_)) ++
+        chunkKeys.map(withOffsets(_)) :+ col("own_start")): _*)
   }
 
   /** ONIX→HARP spike-time synchronization (J9/J4/A8 composed:

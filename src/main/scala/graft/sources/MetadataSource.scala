@@ -37,7 +37,7 @@ object MetadataSource {
     val spark = meta.sparkSession
     import spark.implicits._
     val jsonified = meta.select(col("file"),
-      to_json(struct(meta.columns.filter(_ != "file").map(col): _*)).as("doc"))
+      to_json(struct(meta.columns.toIndexedSeq.filter(_ != "file").map(col): _*)).as("doc"))
     jsonified.flatMap { row =>
       val file = row.getString(0)
       flattenJson(row.getString(1)).map { case (p, v) => (file, p, v) }
@@ -59,7 +59,7 @@ object MetadataSource {
     def walk(node: JsonNode, prefix: String): Seq[(String, String)] = {
       import scala.jdk.CollectionConverters._
       if (node.isObject) {
-        node.fields().asScala.toSeq.flatMap { e =>
+        node.properties().asScala.toSeq.flatMap { e =>
           val p = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
           walk(e.getValue, p)
         }
