@@ -118,6 +118,17 @@ object ZarrSource {
     case Some(other) => throw new IllegalArgumentException(s"compressor $other")
   }
 
+  /** [[decompress]] + little-endian wrap — the chunk-decode entry point the
+    * `graft-zarr` V2 reader shares with [[read]]. */
+  private[sources] def inflateChunk(bytes: Array[Byte], compressor: Option[String],
+                                    rawLen: Int): ByteBuffer =
+    ByteBuffer.wrap(decompress(bytes, compressor, rawLen))
+      .order(ByteOrder.LITTLE_ENDIAN)
+
+  /** Public-within-package alias of [[readElem]] for the V2 reader. */
+  private[sources] def readElemAt(buf: ByteBuffer, idx: Int, dtype: String): Double =
+    readElem(buf, idx, dtype)
+
   /** Typed element read from a chunk buffer as Double (ephys payloads are
     * small ints / floats — double is lossless for all supported widths
     * except full-range u8/i8-exceeding longs, which ephys never uses).
