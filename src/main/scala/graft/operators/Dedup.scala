@@ -361,6 +361,32 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Incremental cluster maintenance — the batch-append twin of
+    * [[connectedComponents]], composing with [[incrementalCandidates]]'
+    * batches-never-rehash-the-corpus story: when a new batch contributes
+    * near-dup pairs, prior cluster assignments are NOT recomputed from all
+    * historical pairs. Each existing `(id, cluster)` row acts as one edge
+    * (the cluster id is itself a member id — min of its component), so the
+    * propagation re-converges over `|new pairs| + |existing assignments|`
+    * edges instead of the full historical pair set, and prior clusters that
+    * the new batch bridges merge correctly (both collapse to the global min
+    * via their representative edges).
+    *
+    * Output: `(id, cluster)` covering every id in `existing` or `newPairs`.
+    */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame,
+                      aCol: String, bCol: String,
+                      maxIter: Int = 25): DataFrame = {
+    val assignmentEdges = existing
+      .select(col("id").as(aCol), col("cluster").as(bCol))
+    val comps = connectedComponents(assignmentEdges.union(
+      newPairs.select(col(aCol), col(bCol))), aCol, bCol, maxIter)
+    // self-loop assignments (untouched singletons) carry no edge — re-attach
+    // them unchanged so the output still covers every previously-seen id
+    val untouched = existing.join(comps, Seq("id"), "left_anti")
+    comps.union(untouched.select(col("id"), col("cluster")))
+  }
+
   /** End-of-pipeline canonical selection: given docs and their near-dup
     * pair list, resolve clusters ([[connectedComponents]]) and keep ONE doc
     * per cluster — the highest `scoreCol` (ties broken by min id, so the

@@ -75,13 +75,20 @@ object Sampling {
     */
   def mixtureRebalance(df: DataFrame, strataCol: String, idCol: String,
                        weights: Map[String, Double],
-                       tag: String = "mix"): DataFrame = {
+                       tag: String = "mix",
+                       sizeCol: Option[String] = None): DataFrame = {
     require(weights.values.forall(_ > 0), "mixture weights must be positive")
     val w = weights.foldLeft(lit(null).cast("double")) { case (acc, (s, wt)) =>
       when(col(strataCol) === s, lit(wt)).otherwise(acc)
     }
+    // `sizeCol` switches the mixture unit from documents to that column's
+    // sum (TOKENS in an LLM pipeline — targets like "≤60% web" are token
+    // shares, and doc-count rebalancing skews when strata have different
+    // doc lengths). The keep decision stays per-document, so the achieved
+    // token share equals the target in expectation.
+    val mass = sizeCol.fold(count(lit(1)).cast("double"))(c => sum(col(c)).cast("double"))
     val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).cast("double").as("__n"))
+      .agg(mass.as("__n"))
       .withColumn("__w", w)
       .filter(col("__w").isNotNull) // strata without a weight are dropped
       .withColumn("__c", min(col("__n") / col("__w")).over(Window.partitionBy()))

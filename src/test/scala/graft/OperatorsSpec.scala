@@ -331,6 +331,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("mergeComponents: incremental batches converge to the one-shot clustering") {
+    val batch1 = Seq((10L, 20L), (40L, 50L)).toDF("id_a", "id_b")
+    val batch2 = Seq((20L, 30L), (30L, 40L)).toDF("id_a", "id_b") // bridges both
+    val oneShot = graft.operators.Dedup
+      .connectedComponents(batch1.union(batch2), "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val after1 = graft.operators.Dedup.connectedComponents(batch1, "id_a", "id_b")
+    // singleton assignment that batch2 never touches must survive the merge
+    val withSingleton = after1.union(Seq((99L, 99L)).toDF("id", "cluster"))
+    val merged = graft.operators.Dedup
+      .mergeComponents(withSingleton, batch2, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(merged.filter(_._1 != 99L) == oneShot,
+      "incremental merge equals one-shot components over all pairs")
+    assert(merged.contains((99L, 99L)), "untouched singleton carried through")
+    // the bridge collapsed both prior clusters to the global min
+    assert(merged.filter(_._1 != 99L).forall(_._2 == 10L))
+  }
+
   test("keepCanonical keeps the best-scored doc per cluster, singletons survive") {
     val docs = Seq(
       (10L, 0.3), (20L, 0.9), (30L, 0.5), // one cluster via 10-20, 20-30

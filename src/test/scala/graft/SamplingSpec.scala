@@ -54,6 +54,28 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("de") - 1000.0) < 5 * math.sqrt(1000.0))
   }
 
+  test("mixtureRebalance with sizeCol targets token shares, not doc shares") {
+    // en docs are 10× longer than de docs: token-weighted equal targets must
+    // keep far FEWER en docs than doc-weighted ones
+    val df = corpus(4000).filter(col("lang").isin("en", "de"))
+      .withColumn("tokens", when(col("lang") === "en", 1000L).otherwise(100L))
+    val out = Sampling.mixtureRebalance(df, "lang", "id",
+      weights = Map("en" -> 0.5, "de" -> 0.5), sizeCol = Some("tokens"))
+    val toks = out.groupBy("lang").agg(sum("tokens").as("t"))
+      .as[(String, Long)].collect().toMap
+    // token masses: en = 2000 docs × 1000, de = 1000 × 100; binding stratum
+    // de (smaller token mass per weight) kept whole; en sampled to ≈100k toks
+    assert(toks("de") == 100000L, "binding stratum kept whole in token space")
+    assert(math.abs(toks("en") - 100000.0) < 5 * math.sqrt(100) * 1000,
+      s"en token mass ${toks("en")} should target de's 100k")
+    // doc-weighted rebalance on the same input keeps ~10× more en tokens
+    val docWeighted = Sampling.mixtureRebalance(df, "lang", "id",
+      weights = Map("en" -> 0.5, "de" -> 0.5))
+      .filter(col("lang") === "en").agg(sum("tokens")).as[Long].head()
+    assert(docWeighted > 5 * toks("en"),
+      "doc-count weighting over-keeps the long-doc stratum")
+  }
+
   test("mixtureRebalance drops strata without a weight") {
     val out = Sampling.mixtureRebalance(corpus(800), "lang", "id",
       weights = Map("en" -> 1.0, "de" -> 1.0))
