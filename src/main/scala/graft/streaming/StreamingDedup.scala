@@ -28,13 +28,23 @@ object StreamingDedup {
   /** Drain newly-landed document files: emit candidate pairs to
     * `candidatesDir` and fold the batch into the bucket index at
     * `indexDir`. Returns once the backlog is drained (AvailableNow).
+    *
+    * `clustersDir = Some(dir)` additionally maintains a persisted
+    * `(id, cluster)` assignment table: each micro-batch's pairs merge into
+    * the prior assignments via [[Dedup.mergeComponents]] — the propagation
+    * runs over `batch-pairs + assignments` edges, never the full historical
+    * pair set, so cluster maintenance cost scales with the batch exactly
+    * like the candidate path. The table is REPLACED per batch (assignments
+    * are a compact id-per-doc table, overwrite is the correct idempotent
+    * semantics for it — re-running a batch converges to the same fixpoint).
     */
   def drain(spark: SparkSession, sourceDir: String, indexDir: String,
             candidatesDir: String, checkpointDir: String,
             idCol: String, textCol: String,
             schema: org.apache.spark.sql.types.StructType,
             numHashes: Int = 32, shingleN: Int = 3,
-            bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+            bands: Int = 8, rowsPerBand: Int = 4,
+            clustersDir: Option[String] = None): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "64")
@@ -55,6 +65,17 @@ object StreamingDedup {
           val cands = Dedup.incrementalCandidates(cached, index, idCol)
           Populate.appendIdempotent(cands, candidatesDir, Seq("id_a", "id_b"))
           Populate.appendIdempotent(cached, indexDir, Seq(idCol, "band"))
+          clustersDir.foreach { dir =>
+            val newPairs = cands.select("id_a", "id_b")
+            val existing = Populate.readIfExists(spark, dir)
+            val merged = existing match {
+              case Some(e) => Dedup.mergeComponents(e, newPairs, "id_a", "id_b")
+              case None => Dedup.connectedComponents(newPairs, "id_a", "id_b")
+            }
+            // cut lineage BEFORE overwriting the table the plan reads from
+            // (executor-side materialization — never a driver collect)
+            merged.localCheckpoint(true).write.mode("overwrite").parquet(dir)
+          }
         } finally cached.unpersist()
         ()
       }

@@ -58,4 +58,44 @@ class StreamingDedupSpec extends SparkSpec {
     // index holds one row per (doc, band) for all four docs
     assert(indexCount == 4 * 8)
   }
+
+  test("streaming cluster maintenance equals one-shot clustering over all pairs") {
+    val root = Files.createTempDirectory("stream_clusters")
+    val src = root.resolve("incoming").toString
+    val index = root.resolve("index").toString
+    val cands = root.resolve("cands").toString
+    val ckpt = root.resolve("ckpt").toString
+    val clusters = root.resolve("clusters").toString
+    Files.createDirectories(root.resolve("incoming"))
+
+    // wave 1: pair (1,3) + loner 2
+    Seq((1L, doc(1 to 60)), (2L, doc(100 to 160)),
+        (3L, doc(1 to 60, Map(30 -> "CHANGED"))))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamingDedup.drain(spark, src, index, cands, ckpt, "doc_id", "text",
+      schema, clustersDir = Some(clusters))
+    val after1 = spark.read.parquet(clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after1.get(1L).contains(1L) && after1.get(3L).contains(1L),
+      s"wave-1 pair should cluster to min id: $after1")
+
+    // wave 2: 10 near-dups wave-1's doc 2 (new cluster), 11 near-dups doc 3
+    // (EXTENDS the {1,3} cluster through the merge path)
+    Seq((10L, doc(100 to 160, Map(130 -> "ALSO"))),
+        (11L, doc(1 to 60, Map(30 -> "CHANGED", 50 -> "MORE"))))
+      .toDF("doc_id", "text").write.mode("append").parquet(src)
+    StreamingDedup.drain(spark, src, index, cands, ckpt, "doc_id", "text",
+      schema, clustersDir = Some(clusters))
+
+    val streamed = spark.read.parquet(clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // one-shot reference: components over ALL accumulated candidate pairs
+    val oneShot = graft.operators.Dedup.connectedComponents(
+        spark.read.parquet(cands), "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == oneShot,
+      s"streamed $streamed must equal one-shot $oneShot")
+    assert(streamed.get(11L).contains(1L), "cross-wave extension joins {1,3}")
+    assert(streamed.get(10L).contains(2L))
+  }
 }
