@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {
+    // media kernels: in-memory ImageIO streams (the default disk cache
+    // creates a temp file per encode/decode — thousands of filesystem ops
+    // per task on blob media). JVM-global; local-mode executors share it.
+    // Cluster deployments set the same via a small executor plugin or rely
+    // on graft.operators.Multimodal's own initializer.
+    javax.imageio.ImageIO.setUseCache(false)
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

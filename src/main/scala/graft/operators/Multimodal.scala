@@ -28,6 +28,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every decode/encode
+  // creates (and deletes) a temp file — thousands of filesystem ops per
+  // task for blob-sized media. In-memory caching is strictly better for
+  // per-blob-bounded payloads. JVM-global, set once at first use of any
+  // media kernel (executors load this object before touching ImageIO).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Output schema of the fake feature extractor: per-blob typed metadata +
     * a fixed-width feature vector.
     */
