@@ -303,6 +303,48 @@ object Dedup {
   def ngramJaccard(textA: String, textB: String, n: Int = 3): org.apache.spark.sql.Column =
     jaccard(TextFunctions.shingles(col(textA), n), TextFunctions.shingles(col(textB), n))
 
+  /** Lineage-cut strategy for the iterative propagation in
+    * [[connectedComponents]] / [[mergeComponents]]. Each round's plan must
+    * be truncated or it doubles every iteration; WHERE the cut materializes
+    * is a durability/speed trade the caller owns:
+    *  - [[Checkpointer.Local]] (default): `localCheckpoint(eager)` —
+    *    executor block-manager memory/disk. Fastest, but blocks are lost on
+    *    executor failure and the truncated lineage cannot recompute them —
+    *    fine for interactive/local work, not for long cluster jobs.
+    *  - [[Checkpointer.Reliable]]: `checkpoint(eager)` against a reliable
+    *    checkpoint dir (HDFS/object store) — survives executor loss at the
+    *    cost of a round-trip write per round.
+    */
+  sealed trait Checkpointer { private[operators] def cut(df: DataFrame): DataFrame }
+  object Checkpointer {
+    case object Local extends Checkpointer {
+      private[operators] def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    }
+    final case class Reliable(dir: String) extends Checkpointer {
+      private[operators] def cut(df: DataFrame): DataFrame = {
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      }
+    }
+  }
+
+  /** Labels ride as 8-byte longs; a silent `cast("long")` would turn
+    * string/UUID ids into nulls, drop every edge, and "deduplicate" nothing
+    * — so non-integral id columns are rejected loudly up front.
+    */
+  private def requireIntegralIds(df: DataFrame, cols: Seq[String], who: String): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(df.schema.fieldIndex(c)).dataType
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      require(integral,
+        s"$who requires integral id columns (labels propagate as 8-byte " +
+          s"longs); '$c' is $dt — hash non-numeric ids to longs first " +
+          "(e.g. xxhash64(id))")
+    }
+
   /** Connected components over a candidate-pair edge list — the cluster
     * resolution stage of near-dup dedup: LSH/SimHash emit PAIRS, but keeping
     * one doc per duplicate GROUP needs the transitive closure (a≈b, b≈c ⇒
@@ -317,10 +359,10 @@ object Dedup {
     * similar docs, diameter ~2–3), which is why the simple propagation beats
     * carrying the machinery of large-star/small-star here; a corpus whose
     * duplicate graph has pathological chains (diameter > `maxIter`) fails
-    * fast rather than returning wrong clusters. Per-round lineage is cut
-    * with an eager `localCheckpoint` or the plan would double every
-    * iteration (at production scale prefer `sparkContext.setCheckpointDir` +
-    * `checkpoint()` for executor-loss resilience).
+    * fast rather than returning wrong clusters. Per-round lineage is cut via
+    * the [[Checkpointer]] (or the plan would double every iteration) —
+    * default executor-local, [[Checkpointer.Reliable]] for executor-loss
+    * resilience on long cluster jobs.
     *
     * Output: `(id, cluster)` for every node that appears in `pairs`;
     * `cluster` = min id in the component. Singletons never enter the edge
@@ -328,17 +370,19 @@ object Dedup {
     * `coalesce(cluster, id)` after a left join (see q99).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true) // pairs may be an expensive LSH plan: run it ONCE
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+                          maxIter: Int = 25,
+                          checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+    requireIntegralIds(pairs, Seq(aCol, bCol), "connectedComponents")
+    val edges = checkpointer.cut(
+      pairs.select(col(aCol).cast("long").as("src"),
+          col(bCol).cast("long").as("dst"))
+        .union(pairs.select(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()) // pairs may be an expensive LSH plan: run it ONCE
+    var labels = checkpointer.cut(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -346,11 +390,11 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("__changed"))
-        .localCheckpoint(true)
+      val next = checkpointer.cut(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (coalesce(col("nmin"), col("label")) < col("label")).as("__changed")))
       converged = next.filter(col("__changed")).limit(1).isEmpty
       labels = next.drop("__changed")
       iter += 1
@@ -376,11 +420,12 @@ object Dedup {
     */
   def mergeComponents(existing: DataFrame, newPairs: DataFrame,
                       aCol: String, bCol: String,
-                      maxIter: Int = 25): DataFrame = {
+                      maxIter: Int = 25,
+                      checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
     val assignmentEdges = existing
       .select(col("id").as(aCol), col("cluster").as(bCol))
     val comps = connectedComponents(assignmentEdges.union(
-      newPairs.select(col(aCol), col(bCol))), aCol, bCol, maxIter)
+      newPairs.select(col(aCol), col(bCol))), aCol, bCol, maxIter, checkpointer)
     // self-loop assignments (untouched singletons) carry no edge — re-attach
     // them unchanged so the output still covers every previously-seen id
     val untouched = existing.join(comps, Seq("id"), "left_anti")

@@ -227,7 +227,7 @@ object Multimodal {
     * method does with no shared state. Non-PCM16 / non-WAV payloads return
     * None and take the AudioSystem path, value-identically.
     */
-  private def parseWavPcm16(bytes: Array[Byte], dim: Int): Option[Row] = {
+  private def parseWavPcm16(bytes: Array[Byte], dim: Int): Option[Row] = try {
     if (!isWav(bytes)) return None
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -238,7 +238,9 @@ object Multimodal {
     while (pos + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = buf.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None // malformed
+      // Long arithmetic: a crafted size near Int.MaxValue wraps pos+8+size
+      // negative in Int, sneaking past the malformed check.
+      if (size < 0 || pos.toLong + 8 + size > bytes.length) return None // malformed
       if (id == "fmt " && size >= 16) {
         val audioFormat = buf.getShort(pos + 8) & 0xFFFF
         channels = buf.getShort(pos + 10) & 0xFFFF
@@ -275,6 +277,10 @@ object Multimodal {
       } else null
     Some(Row(rate, channels, 16, nFrames.toLong, dur, bytes.length.toLong,
       if (feats == null) null else feats))
+  } catch {
+    // Like the sibling decoders: a malformed payload yields the P5 null-row
+    // fallback, never a task-killing exception.
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** REAL audio decode: the lock-free [[parseWavPcm16]] fast path for

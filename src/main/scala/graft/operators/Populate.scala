@@ -84,6 +84,52 @@ object Populate {
     } finally cached.unpersist()
   }
 
+  /** Crash-safe FULL REPLACEMENT of a parquet table (the compact-snapshot
+    * twin of [[appendIdempotent]] — for tables whose correct idempotent
+    * semantics are "latest derivation wins", e.g. cluster assignments).
+    *
+    * `mode("overwrite")` deletes the directory BEFORE writing, so a crash
+    * mid-write destroys the previous snapshot — and when the new snapshot's
+    * plan also READS the old table, recompute after executor loss is
+    * impossible. This instead:
+    *  1. writes the new snapshot to a `<table>.__staged` sibling (the old
+    *     table stays intact and readable throughout — plans deriving the
+    *     new snapshot FROM the old one need no lineage cut);
+    *  2. deletes the old table and renames the staged copy into place.
+    * A crash in step 1 leaves the old table untouched (the incomplete
+    * staging dir has no `_SUCCESS` and is deleted on the next attempt); a
+    * crash between delete and rename leaves a COMPLETE staged copy that
+    * [[readReplaced]] publishes on the next read. No interleaving loses
+    * both snapshots.
+    */
+  def replaceAtomic(result: DataFrame, tablePath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = result.sparkSession
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new Path(table.getParent, table.getName + ".__staged")
+    fs.delete(staged, true) // leftovers of a crashed attempt are superseded
+    result.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    fs.delete(table, true)
+    if (!fs.rename(staged, table))
+      throw new java.io.IOException(s"failed to publish $staged over $table")
+  }
+
+  /** [[readIfExists]] for tables maintained by [[replaceAtomic]]: if the
+    * table is missing but a COMPLETE staged copy exists (crash between
+    * delete and rename), publish it first, then read.
+    */
+  def readReplaced(spark: org.apache.spark.sql.SparkSession,
+                   tablePath: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new Path(table.getParent, table.getName + ".__staged")
+    if (!fs.exists(table) && fs.exists(new Path(staged, "_SUCCESS")))
+      fs.rename(staged, table)
+    readIfExists(spark, tablePath)
+  }
+
   /** [[readIfExists]] that additionally maps a present-but-EMPTY table
     * directory (created by the exclusive-lock protocol before any data
     * lands) to None. The emptiness is verified by listing — a directory

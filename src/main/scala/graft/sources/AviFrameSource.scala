@@ -134,9 +134,10 @@ private[sources] class AviReaderFactory(
 
 /** One AVI file per partition. The payload column's presence in the
   * required schema decides the walk mode: with `frame_jpeg`, sampled frames
-  * are read (one in memory at a time is the walker's bound, `maxFrames` the
-  * task's); without it, the walk reads chunk headers only. Non-AVI files
-  * yield zero rows (the listing may glob a mixed directory).
+  * are pulled lazily from the open stream (ONE frame live at a time — the
+  * task's bound, not `maxFrames` × frame size); without it, the walk reads
+  * chunk headers only. Non-AVI files yield zero rows (the listing may glob
+  * a mixed directory).
   */
 private[sources] class AviPartitionReader(
     part: AviFilePartition, opts: AviFrameOptions,
@@ -146,25 +147,30 @@ private[sources] class AviPartitionReader(
   private val needsPayload = requiredCols.contains("frame_jpeg")
   private val fileUtf8 = UTF8String.fromString(part.path)
 
-  // the parse is deferred to the first next() so the reader constructor
-  // (driver-serialized) does no IO
-  private var frames: Iterator[(AviMjpeg.AviInfo, AviMjpeg.AviFrame)] = _
-  private var current: (AviMjpeg.AviInfo, AviMjpeg.AviFrame) = _
+  // the walk is deferred to the first next() so the reader constructor
+  // (driver-serialized) does no IO; the stream stays open across next()
+  // calls (the walk is lazy — live memory is ONE frame) and is closed on
+  // exhaustion or by close()
+  private var in: java.io.InputStream = _
+  private var info: AviMjpeg.AviInfo = _
+  private var frames: Iterator[AviMjpeg.AviFrame] = _
+  private var current: AviMjpeg.AviFrame = _
 
   override def next(): Boolean = {
     if (frames == null) {
       val p = new org.apache.hadoop.fs.Path(part.path)
-      val in = p.getFileSystem(conf.value).open(p)
-      val parsed =
-        try AviMjpeg.parse(in, opts.everyNth, opts.maxFrames, needsPayload)
-        finally in.close()
-      frames = parsed.iterator.flatMap { case (info, fs) => fs.map(f => (info, f)) }
+      in = p.getFileSystem(conf.value).open(p)
+      AviMjpeg.frameIterator(in, opts.everyNth, opts.maxFrames, needsPayload) match {
+        case Some((i, fs)) => info = i; frames = fs
+        case None => close(); frames = Iterator.empty
+      }
     }
-    if (frames.hasNext) { current = frames.next(); true } else false
+    if (frames.hasNext) { current = frames.next(); true }
+    else { close(); false }
   }
 
   override def get(): InternalRow = {
-    val (info, f) = current
+    val f = current
     val values: Array[Any] = requiredCols.map {
       case "file" => fileUtf8: Any
       case "width" => info.width
@@ -180,5 +186,5 @@ private[sources] class AviPartitionReader(
     new GenericInternalRow(values)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = if (in != null) { in.close(); in = null }
 }

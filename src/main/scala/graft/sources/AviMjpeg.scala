@@ -158,6 +158,101 @@ object AviMjpeg {
     finally in.close()
   }
 
+  /** The streaming walker behind [[frameIterator]]: pull-based — each
+    * `hasNext` advances the RIFF walk to the next sampled video chunk, so
+    * live memory is ONE frame no matter what `maxFrames` is. Header fields
+    * populate as `hdrl` is walked (before the first frame in a conformant
+    * container). A stream that turns corrupt mid-walk ends the iteration at
+    * the frames already yielded (per-file P5 discipline: a bad tail means
+    * fewer rows, not a task kill).
+    */
+  private final class FrameWalk(in: DataInputStream, everyNth: Int,
+                                maxFrames: Int, withPayload: Boolean)
+      extends Iterator[AviFrame] {
+    var width = 0; var height = 0
+    var usPerFrame = 0L; var headerFrames = 0L
+    private var videoChunks = 0L
+    private var collected = 0
+    private var done = false
+    private var pending: AviFrame = null
+
+    private def step(): Unit =
+      try {
+        while (pending == null && !done) {
+          if (collected >= maxFrames) done = true
+          else {
+            val id = readFourCC(in)
+            val size = readU32LE(in)
+            val padded = size + (size & 1) // chunks are word-aligned
+            id match {
+              case "LIST" | "RIFF" =>
+                readFourCC(in) // descend into hdrl/movi/rec /AVIX segments
+              case "avih" =>
+                usPerFrame = readU32LE(in)
+                skipFully(in, 12)
+                headerFrames = readU32LE(in)
+                skipFully(in, 12)
+                width = readU32LE(in).toInt
+                height = readU32LE(in).toInt
+                skipFully(in, padded - 40)
+              case _ if id(0).isDigit && id(1).isDigit &&
+                        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') =>
+                val take = videoChunks % everyNth == 0 && collected < maxFrames
+                if (take && size > 0 && size <= MaxFrameBytes) {
+                  if (withPayload) {
+                    val buf = new Array[Byte](size.toInt)
+                    in.readFully(buf)
+                    pending = AviFrame(videoChunks, buf)
+                    skipFully(in, padded - size)
+                  } else {
+                    pending = AviFrame(videoChunks, null)
+                    skipFully(in, padded)
+                  }
+                  collected += 1
+                } else skipFully(in, padded)
+                videoChunks += 1
+              case _ =>
+                skipFully(in, padded)
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => done = true }
+
+    override def hasNext: Boolean = {
+      if (pending == null && !done) step()
+      pending != null
+    }
+    override def next(): AviFrame = {
+      if (!hasNext) throw new NoSuchElementException("frame walk exhausted")
+      val f = pending; pending = null; f
+    }
+  }
+
+  /** Lazy twin of [[parse]] — header info plus a ONE-PASS iterator of
+    * sampled frames, with live memory bounded by a single frame (the eager
+    * [[parse]] buffers up to `maxFrames` × frame size; this never does).
+    * The CALLER owns `raw`: keep it open until the iterator is exhausted,
+    * then close it. `info.totalFrames` here is the header's DECLARED count
+    * (exact counting needs a full walk — that is [[parse]]'s job); the
+    * row-producing consumers ([[videoFrames]], `graft-avi`) never read it.
+    * Returns None when the stream is not an AVI.
+    */
+  def frameIterator(raw: InputStream, everyNth: Int = 1,
+                    maxFrames: Int = Int.MaxValue,
+                    withPayload: Boolean = true): Option[(AviInfo, Iterator[AviFrame])] = {
+    require(everyNth > 0 && maxFrames > 0)
+    val in = new DataInputStream(raw)
+    try {
+      if (readFourCC(in) != "RIFF") return None
+      readU32LE(in) // RIFF size — EOF terminates the walk instead
+      if (readFourCC(in) != "AVI ") return None
+      val walk = new FrameWalk(in, everyNth, maxFrames, withPayload)
+      walk.hasNext // prime through hdrl so the info fields are populated
+      Some((AviInfo(walk.width, walk.height, walk.usPerFrame,
+        walk.headerFrames), walk))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Blob-column convenience: parse an in-memory AVI payload. */
   def parseBytes(bytes: Array[Byte], everyNth: Int = 1,
                  maxFrames: Int = Int.MaxValue): Option[(AviInfo, Vector[AviFrame])] =
@@ -283,12 +378,16 @@ object AviMjpeg {
   /** Distributed frame extraction over a directory of MJPEG-AVI files — the
     * reference's `retrieve_video_frames` slice as one scan. The listing is a
     * metadata-only `binaryFile` scan (content column unselected, never
-    * fetched); each task then re-opens its files as Hadoop FS streams, so
-    * memory per task is ONE frame, and every `everyNth` stride costs only
-    * chunk-header reads on the skipped frames.
+    * fetched); each task then re-opens its files as Hadoop FS streams and
+    * walks them LAZILY ([[frameIterator]]), so live memory per task is ONE
+    * frame — not `maxFramesPerFile` × frame size — and every `everyNth`
+    * stride costs only chunk-header reads on the skipped frames. Streams
+    * close on exhaustion; a task-completion listener closes the in-flight
+    * one if the consumer stops early (e.g. a LIMIT).
     *
-    * Non-AVI / corrupt files yield zero rows (P5 discipline is per-file here:
-    * a bad file is observable via an anti-join against the listing).
+    * Non-AVI files yield zero rows; a file that turns corrupt mid-walk
+    * yields the frames before the corruption (P5 discipline is per-file
+    * here: a bad file is observable via an anti-join against the listing).
     */
   def videoFrames(spark: SparkSession, pathGlob: String, everyNth: Int = 1,
                   maxFramesPerFile: Int = 64): DataFrame = {
@@ -296,22 +395,37 @@ object AviMjpeg {
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val enc = RowEncoder.encoderFor(frameSchema)
     listing.mapPartitions { rows =>
+      val open = new Array[java.io.InputStream](1)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          if (open(0) != null) open(0).close()
+        })
       rows.flatMap { r =>
         val pathStr = r.getString(0)
         val p = new org.apache.hadoop.fs.Path(pathStr)
         val in = p.getFileSystem(conf.value).open(p)
-        val parsed =
-          try parse(in, everyNth, maxFramesPerFile)
-          finally in.close()
-        parsed.iterator.flatMap { case (info, frames) =>
-          val fps =
-            if (info.microSecPerFrame > 0) 1e6 / info.microSecPerFrame else null
-          frames.map { f =>
-            val t =
-              if (info.microSecPerFrame > 0) f.index * info.microSecPerFrame / 1e6
-              else null
-            Row(pathStr, info.width, info.height, fps, f.index, t, f.jpeg)
-          }
+        open(0) = in
+        frameIterator(in, everyNth, maxFramesPerFile) match {
+          case None =>
+            in.close(); open(0) = null
+            Iterator.empty
+          case Some((info, frames)) =>
+            val fps: Any =
+              if (info.microSecPerFrame > 0) 1e6 / info.microSecPerFrame else null
+            new Iterator[Row] {
+              override def hasNext: Boolean = {
+                val h = frames.hasNext
+                if (!h && open(0) != null) { open(0).close(); open(0) = null }
+                h
+              }
+              override def next(): Row = {
+                val f = frames.next()
+                val t: Any =
+                  if (info.microSecPerFrame > 0) f.index * info.microSecPerFrame / 1e6
+                  else null
+                Row(pathStr, info.width, info.height, fps, f.index, t, f.jpeg)
+              }
+            }
         }
       }
     }(enc)

@@ -97,7 +97,14 @@ object ZarrSource {
         inf.setInput(bytes)
         val out = new Array[Byte](rawLen)
         var off = 0
-        while (off < rawLen && !inf.finished()) off += inf.inflate(out, off, rawLen - off)
+        var stalled = false
+        while (off < rawLen && !inf.finished() && !stalled) {
+          val n = inf.inflate(out, off, rawLen - off)
+          // inflate()==0 with more output expected means the stream is
+          // truncated/corrupt (needsInput with nothing left to give) — fail
+          // the task instead of spinning forever.
+          if (n == 0 && !inf.finished()) stalled = true else off += n
+        }
         require(off == rawLen, s"zlib chunk inflated to $off of $rawLen bytes")
         out
       } finally inf.end()

@@ -35,8 +35,12 @@ object StreamingDedup {
     * runs over `batch-pairs + assignments` edges, never the full historical
     * pair set, so cluster maintenance cost scales with the batch exactly
     * like the candidate path. The table is REPLACED per batch (assignments
-    * are a compact id-per-doc table, overwrite is the correct idempotent
-    * semantics for it — re-running a batch converges to the same fixpoint).
+    * are a compact id-per-doc table, replacement is the correct idempotent
+    * semantics for it — re-running a batch converges to the same fixpoint)
+    * via [[Populate.replaceAtomic]]'s staged-write-then-swap, so a crash
+    * mid-batch always leaves either the previous or the new snapshot
+    * complete on disk (it can also be rebuilt from `candidatesDir` by a
+    * one-shot [[Dedup.connectedComponents]], but never has to be).
     */
   def drain(spark: SparkSession, sourceDir: String, indexDir: String,
             candidatesDir: String, checkpointDir: String,
@@ -67,14 +71,15 @@ object StreamingDedup {
           Populate.appendIdempotent(cached, indexDir, Seq(idCol, "band"))
           clustersDir.foreach { dir =>
             val newPairs = cands.select("id_a", "id_b")
-            val existing = Populate.readIfExists(spark, dir)
+            val existing = Populate.readReplaced(spark, dir)
             val merged = existing match {
               case Some(e) => Dedup.mergeComponents(e, newPairs, "id_a", "id_b")
               case None => Dedup.connectedComponents(newPairs, "id_a", "id_b")
             }
-            // cut lineage BEFORE overwriting the table the plan reads from
-            // (executor-side materialization — never a driver collect)
-            merged.localCheckpoint(true).write.mode("overwrite").parquet(dir)
+            // staged write + swap: the old assignments stay intact (and the
+            // merge plan keeps reading them) until the new snapshot is fully
+            // on disk — a crashed batch never destroys the table
+            Populate.replaceAtomic(merged, dir)
           }
         } finally cached.unpersist()
         ()

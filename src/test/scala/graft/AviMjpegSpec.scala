@@ -71,6 +71,29 @@ class AviMjpegSpec extends SparkSpec {
     assert(strided.map(_.index) == Vector(0L, 3L, 6L))
   }
 
+  test("frameIterator streams the same frames as the eager parse, one at a time") {
+    val avi = testAvi(nFrames = 12, w = 24, h = 12)
+    val (eagerInfo, eager) = AviMjpeg.parseBytes(avi, everyNth = 3).get
+
+    val (info, it) = AviMjpeg.frameIterator(
+      new java.io.ByteArrayInputStream(avi), everyNth = 3).get
+    assert(info.width == eagerInfo.width && info.height == eagerInfo.height)
+    assert(info.microSecPerFrame == eagerInfo.microSecPerFrame)
+    val lazyFrames = it.toVector
+    assert(lazyFrames.map(_.index) == eager.map(_.index))
+    lazyFrames.zip(eager).foreach { case (l, e) =>
+      assert(java.util.Arrays.equals(l.jpeg, e.jpeg))
+    }
+
+    // a container that turns corrupt mid-walk yields the frames before the
+    // corruption instead of killing the consumer
+    val truncated = avi.take(avi.length / 2)
+    AviMjpeg.frameIterator(new java.io.ByteArrayInputStream(truncated))
+      .foreach { case (_, frames) =>
+        frames.foreach(f => assert(f.jpeg != null)) // drains without throwing
+      }
+  }
+
   test("parse rejects non-AVI and survives corrupt containers") {
     assert(AviMjpeg.parseBytes("not riff at all".getBytes("UTF-8")).isEmpty)
     // valid magic, garbage body: parse must not throw

@@ -82,4 +82,35 @@ class ConcurrentAppendSpec extends SparkSpec {
     assert(table.count() == 20)
     assert(table.select(countDistinct(col("pk"))).head().getLong(0) == 20)
   }
+
+  test("replaceAtomic: snapshots swap in place and survive every crash window") {
+    val root = java.nio.file.Files.createTempDirectory("replace_atomic").toString
+    val path = root + "/t"
+    Populate.replaceAtomic(Seq((1L, "v1")).toDF("id", "v"), path)
+    assert(spark.read.parquet(path).collect().map(_.getString(1)).toSeq == Seq("v1"))
+
+    // the new snapshot's plan reads the OLD table — no lineage cut needed,
+    // because the staged write never touches the source until it's complete
+    val derived = spark.read.parquet(path).withColumn("v", lit("v2"))
+    Populate.replaceAtomic(derived, path)
+    assert(spark.read.parquet(path).collect().map(_.getString(1)).toSeq == Seq("v2"))
+
+    // crash window 1: incomplete staging (no _SUCCESS) — old table intact,
+    // next read ignores the debris
+    val staged = java.nio.file.Paths.get(root, "t.__staged")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-junk.parquet"), Array[Byte](1))
+    assert(Populate.readReplaced(spark, path).get
+      .collect().map(_.getString(1)).toSeq == Seq("v2"))
+
+    // crash window 2: complete staged copy, table deleted (crash between
+    // delete and rename) — readReplaced publishes the staged snapshot
+    Seq((1L, "v3")).toDF("id", "v").write.mode("overwrite")
+      .parquet(staged.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+    assert(Populate.readReplaced(spark, path).get
+      .collect().map(_.getString(1)).toSeq == Seq("v3"))
+    // and the recovery is durable: the table is back in place
+    assert(spark.read.parquet(path).collect().map(_.getString(1)).toSeq == Seq("v3"))
+  }
 }

@@ -156,6 +156,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3).getAs[Long]("n_bytes") == 0L)
   }
 
+  test("a crafted WAV size field near Int.MaxValue yields the null-row fallback") {
+    // corrupt a valid WAV's fmt-chunk size so pos+8+size wraps negative in
+    // Int arithmetic — the direct parser must fall through to the null-row
+    // path (P5), not die on an out-of-bounds read
+    val wav = Multimodal.buildWavPcm16(Array.fill(100)(1000: Short), 8000)
+    val evil = wav.clone()
+    val size = 0x7FFFFFF0
+    evil(16) = (size & 0xFF).toByte
+    evil(17) = ((size >> 8) & 0xFF).toByte
+    evil(18) = ((size >> 16) & 0xFF).toByte
+    evil(19) = ((size >> 24) & 0xFF).toByte
+
+    val df = Seq((1L, evil)).toDF("id", "blob")
+    val out = Multimodal.audioFeatures(df, "blob", dim = 4).collect()
+    assert(out.length == 1, "the row survives")
+    assert(out(0).getAs[Any]("sample_rate") == null, "null audio fields")
+    assert(out(0).getAs[Long]("n_bytes") == evil.length.toLong)
+  }
+
   test("buildWavPcm16 is byte-deterministic with a canonical 44-byte header") {
     val s = Array.tabulate(10)(i => (i * 1000).toShort)
     val w1 = Multimodal.buildWavPcm16(s, 44100)

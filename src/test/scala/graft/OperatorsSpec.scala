@@ -331,6 +331,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("connectedComponents rejects non-integral id columns loudly") {
+    // a silent cast("long") would null string ids, drop every edge, and
+    // return empty clusters — keepCanonical would then "dedup" nothing
+    val uuidPairs = Seq(("a-1", "b-2"), ("b-2", "c-3")).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(uuidPairs, "id_a", "id_b")
+    }
+    assert(ex.getMessage.contains("integral"))
+    assert(ex.getMessage.contains("xxhash64"), "points at the remedy")
+  }
+
+  test("connectedComponents with a reliable checkpoint dir matches the local default") {
+    val pairs = Seq((20L, 10L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val local = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
+        checkpointer = graft.operators.Dedup.Checkpointer.Reliable(dir))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    assert(reliable == local)
+    // the cut really went through the reliable dir, not executor memory
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "reliable checkpointer materialized RDDs in the dir")
+  }
+
   test("mergeComponents: incremental batches converge to the one-shot clustering") {
     val batch1 = Seq((10L, 20L), (40L, 50L)).toDF("id_a", "id_b")
     val batch2 = Seq((20L, 30L), (30L, 40L)).toDF("id_a", "id_b") // bridges both

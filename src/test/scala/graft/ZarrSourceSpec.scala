@@ -120,6 +120,28 @@ class ZarrSourceSpec extends SparkSpec {
     assert(split.getMessage.contains("rechunk"))
   }
 
+  test("a truncated zlib chunk fails fast instead of spinning the inflater") {
+    val data = Array.tabulate(8, 2)((r, c) => (r * 10 + c).toDouble)
+    val store = tmpStore("trunc")
+    ZarrSource.write(spark, store, data, dtype = "<f8", chunkRows = 8,
+      compressor = Some("zlib"))
+
+    // chop the single chunk file in half; drop the Hadoop .crc sidecar so
+    // the checksum layer doesn't mask the inflate path we're testing
+    val chunk = java.nio.file.Paths.get(store, "0.0")
+    val whole = java.nio.file.Files.readAllBytes(chunk)
+    java.nio.file.Files.write(chunk, whole.take(whole.length / 2))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(store, ".0.0.crc"))
+
+    val ex = intercept[Exception] {
+      ZarrSource.read(spark, store).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("inflated")),
+      s"expected the zlib inflate failure, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("resolveEphysPath prefers the processed .zarr twin when it exists") {
     val root = java.nio.file.Files.createTempDirectory("graft-ephys").toString
     val rawDir = java.nio.file.Paths.get(root, "raw", "subj1")
