@@ -87,11 +87,16 @@ object Sampling {
     // doc lengths). The keep decision stays per-document, so the achieved
     // token share equals the target in expectation.
     val mass = sizeCol.fold(count(lit(1)).cast("double"))(c => sum(col(c)).cast("double"))
-    val counts = df.groupBy(col(strataCol))
+    val perStratum = df.groupBy(col(strataCol))
       .agg(mass.as("__n"))
       .withColumn("__w", w)
       .filter(col("__w").isNotNull) // strata without a weight are dropped
-      .withColumn("__c", min(col("__n") / col("__w")).over(Window.partitionBy()))
+    // c = min_s(n_s/w_s) as a 1-row aggregate broadcast-crossed back onto
+    // the #strata frame — same value as a global window-min, without the
+    // single-partition WindowExec (harmless at #strata rows, a trap if a
+    // caller ever passes a high-cardinality stratum column)
+    val cMin = perStratum.agg(min(col("__n") / col("__w")).as("__c"))
+    val counts = perStratum.crossJoin(broadcast(cMin))
       .withColumn("__rate", col("__c") * col("__w") / col("__n"))
       .select(col(strataCol), col("__rate"))
     df.join(broadcast(counts), strataCol)

@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -28,6 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    frame (or by nothing at all when the payload column is pruned).
   *  - `everyNth` / `maxFrames` options bound output exactly like
   *    [[AviMjpeg.videoFrames]].
+  *  - **`frame_index` upper bounds push into the walk**: a
+  *    `frame_index <= N` predicate becomes the walker's stop condition, so
+  *    a head slice of an hour-long recording costs N+1 chunk headers of IO
+  *    instead of a full-container walk. `.explain` shows the pushed bound.
   *
   * Options: `everyNth` (sample stride, default 1), `maxFrames` (per-file
   * cap, default 64). Multi-path loads and recursive directory expansion
@@ -80,22 +86,57 @@ private[sources] class AviFrameTable(opts: AviFrameOptions)
 }
 
 private[sources] class AviScanBuilder(opts: AviFrameOptions)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = AviMjpeg.frameSchema
+  private var maxIndex: Long = Long.MaxValue
+  private var pushed: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AviScan(opts, required)
+
+  /** Upper bounds on `frame_index` become the walker's STOP condition: a
+    * `frame_index <= N` slice of an hour-long recording reads N+1 chunk
+    * headers instead of walking the whole container. The bound is an
+    * early-stop, not an exact evaluation (strides/equality still need the
+    * row-level check), so every filter is also returned as a residual for
+    * Spark to re-apply — absorbing it can only skip IO, never change rows.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    pushed = filters.filter {
+      case sources.LessThan("frame_index", v) =>
+        longOf(v).exists { l => maxIndex = math.min(maxIndex, l - 1); true }
+      case sources.LessThanOrEqual("frame_index", v) =>
+        longOf(v).exists { l => maxIndex = math.min(maxIndex, l); true }
+      case sources.EqualTo("frame_index", v) =>
+        longOf(v).exists { l => maxIndex = math.min(maxIndex, l); true }
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = new AviScan(opts, required, maxIndex)
 }
 
-private[sources] class AviScan(opts: AviFrameOptions, required: StructType)
+private[sources] class AviScan(opts: AviFrameOptions, required: StructType,
+                               maxIndex: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val payload = if (required.fieldNames.contains("frame_jpeg")) "payload"
       else "HEADERS-ONLY"
+    val bound = if (maxIndex == Long.MaxValue) "" else s" frame_idx<=$maxIndex"
     s"graft-avi(${opts.paths.mkString(",")}) everyNth=${opts.everyNth} " +
-      s"maxFrames=${opts.maxFrames} read=$payload"
+      s"maxFrames=${opts.maxFrames} read=$payload$bound"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -117,7 +158,7 @@ private[sources] class AviScan(opts: AviFrameOptions, required: StructType)
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    new AviReaderFactory(opts, required.fieldNames, conf)
+    new AviReaderFactory(opts, required.fieldNames, conf, maxIndex)
   }
 }
 
@@ -125,10 +166,10 @@ private[sources] case class AviFilePartition(path: String) extends InputPartitio
 
 private[sources] class AviReaderFactory(
     opts: AviFrameOptions, requiredCols: Array[String],
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf, maxIndex: Long) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[AviFilePartition]
-    new AviPartitionReader(part, opts, requiredCols, conf)
+    new AviPartitionReader(part, opts, requiredCols, conf, maxIndex)
   }
 }
 
@@ -141,7 +182,8 @@ private[sources] class AviReaderFactory(
   */
 private[sources] class AviPartitionReader(
     part: AviFilePartition, opts: AviFrameOptions,
-    requiredCols: Array[String], conf: SerializableHadoopConf)
+    requiredCols: Array[String], conf: SerializableHadoopConf,
+    maxIndex: Long)
     extends PartitionReader[InternalRow] {
 
   private val needsPayload = requiredCols.contains("frame_jpeg")
@@ -160,7 +202,8 @@ private[sources] class AviPartitionReader(
     if (frames == null) {
       val p = new org.apache.hadoop.fs.Path(part.path)
       in = p.getFileSystem(conf.value).open(p)
-      AviMjpeg.frameIterator(in, opts.everyNth, opts.maxFrames, needsPayload) match {
+      AviMjpeg.frameIterator(in, opts.everyNth, opts.maxFrames, needsPayload,
+          maxIndex) match {
         case Some((i, fs)) => info = i; frames = fs
         case None => close(); frames = Iterator.empty
       }

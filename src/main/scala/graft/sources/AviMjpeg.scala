@@ -167,7 +167,8 @@ object AviMjpeg {
     * fewer rows, not a task kill).
     */
   private final class FrameWalk(in: DataInputStream, everyNth: Int,
-                                maxFrames: Int, withPayload: Boolean)
+                                maxFrames: Int, withPayload: Boolean,
+                                maxIndex: Long)
       extends Iterator[AviFrame] {
     var width = 0; var height = 0
     var usPerFrame = 0L; var headerFrames = 0L
@@ -179,7 +180,7 @@ object AviMjpeg {
     private def step(): Unit =
       try {
         while (pending == null && !done) {
-          if (collected >= maxFrames) done = true
+          if (collected >= maxFrames || videoChunks > maxIndex) done = true
           else {
             val id = readFourCC(in)
             val size = readU32LE(in)
@@ -236,17 +237,24 @@ object AviMjpeg {
     * (exact counting needs a full walk — that is [[parse]]'s job); the
     * row-producing consumers ([[videoFrames]], `graft-avi`) never read it.
     * Returns None when the stream is not an AVI.
+    *
+    * `maxIndex` is the pushed-down upper bound on `frame_index` (from a
+    * `frame_index <= N` predicate): the walk STOPS — stops reading the
+    * stream entirely, not just stops emitting — once the chunk counter
+    * passes it, so a bound of 10 on a million-frame recording costs 11
+    * chunk headers of IO.
     */
   def frameIterator(raw: InputStream, everyNth: Int = 1,
                     maxFrames: Int = Int.MaxValue,
-                    withPayload: Boolean = true): Option[(AviInfo, Iterator[AviFrame])] = {
+                    withPayload: Boolean = true,
+                    maxIndex: Long = Long.MaxValue): Option[(AviInfo, Iterator[AviFrame])] = {
     require(everyNth > 0 && maxFrames > 0)
     val in = new DataInputStream(raw)
     try {
       if (readFourCC(in) != "RIFF") return None
       readU32LE(in) // RIFF size — EOF terminates the walk instead
       if (readFourCC(in) != "AVI ") return None
-      val walk = new FrameWalk(in, everyNth, maxFrames, withPayload)
+      val walk = new FrameWalk(in, everyNth, maxFrames, withPayload, maxIndex)
       walk.hasNext // prime through hdrl so the info fields are populated
       Some((AviInfo(walk.width, walk.height, walk.usPerFrame,
         walk.headerFrames), walk))

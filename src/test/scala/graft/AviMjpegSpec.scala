@@ -172,6 +172,63 @@ class AviMjpegSpec extends SparkSpec {
       .contains("HEADERS-ONLY"))
   }
 
+  test("frame_index upper bounds stop the walk early, in bytes read") {
+    val avi = testAvi(nFrames = 50, w = 32, h = 16)
+    final class CountingStream(b: Array[Byte]) extends java.io.ByteArrayInputStream(b) {
+      def consumed: Int = pos
+    }
+
+    val full = new CountingStream(avi)
+    AviMjpeg.frameIterator(full).get._2.foreach(_ => ())
+    val fullBytes = full.consumed
+
+    val bounded = new CountingStream(avi)
+    val (_, it) = AviMjpeg.frameIterator(bounded, maxIndex = 2L).get
+    assert(it.map(_.index).toVector == Vector(0L, 1L, 2L))
+    assert(bounded.consumed < fullBytes / 4,
+      s"bounded walk read ${bounded.consumed} of $fullBytes bytes — " +
+        "should stop after 3 frames of a 50-frame container")
+  }
+
+  test("graft-avi pushes frame_index bounds into the walker stop condition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi-push").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "cam.avi"), testAvi(nFrames = 30))
+
+    val v2 = spark.read.format("graft-avi")
+      .option("maxFrames", "1000").load(dir + "/*")
+    val sliced = v2.filter(col("frame_index") <= 4)
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("frame_idx<=4"), s"bound not pushed:\n$plan")
+    assert(sliced.select("frame_index").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L to 4L))
+
+    // strict < and equality also bound the walk; rows still exact
+    assert(v2.filter(col("frame_index") < 3).count() == 3)
+    val eq = v2.filter(col("frame_index") === 7)
+    assert(eq.queryExecution.executedPlan.toString.contains("frame_idx<=7"))
+    assert(eq.select("frame_index").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("sampled frame_jpeg payloads are byte-identical to the written fixture") {
+    // backstop for q95's header-surface oracle: the payload bytes themselves
+    // round-trip the container untouched
+    val frames = (0 until 10).map(i => jpegFrame(32, 16, i * 0x050301))
+    val avi = AviMjpeg.build(frames, 32, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi-pin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "pin.avi"), avi)
+
+    val sampled = spark.read.format("graft-avi")
+      .option("everyNth", "3").load(dir + "/*")
+      .select("frame_index", "frame_jpeg").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(sampled.keySet == Set(0L, 3L, 6L, 9L))
+    sampled.foreach { case (idx, jpeg) =>
+      assert(java.util.Arrays.equals(jpeg, frames(idx.toInt)),
+        s"frame $idx bytes differ from the fixture JPEG")
+    }
+  }
+
   test("extractFeatures dispatches AVI blobs to the real container decode") {
     val whiteAvi = AviMjpeg.build(
       Seq(jpegFrame(30, 20, 0xFFFFFF), jpegFrame(30, 20, 0x000000)), 30, 20)
