@@ -286,53 +286,174 @@ object ZarrSource {
             compressor: Option[String] = Some("zlib")): Unit = {
     require(data.nonEmpty)
     val nCols = data.head.length
-    val meta = ZarrMeta(Seq(data.length.toLong, nCols.toLong),
-      Seq(math.min(chunkRows, data.length), nCols), dtype, compressor, "C", ".")
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(storePath))
+    val cr = writeHeader(fs, storePath, data.length.toLong, nCols, chunkRows,
+      dtype, compressor)
+    data.grouped(cr).zipWithIndex.foreach { case (chunk, ci) =>
+      // edge chunks are stored FULL-SIZE (zarr contract), zero-padded
+      val buf = ByteBuffer.allocate(cr * nCols * elemBytesOf(dtype))
+        .order(ByteOrder.LITTLE_ENDIAN)
+      chunk.foreach(row => row.foreach(v => putElem(buf, v, dtype)))
+      val payload = compressChunk(buf.array(), compressor)
+      val cOut = fs.create(
+        new org.apache.hadoop.fs.Path(storePath, s"$ci.0"), true)
+      try cOut.write(payload) finally cOut.close()
+    }
+  }
 
+  private def elemBytesOf(dtype: String): Int = dtype.drop(2).toInt
+
+  /** Write the `.zarray` header (driver-side, the store's only metadata) and
+    * return the effective chunk row count. Shared by [[write]] and
+    * [[writeDistributed]] so both emit byte-identical stores.
+    */
+  private def writeHeader(fs: org.apache.hadoop.fs.FileSystem, storePath: String,
+                          nRows: Long, nCols: Int, chunkRows: Int,
+                          dtype: String, compressor: Option[String]): Int = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(storePath))
+    val cr = math.min(chunkRows.toLong, nRows).toInt
     val compJson = compressor match {
       case Some(id) => s"""{"id": "$id", "level": 1}"""
       case None => "null"
     }
     val header =
-      s"""{"zarr_format": 2, "shape": [${data.length}, $nCols],
-         | "chunks": [${meta.chunks.head}, $nCols], "dtype": "$dtype",
+      s"""{"zarr_format": 2, "shape": [$nRows, $nCols],
+         | "chunks": [$cr, $nCols], "dtype": "$dtype",
          | "compressor": $compJson, "fill_value": 0, "order": "C",
          | "filters": null}""".stripMargin
     val hOut = fs.create(new org.apache.hadoop.fs.Path(storePath, ".zarray"), true)
     try hOut.write(header.getBytes("UTF-8")) finally hOut.close()
+    cr
+  }
 
-    val cr = meta.chunks.head
-    data.grouped(cr).zipWithIndex.foreach { case (chunk, ci) =>
-      // edge chunks are stored FULL-SIZE (zarr contract), zero-padded
-      val buf = ByteBuffer.allocate(cr * nCols * meta.elemBytes)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      chunk.foreach(row => row.foreach(v => putElem(buf, v, dtype)))
-      val raw = buf.array()
-      val payload = compressor match {
-        case None => raw
-        case Some("zlib") =>
-          val d = new java.util.zip.Deflater(1)
-          try {
-            d.setInput(raw); d.finish()
-            val out = new java.io.ByteArrayOutputStream()
-            val tmp = new Array[Byte](64 * 1024)
-            while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
-            out.toByteArray
-          } finally d.end()
-        case Some("gzip") =>
+  /** Deflate one raw C-order chunk buffer. Fixed settings (level 1, matching
+    * the reference companion's speed-over-ratio choice) keep the output a
+    * pure function of the input bytes — what makes distributed task retries
+    * and the driver/distributed byte-identity spec possible.
+    */
+  private def compressChunk(raw: Array[Byte],
+                            compressor: Option[String]): Array[Byte] =
+    compressor match {
+      case None => raw
+      case Some("zlib") =>
+        val d = new java.util.zip.Deflater(1)
+        try {
+          d.setInput(raw); d.finish()
           val out = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(out)
-          try { g.write(raw); g.finish() } finally g.close()
+          val tmp = new Array[Byte](64 * 1024)
+          while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
           out.toByteArray
-        case Some(other) => throw new IllegalArgumentException(other)
-      }
-      val cOut = fs.create(
-        new org.apache.hadoop.fs.Path(storePath, s"$ci.0"), true)
-      try cOut.write(payload) finally cOut.close()
+        } finally d.end()
+      case Some("gzip") =>
+        val out = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(out)
+        try { g.write(raw); g.finish() } finally g.close()
+        out.toByteArray
+      case Some(other) => throw new IllegalArgumentException(other)
     }
+
+  /** Distributed zarr v2 writer — the production-shaped WRITE twin of
+    * [[read]], closing the read/write asymmetry: [[write]] is a driver-loop
+    * fixture writer, but the pipeline this models re-chunks an 83 GB/h
+    * amplifier stream into ~30 s zarr chunks
+    * (`aeon/dj_pipeline/ephys_compression/spike_sorting.py:325-345`), which
+    * no driver can hold.
+    *
+    * Input contract: `df` has a dense `rowCol` (0..n-1, the sample index)
+    * and a fixed-width `channelsCol` (`array<double>`) — exactly what
+    * [[read]] emits, so read→transform→write round-trips.
+    *
+    * Scale shape:
+    *  - ONE shuffle, keyed on the chunk index (`row / chunkRows`), sorted by
+    *    row within partitions — each chunk's rows land contiguously in the
+    *    task that writes that chunk file. Memory per task is ONE raw chunk
+    *    buffer (`chunkRows × nCols × elemBytes` — the bound the store format
+    *    itself defines), independent of total rows.
+    *  - each task writes its own chunk files via write-to-temp + rename, so
+    *    a task retry (or speculative twin) never exposes a torn chunk; chunk
+    *    payloads are deterministic, so re-execution converges byte-identically.
+    *  - the driver writes ONLY the `.zarray` header — its work is O(1).
+    *  - density is verified IN the tasks: sorted rows of chunk `c` must be
+    *    exactly `c·chunkRows + i`, so any gap, duplicate, or stray index
+    *    fails the job with the offending chunk named — no extra
+    *    validation pass over the data.
+    */
+  def writeDistributed(df: DataFrame, storePath: String,
+                       chunkRows: Int = 1024, dtype: String = "<f8",
+                       compressor: Option[String] = Some("zlib"),
+                       rowCol: String = "row_index",
+                       channelsCol: String = "channels"): Unit = {
+    require(chunkRows > 0, "chunkRows must be positive")
+    val spark = df.sparkSession
+    // one catalog-scale aggregate: row extent + channel width (validated
+    // constant in the tasks)
+    val stats = df.agg(
+      count(lit(1)).as("n"), min(col(rowCol)).as("lo"), max(col(rowCol)).as("hi"),
+      first(size(col(channelsCol))).as("w")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "writeDistributed needs at least one row")
+    val lo = stats.getLong(1); val hi = stats.getLong(2)
+    require(lo == 0L && hi == n - 1,
+      s"$rowCol must be dense 0..${n - 1}, got range [$lo, $hi] over $n rows")
+    val nCols = stats.getInt(3)
+
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cr = writeHeader(fs, storePath, n, nCols, chunkRows, dtype, compressor)
+    val nChunks = ((n + cr - 1) / cr).toInt
+
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val elemBytes = elemBytesOf(dtype)
+    df.select(floor(col(rowCol) / cr).as("__chunk"),
+        col(rowCol).cast("long").as("__row"), col(channelsCol).as("__ch"))
+      .repartition(nChunks, col("__chunk"))
+      .sortWithinPartitions("__chunk", "__row")
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val fsT = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(conf.value)
+        var curChunk = -1L
+        var buf: ByteBuffer = null
+        var filled = 0
+
+        def flush(): Unit = if (curChunk >= 0) {
+          val base = curChunk * cr
+          val expect = math.min(cr.toLong, n - base).toInt
+          require(filled == expect,
+            s"chunk $curChunk holds $filled of $expect rows — $rowCol has " +
+              "gaps or duplicates")
+          val tmp = new org.apache.hadoop.fs.Path(storePath,
+            s".chunk-$curChunk-${java.util.UUID.randomUUID()}.tmp")
+          val out = fsT.create(tmp, true)
+          try out.write(compressChunk(buf.array(), compressor))
+          finally out.close()
+          val dest = new org.apache.hadoop.fs.Path(storePath, s"$curChunk.0")
+          fsT.delete(dest, false) // retried task re-publishes identical bytes
+          require(fsT.rename(tmp, dest), s"failed to publish chunk $dest")
+        }
+
+        rows.foreach { r =>
+          val chunk = r.getLong(0); val row = r.getLong(1)
+          if (chunk != curChunk) {
+            flush()
+            curChunk = chunk
+            // edge chunks are stored FULL-SIZE (zarr contract), zero-padded
+            buf = ByteBuffer.allocate(cr * nCols * elemBytes)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            filled = 0
+          }
+          require(row == curChunk * cr + filled,
+            s"expected $rowCol ${curChunk * cr + filled} next in chunk " +
+              s"$curChunk, got $row — $rowCol has gaps or duplicates")
+          val ch = r.getSeq[Double](2)
+          require(ch.length == nCols,
+            s"$channelsCol width ${ch.length} != $nCols at $rowCol=$row")
+          var c = 0
+          while (c < nCols) { putElem(buf, ch(c), dtype); c += 1 }
+          filled += 1
+        }
+        flush()
+      }
   }
 
   private def putElem(buf: ByteBuffer, v: Double, dtype: String): Unit =

@@ -120,6 +120,67 @@ class ZarrSourceSpec extends SparkSpec {
     assert(split.getMessage.contains("rechunk"))
   }
 
+  test("writeDistributed emits a byte-identical store to the driver writer") {
+    // 23 rows × 3 channels, 5-row chunks → 5 chunk files incl. an edge chunk
+    val data = Array.tabulate(23, 3)((r, c) => (r * 13 + c * 5).toDouble)
+    val driverStore = tmpStore("dist-driver")
+    ZarrSource.write(spark, driverStore, data, dtype = "<u2", chunkRows = 5,
+      compressor = Some("zlib"))
+
+    val distStore = tmpStore("dist-dist")
+    val df = spark.createDataFrame(
+      data.zipWithIndex.map { case (row, r) => (r.toLong, row.toSeq) }.toSeq)
+      .toDF("row_index", "channels")
+      .repartition(7) // rows arrive shuffled across tasks
+    ZarrSource.writeDistributed(df, distStore, chunkRows = 5, dtype = "<u2",
+      compressor = Some("zlib"))
+
+    def bytes(store: String, name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(store, name))
+    (".zarray" +: (0 until 5).map(i => s"$i.0")).foreach { f =>
+      assert(java.util.Arrays.equals(bytes(driverStore, f), bytes(distStore, f)),
+        s"$f differs between driver and distributed writers")
+    }
+    // no temp debris left behind
+    val names = new java.io.File(distStore).list().toSet
+    assert(names == Set(".zarray") ++ (0 until 5).map(i => s"$i.0")
+      ++ names.filter(_.endsWith(".crc")), s"unexpected files: $names")
+
+    // and the store round-trips through read()
+    val back = ZarrSource.read(spark, distStore).orderBy("row_index").collect()
+    assert(back.length == 23)
+    assert(back(22).getSeq[Double](2) == Seq(286.0, 291.0, 296.0))
+  }
+
+  test("writeDistributed rejects gaps, duplicates, and ragged channel widths") {
+    val store = tmpStore("dist-bad")
+    val gap = spark.createDataFrame(
+      Seq((0L, Seq(1.0)), (2L, Seq(2.0)))).toDF("row_index", "channels")
+    val exGap = intercept[Exception] {
+      ZarrSource.writeDistributed(gap, store, chunkRows = 4)
+    }
+    assert(exGap.getMessage.contains("dense"))
+
+    // count/min/max alone can't see this one (4 rows spanning 0..3): the
+    // in-task sequential check must catch the duplicate+gap pair
+    val dup = spark.createDataFrame(
+      Seq((0L, Seq(1.0)), (1L, Seq(2.0)), (1L, Seq(3.0)), (3L, Seq(4.0))))
+      .toDF("row_index", "channels")
+    val exDup = intercept[Exception] {
+      ZarrSource.writeDistributed(dup, store, chunkRows = 4)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(exDup).contains("gaps or duplicates"))
+
+    val ragged = spark.createDataFrame(
+      Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0)))).toDF("row_index", "channels")
+    val exRag = intercept[Exception] {
+      ZarrSource.writeDistributed(ragged, store, chunkRows = 4)
+    }
+    assert(messages(exRag).contains("width"))
+  }
+
   test("a truncated zlib chunk fails fast instead of spinning the inflater") {
     val data = Array.tabulate(8, 2)((r, c) => (r * 10 + c).toDouble)
     val store = tmpStore("trunc")
