@@ -52,8 +52,9 @@ class AviFrameSource extends TableProvider with DataSourceRegister {
     new AviFrameTable(AviFrameOptions(properties))
 }
 
-private[sources] final case class AviFrameOptions(paths: Seq[String],
-                                                  everyNth: Int, maxFrames: Int)
+private[sources] final case class AviFrameOptions(
+    paths: Seq[String], everyNth: Int, maxFrames: Int,
+    maxPartitionBytes: Long = Packing.DefaultMaxPartitionBytes)
 
 private[sources] object AviFrameOptions {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -71,7 +72,8 @@ private[sources] object AviFrameOptions {
     val maxFrames = opt("maxFrames").map(_.toInt).getOrElse(64)
     require(everyNth > 0 && maxFrames > 0,
       s"graft-avi everyNth/maxFrames must be positive (got $everyNth/$maxFrames)")
-    AviFrameOptions(paths, everyNth, maxFrames)
+    AviFrameOptions(paths, everyNth, maxFrames,
+      Packing.maxPartitionBytes(opt("maxPartitionBytes")))
   }
 }
 
@@ -147,12 +149,17 @@ private[sources] class AviScan(opts: AviFrameOptions, required: StructType,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def expand(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
       if (st.isDirectory) fs0.listStatus(st.getPath).toSeq.flatMap(expand) else Seq(st)
-    opts.paths.toArray.flatMap { g =>
+    val files = opts.paths.toArray.flatMap { g =>
       val p = new org.apache.hadoop.fs.Path(g)
       Option(fs0.globStatus(p)).getOrElse(Array.empty).toSeq
     }.flatMap(expand)
       .filter(_.isFile)
-      .map(st => AviFilePartition(st.getPath.toString): InputPartition)
+      .map(st => (st.getPath.toString, st.getLen))
+    // small files pack into byte-budgeted partitions (see [[Packing]]);
+    // each file is still walked (and pruned) individually
+    Packing.pack(files.toSeq, opts.maxPartitionBytes)
+      .map(paths => AviFilesPartition(paths): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -162,14 +169,17 @@ private[sources] class AviScan(opts: AviFrameOptions, required: StructType,
   }
 }
 
-private[sources] case class AviFilePartition(path: String) extends InputPartition
+/** A byte-budgeted pack of AVI files ([[Packing]]); walked one at a time. */
+private[sources] case class AviFilesPartition(paths: Seq[String])
+    extends InputPartition
 
 private[sources] class AviReaderFactory(
     opts: AviFrameOptions, requiredCols: Array[String],
     conf: SerializableHadoopConf, maxIndex: Long) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[AviFilePartition]
-    new AviPartitionReader(part, opts, requiredCols, conf, maxIndex)
+    val part = partition.asInstanceOf[AviFilesPartition]
+    new PackedPartitionReader[String](part.paths.iterator,
+      p => new AviPartitionReader(p, opts, requiredCols, conf, maxIndex))
   }
 }
 
@@ -181,13 +191,13 @@ private[sources] class AviReaderFactory(
   * a mixed directory).
   */
 private[sources] class AviPartitionReader(
-    part: AviFilePartition, opts: AviFrameOptions,
+    path: String, opts: AviFrameOptions,
     requiredCols: Array[String], conf: SerializableHadoopConf,
     maxIndex: Long)
     extends PartitionReader[InternalRow] {
 
   private val needsPayload = requiredCols.contains("frame_jpeg")
-  private val fileUtf8 = UTF8String.fromString(part.path)
+  private val fileUtf8 = UTF8String.fromString(path)
 
   // the walk is deferred to the first next() so the reader constructor
   // (driver-serialized) does no IO; the stream stays open across next()
@@ -200,7 +210,7 @@ private[sources] class AviPartitionReader(
 
   override def next(): Boolean = {
     if (frames == null) {
-      val p = new org.apache.hadoop.fs.Path(part.path)
+      val p = new org.apache.hadoop.fs.Path(path)
       in = p.getFileSystem(conf.value).open(p)
       AviMjpeg.frameIterator(in, opts.everyNth, opts.maxFrames, needsPayload,
           maxIndex) match {

@@ -82,7 +82,8 @@ object ClockBinarySource {
 private[sources] case class FlatBinaryOptions(
     paths: Seq[String], format: String, cols: Seq[String],
     channels: Int, gain: Double, offset: Double,
-    clockDir: Option[String]) {
+    clockDir: Option[String],
+    maxPartitionBytes: Long = Packing.DefaultMaxPartitionBytes) {
 
   val rowSize: Int = format match {
     case "u64" => 8
@@ -142,7 +143,8 @@ private[sources] object FlatBinaryOptions {
       paths = paths, format = format, cols = cols, channels = channels,
       gain = opt("gain").map(_.toDouble).getOrElse(1.0),
       offset = opt("offset").map(_.toDouble).getOrElse(0.0),
-      clockDir = if (format == "u64") None else opt("clock"))
+      clockDir = if (format == "u64") None else opt("clock"),
+      maxPartitionBytes = Packing.maxPartitionBytes(opt("maxPartitionBytes")))
   }
 }
 
@@ -276,7 +278,7 @@ private[sources] class ClockScan(opts: FlatBinaryOptions, required: StructType,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def expand(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
       if (st.isDirectory) fs0.listStatus(st.getPath).toSeq.flatMap(expand) else Seq(st)
-    opts.paths.toArray.flatMap { g =>
+    val files = opts.paths.toArray.flatMap { g =>
       val p = new org.apache.hadoop.fs.Path(g)
       Option(fs0.globStatus(p)).getOrElse(Array.empty).toSeq
     }.flatMap(expand)
@@ -285,8 +287,13 @@ private[sources] class ClockScan(opts: FlatBinaryOptions, required: StructType,
         require(st.getLen < Int.MaxValue.toLong,
           s"graft-clock file ${st.getPath} is ${st.getLen} bytes; the format " +
             "contract caps files below 2 GiB (hour-sized chunks)")
-        ClockFilePartition(st.getPath.toString, st.getLen): InputPartition
-      }.toArray
+        (ClockFilePartition(st.getPath.toString, st.getLen), st.getLen)
+      }
+    // small files pack into byte-budgeted partitions (see [[Packing]]);
+    // per-file clock-range skipping is unchanged inside each partition
+    Packing.pack(files.toSeq, opts.maxPartitionBytes)
+      .map(fs => ClockFilesPartition(fs): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -300,6 +307,9 @@ private[sources] class ClockScan(opts: FlatBinaryOptions, required: StructType,
 }
 
 private[sources] case class ClockFilePartition(path: String, length: Long)
+
+/** A byte-budgeted pack of files ([[Packing]]); read one file at a time. */
+private[sources] case class ClockFilesPartition(files: Seq[ClockFilePartition])
     extends InputPartition
 
 private[sources] class ClockReaderFactory(
@@ -307,8 +317,9 @@ private[sources] class ClockReaderFactory(
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[ClockFilePartition]
-    new ClockPartitionReader(part, opts, requiredCols, lo, hi, conf)
+    val part = partition.asInstanceOf[ClockFilesPartition]
+    new PackedPartitionReader[ClockFilePartition](part.files.iterator,
+      f => new ClockPartitionReader(f, opts, requiredCols, lo, hi, conf))
   }
 }
 
@@ -323,7 +334,12 @@ private[sources] class ClockAggReaderFactory(
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[ClockFilePartition]
+    val packed = partition.asInstanceOf[ClockFilesPartition]
+    new PackedPartitionReader[ClockFilePartition](packed.files.iterator, fileReader)
+  }
+
+  /** One partial-stats row for one file. */
+  private def fileReader(part: ClockFilePartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }

@@ -41,8 +41,9 @@ class ZarrTableSource extends TableProvider
     new ZarrTable(ZarrTableOptions(properties))
 }
 
-private[sources] final case class ZarrTableOptions(store: String, gain: Double,
-                                                   offset: Double)
+private[sources] final case class ZarrTableOptions(
+    store: String, gain: Double, offset: Double,
+    maxPartitionBytes: Long = Packing.DefaultMaxPartitionBytes)
 
 private[sources] object ZarrTableOptions {
   def apply(properties: JMap[String, String]): ZarrTableOptions = {
@@ -56,7 +57,8 @@ private[sources] object ZarrTableOptions {
       "graft-zarr reads one store per load(); union multiple loads instead")
     ZarrTableOptions(store,
       opt("gain").map(_.toDouble).getOrElse(1.0),
-      opt("offset").map(_.toDouble).getOrElse(0.0))
+      opt("offset").map(_.toDouble).getOrElse(0.0),
+      Packing.maxPartitionBytes(opt("maxPartitionBytes")))
   }
 }
 
@@ -122,14 +124,22 @@ private[sources] class ZarrScan(opts: ZarrTableOptions, required: StructType,
           "samples span chunk files; rechunk with chunks=(t, n_channels)")
     val cr = meta.chunks.head.toLong
     val nCols = if (meta.shape.length == 2) meta.shape(1).toInt else 1
-    (0L until meta.grid.head)
+    val chunks = (0L until meta.grid.head)
       .filter(i => i * cr <= hi && (i + 1) * cr - 1 >= lo)
-      .map(i => ZarrChunkPartition(
-        new org.apache.hadoop.fs.Path(opts.store,
-          (Seq(i) ++ Seq.fill(meta.grid.length - 1)(0L)).mkString(meta.dimSeparator)
-        ).toString,
-        i, meta.chunks.head, nCols, meta.shape.head, meta.dtype,
-        meta.compressor): InputPartition)
+      .map { i =>
+        val c = ZarrChunkPartition(
+          new org.apache.hadoop.fs.Path(opts.store,
+            (Seq(i) ++ Seq.fill(meta.grid.length - 1)(0L)).mkString(meta.dimSeparator)
+          ).toString,
+          i, meta.chunks.head, nCols, meta.shape.head, meta.dtype,
+          meta.compressor)
+        // weight = the chunk's RAW size — the decompressed buffer is the
+        // task's actual memory bound, and no file listing is needed
+        (c, meta.chunks.head.toLong * nCols * meta.elemBytes)
+      }
+    // pruning happened above; packing only groups the surviving chunks
+    Packing.pack(chunks, opts.maxPartitionBytes)
+      .map(cs => ZarrChunksPartition(cs): InputPartition)
       .toArray
   }
 
@@ -142,14 +152,21 @@ private[sources] class ZarrScan(opts: ZarrTableOptions, required: StructType,
 
 private[sources] case class ZarrChunkPartition(
     path: String, chunkRow: Long, chunkRows: Int, nCols: Int, nRows: Long,
-    dtype: String, compressor: Option[String]) extends InputPartition
+    dtype: String, compressor: Option[String])
+
+/** A byte-budgeted pack of chunk files ([[Packing]], weighed by raw chunk
+  * size); decoded one at a time.
+  */
+private[sources] case class ZarrChunksPartition(chunks: Seq[ZarrChunkPartition])
+    extends InputPartition
 
 private[sources] class ZarrReaderFactory(
     opts: ZarrTableOptions, requiredCols: Array[String],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[ZarrChunkPartition]
-    new ZarrPartitionReader(part, opts, requiredCols, conf)
+    val part = partition.asInstanceOf[ZarrChunksPartition]
+    new PackedPartitionReader[ZarrChunkPartition](part.chunks.iterator,
+      c => new ZarrPartitionReader(c, opts, requiredCols, conf))
   }
 }
 

@@ -230,6 +230,48 @@ class ClockBinarySourceSpec extends SparkSpec {
     assert(agg.head().getLong(0) == 24L)
   }
 
+  test("a directory of 1,000 tiny files packs into bounded partitions") {
+    val d = Files.createTempDirectory("clock_many")
+    for (k <- 0 until 1000) {
+      val buf = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putLong(k * 10L); buf.putLong(k * 10L + 5L)
+      Files.write(d.resolve(f"Dev_Clock_$k%04d.bin"), buf.array())
+    }
+    val many = d.resolve("*.bin").toString
+
+    // default budget: 1,000 × 16-byte files are one scheduler task, not 1,000
+    val packed = spark.read.format("graft-clock").load(many)
+    assert(packed.rdd.getNumPartitions == 1,
+      s"got ${packed.rdd.getNumPartitions} partitions for 1,000 tiny files")
+    assert(packed.count() == 2000)
+
+    // an explicit budget bounds the pack: 100 files × 16 B per partition
+    val budgeted = spark.read.format("graft-clock")
+      .option("maxPartitionBytes", (100 * 16).toString).load(many)
+    assert(budgeted.rdd.getNumPartitions == 10)
+    assert(budgeted.count() == 2000)
+
+    // per-file clock pruning binds INSIDE a packed partition: an equality
+    // probe still returns exactly its row, and the pushdown reaches the scan
+    val probe = budgeted.filter(col("clock") === 4875L)
+    assert(probe.queryExecution.executedPlan.toString.contains("clockRange=[4875,4875]"))
+    assert(probe.select("clock", "row_index").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((4875L, 1L)))
+  }
+
+  test("Packing.pack preserves order, respects the cap, never splits an item") {
+    import graft.sources.Packing
+    val items = Seq(("a", 10L), ("b", 20L), ("c", 15L), ("d", 40L), ("e", 5L))
+    assert(Packing.pack(items, 30L) ==
+      Seq(Seq("a", "b"), Seq("c"), Seq("d"), Seq("e")))
+    // an oversize item gets its own bin rather than splitting or failing
+    assert(Packing.pack(Seq(("big", 100L), ("s", 1L)), 10L) ==
+      Seq(Seq("big"), Seq("s")))
+    assert(Packing.pack(Nil: Seq[(String, Long)], 10L).isEmpty)
+    // everything fits in one bin
+    assert(Packing.pack(items, 1000L) == Seq(Seq("a", "b", "c", "d", "e")))
+  }
+
   test("missing required payload options fail with a clear message") {
     val e1 = intercept[IllegalArgumentException] {
       spark.read.format("graft-clock").option("format", "u16").load(ephys._1)

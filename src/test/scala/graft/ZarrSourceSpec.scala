@@ -69,8 +69,11 @@ class ZarrSourceSpec extends SparkSpec {
     val store = tmpStore("v2")
     ZarrSource.write(spark, store, data, dtype = "<u2", chunkRows = 4)
 
+    // maxPartitionBytes=1 pins one chunk per partition so the pruned
+    // partition count is observable (default packing would merge them)
     val v2 = spark.read.format("graft-zarr")
-      .option("gain", "0.5").option("offset", "-1.0").load(store)
+      .option("gain", "0.5").option("offset", "-1.0")
+      .option("maxPartitionBytes", "1").load(store)
 
     // declarative filter → chunk pruning, visible in the scan description
     val sliced = v2.filter(col("row_index").between(9, 12))
@@ -79,6 +82,12 @@ class ZarrSourceSpec extends SparkSpec {
       s"row filter should reach the scan:\n$planStr")
     assert(sliced.rdd.getNumPartitions == 2,
       "only chunks 2 and 3 overlap rows 9..12")
+    // default packing: tiny chunks collapse into ONE scheduler task, and
+    // pruning still binds before packing
+    val packed = spark.read.format("graft-zarr").load(store)
+    assert(packed.rdd.getNumPartitions == 1,
+      "5 tiny chunks should pack into one byte-budgeted partition")
+    assert(packed.filter(col("row_index").between(9, 12)).count() == 4)
     val rows = sliced.orderBy("row_index").collect()
     assert(rows.map(_.getLong(1)).toSeq == Seq(9L, 10L, 11L, 12L))
     assert(rows.head.getSeq[Double](2) == Seq(90 * 0.5 - 1.0, 91 * 0.5 - 1.0))
