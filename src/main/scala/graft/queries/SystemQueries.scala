@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.Multimodal
-import graft.pipelines.{CameraQC, PositionSlice}
+import graft.pipelines.{CameraQC, Ephys, PositionSlice}
 import graft.sources.{AviMjpeg, Tables, ZarrSource}
 import graft.streaming.StreamOps
 
@@ -180,6 +180,48 @@ object SystemQueries {
     // chunk-grid layout, zlib inflate, edge-chunk truncation, and scaling
     // all participate in the hash. No table input: the fixture IS the
     // construction, exactly like the reference's compression round-trip.
+    // END-TO-END EPHYS COMPOSITE — the science-side q93: pins the
+    // COMPOSITION of S10 (zarr V2 read) + J4 (sync-window interval join) +
+    // J9 (ONIX→HARP predict) + A3 (windowed column stats) as ONE oracled
+    // query, the reference's acquisition→sync→QC chain
+    // (`spike_sorting.py:1124-1166`, `ephys_utils.py:645-683`,
+    // `stats.py:14-23`). The fixture is STAGGERED on purpose: 64-row zarr
+    // chunks against sync windows cut at 170/430, so every window straddles
+    // chunk-file boundaries (the §7.5.4 chunk↔window discipline) and no
+    // operator can cheat by assuming alignment.
+    "q100_ephys_composite" -> ((s, _) => {
+      import s.implicits._
+      val data = Array.tabulate(600, 2)((r, c) => ((r * 37 + c * 11) % 1000).toDouble)
+      val store = java.nio.file.Files.createTempDirectory("graft-zarr-q100")
+        .toString + "/amp.zarr"
+      ZarrSource.write(s, store, data, dtype = "<u2", chunkRows = 64,
+        compressor = Some("zlib"))
+      // S10: the DECLARATIVE read path (graft-zarr V2), µV scaling in-scan
+      val samples = s.read.format("graft-zarr")
+        .option("gain", "0.195").option("offset", "-1000.0").load(store)
+        .select(col("row_index").as("onix_clock"),
+          col("channels")(0).as("ch0"))
+      // staggered sync models: closed onix intervals, one regression each
+      val harp2024 = 3786912000.0 // 2024-01-01 on the HARP clock (s since 1904)
+      val models = Seq(
+        (0L, 0L, 169L, 0.001, harp2024),
+        (1L, 170L, 429L, 0.002, harp2024 + 3600.0),
+        (2L, 430L, 599L, 0.003, harp2024 + 7200.0))
+        .toDF("wid", "onix_start", "onix_end", "slope", "intercept")
+      // J4 + J9: locate the covering window (models broadcast), apply its
+      // regression as a pure column expression
+      val synced = Ephys.syncSpikeTimes(samples, models)
+      // A3: per-window column stats + time extent
+      synced.groupBy(col("wid"))
+        .agg(count(lit(1)).as("n_samples"),
+          min(col("ch0")).as("ch0_min"),
+          max(col("ch0")).as("ch0_max"),
+          round(avg(col("ch0")), 4).as("ch0_mean"),
+          min(col("harp_time")).as("t_first"),
+          max(col("harp_time")).as("t_last"))
+        .orderBy("wid")
+    }),
+
     "q96_zarr_roundtrip" -> ((s, _) => {
       val data = Array.tabulate(200, 4)((r, c) => ((r * 31 + c * 13) % 4096).toDouble)
       val store = java.nio.file.Files.createTempDirectory("graft-zarr-q96")
@@ -289,6 +331,29 @@ object SystemQueries {
          CAST(64 + doc_id % 32 AS BIGINT) AS n_frames,
          (64 + doc_id % 32) / (8000.0::DOUBLE) AS duration_sec
        FROM documents ORDER BY doc_id""",
+    "q100_ephys_composite" ->
+      """WITH src AS (
+         SELECT r AS onix_clock,
+           ((r * 37) % 1000) * (0.195::DOUBLE) - 1000.0 AS ch0
+         FROM generate_series(0, 599) AS t(r)
+       ), w AS (
+         SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 0, 169, (0.001::DOUBLE), (3786912000.0::DOUBLE)),
+           (CAST(1 AS BIGINT), 170, 429, (0.002::DOUBLE), (3786915600.0::DOUBLE)),
+           (CAST(2 AS BIGINT), 430, 599, (0.003::DOUBLE), (3786919200.0::DOUBLE)))
+           AS v(wid, onix_start, onix_end, slope, intercept)
+       ), joined AS (
+         SELECT w.wid, s.ch0,
+           make_timestamp(CAST(round(((w.slope * s.onix_clock + w.intercept)
+             + (-2082844800.0)) * 1000000.0) AS BIGINT)) AS harp_time
+         FROM src s JOIN w
+           ON s.onix_clock BETWEEN w.onix_start AND w.onix_end
+       )
+       SELECT wid, CAST(count(*) AS BIGINT) AS n_samples,
+         min(ch0) AS ch0_min, max(ch0) AS ch0_max,
+         round(avg(ch0), 4) AS ch0_mean,
+         min(harp_time) AS t_first, max(harp_time) AS t_last
+       FROM joined GROUP BY wid ORDER BY wid""",
     "q96_zarr_roundtrip" ->
       """SELECT CAST(r AS BIGINT) AS row_index,
          ((r * 31 +  0) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch0,
