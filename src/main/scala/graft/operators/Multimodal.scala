@@ -391,6 +391,69 @@ object Multimodal {
     buf.array()
   }
 
+  /** Streaming PCM16 WAV writer — the bounded-memory export twin of
+    * [[buildWavPcm16]] (which assembles the file in one in-memory buffer).
+    * Samples stream through a forward-only `OutputStream` in caller-sized
+    * batches; memory is the batch being written.
+    *
+    * WAV has no "size unknown" convention that canonical-PCM readers (our
+    * own [[isWav]] fast path included) accept, so the frame count is
+    * DECLARED up front — an export pipeline always has it (a count
+    * aggregate over the rows it is about to drain) — and the 44-byte
+    * header is exact from byte 0: output is byte-identical to
+    * [[buildWavPcm16]] of the concatenated samples. [[WavStreamWriter.finish]]
+    * fails loudly if the declared and written counts disagree, so a
+    * truncated export can never masquerade as a complete file.
+    */
+  final class WavStreamWriter(out: java.io.OutputStream, sampleRate: Int,
+                              channels: Int, totalFrames: Long) {
+    require(sampleRate > 0 && channels > 0 && totalFrames >= 0)
+    private val dataLen = totalFrames * channels * 2
+    require(36 + dataLen <= 0xFFFFFFFFL,
+      s"$totalFrames frames x $channels ch exceeds the WAV u32 size field")
+    private var written = 0L
+    private var finished = false
+
+    // header identical to buildWavPcm16's
+    private val hdr = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdr.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataLen).toInt)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
+    out.write(hdr.array())
+
+    /** Append a batch of interleaved samples (length a multiple of
+      * `channels`).
+      */
+    def writeSamples(samples: Array[Short]): Unit = {
+      require(!finished, "writer already finished")
+      require(samples.length % channels == 0,
+        s"batch of ${samples.length} samples is not a whole number of " +
+          s"$channels-channel frames")
+      val buf = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(buf.putShort)
+      out.write(buf.array())
+      written += samples.length / channels
+      require(written <= totalFrames,
+        s"wrote $written frames but declared only $totalFrames")
+    }
+
+    def finish(): Unit = {
+      require(!finished, "writer already finished")
+      require(written == totalFrames,
+        s"declared $totalFrames frames but wrote $written — truncated export")
+      finished = true
+      out.flush()
+    }
+  }
+
   /** REAL video frame sampling for MJPEG-AVI blob columns: one output row
     * per sampled frame with the frame's actual JPEG bytes — the
     * blob-column twin of [[graft.sources.AviMjpeg.videoFrames]] (which

@@ -267,39 +267,38 @@ object AviMjpeg {
     if (!isAvi(bytes)) None
     else parse(new java.io.ByteArrayInputStream(bytes), everyNth, maxFrames)
 
-  private def writeU32LE(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+  private def writeU32LE(out: java.io.OutputStream, v: Long): Unit = {
     out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
     out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
   }
 
-  private def writeFourCC(out: java.io.ByteArrayOutputStream, s: String): Unit =
+  private def writeFourCC(out: java.io.OutputStream, s: String): Unit =
     out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
-  private def writeChunk(out: java.io.ByteArrayOutputStream, id: String,
+  private def writeChunk(out: java.io.OutputStream, id: String,
                          body: Array[Byte]): Unit = {
     writeFourCC(out, id); writeU32LE(out, body.length.toLong)
     out.write(body)
     if ((body.length & 1) == 1) out.write(0) // word alignment pad
   }
 
-  /** Build a minimal standards-shaped MJPEG AVI (RIFF → hdrl(avih, strl(strh
-    * vids/MJPG, strf BITMAPINFOHEADER)) → movi(`00dc` JPEG chunks) → idx1).
-    * The write twin of [[parse]]: the per-frame JPEG export sink
-    * (`video.py:49-62`) lifted to a whole-container writer, and the fixture
-    * generator for round-trip specs. Frames must be complete JPEG payloads.
+  /** LIST-hdrl body (avih + strl(strh vids/MJPG, strf BITMAPINFOHEADER)) —
+    * all fixed-size structures, shared by [[build]] (exact counts, indexed)
+    * and [[AviStreamWriter]] (counts unknown up front: totalFrames=0 means
+    * "count by walking", the contract [[parse]] already implements for a
+    * walk that reaches EOF).
     */
-  def build(frames: Seq[Array[Byte]], width: Int, height: Int,
-            fps: Double = 50.0): Array[Byte] = {
-    require(fps > 0 && width > 0 && height > 0)
+  private def hdrlBody(width: Int, height: Int, fps: Double,
+                       totalFrames: Long, maxFrame: Long,
+                       flags: Long): Array[Byte] = {
     val usPerFrame = math.round(1e6 / fps)
-    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
 
     val avih = new java.io.ByteArrayOutputStream()
     writeU32LE(avih, usPerFrame); writeU32LE(avih, 0L); writeU32LE(avih, 0L)
-    writeU32LE(avih, 0x10L) // AVIF_HASINDEX
-    writeU32LE(avih, frames.length.toLong); writeU32LE(avih, 0L)
+    writeU32LE(avih, flags)
+    writeU32LE(avih, totalFrames); writeU32LE(avih, 0L)
     writeU32LE(avih, 1L) // one stream
-    writeU32LE(avih, maxFrame.toLong)
+    writeU32LE(avih, maxFrame)
     writeU32LE(avih, width.toLong); writeU32LE(avih, height.toLong)
     (0 until 4).foreach(_ => writeU32LE(avih, 0L)) // dwReserved[4]
 
@@ -309,8 +308,8 @@ object AviMjpeg {
     writeU32LE(strh, 0L) // initial frames
     writeU32LE(strh, 1000000L) // scale
     writeU32LE(strh, math.round(fps * 1000000)) // rate: fps = rate/scale
-    writeU32LE(strh, 0L); writeU32LE(strh, frames.length.toLong) // start, length
-    writeU32LE(strh, maxFrame.toLong); writeU32LE(strh, 10000L) // bufsize, quality
+    writeU32LE(strh, 0L); writeU32LE(strh, totalFrames) // start, length
+    writeU32LE(strh, maxFrame); writeU32LE(strh, 10000L) // bufsize, quality
     writeU32LE(strh, 0L) // sample size
     writeU32LE(strh, 0L); writeU32LE(strh, (height.toLong << 16) | width.toLong) // rcFrame
 
@@ -329,6 +328,21 @@ object AviMjpeg {
     writeFourCC(hdrl, "hdrl")
     writeChunk(hdrl, "avih", avih.toByteArray)
     writeChunk(hdrl, "LIST", strl.toByteArray)
+    hdrl.toByteArray
+  }
+
+  /** Build a minimal standards-shaped MJPEG AVI (RIFF → hdrl(avih, strl(strh
+    * vids/MJPG, strf BITMAPINFOHEADER)) → movi(`00dc` JPEG chunks) → idx1).
+    * The write twin of [[parse]]: the per-frame JPEG export sink
+    * (`video.py:49-62`) lifted to a whole-container writer, and the fixture
+    * generator for round-trip specs. Frames must be complete JPEG payloads.
+    */
+  def build(frames: Seq[Array[Byte]], width: Int, height: Int,
+            fps: Double = 50.0): Array[Byte] = {
+    require(fps > 0 && width > 0 && height > 0)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val hdrl = hdrlBody(width, height, fps, frames.length.toLong,
+      maxFrame.toLong, flags = 0x10L) // AVIF_HASINDEX
 
     val movi = new java.io.ByteArrayOutputStream()
     writeFourCC(movi, "movi")
@@ -346,7 +360,7 @@ object AviMjpeg {
 
     val riff = new java.io.ByteArrayOutputStream()
     writeFourCC(riff, "AVI ")
-    writeChunk(riff, "LIST", hdrl.toByteArray)
+    writeChunk(riff, "LIST", hdrl)
     writeChunk(riff, "LIST", movi.toByteArray)
     writeChunk(riff, "idx1", idx1.toByteArray)
 
@@ -369,6 +383,76 @@ object AviMjpeg {
     val out = new java.io.ByteArrayOutputStream()
     writeChunk(out, "RIFF", riff.toByteArray)
     out.toByteArray
+  }
+
+  /** Streaming MJPEG-AVI writer — the bounded-memory export twin of
+    * [[build]]. [[build]] assembles the whole container in driver memory
+    * (fixture scale); a real camera export (the reference's hour-long
+    * 50 fps recordings, `video.py:49-62` lifted to containers) cannot.
+    * This writer appends frames one at a time through a forward-only
+    * `OutputStream`, holding at most the frame being written:
+    *
+    *  - fixed-size header structures (avih/strh/strf) are exact;
+    *  - RIFF and movi sizes cannot be known in a forward-only stream, so
+    *    they carry the streaming-AVI `0xFFFFFFFF` ("grows to EOF")
+    *    convention, `dwTotalFrames` = 0 ("count by walking"), and no idx1
+    *    — exactly the profile [[parse]]/[[frameIterator]] already handle:
+    *    the walker never trusts container sizes and counts a
+    *    walked-to-EOF stream itself;
+    *  - when the current segment reaches `segmentBytes` (the AVI 1.0 1 GiB
+    *    compatibility boundary by default), the frame stream rolls into an
+    *    OpenDML `RIFF('AVIX')` continuation — [[buildAvixSegment]]'s
+    *    layout, emitted incrementally.
+    *
+    * Call [[finish]] when done (flushes; the caller owns/closes `out`).
+    */
+  final class AviStreamWriter(out: java.io.OutputStream,
+                              width: Int, height: Int, fps: Double = 50.0,
+                              segmentBytes: Long = 1L << 30) {
+    require(fps > 0 && width > 0 && height > 0 && segmentBytes > 0)
+    private val SizeUnknown = 0xFFFFFFFFL
+    private var started = false
+    private var segBytes = 0L
+    private var frames = 0L
+    private var finished = false
+
+    /** Frames written so far (continuous across segment rolls). */
+    def framesWritten: Long = frames
+
+    private def openFirstSegment(): Unit = {
+      writeFourCC(out, "RIFF"); writeU32LE(out, SizeUnknown)
+      writeFourCC(out, "AVI ")
+      writeChunk(out, "LIST",
+        hdrlBody(width, height, fps, totalFrames = 0L, maxFrame = 0L, flags = 0L))
+      writeFourCC(out, "LIST"); writeU32LE(out, SizeUnknown)
+      writeFourCC(out, "movi")
+      segBytes = 0L
+    }
+
+    private def openAvixSegment(): Unit = {
+      writeFourCC(out, "RIFF"); writeU32LE(out, SizeUnknown)
+      writeFourCC(out, "AVIX")
+      writeFourCC(out, "LIST"); writeU32LE(out, SizeUnknown)
+      writeFourCC(out, "movi")
+      segBytes = 0L
+    }
+
+    def writeFrame(jpeg: Array[Byte]): Unit = {
+      require(!finished, "writer already finished")
+      val cost = 8L + jpeg.length + (jpeg.length & 1)
+      if (!started) { openFirstSegment(); started = true }
+      else if (segBytes + cost > segmentBytes && segBytes > 0) openAvixSegment()
+      writeChunk(out, "00dc", jpeg)
+      segBytes += cost
+      frames += 1
+    }
+
+    def finish(): Unit = {
+      require(!finished, "writer already finished")
+      if (!started) openFirstSegment() // an empty container is still an AVI
+      finished = true
+      out.flush()
+    }
   }
 
   /** Output schema of [[videoFrames]]: one row per sampled frame with its

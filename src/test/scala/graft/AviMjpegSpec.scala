@@ -172,6 +172,44 @@ class AviMjpegSpec extends SparkSpec {
       .contains("HEADERS-ONLY"))
   }
 
+  test("AviStreamWriter: multi-segment streaming container round-trips with O(frame) memory") {
+    val frames = (0 until 11).map(i => jpegFrame(24, 12, i * 0x070503))
+    val frameCost = frames.map(f => 8L + f.length + (f.length % 2)).max
+
+    val bos = new java.io.ByteArrayOutputStream()
+    // segment budget fits ~3 frames → 11 frames must roll into ≥3 segments
+    val w = new AviMjpeg.AviStreamWriter(bos, 24, 12, fps = 25.0,
+      segmentBytes = frameCost * 3)
+    frames.foreach(w.writeFrame)
+    w.finish()
+    assert(w.framesWritten == 11)
+    val streamed = bos.toByteArray
+
+    // >2 OpenDML continuation segments were actually emitted
+    def countRiff(b: Array[Byte]): Int =
+      b.sliding(4).count(_.sameElements("RIFF".getBytes("US-ASCII")))
+    assert(countRiff(streamed) >= 3,
+      s"expected >=3 RIFF segments, found ${countRiff(streamed)}")
+
+    // the walker round-trips the streaming profile exactly: every frame, in
+    // order, byte-identical, with the header's declared metadata
+    val (info, parsed) = AviMjpeg.parseBytes(streamed).get
+    assert(info.width == 24 && info.height == 12)
+    assert(math.abs(1e6 / info.microSecPerFrame - 25.0) < 0.01)
+    assert(info.totalFrames == 11, "walk-to-EOF counts the streamed frames")
+    assert(parsed.map(_.index) == (0L until 11L).toVector)
+    parsed.zip(frames).foreach { case (p, f) =>
+      assert(java.util.Arrays.equals(p.jpeg, f))
+    }
+
+    // the V2 source reads a streamed file like any other
+    val dir = java.nio.file.Files.createTempDirectory("graft-avi-stream").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "streamed.avi"), streamed)
+    val viaV2 = spark.read.format("graft-avi").option("maxFrames", "100")
+      .load(dir + "/*").select("frame_index").collect().map(_.getLong(0)).sorted
+    assert(viaV2.toSeq == (0L until 11L))
+  }
+
   test("frame_index upper bounds stop the walk early, in bytes read") {
     val avi = testAvi(nFrames = 50, w = 32, h = 16)
     final class CountingStream(b: Array[Byte]) extends java.io.ByteArrayInputStream(b) {

@@ -175,6 +175,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_bytes") == evil.length.toLong)
   }
 
+  test("WavStreamWriter streams batches byte-identically to the one-shot builder") {
+    val samples = Array.tabulate(600)(i => ((i * 211) % 30000 - 15000).toShort)
+    val oneShot = Multimodal.buildWavPcm16(samples, sampleRate = 8000, channels = 2)
+
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new Multimodal.WavStreamWriter(bos, sampleRate = 8000,
+      channels = 2, totalFrames = 300)
+    samples.grouped(64).foreach(w.writeSamples) // ragged batches, whole frames
+    w.finish()
+    assert(java.util.Arrays.equals(bos.toByteArray, oneShot))
+
+    // a truncated export cannot masquerade as complete
+    val short = new Multimodal.WavStreamWriter(
+      new java.io.ByteArrayOutputStream(), 8000, 2, totalFrames = 300)
+    short.writeSamples(samples.take(100))
+    val ex = intercept[IllegalArgumentException](short.finish())
+    assert(ex.getMessage.contains("truncated"))
+    // and over-writing the declared count fails at the batch, not at finish
+    val over = new Multimodal.WavStreamWriter(
+      new java.io.ByteArrayOutputStream(), 8000, 1, totalFrames = 10)
+    intercept[IllegalArgumentException](over.writeSamples(new Array[Short](11)))
+  }
+
   test("buildWavPcm16 is byte-deterministic with a canonical 44-byte header") {
     val s = Array.tabulate(10)(i => (i * 1000).toShort)
     val w1 = Multimodal.buildWavPcm16(s, 44100)
