@@ -585,6 +585,65 @@ object Multimodal {
     }
   }
 
+  /** Distributed VIDEO export: assemble one streaming MJPEG-AVI container
+    * per distinct `fileCol` value at `dir/<file>.avi` — [[exportBlobs]] for
+    * whole recordings instead of single frames, and the WRITE twin of the
+    * `graft-avi` scan (a `videoFrames` read of the export reproduces the
+    * input).
+    *
+    * Scale shape: ONE shuffle keyed on the container id, frames sorted by
+    * `frameIndexCol` within partitions; each task streams its containers'
+    * frames through an [[graft.sources.AviMjpeg.AviStreamWriter]] over a
+    * Hadoop FS stream — memory is ONE frame, containers roll into OpenDML
+    * AVIX segments at `segmentBytes`, so a recording's length is unbounded
+    * by any in-memory buffer (the fixture-scale `AviMjpeg.build` holds the
+    * whole container; this never does). Frame indices must be dense per
+    * container (0..n-1): the task verifies order as it streams and fails
+    * loudly on a gap or duplicate — a silently dropped frame would shift
+    * every later presentation time.
+    */
+  def exportAviStreams(df: DataFrame, fileCol: String, frameIndexCol: String,
+                       jpegCol: String, dir: String,
+                       width: Int, height: Int, fps: Double = 50.0,
+                       segmentBytes: Long = 1L << 30): Unit = {
+    val conf = new graft.sources.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(fileCol).cast("string").as("__file"),
+        col(frameIndexCol).cast("long").as("__idx"), col(jpegCol).as("__jpeg"))
+      .repartition(col("__file"))
+      .sortWithinPartitions("__file", "__idx")
+      .foreachPartition { rows: Iterator[Row] =>
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+        var cur: String = null
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var writer: graft.sources.AviMjpeg.AviStreamWriter = null
+        var nextIdx = 0L
+        def closeCurrent(): Unit = if (writer != null) {
+          writer.finish(); out.close()
+          writer = null; out = null
+        }
+        try {
+          rows.foreach { r =>
+            val f = r.getString(0); val idx = r.getLong(1)
+            if (f != cur) {
+              closeCurrent()
+              cur = f
+              out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$f.avi"), true)
+              writer = new graft.sources.AviMjpeg.AviStreamWriter(
+                out, width, height, fps, segmentBytes)
+              nextIdx = 0L
+            }
+            require(idx == nextIdx,
+              s"container $f expected frame $nextIdx next, got $idx — frame " +
+                "indices must be dense 0..n-1 per container")
+            writer.writeFrame(r.getAs[Array[Byte]](2))
+            nextIdx += 1
+          }
+          closeCurrent()
+        } finally if (out != null) out.close() // failure path: release the FS handle
+      }
+  }
+
   /** Synthesize an opaque binary column from any string column — the test/
     * bench harness for the multimodal path in this codec-less container.
     */

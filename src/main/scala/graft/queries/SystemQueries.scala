@@ -191,10 +191,16 @@ object SystemQueries {
     // operator can cheat by assuming alignment.
     "q100_ephys_composite" -> ((s, _) => {
       import s.implicits._
-      val data = Array.tabulate(600, 2)((r, c) => ((r * 37 + c * 11) % 1000).toDouble)
+      // the store is produced by the DISTRIBUTED writer (the production
+      // path: executors each deflate+publish their own chunk files), so the
+      // oracle verifies writeDistributed → V2 read end-to-end
       val store = java.nio.file.Files.createTempDirectory("graft-zarr-q100")
         .toString + "/amp.zarr"
-      ZarrSource.write(s, store, data, dtype = "<u2", chunkRows = 64,
+      val src = s.range(0, 600).select(col("id").as("row_index"),
+        array(
+          (pmod(col("id") * 37, lit(1000))).cast("double"),
+          (pmod(col("id") * 37 + 11, lit(1000))).cast("double")).as("channels"))
+      ZarrSource.writeDistributed(src, store, chunkRows = 64, dtype = "<u2",
         compressor = Some("zlib"))
       // S10: the DECLARATIVE read path (graft-zarr V2), µV scaling in-scan
       val samples = s.read.format("graft-zarr")

@@ -210,6 +210,49 @@ class AviMjpegSpec extends SparkSpec {
     assert(viaV2.toSeq == (0L until 11L))
   }
 
+  test("exportAviStreams writes one multi-segment container per key, round-trips via graft-avi") {
+    val dir = java.nio.file.Files.createTempDirectory("avi-export").toString
+    val frames = (for {
+      cam <- Seq("cam0", "cam1")
+      i <- 0 until (if (cam == "cam0") 7 else 3)
+    } yield (cam, i.toLong, jpegFrame(24, 12, i * 0x090205))).toDF(
+      "camera", "frame_index", "jpeg")
+
+    // tiny segment budget: cam0's 7 frames must roll into multiple AVIX
+    // segments; the export is still one file per camera
+    Multimodal.exportAviStreams(frames.repartition(5), "camera", "frame_index",
+      "jpeg", dir, width = 24, height = 12, fps = 25.0, segmentBytes = 2048)
+
+    val names = new java.io.File(dir).list().filter(_.endsWith(".avi")).sorted
+    assert(names.toSeq == Seq("cam0.avi", "cam1.avi"))
+
+    val back = spark.read.format("graft-avi").option("maxFrames", "100")
+      .load(dir + "/*.avi")
+      .select("file", "frame_index", "frame_jpeg").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1),
+        r.getAs[Array[Byte]](2)))
+    assert(back.count(_._1 == "cam0.avi") == 7)
+    assert(back.count(_._1 == "cam1.avi") == 3)
+    val expected = frames.collect().map(r =>
+      (r.getString(0) + ".avi", r.getLong(1), r.getAs[Array[Byte]](2))).toSeq
+    back.foreach { case (f, i, jpeg) =>
+      val e = expected.find(e => e._1 == f && e._2 == i).get
+      assert(java.util.Arrays.equals(jpeg, e._3), s"$f frame $i payload differs")
+    }
+
+    // a gap in the frame indices fails the export loudly
+    val gappy = Seq(("camX", 0L, jpegFrame(24, 12, 1)),
+      ("camX", 2L, jpegFrame(24, 12, 2))).toDF("camera", "frame_index", "jpeg")
+    val ex = intercept[Exception] {
+      Multimodal.exportAviStreams(gappy, "camera", "frame_index", "jpeg",
+        java.nio.file.Files.createTempDirectory("avi-export-bad").toString,
+        24, 12)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("dense"))
+  }
+
   test("frame_index upper bounds stop the walk early, in bytes read") {
     val avi = testAvi(nFrames = 50, w = 32, h = 16)
     final class CountingStream(b: Array[Byte]) extends java.io.ByteArrayInputStream(b) {
