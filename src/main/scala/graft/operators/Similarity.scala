@@ -282,6 +282,104 @@ object Similarity {
     *              (1 − θ/π)^bits, so wider signatures trade candidate volume
     *              against recall; nTables independent tables claw recall back.
     */
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): quantize the corpus into `nCells` centroid cells,
+    * score every pair WITHIN a cell, resolve pairs at cosine ≥ `threshold`
+    * into duplicate groups, and keep one representative per group — the
+    * member with the highest cosine to its cell centroid (the paper ablated
+    * keeper choices and found they barely matter; this one is deterministic
+    * and engine-replayable), ties breaking on id. The reference has no semantic
+    * layer (its dedup is keyed); this is the embedding-space sibling of the
+    * lexical [[graft.operators.Dedup]] family from the pipeline brief.
+    *
+    * Returns one row per corpus doc: `(idCol, cell, cluster, is_kept)` —
+    * `cluster` is the duplicate-group label (its minimum member id;
+    * singletons label themselves), `is_kept` marks the group
+    * representative.
+    *
+    * Scale shape:
+    *  - cell assignment is [[ivfTopK]]'s quantizer — pure codegen'd
+    *    expressions over literal centers, zero shuffle;
+    *  - within-cell pairing is cell-quadratic BY DESIGN (the paper's
+    *    semantics: the quantizer keeps each cell a vanishing fraction of
+    *    the corpus — ~100k cells at real scale). ONE shuffle keyed on the
+    *    cell carries each vector exactly once (each doc lives in exactly
+    *    one cell — unlike the LSH multi-table self-join, whose candidate
+    *    stream must dedup pairs and re-join vectors by id);
+    *  - the flood guard fails the job in-plan (`assert_true` over a
+    *    per-cell count window) if a degenerate quantizer packs a cell past
+    *    `maxCellSize` — BEFORE the quadratic pair stream of that cell
+    *    materializes; the window's hash partitioning on the cell is reused
+    *    by the pair join, so the guard costs no extra shuffle;
+    *  - near-dups split across a cell boundary are MISSED — the recall
+    *    trade the paper accepts; lift recall with more/better centers
+    *    ([[trainCenters]]) rather than cross-cell joins;
+    *  - cluster resolution is [[Dedup.connectedComponents]] (transitive
+    *    closure, one label shuffle per round): a declarative strengthening
+    *    of the paper's greedy within-cluster scan — both keep one doc per
+    *    connected duplicate group, and closure makes the grouping
+    *    order-free and engine-reproducible (oracle-checkable).
+    *
+    * @param scoreDigits round the pair cosine (and the keeper's quantizer
+    *                    score) to this many digits before thresholding and
+    *                    ranking, so the selection replays across engines.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nCells: Int = 16,
+                    centers: Option[Array[Array[Float]]] = None,
+                    scoreDigits: Option[Int] = Some(6),
+                    maxCellSize: Int = 1 << 20): DataFrame = {
+    val cents: Array[Array[Float]] =
+      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCells))
+    // [[cellScores]] plus the centroid COSINE as a third struct field: the
+    // quantizer score `‖c‖² − 2·v·c` drops the constant-per-doc ‖v‖² term,
+    // so it ranks cells for one doc but can NOT compare different docs'
+    // centroid proximity — the keeper rule needs the scale-invariant
+    // cosine. (s, i) stays unique, so array_min never consults the field;
+    // it rides along to be read off the winner.
+    val scored = array(cents.indices.map { i =>
+      val c = cents(i)
+      val norm2 = c.map(x => x.toDouble * x).sum
+      struct(
+        (lit(norm2) - lit(2.0) * VectorFunctions.dot(col(vecCol),
+          typedlit(c.toSeq))).as("s"),
+        lit(i).as("i"),
+        VectorFunctions.cosine(col(vecCol), typedlit(c.toSeq)).as("kc"))
+    }: _*)
+    val best = array_min(scored)
+    val rawKc = best.getField("kc")
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      best.getField("i").as("cell"),
+      scoreDigits.fold(rawKc)(d => round(rawKc, d)).as("__kc"))
+    val guarded = assigned
+      .withColumn("__csz", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .filter(assert_true(col("__csz") <= maxCellSize,
+        format_string("semanticDedup: cell %s holds %s vectors > maxCellSize=" +
+          s"$maxCellSize — degenerate quantizer; raise nCells or pass " +
+          "trained centers", col("cell"), col("__csz"))).isNull)
+      .drop("__csz")
+    val rawCos = VectorFunctions.cosine(col("__va"), col("__vb"))
+    val pairs = guarded
+      .select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("cell"))
+      .join(guarded.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        col("cell")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(scoreDigits.fold(rawCos)(d => round(rawCos, d)) >= threshold)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "__cid")
+    // keeper = highest centroid cosine ("closest to centroid" — the
+    // SemDeDup ablation found the keeper choice barely matters; this one is
+    // deterministic and engine-replayable), ties on id
+    val wKeep = Window.partitionBy(col("cluster"))
+      .orderBy(col("__kc").desc, col(idCol))
+    guarded
+      .join(comps, col(idCol) === col("__cid"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol).cast("long")))
+      .withColumn("is_kept", row_number().over(wKeep) === 1)
+      .select(col(idCol), col("cell"), col("cluster"), col("is_kept"))
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nBits: Int = 0, nTables: Int = 4): DataFrame = {
     val (dim, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 8)

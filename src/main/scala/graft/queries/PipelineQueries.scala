@@ -220,6 +220,27 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SEMANTIC dedup (SemDeDup, arXiv:2303.09540): centroid-cell
+    // quantization → within-cell cosine pairs → transitive duplicate
+    // groups → keep the member closest to its centroid. Planted exact
+    // copies (vec_id + 100000) are the duplicates: a copy shares its
+    // original's cell structurally (identical vector ⇒ identical quantizer
+    // scores ⇒ same argmin), its pair scores cosine exactly 1, and the
+    // keeper rule ties on centroid cosine so the LOWER id (the original)
+    // survives. The synthetic corpus itself has no 0.999-cosine pairs
+    // (max ≈ 0.51), so the expected clusters are exactly the planted
+    // twins at any scale factor. ORACLED end-to-end: center sampling
+    // (portable md5 order), assignment argmin, pair pruning, recursive-CTE
+    // closure, and keeper selection all replay in SQL.
+    "q101_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.semanticDedup(emb.unionByName(twins), "vec_id", "embedding",
+        threshold = 0.999, nCells = 16, scoreDigits = Some(6))
+        .orderBy("vec_id")
+    }),
+
     // Salted two-stage aggregation (the skew discipline): spreads a
     // pathological key over `buckets` reducers via partial aggregation on
     // (key, salt), then merges. The ORACLE is the plain GROUP BY — salting
@@ -765,6 +786,56 @@ object PipelineQueries {
          CAST(vec_id + 100000 AS BIGINT) AS id_b,
          CAST(1.0 AS DOUBLE) AS cosine
        FROM embeddings WHERE vec_id < 10 ORDER BY id_a""",
+    "q101_semantic_dedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         UNION ALL
+         SELECT CAST(vec_id + 100000 AS BIGINT), CAST(embedding AS DOUBLE[])
+         FROM embeddings WHERE vec_id < 20),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM corpus ORDER BY hk, vec_id LIMIT 16)),
+       dists AS (
+         SELECT c.vec_id, t.ci,
+           list_dot_product(t.cvec, t.cvec)
+             - 2.0 * list_dot_product(c.v, t.cvec) AS s,
+           list_dot_product(c.v, t.cvec)
+             / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(t.cvec, t.cvec))) AS kc
+         FROM corpus c CROSS JOIN cents t),
+       assigned AS (
+         SELECT vec_id, CAST(ci AS INTEGER) AS cell, round(kc, 6) AS kc
+         FROM (SELECT vec_id, ci, kc,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s, ci) AS rn
+               FROM dists) WHERE rn = 1),
+       pairs AS (
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM assigned a JOIN assigned b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         JOIN corpus ca ON ca.vec_id = a.vec_id
+         JOIN corpus cb ON cb.vec_id = b.vec_id
+         WHERE round(list_dot_product(ca.v, cb.v)
+           / (sqrt(list_dot_product(ca.v, ca.v))
+            * sqrt(list_dot_product(cb.v, cb.v))), 6) >= 0.999),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       comp AS (
+         SELECT n AS did, least(min(m), n) AS cluster FROM reach GROUP BY n),
+       clustered AS (
+         SELECT a.vec_id, a.cell,
+           coalesce(c.cluster, a.vec_id) AS cluster, a.kc
+         FROM assigned a LEFT JOIN comp c ON a.vec_id = c.did)
+       SELECT vec_id, cell, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY kc DESC, vec_id) = 1
+           AS is_kept
+       FROM clustered ORDER BY vec_id""",
     "q88_pii_scrub" ->
       """WITH withpii AS (
          SELECT doc_id,

@@ -209,4 +209,60 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((1000L, 1001L)))
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("semanticDedup drops planted twins, keeps originals, partitions ids") {
+    val twins = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins)
+    val n = corpus.count()
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.999, nCells = 8).cache()
+    // every corpus id appears exactly once (cells partition, no dup rows)
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    // dropped docs are exactly the planted twins (tie on identical centroid
+    // cosine breaks to the lower id — the original)
+    val dropped = out.filter(!col("is_kept")).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(dropped.toSeq == (0L until 10L).map(_ + 100000L))
+    // each twin shares its original's cluster, labeled by the original
+    val twinClusters = out.filter(col("vec_id") >= 100000L)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(twinClusters.forall { case (id, cl) => cl == id - 100000L })
+  }
+
+  test("semanticDedup keeper is the member closest to its centroid, not the lowest id") {
+    import spark.implicits._
+    // explicit centers make the assignment deterministic: both near-dups
+    // land in cell 0; id 2 is CLOSER to the centroid (higher cosine) than
+    // the lower id 1, so the keeper rule must pick 2
+    val docs = Seq(
+      (1L, Array(1.0f, 0.10f)), // cos to (1,0) ≈ 0.99504
+      (2L, Array(1.0f, 0.05f)), // cos to (1,0) ≈ 0.99875 — the keeper
+      (9L, Array(-1.0f, 0.0f))) // other cell, singleton
+      .toDF("id", "vec")
+    val centers = Some(Array(Array(1.0f, 0.0f), Array(-1.0f, 0.0f)))
+    val out = Similarity.semanticDedup(docs, "id", "vec",
+      threshold = 0.99, nCells = 2, centers = centers)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1)
+    // cosine(d1, d2) ≈ 0.99877 ≥ 0.99 → one cluster {1, 2}, labeled 1
+    assert(out.toSeq == Seq((1L, 0, 1L, false), (2L, 0, 1L, true),
+      (9L, 1, 9L, true)))
+  }
+
+  test("semanticDedup fails fast in-plan when a cell floods past maxCellSize") {
+    val corpus = emb.select("vec_id", "embedding")
+    // one center = every vector in one cell; cap far below the corpus size
+    val one = Some(Array(Array.fill(64)(0.1f)))
+    val ex = intercept[Exception] {
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, nCells = 1, centers = one, maxCellSize = 5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("maxCellSize")))
+  }
 }
