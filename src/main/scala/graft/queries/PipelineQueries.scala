@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Sampling, Similarity, Skew}
+import graft.operators.{Dedup, QualityFilter, Sampling, Similarity, Skew}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -239,6 +239,21 @@ object PipelineQueries {
       Similarity.semanticDedup(emb.unionByName(twins), "vec_id", "embedding",
         threshold = 0.999, nCells = 16, scoreDigits = Some(6))
         .orderBy("vec_id")
+    }),
+
+    // MODEL-BASED quality filtering (the CCNet/fastText pattern): train a
+    // hashed-unigram centroid classifier on a weak label (lang == 'en' —
+    // the classic wiki-vs-crawl seed labeling), score the whole corpus.
+    // All arithmetic is integer (counts, 1e-9 fixed-point shares, long
+    // sums) so training AND scoring replay exactly in SQL — no log-odds /
+    // sigmoid whose libm and accumulation order are engine-private.
+    "q102_quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.withColumn("__y", col("lang") === lit("en"))
+      val w = QualityFilter.trainHashedCentroid(labeled, "text", "__y",
+        nBuckets = 256)
+      QualityFilter.scoreHashed(docs, "doc_id", "text", w)
+        .orderBy("doc_id")
     }),
 
     // Salted two-stage aggregation (the skew discipline): spreads a
@@ -836,6 +851,38 @@ object PipelineQueries {
          row_number() OVER (PARTITION BY cluster ORDER BY kc DESC, vec_id) = 1
            AS is_kept
        FROM clustered ORDER BY vec_id""",
+    "q102_quality_classifier" ->
+      s"""WITH norm AS (
+         SELECT doc_id, lang, ${normSql("text")} AS t FROM documents),
+       toks AS (
+         SELECT doc_id, lang, unnest(string_split(t, ' ')) AS w FROM norm),
+       tok2 AS (
+         SELECT doc_id, lang = 'en' AS y,
+           CAST(${pHash60("w")} % 256 AS INTEGER) AS b
+         FROM toks WHERE len(w) > 0),
+       counts AS (
+         SELECT b, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS gc,
+           CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS bc
+         FROM tok2 GROUP BY b),
+       grid AS (
+         SELECT CAST(i AS INTEGER) AS b
+         FROM unnest(generate_series(0, 255)) t(i)),
+       sm AS (
+         SELECT g.b, coalesce(c.gc, 0) + 1 AS gg, coalesce(c.bc, 0) + 1 AS bb
+         FROM grid g LEFT JOIN counts c ON g.b = c.b),
+       tot AS (
+         SELECT CAST(sum(gg) AS BIGINT) AS tg, CAST(sum(bb) AS BIGINT) AS tb
+         FROM sm),
+       wts AS (
+         SELECT b, (gg * 1000000000) // tg - (bb * 1000000000) // tb AS w
+         FROM sm, tot),
+       scores AS (
+         SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+         FROM tok2 t JOIN wts w ON t.b = w.b GROUP BY t.doc_id)
+       SELECT d.doc_id, coalesce(s.score, CAST(0 AS BIGINT)) AS score,
+         coalesce(s.score, 0) > 0 AS predicted
+       FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+       ORDER BY d.doc_id""",
     "q88_pii_scrub" ->
       """WITH withpii AS (
          SELECT doc_id,
