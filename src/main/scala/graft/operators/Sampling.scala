@@ -117,6 +117,50 @@ object Sampling {
     * file/partition the tokenizer writes, exactly how packing is sharded in
     * production pipelines.
     */
+  /** Balanced OUTPUT sharding: assign each document (ordered by `orderCol`)
+    * a shard index so every shard holds ~`targetTokensPerShard` tokens —
+    * the data-loader-facing export step (N roughly-equal-token training
+    * shards) that [[sequencePack]] packs WITHIN. A doc belongs to the shard
+    * its token START offset falls in (straddlers stay whole, like
+    * sequencePack's boundary semantics). Adds `token_start` and `shard`.
+    *
+    * Scale shape — the distributed prefix sum, NOT a global window (a
+    * `Window.partitionBy()` cumsum would drag the corpus through one
+    * partition, the exact trap mixtureRebalance's scaladoc documents):
+    *  1. `repartitionByRange(orderCol)` — the sort shuffle Spark would
+    *     need for any global order;
+    *  2. per-range-partition token totals — a #partitions-row aggregate —
+    *     prefix-summed on the DRIVER (catalog-scale: one long per
+    *     partition) and broadcast back as each partition's base offset;
+    *  3. one window WITHIN each range partition adds the local cumsum to
+    *     the base. Parallelism = #range partitions at every step.
+    */
+  def shardByTokens(df: DataFrame, orderCol: String, tokensCol: String,
+                    targetTokensPerShard: Long, nRanges: Int = 0): DataFrame = {
+    require(targetTokensPerShard > 0, "targetTokensPerShard must be positive")
+    val spark = df.sparkSession
+    val ranges =
+      if (nRanges > 0) nRanges
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.repartitionByRange(ranges, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val sums = parted.groupBy(col("__pid"))
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](ranges)
+    var acc = 0L
+    (0 until ranges).foreach { p => offsets(p) = acc; acc += sums.getOrElse(p, 0L) }
+    val offsetCol = element_at(typedlit(offsets.toSeq), col("__pid") + 1)
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .withColumn("token_start",
+        (offsetCol + sum(col(tokensCol).cast("long")).over(w) -
+          col(tokensCol).cast("long")).cast("long"))
+      .withColumn("shard", floor(col("token_start") / targetTokensPerShard))
+      .drop("__pid")
+  }
+
   def sequencePack(df: DataFrame, shardCol: String, orderCol: String,
                    tokensCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0)

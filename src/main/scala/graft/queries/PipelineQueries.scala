@@ -256,6 +256,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // BALANCED OUTPUT SHARDING: the distributed prefix sum assigns each
+    // doc (in doc_id order) a training shard of ~2000 tokens. The oracle
+    // replays it as ONE global cumsum window — fine at oracle scale, the
+    // exact single-partition shape the operator exists to avoid.
+    "q103_token_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.shardByTokens(docs, "doc_id", "n_tokens",
+        targetTokensPerShard = 2000, nRanges = 8)
+        .select("doc_id", "n_tokens", "token_start", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Salted two-stage aggregation (the skew discipline): spreads a
     // pathological key over `buckets` reducers via partial aggregation on
     // (key, salt), then merges. The ORACLE is the plain GROUP BY — salting
@@ -883,6 +897,21 @@ object PipelineQueries {
          coalesce(s.score, 0) > 0 AS predicted
        FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
        ORDER BY d.doc_id""",
+    "q103_token_shards" ->
+      """WITH toks AS (
+         SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       cum AS (
+         SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS token_start
+         FROM toks)
+       SELECT doc_id, n_tokens, token_start,
+         token_start // 2000 AS shard
+       FROM cum ORDER BY doc_id""",
     "q88_pii_scrub" ->
       """WITH withpii AS (
          SELECT doc_id,

@@ -114,6 +114,34 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shardByTokens: distributed prefix sum equals the single-window cumsum") {
+    val toks = corpus(2000)
+      .select(col("id"), (col("id") % 97 + 1).cast("long").as("n_tokens"))
+    val target = 500L
+    val out = Sampling.shardByTokens(toks, "id", "n_tokens", target,
+      nRanges = 8)
+      .select("id", "n_tokens", "token_start", "shard")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 2000, "sharding drops nothing")
+    // exact equivalence with the sequential scan (what one window computes)
+    var cum = 0L
+    out.foreach { case (id, nt, start, shard) =>
+      assert(start == cum, s"doc $id token_start $start != $cum")
+      assert(shard == start / target, s"doc $id shard mismatch")
+      cum += nt
+    }
+    // shard token totals are bounded by target + one straddling doc
+    val maxDoc = out.map(_._2).max
+    out.groupBy(_._4).values.foreach { docs =>
+      val total = docs.map(_._2).sum
+      assert(total <= target + maxDoc)
+    }
+    // shard ids are dense and nondecreasing in doc order
+    assert(out.map(_._4).sliding(2).forall {
+      case Array(a, b) => b >= a && b - a <= 1; case _ => true
+    })
+  }
+
   test("sampling filters contain no shuffle (pure per-row gate)") {
     val plan = Sampling.stratifiedSample(corpus(100), "lang", "id", Map("en" -> 0.2), 0.5)
       .queryExecution.executedPlan.toString
