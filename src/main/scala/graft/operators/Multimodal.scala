@@ -628,6 +628,11 @@ object Multimodal {
             if (f != cur) {
               closeCurrent()
               cur = f
+              // container ids name FILES under dir — a separator or ".."
+              // would silently write outside the export root
+              require(f.nonEmpty && !f.contains("/") && !f.contains("\\") &&
+                f != "." && f != "..",
+                s"container id '$f' is not a safe file name")
               out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$f.avi"), true)
               writer = new graft.sources.AviMjpeg.AviStreamWriter(
                 out, width, height, fps, segmentBytes)

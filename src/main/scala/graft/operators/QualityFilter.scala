@@ -63,8 +63,11 @@ object QualityFilter {
       .drop("__tok")
 
   /** Train the centroid weights from a labeled seed set. `labelCol` must be
-    * boolean (true = positive/keep class). Returns the `nBuckets` weight
-    * array to pass to [[scoreHashed]] — persist it like any model artifact.
+    * boolean (true = positive/keep class); null-labeled docs contribute to
+    * neither class (their tokens are counted and discarded — filter them out
+    * first if the seed set is mostly unlabeled). Returns the `nBuckets`
+    * weight array to pass to [[scoreHashed]] — persist it like any model
+    * artifact.
     */
   def trainHashedCentroid(docs: DataFrame, textCol: String, labelCol: String,
                           nBuckets: Int = 1024): Array[Long] = {

@@ -134,6 +134,13 @@ object Sampling {
     *     partition) and broadcast back as each partition's base offset;
     *  3. one window WITHIN each range partition adds the local cumsum to
     *     the base. Parallelism = #range partitions at every step.
+    *
+    * The range shuffle executes twice (once under the totals aggregate,
+    * once in the returned plan); that is sound because Spark's range
+    * partitioner samples with deterministic per-partition seeds — identical
+    * input yields identical boundaries, so the collected totals describe
+    * exactly the partitions the window sees. Persist `df` first if its own
+    * lineage is expensive or nondeterministic.
     */
   def shardByTokens(df: DataFrame, orderCol: String, tokensCol: String,
                     targetTokensPerShard: Long, nRanges: Int = 0): DataFrame = {

@@ -295,7 +295,9 @@ object Similarity {
     * Returns one row per corpus doc: `(idCol, cell, cluster, is_kept)` —
     * `cluster` is the duplicate-group label (its minimum member id;
     * singletons label themselves), `is_kept` marks the group
-    * representative.
+    * representative. `idCol` must be integral (labels propagate as longs
+    * through [[Dedup.connectedComponents]], which rejects other types
+    * loudly); hash string ids to longs first.
     *
     * Scale shape:
     *  - cell assignment is [[ivfTopK]]'s quantizer — pure codegen'd

@@ -251,6 +251,16 @@ class AviMjpegSpec extends SparkSpec {
     def messages(t: Throwable): String =
       if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
     assert(messages(ex).contains("dense"))
+
+    // a container id that would escape the export dir fails loudly
+    val escapey = Seq(("../pwn", 0L, jpegFrame(24, 12, 3)))
+      .toDF("camera", "frame_index", "jpeg")
+    val ex2 = intercept[Exception] {
+      Multimodal.exportAviStreams(escapey, "camera", "frame_index", "jpeg",
+        java.nio.file.Files.createTempDirectory("avi-export-esc").toString,
+        24, 12)
+    }
+    assert(messages(ex2).contains("safe file name"))
   }
 
   test("frame_index upper bounds stop the walk early, in bytes read") {
