@@ -60,6 +60,30 @@ object Sampling {
     df.filter(acceptGate(col(idCol), rate, tag))
   }
 
+  /** EXACT-count stratified sampling: keep exactly `min(k, |stratum|)` rows
+    * per stratum — the "exactly 1M docs per source" selection a rate gate
+    * cannot promise (binomial spread) — chosen deterministically as the k
+    * smallest tag-keyed hashes (ties on id). The same hash family as
+    * [[acceptGate]], so exact-k and rate draws with different tags stay
+    * independent, and a row's selection never depends on task layout or
+    * retries.
+    *
+    * Scale shape: ONE shuffle (the per-stratum window rank). Rank-k within
+    * a window sorts each stratum group; for k ≪ stratum size Spark's
+    * rank-limit pushdown (WindowGroupLimit) keeps per-task state at the
+    * top-k frontier rather than the full stratum sort.
+    */
+  def exactKPerStratum(df: DataFrame, strataCol: String, idCol: String,
+                       k: Int, tag: String = "exactk"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(HashFunctions.portableHash60(
+        concat(lit(tag + ":"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Rebalance a corpus toward explicit target mixture WEIGHTS: given
     * `weights(s)` (relative target share of stratum `s`), keep stratum `s`
     * at rate `c·w_s/n_s` where `c = min_s(n_s/w_s)` — the largest scaling

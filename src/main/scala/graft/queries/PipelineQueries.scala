@@ -256,6 +256,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // EXACT-COUNT stratified sampling: exactly 30 docs per language,
+    // chosen as the 30 smallest tag-keyed portable hashes — the count a
+    // rate gate only hits in expectation. Replays in SQL as the same
+    // hash-ordered row_number.
+    "q104_exact_k_sample" -> ((s, d) => {
+      Sampling.exactKPerStratum(Tables.documents(s, d), "lang", "doc_id",
+        k = 30)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // BALANCED OUTPUT SHARDING: the distributed prefix sum assigns each
     // doc (in doc_id order) a training shard of ~2000 tokens. The oracle
     // replays it as ONE global cumsum window — fine at oracle scale, the
@@ -912,6 +923,13 @@ object PipelineQueries {
        SELECT doc_id, n_tokens, token_start,
          token_start // 2000 AS shard
        FROM cum ORDER BY doc_id""",
+    "q104_exact_k_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+         SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             ${pHash60("concat('exactk:', CAST(doc_id AS VARCHAR))")}, doc_id)
+             AS rk
+         FROM documents) WHERE rk <= 30 ORDER BY doc_id""",
     "q88_pii_scrub" ->
       """WITH withpii AS (
          SELECT doc_id,

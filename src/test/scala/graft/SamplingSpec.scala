@@ -142,6 +142,27 @@ class SamplingSpec extends SparkSpec {
     })
   }
 
+  test("exactKPerStratum keeps exactly min(k, n) rows per stratum, rank-limited") {
+    val df = corpus(4000) // en:2000 de:1000 fr:500 es:500
+    val out = Sampling.exactKPerStratum(df, "lang", "id", k = 700)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 700L, "de" -> 700L, "fr" -> 500L, "es" -> 500L))
+    // deterministic: same call selects the identical id set
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.exactKPerStratum(df, "lang", "id", k = 700)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a different tag draws an (almost surely) different set
+    val ids3 = Sampling.exactKPerStratum(df, "lang", "id", k = 700, tag = "v2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 != ids3)
+    // the rank filter plans as a group-limit, not a full stratum sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("sampling filters contain no shuffle (pure per-row gate)") {
     val plan = Sampling.stratifiedSample(corpus(100), "lang", "id", Map("en" -> 0.2), 0.5)
       .queryExecution.executedPlan.toString
