@@ -439,6 +439,27 @@ object Dedup {
     * This is the decision a dedup pipeline actually ships: pairs → clusters
     * → per-cluster top-1 (one window over the cluster key, the W5 shape).
     */
+  /** Leakage-aware train/validation split: the split draw is keyed on the
+    * near-dup CLUSTER label, not the doc id, so a document and its
+    * near-duplicates always land on the same side. Splitting by doc id
+    * leaks: a val doc's near-twin in train inflates eval exactly the way
+    * external-benchmark contamination does ([[decontaminate]] closes that
+    * channel for published suites; this closes it for the corpus's own
+    * held-out split). Deterministic hash gate ([[Sampling.acceptGate]]):
+    * re-runs, task retries, and other engines select the identical split.
+    *
+    * `clusterCol` is the [[connectedComponents]] label (singletons = own
+    * id, as in q99's coalesce). Adds `split` = "val" | "train". Pure
+    * per-row filter — no shuffle beyond what produced the clusters.
+    */
+  def splitByCluster(docs: DataFrame, clusterCol: String, valFrac: Double,
+                     tag: String = "split"): DataFrame = {
+    require(valFrac >= 0 && valFrac <= 1, "valFrac must be in [0, 1]")
+    docs.withColumn("split",
+      when(Sampling.acceptGate(col(clusterCol), lit(valFrac), tag), "val")
+        .otherwise("train"))
+  }
+
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String, bCol: String, scoreCol: String): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)

@@ -447,6 +447,23 @@ object PipelineQueries {
           (coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
             .as("is_canonical"))
         .orderBy("doc_id")
+    }),
+
+    // LEAKAGE-AWARE train/val split: the split draw keys on the q99
+    // near-dup CLUSTER, so a doc and its near-twins land on one side —
+    // the within-corpus analogue of q98's benchmark decontamination.
+    // valFrac 0.125 is a power of two: `rate · 2⁶⁰` is one exact IEEE
+    // multiply, replayed by the oracle's identical hash gate.
+    "q105_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pairs = minhashVerifiedPairs(docs)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.select("doc_id").join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      Dedup.splitByCluster(clustered, "cluster", valFrac = 0.125)
+        .orderBy("doc_id")
     })
   )
 
@@ -614,6 +631,25 @@ object PipelineQueries {
          coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
        FROM documents d LEFT JOIN comp c ON d.doc_id = c.did
        ORDER BY d.doc_id""",
+    "q105_cluster_split" ->
+      s"""WITH RECURSIVE $minhashPairCtesSql,
+       pairs AS ($minhashPairSelectSql),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       comp AS (
+         SELECT n AS did, least(min(m), n) AS cluster FROM reach GROUP BY n),
+       clustered AS (
+         SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.did)
+       SELECT doc_id, cluster,
+         CASE WHEN ${acceptSql("cluster", "split", "(0.125::DOUBLE)")}
+           THEN 'val' ELSE 'train' END AS split
+       FROM clustered ORDER BY doc_id""",
     "q66_simhash" ->
       s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
        words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),

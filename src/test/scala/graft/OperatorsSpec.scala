@@ -331,6 +331,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("splitByCluster keeps whole clusters on one side, deterministically") {
+    // 200 docs in 100 two-doc clusters: cluster label = id - (id % 2)
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      (col("id") - col("id") % 2).as("cluster"))
+    val out = graft.operators.Dedup.splitByCluster(docs, "cluster",
+      valFrac = 0.25).cache()
+    // cohesion: every cluster is entirely train or entirely val
+    val mixed = out.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(mixed == 0, "a near-dup cluster straddles the split")
+    // both sides populated at this fraction and scale; deterministic rerun
+    val valN = out.filter(col("split") === "val").count()
+    assert(valN > 0 && valN < 200)
+    val again = graft.operators.Dedup.splitByCluster(docs, "cluster", 0.25)
+      .filter(col("split") === "val").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.filter(col("split") === "val").select("doc_id")
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("connectedComponents rejects non-integral id columns loudly") {
     // a silent cast("long") would null string ids, drop every edge, and
     // return empty clusters — keepCanonical would then "dedup" nothing
