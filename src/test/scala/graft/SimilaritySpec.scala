@@ -252,6 +252,29 @@ class SimilaritySpec extends SparkSpec {
       (9L, 1, 9L, true)))
   }
 
+  test("semanticDedup with trained centers collapses planted clusters, never merges across them") {
+    // 16 planted clusters of 30 near-identical members; trained centers put
+    // each cluster in its own cell, so within-cluster pairs (cosine ≳ 0.97)
+    // group and collapse while cross-cluster pairs (far below 0.9) never
+    // appear. Threshold 0.9 sits in the structural gap.
+    val cents = Similarity.trainCenters(planted, "embedding", nCentroids = 16)
+    val out = Similarity.semanticDedup(planted, "vec_id", "embedding",
+      threshold = 0.9, nCells = 16, centers = Some(cents)).cache()
+    assert(out.count() == 480)
+    // groups never span two true clusters (vec_id / 100 is the true label)
+    val spanning = out.groupBy("cluster")
+      .agg(countDistinct(floor(col("vec_id") / 100)).as("trueClusters"))
+      .filter(col("trueClusters") > 1).count()
+    assert(spanning == 0, "a dup group merged across planted clusters")
+    // each true cluster collapses to far fewer representatives than members
+    val keptPerCluster = out.filter(col("is_kept"))
+      .groupBy(floor(col("vec_id") / 100).as("true_c")).count()
+      .collect().map(r => r.getLong(1))
+    assert(keptPerCluster.length == 16, "every planted cluster keeps a doc")
+    assert(keptPerCluster.forall(k => k >= 1 && k <= 3),
+      s"expected 1-3 keepers per 30-member cluster, got ${keptPerCluster.toSeq}")
+  }
+
   test("semanticDedup fails fast in-plan when a cell floods past maxCellSize") {
     val corpus = emb.select("vec_id", "embedding")
     // one center = every vector in one cell; cap far below the corpus size
