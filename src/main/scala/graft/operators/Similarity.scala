@@ -382,6 +382,68 @@ object Similarity {
       .select(col(idCol), col("cell"), col("cluster"), col("is_kept"))
   }
 
+  /** Expose [[semanticDedup]]'s cell assignment with EXPLICIT centers:
+    * `(idCol, vecCol, cell)`. The incremental path requires pinned centers —
+    * assignment must be stable across batches, so the quantizer is trained
+    * (or sampled) ONCE when the index is created and persisted with it;
+    * re-training the quantizer means re-indexing, exactly like rewriting an
+    * IVF layout ([[writeIvfIndex]]).
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centers: Array[Array[Float]]): DataFrame = {
+    require(centers.nonEmpty, "assignCells needs at least one center")
+    corpus.select(col(idCol), col(vecCol),
+      array_min(cellScores(centers, vecCol)).getField("i").as("cell"))
+  }
+
+  /** Incremental SEMANTIC near-dup candidates — [[Dedup.incrementalCandidates]]
+    * for the [[semanticDedup]] family: a new batch of cell-assigned
+    * embeddings ([[assignCells]], pinned centers) pairs against the
+    * persisted assignment index (batch-vs-index) and against itself
+    * (batch-vs-batch), cosine-verified at `threshold`; batches never
+    * re-score the historical corpus against itself. The write side is the
+    * same idempotent-append discipline as the lexical index (append the
+    * batch's assignments keyed on (id, cell) after deriving candidates).
+    *
+    * Scale shape: the index side is probed ONLY in cells the batch touches;
+    * per-side flooded cells (> `maxCellSize`) are skipped so each drain
+    * stays linear in the batch. When no cap binds, incremental candidates
+    * over a split corpus reproduce the one-shot within-cell pair set
+    * exactly (spec-pinned).
+    */
+  def incrementalSemanticCandidates(newAssigned: DataFrame,
+                                    indexAssigned: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    threshold: Double,
+                                    scoreDigits: Option[Int] = Some(6),
+                                    maxCellSize: Int = 1 << 20): DataFrame = {
+    val batchCells = newAssigned.select("cell").distinct()
+    def flooded(df: DataFrame): DataFrame =
+      df.groupBy("cell").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxCellSize).select("cell")
+    val idxTouched = indexAssigned.join(batchCells, Seq("cell"))
+    val idx = idxTouched.join(flooded(idxTouched), Seq("cell"), "left_anti")
+    val batch = newAssigned.join(flooded(newAssigned), Seq("cell"), "left_anti")
+    val rawCos = VectorFunctions.cosine(col("__va"), col("__vb"))
+    val cos = scoreDigits.fold(rawCos)(d => round(rawCos, d))
+    val vsIndex = idx
+      .select(col(idCol).as("__ia"), col(vecCol).as("__va"), col("cell"))
+      .join(batch.select(col(idCol).as("__ib"), col(vecCol).as("__vb"),
+        col("cell")), Seq("cell"))
+      .filter(col("__ia") =!= col("__ib"))
+      .filter(cos >= threshold)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+    val vsBatch = batch
+      .select(col(idCol).as("__ia"), col(vecCol).as("__va"), col("cell"))
+      .join(batch.select(col(idCol).as("__ib"), col(vecCol).as("__vb"),
+        col("cell")), Seq("cell"))
+      .filter(col("__ia") < col("__ib"))
+      .filter(cos >= threshold)
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+    vsIndex.unionByName(vsBatch).distinct()
+  }
+
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nBits: Int = 0, nTables: Int = 4): DataFrame = {
     val (dim, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 8)

@@ -275,6 +275,38 @@ class SimilaritySpec extends SparkSpec {
       s"expected 1-3 keepers per 30-member cluster, got ${keptPerCluster.toSeq}")
   }
 
+  test("incremental semantic candidates over split batches equal the one-shot pair set") {
+    // odd offset: an even original's twin is odd, so every planted pair
+    // STRADDLES the even/odd batch split below — the batch-vs-index path
+    // must find them, not just the within-batch path
+    val twins = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100001L).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(twins).cache()
+    val cents = Similarity.trainCenters(corpus, "embedding", nCentroids = 8)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // one-shot = the whole corpus as one batch against an empty index
+    val assigned = Similarity.assignCells(corpus, "vec_id", "embedding", cents)
+    val oneShot = pairsOf(Similarity.incrementalSemanticCandidates(
+      assigned, assigned.limit(0), "vec_id", "embedding", threshold = 0.999))
+    assert(oneShot.nonEmpty, "planted twins must pair")
+
+    // split drains: batch1 vs nothing, then batch2 vs batch1's index
+    val b1 = Similarity.assignCells(corpus.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cents)
+    val b2 = Similarity.assignCells(corpus.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", cents)
+    val drained =
+      pairsOf(Similarity.incrementalSemanticCandidates(b1, b1.limit(0),
+        "vec_id", "embedding", threshold = 0.999)) ++
+      pairsOf(Similarity.incrementalSemanticCandidates(b2, b1,
+        "vec_id", "embedding", threshold = 0.999))
+    assert(drained == oneShot,
+      s"split drains diverge: only-one-shot=${oneShot -- drained} " +
+        s"only-drained=${drained -- oneShot}")
+  }
+
   test("semanticDedup fails fast in-plan when a cell floods past maxCellSize") {
     val corpus = emb.select("vec_id", "embedding")
     // one center = every vector in one cell; cap far below the corpus size
