@@ -128,6 +128,41 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** TEMPERATURE mixture rebalance — the multilingual sampling knob
+    * (mT5/XLM-R): target stratum shares ∝ n_s^α, flattening the natural
+    * distribution toward uniform as α → 0 (α = 1 keeps it unchanged). With
+    * no up-sampling (rates ≤ 1, smallest stratum kept whole) the keep rate
+    * reduces to `rate_s = (n_min / n_s)^(1−α)`.
+    *
+    * Same scale shape as [[mixtureRebalance]]: one #strata-row aggregate,
+    * 1-row min broadcast-crossed back, corpus touched once by a pure
+    * hash-gate filter; `sizeCol` switches the unit to token mass.
+    *
+    * α = 0.5 (the most common setting) is computed as
+    * `sqrt(n_min / n_s)` — division and square root are correctly-rounded
+    * IEEE operations, so the selection replays EXACTLY in any engine
+    * (oracle-checkable). Other α go through `pow`, whose last-ulp behavior
+    * is the platform libm's — same selection in practice, but the exact
+    * cross-engine guarantee is documented for α = 0.5 only.
+    */
+  def temperatureRebalance(df: DataFrame, strataCol: String, idCol: String,
+                           alpha: Double, tag: String = "temp",
+                           sizeCol: Option[String] = None): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val mass = sizeCol.fold(count(lit(1)).cast("double"))(c =>
+      sum(col(c)).cast("double"))
+    val perStratum = df.groupBy(col(strataCol)).agg(mass.as("__n"))
+    val nMin = perStratum.agg(min(col("__n")).as("__m"))
+    val ratio = col("__m") / col("__n")
+    val rateExpr =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = perStratum.crossJoin(broadcast(nMin))
+      .select(col(strataCol), rateExpr.as("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(acceptGate(col(idCol), col("__rate"), tag))
+      .drop("__rate")
+  }
+
   /** Sequence packing: lay documents end-to-end in token space within each
     * SHARD (ordered by `orderCol`) and chunk the concatenated stream into
     * fixed `seqLen`-token training sequences. Emits for each document its

@@ -256,6 +256,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TEMPERATURE mixture (mT5/XLM-R multilingual sampling): target shares
+    // ∝ n^0.5, smallest language kept whole. α = 0.5 makes the rate
+    // sqrt(n_min/n) — correctly-rounded IEEE ops end to end, so the gate
+    // replays exactly.
+    "q106_temperature_mix" -> ((s, d) => {
+      Sampling.temperatureRebalance(Tables.documents(s, d), "lang", "doc_id",
+        alpha = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // EXACT-COUNT stratified sampling: exactly 30 docs per language,
     // chosen as the 30 smallest tag-keyed portable hashes — the count a
     // rate gate only hits in expectation. Replays in SQL as the same
@@ -959,6 +970,16 @@ object PipelineQueries {
        SELECT doc_id, n_tokens, token_start,
          token_start // 2000 AS shard
        FROM cum ORDER BY doc_id""",
+    "q106_temperature_mix" ->
+      s"""WITH n AS (
+         SELECT lang, CAST(count(*) AS DOUBLE) AS nn
+         FROM documents GROUP BY lang),
+       m AS (SELECT min(nn) AS mn FROM n),
+       r AS (SELECT lang, sqrt(mn / nn) AS rate FROM n, m)
+       SELECT d.doc_id, d.lang, d.source
+       FROM documents d JOIN r ON d.lang = r.lang
+       WHERE ${acceptSql("d.doc_id", "temp", "r.rate")}
+       ORDER BY d.doc_id""",
     "q104_exact_k_sample" ->
       s"""SELECT doc_id, lang, source FROM (
          SELECT doc_id, lang, source,

@@ -142,6 +142,23 @@ class SamplingSpec extends SparkSpec {
     })
   }
 
+  test("temperatureRebalance flattens toward n^alpha; smallest stratum kept whole") {
+    val df = corpus(8000) // en:4000 de:2000 fr:1000 es:1000
+    // alpha = 1: identity — every row kept (all rates exactly 1)
+    assert(Sampling.temperatureRebalance(df, "lang", "id", alpha = 1.0)
+      .count() == 8000)
+    // alpha = 0.5: kept_s = n_s * sqrt(n_min/n_s) = sqrt(n_min * n_s)
+    val out = Sampling.temperatureRebalance(df, "lang", "id", alpha = 0.5)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("fr") == 1000 && counts("es") == 1000,
+      "rate-1 strata must be kept whole, deterministically")
+    def within(actual: Long, expect: Double): Boolean =
+      math.abs(actual - expect) <= 4 * math.sqrt(expect)
+    assert(within(counts("en"), 2000), s"en kept ${counts("en")}")
+    assert(within(counts("de"), math.sqrt(1000.0 * 2000)), s"de kept ${counts("de")}")
+  }
+
   test("exactKPerStratum keeps exactly min(k, n) rows per stratum, rank-limited") {
     val df = corpus(4000) // en:2000 de:1000 fr:500 es:500
     val out = Sampling.exactKPerStratum(df, "lang", "id", k = 700)
