@@ -186,20 +186,25 @@ object Sampling {
     * Scale shape — the distributed prefix sum, NOT a global window (a
     * `Window.partitionBy()` cumsum would drag the corpus through one
     * partition, the exact trap mixtureRebalance's scaladoc documents):
-    *  1. `repartitionByRange(orderCol)` — the sort shuffle Spark would
-    *     need for any global order;
-    *  2. per-range-partition token totals — a #partitions-row aggregate —
-    *     prefix-summed on the DRIVER (catalog-scale: one long per
-    *     partition) and broadcast back as each partition's base offset;
-    *  3. one window WITHIN each range partition adds the local cumsum to
-    *     the base. Parallelism = #range partitions at every step.
-    *
-    * The range shuffle executes twice (once under the totals aggregate,
-    * once in the returned plan); that is sound because Spark's range
-    * partitioner samples with deterministic per-partition seeds — identical
-    * input yields identical boundaries, so the collected totals describe
-    * exactly the partitions the window sees. Persist `df` first if its own
-    * lineage is expensive or nondeterministic.
+    *  1. ONE driver `approxQuantile` over `orderCol` picks ~`nRanges`
+    *     bucket boundaries, embedded as LITERALS — so a row's bucket is a
+    *     pure function of its own `orderCol` value, identical in every
+    *     pass and on every retry. (Deliberately NOT
+    *     `spark_partition_id()` over `repartitionByRange`: Spark's range
+    *     partitioner seeds its boundary sampling with the RDD id, so two
+    *     executions of the same plan can draw DIFFERENT boundaries — the
+    *     totals would describe partitions the window never sees. The
+    *     boundaries here only need to exist, not reproduce: once
+    *     collected they are literals.)
+    *  2. per-bucket token totals — a #buckets-row aggregate — are
+    *     prefix-summed on the DRIVER (catalog-scale: one long per bucket)
+    *     and embedded as each bucket's base offset;
+    *  3. one window WITHIN each bucket adds the local cumsum to the base.
+    * Parallelism = #buckets throughout; bucket skew is bounded by the
+    * quantile sketch accuracy. `df` is executed three times (quantile,
+    * totals, result) — persist it first if its lineage is expensive.
+    * `orderCol` must be numeric (quantile boundaries), unique, and
+    * non-null.
     */
   def shardByTokens(df: DataFrame, orderCol: String, tokensCol: String,
                     targetTokensPerShard: Long, nRanges: Int = 0): DataFrame = {
@@ -208,23 +213,31 @@ object Sampling {
     val ranges =
       if (nRanges > 0) nRanges
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.repartitionByRange(ranges, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val sums = parted.groupBy(col("__pid"))
+    val bounds: Array[Double] =
+      if (ranges <= 1) Array.empty
+      else df.stat.approxQuantile(orderCol,
+        (1 until ranges).map(_.toDouble / ranges).toArray, 0.001)
+        .distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+    }
+    val withB = df.withColumn("__bk", bucket)
+    val sums = withB.groupBy(col("__bk"))
       .agg(sum(col(tokensCol).cast("long")).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = new Array[Long](ranges)
+    val nBuckets = bounds.length + 1
+    val offsets = new Array[Long](nBuckets)
     var acc = 0L
-    (0 until ranges).foreach { p => offsets(p) = acc; acc += sums.getOrElse(p, 0L) }
-    val offsetCol = element_at(typedlit(offsets.toSeq), col("__pid") + 1)
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    (0 until nBuckets).foreach { b => offsets(b) = acc; acc += sums.getOrElse(b, 0L) }
+    val offsetCol = element_at(typedlit(offsets.toSeq), col("__bk") + 1)
+    val w = Window.partitionBy(col("__bk")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
+    withB
       .withColumn("token_start",
         (offsetCol + sum(col(tokensCol).cast("long")).over(w) -
           col(tokensCol).cast("long")).cast("long"))
       .withColumn("shard", floor(col("token_start") / targetTokensPerShard))
-      .drop("__pid")
+      .drop("__bk")
   }
 
   def sequencePack(df: DataFrame, shardCol: String, orderCol: String,

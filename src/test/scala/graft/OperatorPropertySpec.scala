@@ -179,6 +179,54 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("shardByTokens matches the sequential scan over random sizes and range counts (5 trials)") {
+    for (trial <- 1 to 5) {
+      val n = 200 + rnd.nextInt(1800)
+      val target = 50L + rnd.nextInt(2000)
+      val ranges = 1 + rnd.nextInt(16)
+      val sizes = Array.fill(n)(rnd.nextInt(500).toLong) // zero-token docs included
+      val df = sizes.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toSeq.toDF("id", "n_tokens")
+      val out = graft.operators.Sampling
+        .shardByTokens(df, "id", "n_tokens", target, nRanges = ranges)
+        .select("id", "token_start", "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(out.length == n, s"trial $trial dropped rows")
+      var cum = 0L
+      out.foreach { case (id, start, shard) =>
+        assert(start == cum, s"trial $trial (n=$n target=$target " +
+          s"ranges=$ranges): doc $id start $start != $cum")
+        assert(shard == start / target)
+        cum += sizes(id.toInt)
+      }
+    }
+  }
+
+  test("hashed-centroid classifier scores are invariant to doc order and partitioning (3 trials)") {
+    for (trial <- 1 to 3) {
+      val docs = (0 until 120).map { i =>
+        val words = Array.tabulate(5 + rnd.nextInt(20))(j =>
+          s"w${rnd.nextInt(50)}")
+        (i.toLong, words.mkString(" "), i % 3 == 0)
+      }.toSeq.toDF("doc_id", "text", "label")
+      val w1 = graft.operators.QualityFilter
+        .trainHashedCentroid(docs, "text", "label", nBuckets = 128)
+      val w2 = graft.operators.QualityFilter
+        .trainHashedCentroid(docs.repartition(13).orderBy(col("doc_id").desc),
+          "text", "label", nBuckets = 128)
+      assert(w1.toSeq == w2.toSeq,
+        s"trial $trial: training depends on layout")
+      val s1 = graft.operators.QualityFilter
+        .scoreHashed(docs, "doc_id", "text", w1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s2 = graft.operators.QualityFilter
+        .scoreHashed(docs.repartition(7), "doc_id", "text", w1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s1 == s2, s"trial $trial: scoring depends on layout")
+    }
+  }
+
   test("pointInInterval half-open semantics hold on random boundaries (3 trials)") {
     for (trial <- 1 to 3) {
       val points = (1 to 40).map(i => (i.toLong, t(rnd.nextInt(500) * 1000L)))
