@@ -9,11 +9,11 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader,
-  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns}
+  PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -74,7 +74,8 @@ private[sources] class ZarrTable(opts: ZarrTableOptions)
 
 private[sources] class ZarrScanBuilder(opts: ZarrTableOptions)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = ZarrSource.schema
   private var accepted: Array[Filter] = Array.empty
@@ -101,19 +102,89 @@ private[sources] class ZarrScanBuilder(opts: ZarrTableOptions)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ZarrScan(opts, required, accepted, lo, hi)
+
+  /** COUNT / MIN(row_index) / MAX(row_index) answer from the `.zarray`
+    * header alone: `row_index` is dense 0..shape[0]-1 by the store's own
+    * contract, so the extent IS the shape — the scan plans ONE synthetic
+    * partition and never lists, opens, or inflates a chunk file
+    * (spec-pinned by corrupting every chunk and still aggregating).
+    * PARTIAL pushdown like parquet/graft-clock: the scan emits one stats
+    * row, Spark's final aggregate folds it. Spark offers aggregates only
+    * when no residual filters remain, and every filter here stays
+    * residual, so pushed aggregates and row filters never mix.
+    */
+  private var aggCodes: Option[Array[Int]] = None
+  private var pushedAggDesc: Seq[String] = Nil
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    false
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def isRow(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.sameElements(Array("row_index"))
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val exprs = aggregation.aggregateExpressions
+    val codes = exprs.flatMap {
+      case _: CountStar => Some(ZarrAggCode.CountRows)
+      case m: Min if isRow(m.column) => Some(ZarrAggCode.MinRow)
+      case m: Max if isRow(m.column) => Some(ZarrAggCode.MaxRow)
+      // row_index is non-nullable, so COUNT(row_index) == COUNT(*)
+      case c: Count if !c.isDistinct && isRow(c.column) =>
+        Some(ZarrAggCode.CountRows)
+      case _ => None
+    }
+    if (codes.length != exprs.length) false
+    else {
+      aggCodes = Some(codes)
+      pushedAggDesc = exprs.map(_.describe).toSeq
+      true
+    }
+  }
+
+  override def build(): Scan = {
+    // with a pushed aggregation the scan's output is the stats row —
+    // positional mapping, one long per aggregate (nullable for min/max:
+    // empty stores)
+    val schema = aggCodes match {
+      case Some(codes) => StructType(codes.zip(pushedAggDesc).map {
+        case (c, d) =>
+          StructField(d, LongType, nullable = c != ZarrAggCode.CountRows)
+      })
+      case None => required
+    }
+    new ZarrScan(opts, schema, accepted, lo, hi, aggCodes, pushedAggDesc)
+  }
+}
+
+private[sources] object ZarrAggCode {
+  val MinRow = 0; val MaxRow = 1; val CountRows = 2
 }
 
 private[sources] class ZarrScan(opts: ZarrTableOptions, required: StructType,
-                                pushed: Array[Filter], lo: Long, hi: Long)
+                                pushed: Array[Filter], lo: Long, hi: Long,
+                                aggCodes: Option[Array[Int]] = None,
+                                aggDesc: Seq[String] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-zarr(${opts.store}) rowRange=[$lo,$hi] " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}] " +
+      s"PushedAggregates: [${aggDesc.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    aggCodes match {
+      case Some(codes) =>
+        // header-only: the extent is the shape; no chunk is ever planned
+        val meta = ZarrSource.readMeta(SparkSession.active, opts.store)
+        return Array(ZarrAggPartition(meta.shape.head, codes))
+      case None => ()
+    }
     // header read + chunk-grid enumeration: catalog-scale driver metadata;
     // chunks disjoint from [lo, hi] are never planned at all
     val spark = SparkSession.active
@@ -160,14 +231,38 @@ private[sources] case class ZarrChunkPartition(
 private[sources] case class ZarrChunksPartition(chunks: Seq[ZarrChunkPartition])
     extends InputPartition
 
+/** The header-derived stats row for a pushed aggregation: `row_index` is
+  * dense 0..nRows-1, so the whole computation is the `.zarray` shape.
+  */
+private[sources] case class ZarrAggPartition(nRows: Long, codes: Array[Int])
+    extends InputPartition
+
 private[sources] class ZarrReaderFactory(
     opts: ZarrTableOptions, requiredCols: Array[String],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val part = partition.asInstanceOf[ZarrChunksPartition]
-    new PackedPartitionReader[ZarrChunkPartition](part.chunks.iterator,
-      c => new ZarrPartitionReader(c, opts, requiredCols, conf))
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case a: ZarrAggPartition =>
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = {
+            val values: Array[Any] = a.codes.map {
+              case ZarrAggCode.CountRows => a.nRows: Any
+              case ZarrAggCode.MinRow => if (a.nRows > 0) 0L: Any else null
+              case ZarrAggCode.MaxRow =>
+                if (a.nRows > 0) (a.nRows - 1): Any else null
+            }
+            new GenericInternalRow(values)
+          }
+          override def close(): Unit = ()
+        }
+      case _ =>
+        val part = partition.asInstanceOf[ZarrChunksPartition]
+        new PackedPartitionReader[ZarrChunkPartition](part.chunks.iterator,
+          c => new ZarrPartitionReader(c, opts, requiredCols, conf))
+    }
 }
 
 /** One chunk file per partition, decoded through [[ZarrSource]]'s buffer

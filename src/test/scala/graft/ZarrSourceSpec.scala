@@ -129,6 +129,34 @@ class ZarrSourceSpec extends SparkSpec {
     assert(split.getMessage.contains("rechunk"))
   }
 
+  test("graft-zarr answers count/min/max extent from the header, never touching chunks") {
+    val store = tmpStore("agg")
+    val data = Array.tabulate(130, 3)((r, c) => (r * 3 + c).toDouble)
+    ZarrSource.write(spark, store, data, dtype = "<f8", chunkRows = 64)
+
+    // corrupt EVERY chunk file: any read that opens one must now fail, so a
+    // correct aggregate can only have come from the header
+    val dir = java.nio.file.Paths.get(store.stripPrefix("file:"))
+    java.nio.file.Files.list(dir).forEach { p =>
+      if (!p.getFileName.toString.startsWith(".")) {
+        java.nio.file.Files.write(p, Array[Byte](1, 2, 3))
+        java.nio.file.Files.deleteIfExists(
+          p.resolveSibling("." + p.getFileName.toString + ".crc"))
+      }
+    }
+
+    val df = spark.read.format("graft-zarr").load(store)
+    val agg = df.agg(count(lit(1)).as("n"), min(col("row_index")).as("lo"),
+      max(col("row_index")).as("hi"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates: [COUNT"),
+      s"aggregate not pushed:\n${agg.queryExecution.executedPlan}")
+    val row = agg.collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((130L, 0L, 129L)))
+
+    // sanity: actually reading the channels now fails on the corrupt chunks
+    intercept[Exception] { df.select("channels").collect() }
+  }
+
   test("writeDistributed emits a byte-identical store to the driver writer") {
     // 23 rows × 3 channels, 5-row chunks → 5 chunk files incl. an edge chunk
     val data = Array.tabulate(23, 3)((r, c) => (r * 13 + c * 5).toDouble)
