@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // runtime filters: at cluster scale a selective dimension-side
+      // predicate injects a bloom filter into the fact-side scan (the
+      // dynamic analogue of the static partition pruning Layout gives) —
+      // off by default in OSS Spark, a pure win for the star-shaped joins
+      // here (J1/J3/J9: dims are small, facts are the 100 TB side)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 
