@@ -323,7 +323,18 @@ object Dedup {
     final case class Reliable(dir: String) extends Checkpointer {
       private[operators] def cut(df: DataFrame): DataFrame = {
         val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores a fully-qualified random-UUID SUBDIR of
+        // the path it is given, so comparing against `dir` verbatim never
+        // matches — resolve the qualified prefix and only (re)set when the
+        // context points somewhere else, or every cut would mkdirs a fresh
+        // empty UUID dir per round
+        val qualified = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        }
+        val current = sc.getCheckpointDir
+        if (!current.exists(c => c == qualified || c.startsWith(qualified + "/")))
+          sc.setCheckpointDir(dir)
         df.checkpoint(true)
       }
     }

@@ -408,9 +408,12 @@ object Multimodal {
   final class WavStreamWriter(out: java.io.OutputStream, sampleRate: Int,
                               channels: Int, totalFrames: Long) {
     require(sampleRate > 0 && channels > 0 && totalFrames >= 0)
-    private val dataLen = totalFrames * channels * 2
-    require(36 + dataLen <= 0xFFFFFFFFL,
+    // bound-check BEFORE multiplying: an absurd frame count could wrap
+    // `totalFrames * channels * 2` negative and slip past a post-hoc u32
+    // check, emitting a garbage header instead of failing loudly
+    require(totalFrames <= (0xFFFFFFFFL - 36) / (channels.toLong * 2),
       s"$totalFrames frames x $channels ch exceeds the WAV u32 size field")
+    private val dataLen = totalFrames * channels * 2
     private var written = 0L
     private var finished = false
 
@@ -558,12 +561,22 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Ids name FILES under an export dir — a separator or ".." would
+    * silently write outside the export root. Shared by every id-keyed file
+    * sink ([[exportBlobs]], [[exportAviStreams]]).
+    */
+  private def requireSafeFileName(f: String): Unit =
+    require(f != null && f.nonEmpty && !f.contains("/") && !f.contains("\\") &&
+      f != "." && f != "..",
+      s"container id '$f' is not a safe file name")
+
   /** File-export sink: write each blob as `dir/<id>.<ext>` — the reference's
     * per-frame JPEG export (`video.py:49-62`) as a DISTRIBUTED sink: each
     * task writes its own partition's files through the Hadoop FS (no driver
     * collect, works against any FS the session is configured for). Null
-    * blobs are skipped. Ids must be unique — last-writer-wins otherwise,
-    * exactly like any keyed file sink.
+    * blobs are skipped; null or path-escaping ids fail loudly
+    * ([[requireSafeFileName]]). Ids must be unique — last-writer-wins
+    * otherwise, exactly like any keyed file sink.
     */
   def exportBlobs(df: DataFrame, idCol: String, blobCol: String,
                   dir: String, ext: String): Unit = {
@@ -577,6 +590,8 @@ object Multimodal {
       rows.foreach { r =>
         val bytes = r.getAs[Array[Byte]](blobIdx)
         if (bytes != null) {
+          require(!r.isNullAt(idIdx), "blob id must not be null")
+          requireSafeFileName(String.valueOf(r.get(idIdx)))
           val p = new org.apache.hadoop.fs.Path(dir, s"${r.get(idIdx)}.$ext")
           val out = fs.create(p, true)
           try out.write(bytes) finally out.close()
@@ -624,15 +639,19 @@ object Multimodal {
         }
         try {
           rows.foreach { r =>
+            // explicit null checks: a null FIRST container id equals the
+            // `cur = null` sentinel and would skip writer init entirely
+            // (then NPE inside writeFrame), and Row.getLong silently turns
+            // a null index into 0
+            require(!r.isNullAt(0), "container id must not be null")
+            require(!r.isNullAt(1), "frame index must not be null")
+            require(!r.isNullAt(2), "jpeg payload must not be null — filter " +
+              "null-blob rows out before export")
             val f = r.getString(0); val idx = r.getLong(1)
             if (f != cur) {
               closeCurrent()
               cur = f
-              // container ids name FILES under dir — a separator or ".."
-              // would silently write outside the export root
-              require(f.nonEmpty && !f.contains("/") && !f.contains("\\") &&
-                f != "." && f != "..",
-                s"container id '$f' is not a safe file name")
+              requireSafeFileName(f)
               out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$f.avi"), true)
               writer = new graft.sources.AviMjpeg.AviStreamWriter(
                 out, width, height, fps, segmentBytes)

@@ -97,7 +97,8 @@ object Populate {
     *     new snapshot FROM the old one need no lineage cut);
     *  2. deletes the old table and renames the staged copy into place.
     * A crash in step 1 leaves the old table untouched (the incomplete
-    * staging dir has no `_SUCCESS` and is deleted on the next attempt); a
+    * staging dir lacks the completeness marker and is deleted on the next
+    * attempt); a
     * crash between delete and rename leaves a COMPLETE staged copy that
     * [[readReplaced]] publishes on the next read. No interleaving loses
     * both snapshots.
@@ -110,10 +111,20 @@ object Populate {
     val staged = new Path(table.getParent, table.getName + ".__staged")
     fs.delete(staged, true) // leftovers of a crashed attempt are superseded
     result.write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    // own completeness marker: `_SUCCESS` only exists when
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs is true (commonly
+    // disabled on object stores) — recovery must not key durability on a
+    // committer config the deployment controls
+    fs.create(new Path(staged, StagedCompleteMarker), true).close()
     fs.delete(table, true)
     if (!fs.rename(staged, table))
       throw new java.io.IOException(s"failed to publish $staged over $table")
   }
+
+  /** Written into a staged snapshot after its parquet job completes;
+    * underscore-prefixed so readers of the published table ignore it.
+    */
+  private val StagedCompleteMarker = "_GRAFT_STAGED_COMPLETE"
 
   /** [[readIfExists]] for tables maintained by [[replaceAtomic]]: if the
     * table is missing but a COMPLETE staged copy exists (crash between
@@ -125,7 +136,7 @@ object Populate {
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
     val staged = new Path(table.getParent, table.getName + ".__staged")
-    if (!fs.exists(table) && fs.exists(new Path(staged, "_SUCCESS")))
+    if (!fs.exists(table) && fs.exists(new Path(staged, StagedCompleteMarker)))
       fs.rename(staged, table)
     readIfExists(spark, tablePath)
   }

@@ -178,14 +178,24 @@ object Similarity {
     * `array_min` of it is the assignment (lexicographic: score, then index —
     * deterministic ties); sorted-prefix is the probe list.
     */
-  private def cellScores(cents: Array[Array[Float]], vecCol: String) =
+  private def cellScores(cents: Array[Array[Float]], vecCol: String,
+                         withCosine: Boolean = false) =
     array(cents.indices.map { i =>
       val c = cents(i)
       val norm2 = c.map(x => x.toDouble * x).sum
-      struct(
+      val base = Seq(
         (lit(norm2) - lit(2.0) * VectorFunctions.dot(col(vecCol), typedlit(c.toSeq)))
           .as("s"),
         lit(i).as("i"))
+      // `withCosine` rides the centroid COSINE along as a third field (the
+      // keeper rule of [[semanticDedup]] needs the scale-invariant score);
+      // (s, i) stays unique, so array_min never consults it — ONE quantizer
+      // expression serves every caller, so distance/tie-break semantics
+      // cannot silently diverge between assignment paths
+      val fields = if (withCosine)
+        base :+ VectorFunctions.cosine(col(vecCol), typedlit(c.toSeq)).as("kc")
+      else base
+      struct(fields: _*)
     }: _*)
 
   /** Shared IVF tail: exact cosine over (cell-joined) candidates, top-k per
@@ -330,36 +340,30 @@ object Similarity {
                     threshold: Double, nCells: Int = 16,
                     centers: Option[Array[Array[Float]]] = None,
                     scoreDigits: Option[Int] = Some(6),
-                    maxCellSize: Int = 1 << 20): DataFrame = {
+                    maxCellSize: Int = 1 << 20,
+                    checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local): DataFrame = {
     val cents: Array[Array[Float]] =
       centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCells))
-    // [[cellScores]] plus the centroid COSINE as a third struct field: the
+    // the shared quantizer with the centroid COSINE riding along: the
     // quantizer score `‖c‖² − 2·v·c` drops the constant-per-doc ‖v‖² term,
     // so it ranks cells for one doc but can NOT compare different docs'
-    // centroid proximity — the keeper rule needs the scale-invariant
-    // cosine. (s, i) stays unique, so array_min never consults the field;
-    // it rides along to be read off the winner.
-    val scored = array(cents.indices.map { i =>
-      val c = cents(i)
-      val norm2 = c.map(x => x.toDouble * x).sum
-      struct(
-        (lit(norm2) - lit(2.0) * VectorFunctions.dot(col(vecCol),
-          typedlit(c.toSeq))).as("s"),
-        lit(i).as("i"),
-        VectorFunctions.cosine(col(vecCol), typedlit(c.toSeq)).as("kc"))
-    }: _*)
-    val best = array_min(scored)
+    // centroid proximity — the keeper rule needs the scale-invariant cosine
+    val best = array_min(cellScores(cents, vecCol, withCosine = true))
     val rawKc = best.getField("kc")
     val assigned = corpus.select(col(idCol), col(vecCol),
       best.getField("i").as("cell"),
       scoreDigits.fold(rawKc)(d => round(rawKc, d)).as("__kc"))
-    val guarded = assigned
+    // the guarded assignment feeds BOTH sides of the pair join AND the
+    // final keeper join — cut it once (same discipline as
+    // connectedComponents' edge list) or the full-corpus scan + quantizer
+    // + flood-guard window recompute three times
+    val guarded = checkpointer.cut(assigned
       .withColumn("__csz", count(lit(1)).over(Window.partitionBy(col("cell"))))
       .filter(assert_true(col("__csz") <= maxCellSize,
         format_string("semanticDedup: cell %s holds %s vectors > maxCellSize=" +
           s"$maxCellSize — degenerate quantizer; raise nCells or pass " +
           "trained centers", col("cell"), col("__csz"))).isNull)
-      .drop("__csz")
+      .drop("__csz"))
     val rawCos = VectorFunctions.cosine(col("__va"), col("__vb"))
     val pairs = guarded
       .select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("cell"))
@@ -368,7 +372,8 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .filter(scoreDigits.fold(rawCos)(d => round(rawCos, d)) >= threshold)
       .select("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        checkpointer = checkpointer)
       .withColumnRenamed("id", "__cid")
     // keeper = highest centroid cosine ("closest to centroid" — the
     // SemDeDup ablation found the keeper choice barely matters; this one is

@@ -311,7 +311,16 @@ object ZarrSource {
   private def writeHeader(fs: org.apache.hadoop.fs.FileSystem, storePath: String,
                           nRows: Long, nCols: Int, chunkRows: Int,
                           dtype: String, compressor: Option[String]): Int = {
-    fs.mkdirs(new org.apache.hadoop.fs.Path(storePath))
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    fs.mkdirs(store)
+    // sweep `.chunk-*.tmp` leftovers of tasks killed mid-publish in a prior
+    // write (dot-prefixed, so readers never see them — this just reclaims
+    // the space before the store is rewritten)
+    fs.listStatus(store).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".chunk-") && name.endsWith(".tmp"))
+        fs.delete(st.getPath, false)
+    }
     val cr = math.min(chunkRows.toLong, nRows).toInt
     val compJson = compressor match {
       case Some(id) => s"""{"id": "$id", "level": 1}"""
@@ -428,8 +437,18 @@ object ZarrSource {
           try out.write(compressChunk(buf.array(), compressor))
           finally out.close()
           val dest = new org.apache.hadoop.fs.Path(storePath, s"$curChunk.0")
-          fsT.delete(dest, false) // retried task re-publishes identical bytes
-          require(fsT.rename(tmp, dest), s"failed to publish chunk $dest")
+          // publish by RENAME ONLY — no pre-delete. `dest` can only exist
+          // via a completed rename, i.e. a retried/speculative twin already
+          // published the identical bytes (the partition's content is a
+          // pure function of the chunk id), so a false return with dest
+          // present is success. A delete-then-rename would open a window
+          // where a killed speculative twin leaves the chunk MISSING after
+          // the job reports success.
+          if (!fsT.rename(tmp, dest)) {
+            val published = fsT.exists(dest)
+            fsT.delete(tmp, false)
+            require(published, s"failed to publish chunk $dest")
+          }
         }
 
         rows.foreach { r =>

@@ -261,6 +261,27 @@ class AviMjpegSpec extends SparkSpec {
         24, 12)
     }
     assert(messages(ex2).contains("safe file name"))
+
+    // a NULL container id must fail with the designed message, not slip past
+    // the `cur = null` sentinel into an NPE inside the writer
+    val nullId = Seq((null.asInstanceOf[String], 0L, jpegFrame(24, 12, 4)))
+      .toDF("camera", "frame_index", "jpeg")
+    val ex3 = intercept[Exception] {
+      Multimodal.exportAviStreams(nullId, "camera", "frame_index", "jpeg",
+        java.nio.file.Files.createTempDirectory("avi-export-null").toString,
+        24, 12)
+    }
+    assert(messages(ex3).contains("container id must not be null"))
+
+    // and a null payload names the remedy instead of NPEing mid-container
+    val nullJpeg = Seq(("camY", 0L, null.asInstanceOf[Array[Byte]]))
+      .toDF("camera", "frame_index", "jpeg")
+    val ex4 = intercept[Exception] {
+      Multimodal.exportAviStreams(nullJpeg, "camera", "frame_index", "jpeg",
+        java.nio.file.Files.createTempDirectory("avi-export-nullp").toString,
+        24, 12)
+    }
+    assert(messages(ex4).contains("null-blob rows"))
   }
 
   test("frame_index upper bounds stop the walk early, in bytes read") {

@@ -95,18 +95,25 @@ class ConcurrentAppendSpec extends SparkSpec {
     Populate.replaceAtomic(derived, path)
     assert(spark.read.parquet(path).collect().map(_.getString(1)).toSeq == Seq("v2"))
 
-    // crash window 1: incomplete staging (no _SUCCESS) — old table intact,
-    // next read ignores the debris
+    // crash window 1: incomplete staging (no completeness marker) — old
+    // table intact, next read ignores the debris. A committer _SUCCESS
+    // alone must NOT count (mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // is deployment-controlled): a marker-less staged dir means the crash
+    // predates the table delete, so the live table is the truth.
     val staged = java.nio.file.Paths.get(root, "t.__staged")
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.write(staged.resolve("part-junk.parquet"), Array[Byte](1))
+    java.nio.file.Files.write(staged.resolve("_SUCCESS"), Array.empty[Byte])
     assert(Populate.readReplaced(spark, path).get
       .collect().map(_.getString(1)).toSeq == Seq("v2"))
 
-    // crash window 2: complete staged copy, table deleted (crash between
-    // delete and rename) — readReplaced publishes the staged snapshot
+    // crash window 2: complete staged copy (replaceAtomic's own marker
+    // present), table deleted (crash between delete and rename) —
+    // readReplaced publishes the staged snapshot
     Seq((1L, "v3")).toDF("id", "v").write.mode("overwrite")
       .parquet(staged.toString)
+    java.nio.file.Files.write(staged.resolve("_GRAFT_STAGED_COMPLETE"),
+      Array.empty[Byte])
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
     assert(Populate.readReplaced(spark, path).get
       .collect().map(_.getString(1)).toSeq == Seq("v3"))

@@ -196,6 +196,16 @@ class MultimodalSpec extends SparkSpec {
     val over = new Multimodal.WavStreamWriter(
       new java.io.ByteArrayOutputStream(), 8000, 1, totalFrames = 10)
     intercept[IllegalArgumentException](over.writeSamples(new Array[Short](11)))
+
+    // a frame count whose byte size wraps Long must fail the constructor
+    // BEFORE any header bytes land — not emit a wrapped u32 size field
+    val sink = new java.io.ByteArrayOutputStream()
+    val huge = intercept[IllegalArgumentException] {
+      new Multimodal.WavStreamWriter(sink, 8000, 2,
+        totalFrames = Long.MaxValue / 2)
+    }
+    assert(huge.getMessage.contains("u32"))
+    assert(sink.size() == 0, "no header bytes written on rejection")
   }
 
   test("buildWavPcm16 is byte-deterministic with a canonical 44-byte header") {
@@ -225,5 +235,17 @@ class MultimodalSpec extends SparkSpec {
     assert(!new java.io.File(dir, "9.png").exists, "null blob skipped")
     val img = javax.imageio.ImageIO.read(f7)
     assert(img.getWidth == 12 && img.getHeight == 5)
+
+    // an id that would escape the export dir fails loudly — same guard as
+    // the AVI container sink
+    val escDir = java.nio.file.Files.createTempDirectory("graft-export-esc")
+    val escapey = Seq(("../pwn", encodedImage("png", 2, 2, 1))).toDF("id", "blob")
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    val ex = intercept[Exception] {
+      Multimodal.exportBlobs(escapey, "id", "blob", escDir.toString, "png")
+    }
+    assert(messages(ex).contains("safe file name"))
+    assert(!java.nio.file.Files.exists(escDir.getParent.resolve("pwn.png")))
   }
 }

@@ -187,6 +187,21 @@ class ZarrSourceSpec extends SparkSpec {
     val back = ZarrSource.read(spark, distStore).orderBy("row_index").collect()
     assert(back.length == 23)
     assert(back(22).getSeq[Double](2) == Seq(286.0, 291.0, 296.0))
+
+    // REWRITING the same store exercises the rename-onto-existing-chunk
+    // publish path (what a speculative/retried twin hits: dest already
+    // holds the identical bytes) — and sweeps planted tmp debris from a
+    // previously-killed task
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(distStore, ".chunk-9-dead.tmp"), Array[Byte](1))
+    ZarrSource.writeDistributed(df, distStore, chunkRows = 5, dtype = "<u2",
+      compressor = Some("zlib"))
+    (".zarray" +: (0 until 5).map(i => s"$i.0")).foreach { f =>
+      assert(java.util.Arrays.equals(bytes(driverStore, f), bytes(distStore, f)),
+        s"$f differs after rewrite over the existing store")
+    }
+    assert(!new java.io.File(distStore, ".chunk-9-dead.tmp").exists(),
+      "stale tmp debris swept on rewrite")
   }
 
   test("writeDistributed rejects gaps, duplicates, and ragged channel widths") {
