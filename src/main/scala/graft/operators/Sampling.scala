@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -238,6 +240,67 @@ object Sampling {
           col(tokensCol).cast("long")).cast("long"))
       .withColumn("shard", floor(col("token_start") / targetTokensPerShard))
       .drop("__bk")
+  }
+
+  /** Materialize token shards as BYTES — the step after [[shardByTokens]]
+    * assigns indices: one flat little-endian u16 file per shard at
+    * `dir/shard-<k>.bin`, documents laid end-to-end in `orderCol` order.
+    * This is the data-loader-facing artifact of the pipeline (the `.bin`
+    * token stream a training job memory-maps), and it is written in the
+    * engine's OWN flat-binary dialect: a read back through
+    * `format("graft-clock").option("format","u16").option("channels","1")`
+    * yields `(file, row_index, samples)` where `row_index` is the token's
+    * offset within its shard — the loader's addressing scheme for free.
+    *
+    * Scale shape: ONE shuffle keyed on the shard, docs sorted by `orderCol`
+    * within partitions; each task streams its shards' tokens through a
+    * forward-only Hadoop FS stream (memory = one document's id array, same
+    * discipline as the AVI/WAV export sinks). Task retries rewrite their
+    * shard files from scratch (`create(overwrite)`) — the content is a pure
+    * function of the shard's rows, so convergence is byte-identical.
+    *
+    * Token ids must fit u16 (0..65535) — the point of the format; out-of-
+    * range or null ids fail loudly rather than truncating silently.
+    */
+  def exportTokenShards(df: DataFrame, shardCol: String, orderCol: String,
+                        tokenIdsCol: String, dir: String): Unit = {
+    val conf = new graft.sources.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col(shardCol).cast("long").as("__shard"),
+        col(orderCol).cast("long").as("__ord"),
+        col(tokenIdsCol).as("__toks"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions("__shard", "__ord")
+      .foreachPartition { rows: Iterator[Row] =>
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+        var cur = Long.MinValue
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        def closeCurrent(): Unit = if (out != null) { out.close(); out = null }
+        try {
+          rows.foreach { r =>
+            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+              "shard, order, and token-id columns must not be null")
+            val shard = r.getLong(0)
+            if (shard != cur) {
+              closeCurrent()
+              cur = shard
+              require(shard >= 0, s"shard index $shard is negative")
+              out = fs.create(
+                new org.apache.hadoop.fs.Path(dir, s"shard-$shard.bin"), true)
+            }
+            val toks = r.getSeq[Long](2)
+            val buf = ByteBuffer.allocate(toks.length * 2)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            toks.foreach { t =>
+              require(t >= 0 && t < 65536,
+                s"token id $t does not fit u16 — rehash into a 0..65535 vocab")
+              buf.putShort(t.toShort)
+            }
+            out.write(buf.array())
+          }
+          closeCurrent()
+        } finally closeCurrent() // failure path: release the FS handle
+      }
   }
 
   def sequencePack(df: DataFrame, shardCol: String, orderCol: String,

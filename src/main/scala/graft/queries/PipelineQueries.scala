@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, QualityFilter, Sampling, Similarity, Skew}
 import graft.sources.Tables
 
@@ -475,6 +475,42 @@ object PipelineQueries {
           coalesce(col("cluster"), col("doc_id")).as("cluster"))
       Dedup.splitByCluster(clustered, "cluster", valFrac = 0.125)
         .orderBy("doc_id")
+    }),
+
+    // TOKEN SHARD EXPORT roundtrip — the data-loader tail as one oracled
+    // chain: portable-hash tokenizer (ids < 2¹⁶) → balanced shard
+    // assignment (q103's prefix sum) → flat little-endian u16 `.bin` files
+    // on disk → read BACK through the engine's own `graft-clock` u16 source
+    // → per-shard aggregates over what was actually WRITTEN. The oracle
+    // recomputes the same numbers from the text alone, so a token lost,
+    // duplicated, truncated, or byte-swapped anywhere in the write/read
+    // chain breaks the hash match (the q95/q96 roundtrip discipline applied
+    // to the training-shard sink).
+    "q107_token_export" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          filter(split(TextFunctions.normalizeForDedup(col("text")), " "),
+            w => length(w) > 0).as("__ws"))
+        .withColumn("__tids", transform(col("__ws"),
+          w => pmod(HashFunctions.portableHash60(w), lit(65536L))))
+        .withColumn("n_tokens", size(col("__tids")).cast("long"))
+        .filter(col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", "__tids")
+      val sharded = Sampling.shardByTokens(docs, "doc_id", "n_tokens",
+        targetTokensPerShard = 2000, nRanges = 8)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-tokens-q107").toString
+      Sampling.exportTokenShards(sharded, "shard", "doc_id", "__tids", dir)
+      s.read.format("graft-clock")
+        .option("format", "u16").option("channels", "1")
+        .load(dir + "/*.bin")
+        .select(regexp_extract(col("file"), "shard-(\\d+)\\.bin$", 1)
+            .cast("long").as("shard"),
+          col("samples")(0).cast("long").as("__tid"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_tokens"), sum("__tid").as("token_sum"),
+          min("__tid").as("token_min"), max("__tid").as("token_max"))
+        .orderBy("shard")
     })
   )
 
@@ -661,6 +697,29 @@ object PipelineQueries {
          CASE WHEN ${acceptSql("cluster", "split", "(0.125::DOUBLE)")}
            THEN 'val' ELSE 'train' END AS split
        FROM clustered ORDER BY doc_id""",
+    "q107_token_export" ->
+      s"""WITH toks AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(${normSql("text")}, ' '),
+             w -> w <> '') AS ws
+         FROM documents),
+       counted AS (
+         SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens
+         FROM toks WHERE len(ws) > 0),
+       cum AS (
+         SELECT doc_id, ws,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) // 2000 AS shard
+         FROM counted),
+       ids AS (
+         SELECT shard, ${pHash60("u.w")} % 65536 AS tid
+         FROM cum, unnest(ws) AS u(w))
+       SELECT shard, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(tid) AS BIGINT) AS token_sum,
+         CAST(min(tid) AS BIGINT) AS token_min,
+         CAST(max(tid) AS BIGINT) AS token_max
+       FROM ids GROUP BY shard ORDER BY shard""",
     "q66_simhash" ->
       s"""WITH norm AS (SELECT doc_id, ${normSql("text")} AS t FROM documents),
        words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm),

@@ -185,4 +185,44 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"stratified sample must not shuffle:\n$plan")
   }
+
+  test("exportTokenShards lays docs end-to-end as little-endian u16 per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-export").toString
+    // two shards; shard 0's docs arrive out of order across partitions
+    val df = Seq(
+      (0L, 0L, Seq(1L, 258L)),        // shard 0, first:  0x0001, 0x0102
+      (1L, 0L, Seq(65535L)),          // shard 0, second: 0xFFFF
+      (2L, 1L, Seq(7L, 8L, 9L))       // shard 1
+    ).toDF("doc_id", "shard", "toks")
+    Sampling.exportTokenShards(df.repartition(3), "shard", "doc_id", "toks", dir)
+
+    def bytes(f: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+    // doc 0 (ids 1, 258) then doc 1 (id 65535), each id 2 bytes LE
+    assert(bytes("shard-0.bin").toSeq ==
+      Seq[Byte](1, 0, 2, 1, -1, -1))
+    assert(bytes("shard-1.bin").toSeq == Seq[Byte](7, 0, 8, 0, 9, 0))
+
+    // the engine's own u16 source reads the export back: row_index is the
+    // token's offset within its shard — loader addressing for free
+    val back = spark.read.format("graft-clock")
+      .option("format", "u16").option("channels", "1")
+      .load(dir + "/*.bin")
+      .select(col("file"), col("row_index"), col("samples")(0).cast("long"))
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1), r.getLong(2)))
+    assert(back.filter(_._1 == "shard-0.bin").sortBy(_._2).map(_._3).toSeq ==
+      Seq(1L, 258L, 65535L))
+    assert(back.filter(_._1 == "shard-1.bin").sortBy(_._2).map(_._3).toSeq ==
+      Seq(7L, 8L, 9L))
+
+    // ids outside u16 fail loudly — never a silent truncation
+    val over = Seq((0L, 0L, Seq(65536L))).toDF("doc_id", "shard", "toks")
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    val ex = intercept[Exception] {
+      Sampling.exportTokenShards(over, "shard", "doc_id", "toks",
+        java.nio.file.Files.createTempDirectory("tok-export-bad").toString)
+    }
+    assert(messages(ex).contains("u16"))
+  }
 }
