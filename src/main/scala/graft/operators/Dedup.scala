@@ -375,6 +375,12 @@ object Dedup {
     * default executor-local, [[Checkpointer.Reliable]] for executor-loss
     * resilience on long cluster jobs.
     *
+    * Below `driverMaxEdges` directed edges the whole resolution runs as a
+    * driver union-find instead ([[driverComponents]]) — one collect of
+    * catalog-scale state replaces diameter-many shuffle rounds, with
+    * identical labels and no diameter limit. Set it to 0 to force the
+    * distributed loop.
+    *
     * Output: `(id, cluster)` for every node that appears in `pairs`;
     * `cluster` = min id in the component. Singletons never enter the edge
     * list — callers keep the full corpus with
@@ -382,7 +388,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          checkpointer: Checkpointer = Checkpointer.Local): DataFrame = {
+                          checkpointer: Checkpointer = Checkpointer.Local,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
     requireIntegralIds(pairs, Seq(aCol, bCol), "connectedComponents")
     val edges = checkpointer.cut(
       pairs.select(col(aCol).cast("long").as("src"),
@@ -391,6 +398,16 @@ object Dedup {
           col(aCol).cast("long").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()) // pairs may be an expensive LSH plan: run it ONCE
+    // catalog-scale fast path: a near-dup edge list is a vanishing fraction
+    // of the corpus, and below `driverMaxEdges` (default 2²⁰ directed
+    // edges = 16 MB of longs) a driver union-find replaces maxIter rounds
+    // of join+agg jobs with ONE collect — same catalog-scale discipline as
+    // IVF centers or classifier weights (the edge count is known for free:
+    // the cut just materialized it). Labels are identical by construction
+    // (min member id per component); the distributed loop remains the path
+    // for edge lists that outgrow the driver.
+    if (edges.count() <= driverMaxEdges)
+      return driverComponents(pairs.sparkSession, edges)
     var labels = checkpointer.cut(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -414,6 +431,52 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — duplicate " +
         "graph diameter exceeds maxIter; raise it or pre-partition the corpus")
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Driver union-find over a collected edge list — the fast path of
+    * [[connectedComponents]] below `driverMaxEdges`. Path-halving find +
+    * union by attaching to the smaller root id, then one pass labeling each
+    * node with its component's MIN member id — exactly the fixpoint the
+    * distributed propagation converges to, without a per-round shuffle.
+    * Unbounded by graph diameter (no maxIter here: union-find closes any
+    * chain), deterministic regardless of edge order.
+    */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               edges: DataFrame): DataFrame = {
+    val collected = edges.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) {
+        val p = parent.getOrDefault(r, r)
+        parent.put(r, parent.getOrDefault(p, p)) // path halving
+        r = parent.getOrDefault(r, r)
+      }
+      r
+    }
+    collected.foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) {
+        if (a < b) parent.put(b, a) else parent.put(a, b)
+      }
+    }
+    val minOfRoot = new java.util.HashMap[Long, Long]()
+    val nodes = new java.util.HashSet[Long]()
+    collected.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+    nodes.forEach { n =>
+      val root = find(n)
+      minOfRoot.merge(root, n, (x, y) => math.min(x, y))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
+      nodes.size)
+    nodes.forEach { n => out += org.apache.spark.sql.Row(n, minOfRoot.get(find(n))) }
+    // parallelize, not a LocalRelation: a toDF of 2M tuples would embed the
+    // labels in the PLAN (shipped with every task closure downstream)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("cluster", LongType, nullable = false))))
   }
 
   /** Incremental cluster maintenance — the batch-append twin of

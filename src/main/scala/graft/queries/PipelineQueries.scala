@@ -496,6 +496,10 @@ object PipelineQueries {
         .withColumn("n_tokens", size(col("__tids")).cast("long"))
         .filter(col("n_tokens") > 0)
         .select("doc_id", "n_tokens", "__tids")
+        // shardByTokens executes its input three times (quantile bounds,
+        // bucket totals, result) — cache the tokenized docs per its
+        // scaladoc so the md5 tokenizer runs once
+        .cache()
       val sharded = Sampling.shardByTokens(docs, "doc_id", "n_tokens",
         targetTokensPerShard = 2000, nRanges = 8)
       val dir = java.nio.file.Files

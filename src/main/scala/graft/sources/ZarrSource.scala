@@ -302,7 +302,7 @@ object ZarrSource {
     }
   }
 
-  private def elemBytesOf(dtype: String): Int = dtype.drop(2).toInt
+  private[sources] def elemBytesOf(dtype: String): Int = dtype.drop(2).toInt
 
   /** Write the `.zarray` header (driver-side, the store's only metadata) and
     * return the effective chunk row count. Shared by [[write]] and

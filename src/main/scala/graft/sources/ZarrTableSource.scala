@@ -298,7 +298,7 @@ private[sources] class ZarrPartitionReader(
           out.toByteArray
         } finally in.close()
       buf = ZarrSource.inflateChunk(raw, part.compressor,
-        part.chunkRows * part.nCols * part.dtype.drop(2).toInt)
+        part.chunkRows * part.nCols * ZarrSource.elemBytesOf(part.dtype))
       loaded = true
     }
     true

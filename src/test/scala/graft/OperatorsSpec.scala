@@ -319,16 +319,42 @@ class OperatorsSpec extends SparkSpec {
       Seq((10L, 10L), (20L, 10L), (30L, 10L), (40L, 40L), (50L, 40L)))
 
     // a long chain needs diameter-many rounds: maxIter=1 must fail fast
-    // rather than return wrong clusters
+    // rather than return wrong clusters (driverMaxEdges = 0 forces the
+    // distributed loop — the default fast path has no iteration concept)
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
     val ex = intercept[IllegalArgumentException] {
-      graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 1)
+      graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b",
+        maxIter = 1, driverMaxEdges = 0L)
     }
     assert(ex.getMessage.contains("converge"))
     // and with enough rounds the same chain collapses to one cluster
-    val ok = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b")
+    val ok = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b",
+        driverMaxEdges = 0L)
       .select("cluster").distinct().collect()
     assert(ok.map(_.getLong(0)).toSeq == Seq(1L))
+    // the driver fast path closes the same chain with no maxIter at all
+    // (union-find has no diameter limit) and matches the distributed labels
+    val viaDriver = graft.operators.Dedup
+      .connectedComponents(chain, "id_a", "id_b", maxIter = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDriver == (1L to 5L).map(i => (i, 1L)))
+  }
+
+  test("driver union-find fast path matches the distributed propagation") {
+    // a messy random-ish graph: rings, chains, bridged components, isolates
+    // absent — 60 edges over ~50 nodes, seeds fixed by construction
+    val edges = (0 until 60).map { i =>
+      val a = (i * 17 + 3) % 47
+      val b = (a + (i % 5) + 1) % 47
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast == dist)
   }
 
   test("splitByCluster keeps whole clusters on one side, deterministically") {
@@ -364,13 +390,17 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("connectedComponents with a reliable checkpoint dir matches the local default") {
+    // driverMaxEdges = 0: the per-round cuts only exist on the distributed
+    // path, which is what this test pins
     val pairs = Seq((20L, 10L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
-    val local = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val local = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverMaxEdges = 0L)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val reliable = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b",
-        checkpointer = graft.operators.Dedup.Checkpointer.Reliable(dir))
+        checkpointer = graft.operators.Dedup.Checkpointer.Reliable(dir),
+        driverMaxEdges = 0L)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
     assert(reliable == local)
