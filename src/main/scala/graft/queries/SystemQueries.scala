@@ -9,7 +9,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.operators.Multimodal
 import graft.pipelines.{CameraQC, Ephys, PositionSlice}
-import graft.sources.{AviMjpeg, Tables, ZarrSource}
+import graft.sources.{AviMjpeg, BronzeIngest, MetadataSource, Tables, ZarrSource}
 import graft.streaming.StreamOps
 
 /** System pack: the streaming transforms run in batch mode (they are
@@ -239,6 +239,183 @@ object SystemQueries {
           col("channels")(0).as("ch0"), col("channels")(1).as("ch1"),
           col("channels")(2).as("ch2"), col("channels")(3).as("ch3"))
         .orderBy("row_index")
+    }),
+
+    // REAL flat-binary round trip (S4 as a full driver query, not just a
+    // spec): write the acquisition's u16-amplifier + companion u64-Clock pair
+    // (`aeon/schema/ephys.py:74-76`, `spike_sorting.py:266-290`) for six
+    // chunk files, read back through the `graft-clock` V2 source with µV
+    // gain/offset, and slice a clock interval — the range predicate prunes
+    // whole files on their 16 stat bytes before any decode. ORACLED on the
+    // surviving rows' per-chunk aggregates: file layout, LE decode, channel
+    // deinterleave, scaling, and the pushdown's residual re-application all
+    // participate in the hash. round(sum,3) not avg: the true sum has
+    // exactly 3 decimals (0.195·S − 1000·n), so the fp-accumulation ulp can
+    // never straddle a rounding boundary, where an avg's 5th decimal could.
+    "q108_clock_roundtrip" -> ((s, _) => {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val base = java.nio.file.Files.createTempDirectory("graft-clock-q108")
+      val ampDir = base.resolve("amp"); val clkDir = base.resolve("clock")
+      java.nio.file.Files.createDirectories(ampDir)
+      java.nio.file.Files.createDirectories(clkDir)
+      for (k <- 0 until 6) {
+        val n = 100
+        val cb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        val pb = ByteBuffer.allocate(2 * 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+        for (r <- 0 until n) {
+          cb.putLong(k * 100000L + r * 1000L)
+          pb.putShort(((k * 31 + r * 7) % 4096).toShort)
+          pb.putShort(((k * 31 + r * 7 + 13) % 4096).toShort)
+        }
+        java.nio.file.Files.write(clkDir.resolve(s"chunk_$k.bin"), cb.array)
+        java.nio.file.Files.write(ampDir.resolve(s"chunk_$k.bin"), pb.array)
+      }
+      s.read.format("graft-clock")
+        .option("format", "u16").option("channels", "2")
+        .option("gain", "0.195").option("offset", "-1000.0")
+        .option("clock", clkDir.toString)
+        .load(ampDir.toString)
+        .filter(col("clock") >= 150000L && col("clock") < 450000L)
+        .groupBy((col("clock") / 100000L).cast("long").as("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min(col("samples")(0)).as("ch0_min"),
+          max(col("samples")(1)).as("ch1_max"),
+          round(sum(col("samples")(0)), 3).as("ch0_sum"))
+        .orderBy("chunk")
+    }),
+
+    // REAL IMU stream-group round trip (S6 as a driver query): write the
+    // Bno055 five-file family per chunk — u64 Clock + four f32 sensor
+    // binaries (`aeon/dj_pipeline/utils/onix_imu.py:60-130`) — with
+    // DIFFERENT row counts per chunk, then positionally merge into the 13
+    // IMU columns through the real binary readers. ORACLED end-to-end: the
+    // (chunk_index, row_index) equi-join, filename chunk parse, f32 LE
+    // decode, and prefix renames all participate. All payload values are
+    // exact quarters (x·0.25), so f32 → double → DuckDB DECIMAL arithmetic
+    // is lossless on every path.
+    "q109_imu_merge" -> ((s, _) => {
+      import java.nio.{ByteBuffer, ByteOrder}
+      val dir = java.nio.file.Files.createTempDirectory("graft-imu-q109")
+      val streams = Seq("Euler" -> 3, "GravityVector" -> 3,
+        "LinearAcceleration" -> 3, "Quaternion" -> 4)
+      for (k <- 0 until 3) {
+        val n = 50 + 10 * k
+        val cb = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach(r => cb.putLong(k * 1000000L + 5000L + r * 250L))
+        java.nio.file.Files.write(dir.resolve(s"Bno_Clock_$k.bin"), cb.array)
+        streams.zipWithIndex.foreach { case ((name, nAxes), si) =>
+          val pb = ByteBuffer.allocate(4 * nAxes * n).order(ByteOrder.LITTLE_ENDIAN)
+          for (r <- 0 until n; a <- 0 until nAxes)
+            pb.putFloat((k * 1000 + r * 4 + (si + 1)).toFloat + a * 0.25f)
+          java.nio.file.Files.write(dir.resolve(s"Bno_${name}_$k.bin"), pb.array)
+        }
+      }
+      val merged = BronzeIngest.imuMerge(
+        BronzeIngest.flatBinaryU64(s, dir.resolve("*Clock*.bin").toString),
+        BronzeIngest.flatBinaryF32(s, dir.resolve("*Euler*.bin").toString,
+          Seq("x", "y", "z")),
+        BronzeIngest.flatBinaryF32(s, dir.resolve("*GravityVector*.bin").toString,
+          Seq("x", "y", "z")),
+        BronzeIngest.flatBinaryF32(s, dir.resolve("*LinearAcceleration*.bin").toString,
+          Seq("x", "y", "z")),
+        BronzeIngest.flatBinaryF32(s, dir.resolve("*Quaternion*.bin").toString,
+          Seq("w", "x", "y", "z")))
+      val imuCols = Seq("euler_x", "euler_y", "euler_z",
+        "gravity_x", "gravity_y", "gravity_z",
+        "linear_acceleration_x", "linear_acceleration_y", "linear_acceleration_z",
+        "quaternion_w", "quaternion_x", "quaternion_y", "quaternion_z")
+      merged.select(col("chunk_index") +: col("clock") +:
+          imuCols.map(c => col(c).cast("double").as(c)): _*)
+        .orderBy("chunk_index", "clock")
+    }),
+
+    // REAL JSON metadata round trip (S8 as a driver query): write per-rig
+    // nested config files (`Metadata.json` shape, `acquisition.py:373-399`),
+    // read them multiline, flatten to dotted-path rows, and extract the
+    // camera blob-tracking region polygons (`load_metadata.py:606-665`).
+    // ORACLED end-to-end: JSON inference, the to_json→Jackson flatten, the
+    // `cameras.<cam>.cameraTracking.blobTracking.<region>[i].<axis>` regex,
+    // and the vertex indexing all participate. Values are exact quarters so
+    // the string→double cast is lossless.
+    "q110_metadata_regions" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-meta-q110")
+      val cams = Seq("side" -> 0, "top" -> 1)
+      val regions = Seq(("Gate", 0, 3), ("Nest", 1, 4))
+      for (k <- 0 until 3) {
+        def vtx(ci: Int, ri: Int, vi: Int): String = {
+          val b = k * 1000 + ci * 100 + ri * 10 + vi
+          s"""{"x": $b.25, "y": $b.75}"""
+        }
+        val camsJson = cams.map { case (cam, ci) =>
+          val regsJson = regions.map { case (reg, ri, nv) =>
+            s""""$reg": [${(0 until nv).map(vtx(ci, ri, _)).mkString(", ")}]"""
+          }.mkString(", ")
+          s""""$cam": {"cameraTracking": {"blobTracking": {$regsJson}}}"""
+        }.mkString(", ")
+        java.nio.file.Files.write(dir.resolve(s"rig_$k.json"),
+          s"""{"cameras": {$camsJson}}""".getBytes("UTF-8"))
+      }
+      val flat = MetadataSource.flatten(
+        MetadataSource.readJson(s, dir.resolve("*.json").toString))
+      MetadataSource.cameraRegions(flat)
+        .select(
+          regexp_extract(col("file"), "rig_(\\d+)\\.json", 1).cast("long").as("rig"),
+          col("camera"), col("region"), col("vertex_index"), col("axis"),
+          col("value").cast("double").as("value"))
+        .orderBy("rig", "camera", "region", "vertex_index", "axis")
+    }),
+
+    // REAL chunk-file discovery round trip (S2 as a driver query): write the
+    // acquisition's raw layout — `<root>/exp<e>/<epoch-dir>/<Device>/
+    // <Device>_<Stream>_<chunk-ts>.csv` (`acquisition.py:603-622`
+    // `_get_all_chunks`, FIXTURES.md §1) — and run the listing-only
+    // discovery scan. ORACLED end-to-end: the path-component splits, the
+    // device/stream filename regexes, and both epoch-dir timestamp parses
+    // participate; no file content is ever read (the scan is metadata-only).
+    "q111_chunk_discovery" -> ((s, _) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-disc-q111")
+      val devices = Seq(("CameraTop", "Video"), ("Patch1", "State"))
+      for (e <- 0 until 2; j <- 0 until 2) {
+        val day = e + 1
+        val epoch = f"2026-04-$day%02dT${j * 6}%02d-00-00"
+        for ((dev, stream) <- devices; h <- 0 until 2) {
+          val chunk = f"2026-04-$day%02dT${j * 6 + h}%02d-00-00"
+          val dir = root.resolve(s"exp$e/$epoch/$dev")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.write(dir.resolve(s"${dev}_${stream}_$chunk.csv"),
+            "time,value\n".getBytes("UTF-8"))
+        }
+      }
+      BronzeIngest.discoverChunkFiles(s, root.resolve("*/*/*/*.csv").toString)
+        .select(col("device"), col("stream"), col("chunk_start"),
+          col("epoch_start"))
+        .orderBy("device", "stream", "epoch_start", "chunk_start")
+    }),
+
+    // REAL HarpSync CSV round trip (S3 as a driver query): write the
+    // HarpSync chunk CSVs (`aeon/schema/ephys.py:26-33`, FIXTURES.md §1.1)
+    // and read them through the schema'd CSV path with the HARP-seconds →
+    // µs-timestamp promotion. ORACLED end-to-end: header handling, typed
+    // parse, and the 1904-epoch conversion arithmetic participate. All
+    // aeon_time values are exact halves so the double path is lossless.
+    "q112_harp_csv" -> ((s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-harp-q112")
+      for (k <- 0 until 2) {
+        val rows = (0 until 20).map { r =>
+          val aeon = 3786912000.0 + k * 100 + r * 0.5
+          val clock = k * 100000L + r * 1000L
+          s"$aeon,$clock,${clock + 7},${aeon + 0.25}"
+        }
+        java.nio.file.Files.write(dir.resolve(s"sync_$k.csv"),
+          ("aeon_time,clock,hub_clock,harp_time\n" + rows.mkString("\n") + "\n")
+            .getBytes("UTF-8"))
+      }
+      BronzeIngest.harpSyncCsv(s, dir.resolve("*.csv").toString)
+        .select(
+          regexp_extract(col("file"), "sync_(\\d+)\\.csv", 1).cast("long").as("fid"),
+          col("time"), col("aeon_time"), col("clock"), col("hub_clock"),
+          col("harp_time"))
+        .orderBy("fid", "clock")
     })
   )
 
@@ -366,6 +543,72 @@ object SystemQueries {
          ((r * 31 + 13) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch1,
          ((r * 31 + 26) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch2,
          ((r * 31 + 39) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch3
-       FROM generate_series(0, 199) AS t(r) ORDER BY row_index"""
+       FROM generate_series(0, 199) AS t(r) ORDER BY row_index""",
+    "q108_clock_roundtrip" ->
+      """WITH src AS (
+         SELECT k, r, CAST(k * 100000 + r * 1000 AS BIGINT) AS clock,
+           ((k*31 + r*7) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch0,
+           ((k*31 + r*7 + 13) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch1
+         FROM generate_series(0, 5) t1(k), generate_series(0, 99) t2(r))
+       SELECT CAST(clock // 100000 AS BIGINT) AS chunk,
+         CAST(count(*) AS BIGINT) AS n,
+         min(ch0) AS ch0_min, max(ch1) AS ch1_max,
+         round(sum(ch0), 3) AS ch0_sum
+       FROM src WHERE clock >= 150000 AND clock < 450000
+       GROUP BY 1 ORDER BY 1""",
+    "q109_imu_merge" ->
+      """WITH rows_ AS (
+         SELECT k, r FROM generate_series(0, 2) t1(k),
+           generate_series(0, 69) t2(r)
+         WHERE r < 50 + 10 * k)
+       SELECT CAST(k AS BIGINT) AS chunk_index,
+         CAST(k * 1000000 + 5000 + r * 250 AS BIGINT) AS clock,
+         (k*1000 + r*4 + 1 + 0.00)::DOUBLE AS euler_x,
+         (k*1000 + r*4 + 1 + 0.25)::DOUBLE AS euler_y,
+         (k*1000 + r*4 + 1 + 0.50)::DOUBLE AS euler_z,
+         (k*1000 + r*4 + 2 + 0.00)::DOUBLE AS gravity_x,
+         (k*1000 + r*4 + 2 + 0.25)::DOUBLE AS gravity_y,
+         (k*1000 + r*4 + 2 + 0.50)::DOUBLE AS gravity_z,
+         (k*1000 + r*4 + 3 + 0.00)::DOUBLE AS linear_acceleration_x,
+         (k*1000 + r*4 + 3 + 0.25)::DOUBLE AS linear_acceleration_y,
+         (k*1000 + r*4 + 3 + 0.50)::DOUBLE AS linear_acceleration_z,
+         (k*1000 + r*4 + 4 + 0.00)::DOUBLE AS quaternion_w,
+         (k*1000 + r*4 + 4 + 0.25)::DOUBLE AS quaternion_x,
+         (k*1000 + r*4 + 4 + 0.50)::DOUBLE AS quaternion_y,
+         (k*1000 + r*4 + 4 + 0.75)::DOUBLE AS quaternion_z
+       FROM rows_ ORDER BY chunk_index, clock""",
+    "q110_metadata_regions" ->
+      """SELECT CAST(k AS BIGINT) AS rig, cam AS camera, reg AS region,
+         CAST(vi AS INTEGER) AS vertex_index, ax AS axis,
+         (k*1000 + ci*100 + ri*10 + vi
+           + CASE ax WHEN 'x' THEN 0.25 ELSE 0.75 END)::DOUBLE AS value
+       FROM generate_series(0, 2) t(k)
+       CROSS JOIN (VALUES ('side', 0), ('top', 1)) AS c(cam, ci)
+       CROSS JOIN (VALUES ('Gate', 0, 3), ('Nest', 1, 4)) AS rg(reg, ri, nv)
+       CROSS JOIN generate_series(0, 3) tv(vi)
+       CROSS JOIN (VALUES ('x'), ('y')) a(ax)
+       WHERE vi < nv
+       ORDER BY rig, camera, region, vertex_index, axis""",
+    "q111_chunk_discovery" ->
+      """SELECT dev AS device, st AS stream,
+         make_timestamp(2026, 4, e + 1, j * 6 + h, 0, 0) AS chunk_start,
+         make_timestamp(2026, 4, e + 1, j * 6, 0, 0) AS epoch_start
+       FROM generate_series(0, 1) t1(e)
+       CROSS JOIN generate_series(0, 1) t2(j)
+       CROSS JOIN (VALUES ('CameraTop', 'Video'), ('Patch1', 'State')) d(dev, st)
+       CROSS JOIN generate_series(0, 1) t3(h)
+       ORDER BY device, stream, epoch_start, chunk_start""",
+    "q112_harp_csv" ->
+      """WITH src AS (
+         SELECT k, r,
+           (3786912000.0::DOUBLE) + k * 100 + r * (0.5::DOUBLE) AS aeon_time,
+           CAST(k * 100000 + r * 1000 AS BIGINT) AS clock
+         FROM generate_series(0, 1) t1(k), generate_series(0, 19) t2(r))
+       SELECT CAST(k AS BIGINT) AS fid,
+         make_timestamp(CAST(round((aeon_time + (-2082844800.0))
+           * 1000000.0) AS BIGINT)) AS time,
+         aeon_time, clock, clock + 7 AS hub_clock,
+         aeon_time + (0.25::DOUBLE) AS harp_time
+       FROM src ORDER BY fid, clock"""
   )
 }
