@@ -416,6 +416,26 @@ object SystemQueries {
           col("time"), col("aeon_time"), col("clock"), col("hub_clock"),
           col("harp_time"))
         .orderBy("fid", "clock")
+    }),
+
+    // REAL idempotent-insert round trip (S11 as a driver query): three
+    // appends into one keyed table — two overlapping batches plus an exact
+    // replay of the second — through the anti-join re-check
+    // (`populate`-style make-then-insert, `datajoint` autopopulate
+    // semantics, `acquisition.py:210-316`). ORACLED on the final table
+    // contents: overlap rows land exactly once, the replay lands nothing,
+    // and the union of distinct keys survives — any double-insert or
+    // dropped-batch bug breaks the hash.
+    "q113_idempotent_append" -> ((s, _) => {
+      val table = java.nio.file.Files.createTempDirectory("graft-pop-q113")
+        .toString + "/table"
+      def batch(lo: Int, hi: Int) =
+        s.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 3 + 1).as("v"))
+      graft.operators.Populate.appendIdempotent(batch(0, 300), table, Seq("k"))
+      graft.operators.Populate.appendIdempotent(batch(200, 500), table, Seq("k"))
+      graft.operators.Populate.appendIdempotent(batch(200, 500), table, Seq("k"))
+      s.read.parquet(table).orderBy("k")
     })
   )
 
@@ -609,6 +629,9 @@ object SystemQueries {
            * 1000000.0) AS BIGINT)) AS time,
          aeon_time, clock, clock + 7 AS hub_clock,
          aeon_time + (0.25::DOUBLE) AS harp_time
-       FROM src ORDER BY fid, clock"""
+       FROM src ORDER BY fid, clock""",
+    "q113_idempotent_append" ->
+      """SELECT CAST(k AS BIGINT) AS k, CAST(k * 3 + 1 AS BIGINT) AS v
+       FROM generate_series(0, 499) t(k) ORDER BY k"""
   )
 }
