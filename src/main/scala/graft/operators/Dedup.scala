@@ -585,6 +585,90 @@ object Dedup {
       .withColumn("contaminated", col("n_contaminated_ngrams") > 0)
   }
 
+  /** Exact-substring span dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499): find maximal
+    * token spans whose every `n`-token window appears verbatim in at least
+    * `minDf` DISTINCT documents — boilerplate, licenses, templated pages.
+    * Doc-level near-dup (MinHash/SimHash/winnowing) drops whole documents;
+    * this locates the repeated REGION so [[removeRepeatedSpans]] can cut it
+    * and keep the rest, the reference paper's remedy.
+    *
+    * Scale shape — inherently linear, no pair expansion anywhere: shingle
+    * windows stream out of [[shingleRows]] (one shuffle on doc id), window
+    * df is a partial-aggregated count-distinct on the 8-byte portable hash
+    * (one shuffle on the hash; the duplicated-hash set carries no doc ids
+    * or text), the flag-back join is keyed on the same 8-byte hash, and the
+    * overlap-merge is one gaps-and-islands window back on doc id. A
+    * boilerplate window shared by millions of docs costs exactly one
+    * flagged row per occurrence — there is no bucket to flood and no
+    * cap to tune.
+    *
+    * Cross-doc only: df counts DISTINCT documents, so intra-doc
+    * self-repetition stays [[ngramRepetition]]'s job.
+    *
+    * Output: `(idCol, span_start, span_end)` — token offsets into the
+    * [[TextFunctions.normalizeForDedup]] tokenization, end exclusive,
+    * overlapping/adjacent windows merged into maximal spans.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"span window must be >= 1 token (got $n)")
+    require(minDf >= 2, s"minDf < 2 would flag every window (got $minDf)")
+    val sh = shingleRows(docs.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col(idCol), col("__pos"),
+        HashFunctions.portableHash60(col("__s")).as("__h"))
+    val dup = sh.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__h")
+    val flagged = sh.join(dup, "__h").select(col(idCol), col("__pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val islands = flagged
+      .withColumn("__gap", (col("__pos") >
+        coalesce(max(col("__pos") + n)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(-1))).cast("int"))
+      .withColumn("__island", sum(col("__gap")).over(w))
+    islands.groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + n).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Cut the [[repeatedSpans]] regions out of each document, keeping the
+    * rest — span removal, not doc removal (arXiv:2107.06499 §4). Output:
+    * `docs`' columns + `clean_text` (normalized tokens outside every span
+    * re-joined), `n_tokens` (pre-cut), `n_removed`. Docs with no repeated
+    * span keep their full normalized text; a doc that IS boilerplate
+    * (every window shared) cleans to the empty string and can be dropped
+    * by a plain filter downstream.
+    *
+    * Per-doc state is the doc's own span list, bounded by words/`n` — the
+    * same per-doc discipline as the media decoders. The positional filter
+    * is a nested higher-order function over words × spans; spans per doc
+    * are few, and the corpus-scale work all happened in [[repeatedSpans]].
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minDf: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, n, minDf)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__words",
+        split(TextFunctions.normalizeForDedup(col(textCol)), " "))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__words"))
+          .otherwise(filter(col("__words"), (_, i) =>
+            !exists(col("__spans"), sp =>
+              i.cast("long") >= sp.getField("s") &&
+                i.cast("long") < sp.getField("e")))))
+      .withColumn("clean_text", array_join(col("__kept"), " "))
+      .withColumn("n_tokens", size(col("__words")).cast("long"))
+      .withColumn("n_removed",
+        (size(col("__words")) - size(col("__kept"))).cast("long"))
+      .drop("__spans", "__words", "__kept")
+  }
+
   /** Signature width of [[simhashSignatures]]: 60 bits — the width of the
     * portable hash, so every bit of the fingerprint carries an actual vote
     * and the whole construction is engine-independent.

@@ -179,6 +179,35 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Exact-substring span dedup (arXiv:2107.06499): maximal token spans
+    // whose every 8-token window recurs in >= 2 distinct docs. Planted exact
+    // copies guarantee full-document spans; natural cross-doc boilerplate in
+    // the synthetic corpus surfaces as partial spans. ORACLED end-to-end:
+    // tokenization, the portable window hashes, the distinct-doc df, and
+    // the overlap merge are all replayed in SQL.
+    "q114_span_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      Dedup.repeatedSpans(docs.unionByName(planted), "doc_id", "text",
+          n = 8, minDf = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // Span REMOVAL (the paper's remedy): cut the repeated regions, keep the
+    // rest. Planted copies clean to the empty string (every window shared);
+    // untouched docs keep their full normalized text. ORACLED on the final
+    // cleaned text itself plus the token accounting.
+    "q115_span_removal" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      Dedup.removeRepeatedSpans(docs.unionByName(planted), "doc_id", "text",
+          n = 8, minDf = 2)
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .orderBy("doc_id")
+    }),
+
     // IVF ANN (the second scale path): deterministic hash-sampled coarse
     // cells, nProbe probes, exact re-rank within probed cells. (Accepted
     // measure-zero risk: argmin cell assignment compares distances whose
@@ -597,6 +626,39 @@ object PipelineQueries {
   private def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Shared CTE prefix of the q114/q115 span-dedup oracles: planted-copy
+    * corpus → normalized token arrays → 0-indexed 8-token window hashes →
+    * windows recurring in ≥2 distinct docs → gaps-and-islands merge
+    * (`grp` carries (doc_id, pos, island)). Mirrors
+    * `Dedup.repeatedSpans(n = 8, minDf = 2)`.
+    */
+  private lazy val spanCtes: String =
+    s"""WITH alldocs AS (
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         UNION ALL
+         SELECT CAST(doc_id + 200000 AS BIGINT), text FROM documents
+         WHERE doc_id < 10),
+       norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
+         FROM alldocs),
+       grams AS (
+         SELECT doc_id, i - 1 AS pos,
+           ${pHash60("array_to_string(words[i:i+7], ' ')")} AS h
+         FROM norm, unnest(generate_series(1, len(words) - 7)) u(i)),
+       dup AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       flagged AS (SELECT doc_id, pos FROM grams JOIN dup USING (h)),
+       marked AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + 8) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS newi
+         FROM flagged),
+       grp AS (
+         SELECT doc_id, pos, sum(newi) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS island
+         FROM marked)"""
+
   /** DuckDB fragment: the portable 60-bit hash
     * (`HashFunctions.portableHash60`). */
   private def pHash60(c: String): String =
@@ -766,6 +828,32 @@ object PipelineQueries {
          GROUP BY 1, 2)
        SELECT id_a, id_b, shared_fingerprints FROM pairs
        WHERE shared_fingerprints >= 3 ORDER BY id_a, id_b""",
+    "q114_span_dedup" -> s"""$spanCtes
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 8 AS BIGINT) AS span_end
+       FROM grp GROUP BY doc_id, island
+       ORDER BY doc_id, span_start""",
+    "q115_span_removal" -> s"""$spanCtes,
+       spans AS (
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+         FROM grp GROUP BY doc_id, island),
+       toks AS (
+         SELECT doc_id, i - 1 AS pos, words[i] AS wd
+         FROM norm, unnest(generate_series(1, len(words))) u(i)),
+       kept AS (
+         SELECT t.doc_id, t.pos, t.wd FROM toks t
+         WHERE NOT EXISTS (
+           SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+             AND t.pos >= s.span_start AND t.pos < s.span_end)),
+       agg AS (
+         SELECT doc_id, count(*) AS n_kept,
+           string_agg(wd, ' ' ORDER BY pos) AS clean_text
+         FROM kept GROUP BY doc_id)
+       SELECT n.doc_id, CAST(len(n.words) AS BIGINT) AS n_tokens,
+         CAST(len(n.words) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+         coalesce(a.clean_text, '') AS clean_text
+       FROM norm n LEFT JOIN agg a USING (doc_id)
+       ORDER BY n.doc_id""",
     "q60_dedup_exact" ->
       """SELECT doc_id, source, n_chars FROM (
          SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -273,6 +273,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(1) == 4 && out(1).getDouble(3) == 0.0)
   }
 
+  test("repeatedSpans: shared run merges to one maximal span; intra-doc repeats don't count") {
+    // docs 1/2 share a 6-token run embedded in different contexts (n=4 →
+    // windows at offsets covering the run must merge into ONE span); doc 3
+    // repeats a phrase only within itself (distinct-doc df stays 1); doc 4
+    // is unrelated
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared nine ten"),
+      (2L, s"u v w $shared x y z"),
+      (3L, "p q r s p q r s p q r s"),
+      (4L, "completely different words here entirely now")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: run starts at token 2, 6 tokens → [2, 8); doc 2: starts at 3 → [3, 9)
+    assert(spans.toSeq == Seq((1L, 2L, 8L), (2L, 3L, 9L)))
+  }
+
+  test("repeatedSpans: minDf above the actual df yields no spans") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 4, minDf = 3).count() == 0)
+    assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 4, minDf = 2).count() == 2)
+  }
+
+  test("removeRepeatedSpans cuts exactly the span tokens; full copies clean to empty") {
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared nine ten"),
+      (2L, s"u v w $shared x y z"),
+      (3L, "untouched unique sentence stays whole here"),
+      (10L, "exact copy of this entire document text body"),
+      (11L, "exact copy of this entire document text body")).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_tokens", "n_removed").collect()
+    assert(out(0).getString(1) == "one two nine ten")
+    assert(out(0).getLong(2) == 10 && out(0).getLong(3) == 6)
+    assert(out(1).getString(1) == "u v w x y z")
+    // no-span doc keeps its full normalized text, zero removed
+    assert(out(2).getString(1) == "untouched unique sentence stays whole here")
+    assert(out(2).getLong(3) == 0)
+    // exact copies: every window shared → whole doc is one span → empty
+    assert(out(3).getString(1) == "" && out(3).getLong(3) == 8)
+    assert(out(4).getString(1) == "" && out(4).getLong(3) == 8)
+  }
+
   test("decontaminate flags docs sharing an n-gram with the benchmark set") {
     val corpus = Seq(
       // full copy of bench text → contaminated by bench doc 100
