@@ -203,6 +203,44 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("repeatedSpans matches brute-force span extraction over random tiny-vocab docs (5 trials)") {
+    // 3-word vocab forces heavy window collisions: adjacency merges,
+    // multi-span docs, and df just at/below the gate all occur naturally
+    for (trial <- 1 to 5) {
+      val n = 3
+      val minDf = 2 + rnd.nextInt(2) // 2 or 3
+      val vocab = Seq("alpha", "beta", "gamma")
+      val docs = (1L to 8L).map { id =>
+        val len = 5 + rnd.nextInt(16)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+
+      val windows = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ").toSeq
+        (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
+      }
+      val df = windows.groupBy(_._3).map { case (s, occ) =>
+        s -> occ.map(_._1).distinct.size
+      }
+      val expected = windows.filter(w => df(w._3) >= minDf)
+        .groupBy(_._1).flatMap { case (id, ps) =>
+          val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          ps.map(_._2).sorted.foreach { p =>
+            if (spans.nonEmpty && p <= spans.last._2) {
+              val (s0, e0) = spans.last
+              spans(spans.length - 1) = (s0, math.max(e0, p + n))
+            } else spans += ((p, p + n))
+          }
+          spans.map { case (s0, e0) => (id, s0.toLong, e0.toLong) }
+        }.toSet
+
+      val got = graft.operators.Dedup.repeatedSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n = n, minDf = minDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"trial $trial (minDf=$minDf)")
+    }
+  }
+
   test("hashed-centroid classifier scores are invariant to doc order and partitioning (3 trials)") {
     for (trial <- 1 to 3) {
       val docs = (0 until 120).map { i =>
