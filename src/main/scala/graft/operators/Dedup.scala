@@ -622,16 +622,79 @@ object Dedup {
       .filter(col("__df") >= minDf)
       .select("__h")
     val flagged = sh.join(dup, "__h").select(col(idCol), col("__pos"))
+    mergeFlaggedWindows(flagged, idCol, n)
+  }
+
+  /** Gaps-and-islands merge of flagged window start positions into maximal
+    * `[span_start, span_end)` spans — the shared tail of [[repeatedSpans]]
+    * and [[incrementalRepeatedSpans]]. One window back on the doc id; the
+    * following groupBy reuses its hash partitioning (id is a prefix of the
+    * group key), so the merge costs a single shuffle.
+    */
+  private def mergeFlaggedWindows(flagged: DataFrame, idCol: String,
+                                  n: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val islands = flagged
+    flagged
       .withColumn("__gap", (col("__pos") >
         coalesce(max(col("__pos") + n)
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(-1))).cast("int"))
       .withColumn("__island", sum(col("__gap")).over(w))
-    islands.groupBy(col(idCol), col("__island"))
+      .groupBy(col(idCol), col("__island"))
       .agg(min(col("__pos")).cast("long").as("span_start"),
         (max(col("__pos")) + n).cast("long").as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** One batch's contribution to a persisted span-dedup index: the DISTINCT
+    * `(window_hash, doc)` pairs of its `n`-token windows — the unit
+    * [[incrementalRepeatedSpans]] probes and the streaming drain appends
+    * (idempotently, keyed `(window_hash, idCol)`, so replays never inflate
+    * a window's document frequency). At corpus scale the table is written
+    * bucketed on `window_hash` — the same pruned-probe discipline as the
+    * LSH bucket index.
+    */
+  def spanHashIndex(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame =
+    shingleRows(docs.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(HashFunctions.portableHash60(col("__s")).as("window_hash"),
+        col(idCol))
+      .distinct()
+
+  /** INCREMENTAL exact-substring spans for continuous ingest: flag the
+    * BATCH's documents against `batch + index` history — the corpus is
+    * never re-shingled; the only corpus-side work is a keyed probe of the
+    * persisted [[spanHashIndex]] table restricted to window hashes the
+    * batch actually contains. Document frequency is a count-distinct over
+    * the UNION of (probed index ∪ batch) pairs, so a doc present in both —
+    * a replayed batch — counts once and reprocessing is idempotent.
+    *
+    * Flag-FORWARD semantics (the same trade as [[incrementalCandidates]]'
+    * corpus-is-never-rehashed): a window first duplicated by a later batch
+    * flags in THAT batch's docs; history is not retro-flagged. For the
+    * final batch the incremental spans equal the one-shot
+    * [[repeatedSpans]] exactly (its probe sees every earlier doc) —
+    * spec-pinned.
+    */
+  def incrementalRepeatedSpans(newDocs: DataFrame, idCol: String,
+                               textCol: String, index: DataFrame,
+                               n: Int = 8, minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"span window must be >= 1 token (got $n)")
+    require(minDf >= 2, s"minDf < 2 would flag every window (got $minDf)")
+    val sh = shingleRows(newDocs.select(col(idCol), col(textCol)), idCol,
+        textCol, n)
+      .select(col(idCol), col("__pos"),
+        HashFunctions.portableHash60(col("__s")).as("__h"))
+    val batchKeys = sh.select(col("__h")).distinct()
+    val seen = index
+      .select(col("window_hash").as("__h"), col(idCol))
+      .join(batchKeys, "__h") // only hashes the batch touches
+      .unionByName(sh.select(col("__h"), col(idCol)))
+    val dup = seen.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__h")
+    mergeFlaggedWindows(sh.join(dup, "__h").select(col(idCol), col("__pos")),
+      idCol, n)
   }
 
   /** Cut the [[repeatedSpans]] regions out of each document, keeping the
