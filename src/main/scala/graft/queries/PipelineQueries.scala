@@ -208,6 +208,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL span dedup (the streaming twin's core): even docs are the
+    // already-indexed history (spanHashIndex), odd docs arrive as the batch
+    // and are flagged against history + themselves — the history text is
+    // never re-shingled, only its (window_hash, doc) pairs are probed. For
+    // any window the batch contains, the probed-union df equals the full-
+    // corpus df, so the batch's spans are EXACTLY the one-shot q114 spans
+    // restricted to the batch's docs — which is how the oracle replays it.
+    "q116_incremental_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(planted)
+      val history = corpus.filter(col("doc_id") % 2 === 0)
+      val batch = corpus.filter(col("doc_id") % 2 === 1)
+      val index = Dedup.spanHashIndex(history, "doc_id", "text", n = 8)
+      Dedup.incrementalRepeatedSpans(batch, "doc_id", "text", index,
+          n = 8, minDf = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // IVF ANN (the second scale path): deterministic hash-sampled coarse
     // cells, nProbe probes, exact re-rank within probed cells. (Accepted
     // measure-zero risk: argmin cell assignment compares distances whose
@@ -832,6 +852,12 @@ object PipelineQueries {
        SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
          CAST(max(pos) + 8 AS BIGINT) AS span_end
        FROM grp GROUP BY doc_id, island
+       ORDER BY doc_id, span_start""",
+    "q116_incremental_spans" -> s"""$spanCtes
+       SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + 8 AS BIGINT) AS span_end
+       FROM grp WHERE doc_id % 2 = 1
+       GROUP BY doc_id, island
        ORDER BY doc_id, span_start""",
     "q115_span_removal" -> s"""$spanCtes,
        spans AS (
