@@ -106,7 +106,25 @@ object GraftFunctions {
     // acquisition time
     lift("graft_harp_ts", 1) { case Seq(c) => TimeFunctions.harpToTimestamp(c) },
     lift("graft_ts_harp", 1) { case Seq(c) => TimeFunctions.timestampToHarp(c) },
-    lift("graft_chunk_start", 1) { case Seq(c) => TimeFunctions.chunkStart(c) })
+    lift("graft_chunk_start", 1) { case Seq(c) => TimeFunctions.chunkStart(c) },
+    // sketches (the KMV aggregate is returned UNWRAPPED — the analyzer
+    // wraps AggregateFunctions in AggregateExpression itself)
+    "graft_kmv_minhashes" -> { exprs =>
+      require(exprs.length == 2, "graft_kmv_minhashes expects (hashed_long, k)")
+      graft.expressions.KmvMinHashes(exprs.head,
+        intLit(exprs(1), "graft_kmv_minhashes", 1))
+    },
+    "graft_kmv_estimate" -> { exprs =>
+      require(exprs.length == 2, "graft_kmv_estimate expects (sketch, k)")
+      toExpr(SketchFunctions.kmvEstimate(toCol(exprs.head),
+        intLit(exprs(1), "graft_kmv_estimate", 1)))
+    },
+    "graft_cm_buckets" -> { exprs =>
+      require(exprs.length == 3, "graft_cm_buckets expects (key, depth, width)")
+      toExpr(graft.operators.Sketch.cmBuckets(toCol(exprs.head),
+        intLit(exprs(1), "graft_cm_buckets", 1),
+        intLit(exprs(2), "graft_cm_buckets", 2)))
+    })
 
   /** Config-time injection (`spark.sql.extensions=graft.GraftExtensions`). */
   def inject(ext: SparkSessionExtensions): Unit =

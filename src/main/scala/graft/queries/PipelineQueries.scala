@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
-import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, QualityFilter, Sampling, Similarity, Skew}
+import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, QualityFilter, Sampling, Similarity, Sketch, Skew}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -226,6 +226,53 @@ object PipelineQueries {
       Dedup.incrementalRepeatedSpans(batch, "doc_id", "text", index,
           n = 8, minDf = 2)
         .orderBy("doc_id", "span_start")
+    }),
+
+    // KMV distinct-count sketch (Bar-Yossef et al. 2002): the k smallest
+    // distinct portable hashes — O(k) mergeable state standing in for
+    // countDistinct at corpus scale. Per-source sketches exercise the
+    // exact branch (25 distinct < k); the ALL row is built by MERGING the
+    // per-source sketches (explode + re-aggregate = the union-and-trim
+    // merge rule), exercising the estimator branch; exact_distinct rides
+    // along to show the error. ORACLED end-to-end: the kept set is a
+    // row_number window over distinct md5 hashes, and the estimate is one
+    // IEEE division of exact doubles.
+    "q117_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val hashed = Tables.documents(s, d)
+        .select(col("source"), HashFunctions.portableHash60(col("text")).as("h"))
+      val per = hashed.groupBy(col("source").as("scope"))
+        .agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"),
+          countDistinct(col("h")).as("exact_distinct"))
+      val merged = per.select(explode(col("sk")).as("h"))
+        .agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"))
+      val globExact = hashed.agg(countDistinct(col("h")).as("exact_distinct"))
+      val all = merged.crossJoin(broadcast(globExact))
+        .select(lit("ALL").as("scope"), col("sk"), col("exact_distinct"))
+      per.unionByName(all)
+        .select(col("scope"),
+          size(col("sk")).cast("long").as("n_kept"),
+          element_at(col("sk"), size(col("sk"))).as("kth_min"),
+          SketchFunctions.kmvEstimate(col("sk"), k).as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy("scope")
+    }),
+
+    // Count-min heavy hitters (Cormode & Muthukrishnan 2005): a depth-4 ×
+    // width-1024 counter sketch over the event stream, probed for every
+    // distinct user. Estimates are one-sided (cm_est >= exact_n — bucket
+    // collisions only inflate); exact counts ride along to show the bound.
+    // ORACLED: the sketch counters and the min-over-seeds lookup replay in
+    // SQL from the portable seeded family (bucket is key-determined, so
+    // the oracle sums per-key exact counts into cells — identical to the
+    // engine's per-row counting).
+    "q118_heavy_hitters" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      Sketch.heavyHitters(ev, "user_id", depth = 4, width = 1024, threshold = 75L)
+        .join(exact, Seq("user_id"))
+        .select(col("user_id"), col("cm_est"), col("exact_n"))
+        .orderBy("user_id")
     }),
 
     // IVF ANN (the second scale path): deterministic hash-sampled coarse
@@ -880,6 +927,55 @@ object PipelineQueries {
          coalesce(a.clean_text, '') AS clean_text
        FROM norm n LEFT JOIN agg a USING (doc_id)
        ORDER BY n.doc_id""",
+    "q117_kmv_distinct" -> s"""WITH h AS (
+         SELECT DISTINCT source, ${pHash60("text")} AS h FROM documents),
+       ranked AS (
+         SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM h),
+       g AS (
+         SELECT h, row_number() OVER (ORDER BY h) AS rn
+         FROM (SELECT DISTINCT h FROM h)),
+       per AS (
+         SELECT source AS scope,
+           count(*) FILTER (WHERE rn <= 64) AS n_kept,
+           max(h) FILTER (WHERE rn <= 64) AS kth_min,
+           count(*) AS exact_distinct
+         FROM ranked GROUP BY source),
+       tot AS (
+         SELECT 'ALL' AS scope,
+           count(*) FILTER (WHERE rn <= 64) AS n_kept,
+           max(h) FILTER (WHERE rn <= 64) AS kth_min,
+           count(*) AS exact_distinct
+         FROM g),
+       u AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+       SELECT scope, n_kept, kth_min,
+         CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / CAST(kth_min AS DOUBLE)
+         END AS est_distinct,
+         exact_distinct
+       FROM u ORDER BY scope""",
+    "q118_heavy_hitters" -> s"""WITH seeds AS (
+         SELECT unnest(generate_series(0, 3)) AS seed),
+       kh AS (
+         SELECT user_id,
+           ${pHash60("CAST(user_id AS VARCHAR)")} AS h1,
+           ${pHash60b("CAST(user_id AS VARCHAR)")} AS h2,
+           count(*) AS exact_n
+         FROM events GROUP BY 1, 2, 3),
+       kb AS (
+         SELECT user_id, exact_n, seed,
+           ((h1 + ((seed * (h2 >> 30)) % 1073741824) * 1073741824
+             + seed * (h2 & 1073741823)) & 1152921504606846975) % 1024 AS bucket
+         FROM kh, seeds),
+       cells AS (
+         SELECT seed, bucket, CAST(sum(exact_n) AS BIGINT) AS cnt
+         FROM kb GROUP BY 1, 2),
+       est AS (
+         SELECT kb.user_id, min(kb.exact_n) AS exact_n, min(c.cnt) AS cm_est
+         FROM kb JOIN cells c USING (seed, bucket) GROUP BY 1)
+       SELECT user_id, cm_est, exact_n FROM est
+       WHERE cm_est >= 75 ORDER BY user_id""",
     "q60_dedup_exact" ->
       """SELECT doc_id, source, n_chars FROM (
          SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, SketchFunctions}
+import graft.operators.Sketch
+
+/** KMV distinct-count sketch + count-min sketch.
+  *
+  * The q117/q118 oracles replay the same md5 construction, so they cannot
+  * catch a degenerate DESIGN — these specs pin the sketch properties the
+  * mirror is blind to: agreement with the plain-plan computation across a
+  * real partial/merge path, merge associativity, estimator accuracy on
+  * cardinalities far above k, and the count-min one-sided error bound.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashedIds(n: Int, tag: String) =
+    spark.range(n).select(
+      HashFunctions.portableHash60(concat(lit(tag), col("id"))).as("h"))
+
+  test("kmv agg == sort-distinct-limit-k, through a distributed merge path") {
+    val k = 32
+    // repartition(7) forces partial buffers + serialize/merge on every path;
+    // duplicate rows (union with itself) exercise distinctness
+    val df = hashedIds(5000, "a")
+    val both = df.union(df).repartition(7)
+    val viaAgg = both.agg(SketchFunctions.kmvMinHashes(col("h"), k))
+      .head.getSeq[Long](0)
+    val viaSort = df.distinct().orderBy("h").limit(k)
+      .as[Long].collect().toSeq
+    assert(viaAgg == viaSort)
+    assert(viaAgg.size == k && viaAgg == viaAgg.sorted && viaAgg.distinct == viaAgg)
+  }
+
+  test("kmv merge rule: sketch(A union B) == trim(sketch(A) union sketch(B))") {
+    val k = 16
+    val a = hashedIds(2000, "x")
+    val b = hashedIds(3000, "y")
+    val direct = a.union(b).agg(SketchFunctions.kmvMinHashes(col("h"), k))
+      .head.getSeq[Long](0)
+    val merged = a.agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"))
+      .union(b.agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk")))
+      .select(explode(col("sk")).as("h"))
+      .agg(SketchFunctions.kmvMinHashes(col("h"), k))
+      .head.getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("kmv estimate: exact below k, within 3·n/sqrt(k) above it") {
+    val k = 256
+    // below k: the sketch IS the distinct set
+    val small = hashedIds(100, "s")
+      .agg(SketchFunctions.kmvEstimate(
+        SketchFunctions.kmvMinHashes(col("h"), k), k))
+      .head.getDouble(0)
+    assert(small == 100.0d)
+    // far above k: standard KMV relative error ~ 1/sqrt(k)
+    val n = 50000
+    val est = hashedIds(n, "t")
+      .agg(SketchFunctions.kmvEstimate(
+        SketchFunctions.kmvMinHashes(col("h"), k), k))
+      .head.getDouble(0)
+    assert(math.abs(est - n) < 3.0 * n / math.sqrt(k.toDouble),
+      s"estimate $est too far from $n")
+  }
+
+  test("kmv ignores nulls and keeps per-group state separate") {
+    val df = Seq((0, Some(10L)), (0, None), (0, Some(3L)), (1, Some(7L)))
+      .toDF("g", "h")
+    val out = df.groupBy("g")
+      .agg(SketchFunctions.kmvMinHashes(col("h"), 4).as("sk"))
+      .orderBy("g").as[(Int, Seq[Long])].collect()
+    assert(out.toSeq == Seq((0, Seq(3L, 10L)), (1, Seq(7L))))
+  }
+
+  test("count-min: one-sided error with the bucket-collision bound") {
+    val depth = 4
+    val width = 64
+    // zipfian-ish: key i appears (200 - i) times, i in [0, 100)
+    val rows = (0 until 100).flatMap(i => Seq.fill(200 - i)(i.toLong))
+    val df = rows.toDF("key")
+    val exact = df.groupBy("key").agg(count(lit(1)).as("n"))
+    val est = Sketch.cmLookup(
+      Sketch.countMin(df, "key", depth, width),
+      df.select("key").distinct(), "key", depth, width)
+    val joined = est.join(exact, Seq("key"))
+      .select("key", "cm_est", "n").as[(Long, Long, Long)].collect()
+    assert(joined.length == 100)
+    val total = rows.size
+    joined.foreach { case (key, cmEst, n) =>
+      assert(cmEst >= n, s"count-min UNDER-estimated key $key: $cmEst < $n")
+      // classic bound: overshoot < 2·total/width per seed, min over seeds
+      assert(cmEst - n < 2L * total / width,
+        s"key $key overshoot ${cmEst - n} breaks the 2N/w bound")
+    }
+    // never-seen probes estimate low (usually 0; bounded by collisions)
+    val cold = Sketch.cmLookup(
+      Sketch.countMin(df, "key", depth, width),
+      Seq(100000L).toDF("key"), "key", depth, width)
+      .head.getLong(1)
+    assert(cold < 2L * total / width)
+  }
+
+  test("count-min weighted variant counts mass, not rows") {
+    val df = Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("key", "w")
+    val sketch = Sketch.countMin(df, "key", depth = 3, width = 1024,
+      weight = col("w"))
+    val est = Sketch.cmLookup(sketch, df.select("key").distinct(), "key",
+      depth = 3, width = 1024)
+      .orderBy("key").as[(Long, Long)].collect().toSeq
+    assert(est.head._2 >= 15L && est(1)._2 >= 7L)
+  }
+
+  test("SQL frontend builds the same sketch as the Column API") {
+    GraftFunctions.register(spark)
+    hashedIds(1000, "q").createOrReplaceTempView("sketch_spec_h")
+    val sql = spark.sql(
+      """SELECT graft_kmv_estimate(graft_kmv_minhashes(h, 64), 64) AS est
+        |FROM sketch_spec_h""".stripMargin).head.getDouble(0)
+    val col0 = hashedIds(1000, "q")
+      .agg(SketchFunctions.kmvEstimate(
+        SketchFunctions.kmvMinHashes(col("h"), 64), 64))
+      .head.getDouble(0)
+    assert(sql == col0)
+  }
+}
