@@ -61,6 +61,9 @@ object PlanAudit {
           val scans = nodes.count(n => n.nodeName.contains("Scan"))
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(planStr).length
           val codegen = nodes.count(_.isInstanceOf[WholeStageCodegenExec])
+          // SPARK_GRAFT_PLAN_DUMP=1: print the executed plan after the audit
+          // line — for chasing where a flagged shuffle actually sits.
+          if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) println(planStr)
           val notes = scala.collection.mutable.ListBuffer.empty[String]
           if (cartesian > 0) { notes += "CARTESIAN"; hardFailures += 1 }
           if (shuffles > 6) notes += s"many-shuffles($shuffles)"

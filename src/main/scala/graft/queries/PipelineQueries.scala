@@ -231,26 +231,23 @@ object PipelineQueries {
     // KMV distinct-count sketch (Bar-Yossef et al. 2002): the k smallest
     // distinct portable hashes — O(k) mergeable state standing in for
     // countDistinct at corpus scale. Per-source sketches exercise the
-    // exact branch (25 distinct < k); the ALL row is built by MERGING the
-    // per-source sketches (explode + re-aggregate = the union-and-trim
-    // merge rule), exercising the estimator branch; exact_distinct rides
-    // along to show the error. ORACLED end-to-end: the kept set is a
-    // row_number window over distinct md5 hashes, and the estimate is one
-    // IEEE division of exact doubles.
+    // exact branch (25 distinct < k); the ALL row exercises the estimator
+    // branch; exact_distinct rides along to show the error. One
+    // rollup(source) computes every scope in a single aggregation pass —
+    // the ALL sketch is formed by the aggregate's own union-and-trim merge
+    // across partial buffers (the same mergeable-state property that makes
+    // the sketch day-over-day composable; the explode + re-aggregate merge
+    // idiom is pinned in SketchSpec). ORACLED end-to-end: the kept set is
+    // a row_number window over distinct md5 hashes, and the estimate is
+    // one IEEE division of exact doubles.
     "q117_kmv_distinct" -> ((s, d) => {
       val k = 64
-      val hashed = Tables.documents(s, d)
+      Tables.documents(s, d)
         .select(col("source"), HashFunctions.portableHash60(col("text")).as("h"))
-      val per = hashed.groupBy(col("source").as("scope"))
+        .rollup("source")
         .agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"),
           countDistinct(col("h")).as("exact_distinct"))
-      val merged = per.select(explode(col("sk")).as("h"))
-        .agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"))
-      val globExact = hashed.agg(countDistinct(col("h")).as("exact_distinct"))
-      val all = merged.crossJoin(broadcast(globExact))
-        .select(lit("ALL").as("scope"), col("sk"), col("exact_distinct"))
-      per.unionByName(all)
-        .select(col("scope"),
+        .select(coalesce(col("source"), lit("ALL")).as("scope"),
           size(col("sk")).cast("long").as("n_kept"),
           element_at(col("sk"), size(col("sk"))).as("kth_min"),
           SketchFunctions.kmvEstimate(col("sk"), k).as("est_distinct"),
