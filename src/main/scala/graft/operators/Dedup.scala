@@ -315,27 +315,47 @@ object Dedup {
     *    checkpoint dir (HDFS/object store) — survives executor loss at the
     *    cost of a round-trip write per round.
     */
-  sealed trait Checkpointer { private[operators] def cut(df: DataFrame): DataFrame }
+  sealed trait Checkpointer {
+    private[operators] def cut(df: DataFrame): DataFrame
+    /** Drop a superseded cut's materialization. Callers must pass the exact
+      * frame `cut` returned, only once no live plan references it. No-op
+      * where the engine already garbage-collects (Local: the ContextCleaner
+      * frees block-manager blocks when the RDD becomes unreachable). */
+    private[operators] def release(df: DataFrame): Unit = { val _ = df }
+  }
   object Checkpointer {
     case object Local extends Checkpointer {
       private[operators] def cut(df: DataFrame): DataFrame = df.localCheckpoint(true)
     }
+    /** Reliable (HDFS/object store) cuts. Each cut lands in its own
+      * random-UUID subdir of `dir` (what `setCheckpointDir` creates), so
+      * [[release]] can delete exactly the superseded round — without that,
+      * an iterative caller (or a streaming drain running [[mergeComponents]]
+      * per batch) accumulates a full labels copy per round FOREVER (Spark
+      * only auto-cleans reliable checkpoints under the non-default
+      * `spark.cleaner.referenceTracking.cleanCheckpoints`). The final
+      * result's subdir is intentionally kept — delete `dir` when done with
+      * it. Caveat: the checkpoint dir is SparkContext-GLOBAL state; run one
+      * Reliable-checkpointed job per session at a time.
+      */
     final case class Reliable(dir: String) extends Checkpointer {
+      private val subdirs = java.util.Collections.synchronizedMap(
+        new java.util.IdentityHashMap[DataFrame, String]())
       private[operators] def cut(df: DataFrame): DataFrame = {
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir stores a fully-qualified random-UUID SUBDIR of
-        // the path it is given, so comparing against `dir` verbatim never
-        // matches — resolve the qualified prefix and only (re)set when the
-        // context points somewhere else, or every cut would mkdirs a fresh
-        // empty UUID dir per round
-        val qualified = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+        sc.setCheckpointDir(dir) // fresh UUID subdir per cut
+        val out = df.checkpoint(true)
+        sc.getCheckpointDir.foreach(subdirs.put(out, _))
+        out
+      }
+      private[operators] override def release(df: DataFrame): Unit = {
+        val sub = subdirs.remove(df)
+        if (sub != null) {
+          val p = new org.apache.hadoop.fs.Path(sub)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          ()
         }
-        val current = sc.getCheckpointDir
-        if (!current.exists(c => c == qualified || c.startsWith(qualified + "/")))
-          sc.setCheckpointDir(dir)
-        df.checkpoint(true)
       }
     }
   }
@@ -406,11 +426,18 @@ object Dedup {
     // the cut just materialized it). Labels are identical by construction
     // (min member id per component); the distributed loop remains the path
     // for edge lists that outgrow the driver.
-    if (edges.count() <= driverMaxEdges)
-      return driverComponents(pairs.sparkSession, edges)
-    var labels = checkpointer.cut(
+    if (edges.count() <= driverMaxEdges) {
+      val out = driverComponents(pairs.sparkSession, edges)
+      checkpointer.release(edges)
+      return out
+    }
+    // `cutLabels` tracks the frame `cut` returned (release keys on object
+    // identity); round N's cut is released as soon as round N+1 has
+    // materialized — the cuts are eager, so nothing references it after
+    var cutLabels = checkpointer.cut(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
+    var labels = cutLabels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -424,26 +451,40 @@ object Dedup {
             least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
             (coalesce(col("nmin"), col("label")) < col("label")).as("__changed")))
       converged = next.filter(col("__changed")).limit(1).isEmpty
+      checkpointer.release(cutLabels)
+      cutLabels = next
       labels = next.drop("__changed")
       iter += 1
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — duplicate " +
         "graph diameter exceeds maxIter; raise it or pre-partition the corpus")
-    labels.select(col("id"), col("label").as("cluster"))
+    val out = labels.select(col("id"), col("label").as("cluster"))
+    checkpointer.release(edges) // the result depends only on the final cut
+    out
   }
 
   /** Driver union-find over a collected edge list — the fast path of
     * [[connectedComponents]] below `driverMaxEdges`. Path-halving find +
-    * union by attaching to the smaller root id, then one pass labeling each
-    * node with its component's MIN member id — exactly the fixpoint the
-    * distributed propagation converges to, without a per-round shuffle.
-    * Unbounded by graph diameter (no maxIter here: union-find closes any
-    * chain), deterministic regardless of edge order.
+    * union by attaching the larger root under the smaller: since every node
+    * starts as its own root, the root of a tree is by induction the MIN
+    * member id of its component, so `find(n)` directly yields the label the
+    * distributed propagation converges to. Unbounded by graph diameter (no
+    * maxIter here: union-find closes any chain), deterministic regardless
+    * of edge order.
+    *
+    * Driver footprint at the 2²⁰-edge default is worst-case a few hundred
+    * MB (specialized long tuples ≈ 32 B/edge, plus ~80 B/entry of boxed
+    * HashMap for up to 2·2²⁰ nodes) — NOT just the 16 MB of raw longs.
+    * Size `driverMaxEdges` to the driver heap actually available.
     */
   private def driverComponents(spark: org.apache.spark.sql.SparkSession,
                                edges: DataFrame): DataFrame = {
-    val collected = edges.collect()
+    // typed collect: Tuple2 is @specialized on Long, so this materializes
+    // primitive pairs instead of 100+ B GenericRows with boxed fields
+    val tupleEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    val collected = edges.as[(Long, Long)](tupleEnc).collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -454,29 +495,20 @@ object Dedup {
       }
       r
     }
-    collected.foreach { r =>
-      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+    collected.foreach { case (s, d) =>
+      val (a, b) = (find(s), find(d))
       if (a != b) {
         if (a < b) parent.put(b, a) else parent.put(a, b)
       }
     }
-    val minOfRoot = new java.util.HashMap[Long, Long]()
-    val nodes = new java.util.HashSet[Long]()
-    collected.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
-    nodes.forEach { n =>
-      val root = find(n)
-      minOfRoot.merge(root, n, (x, y) => math.min(x, y))
-    }
-    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](
-      nodes.size)
-    nodes.forEach { n => out += org.apache.spark.sql.Row(n, minOfRoot.get(find(n))) }
-    // parallelize, not a LocalRelation: a toDF of 2M tuples would embed the
-    // labels in the PLAN (shipped with every task closure downstream)
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq),
-      StructType(Seq(StructField("id", LongType, nullable = false),
-        StructField("cluster", LongType, nullable = false))))
+    val nodes = new java.util.TreeSet[java.lang.Long]() // sorted → deterministic row order
+    collected.foreach { case (s, d) => nodes.add(s); nodes.add(d) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+    nodes.forEach { n => out += ((n, find(n))) }
+    // parallelize, not a LocalRelation: a local Seq in createDataset would
+    // embed 2M labels in the PLAN (shipped with every task closure downstream)
+    spark.createDataset(spark.sparkContext.parallelize(out.toSeq))(tupleEnc)
+      .toDF("id", "cluster")
   }
 
   /** Incremental cluster maintenance — the batch-append twin of
@@ -506,13 +538,6 @@ object Dedup {
     comps.union(untouched.select(col("id"), col("cluster")))
   }
 
-  /** End-of-pipeline canonical selection: given docs and their near-dup
-    * pair list, resolve clusters ([[connectedComponents]]) and keep ONE doc
-    * per cluster — the highest `scoreCol` (ties broken by min id, so the
-    * choice is deterministic under re-runs). Singletons always survive.
-    * This is the decision a dedup pipeline actually ships: pairs → clusters
-    * → per-cluster top-1 (one window over the cluster key, the W5 shape).
-    */
   /** Leakage-aware train/validation split: the split draw is keyed on the
     * near-dup CLUSTER label, not the doc id, so a document and its
     * near-duplicates always land on the same side. Splitting by doc id
@@ -534,6 +559,13 @@ object Dedup {
         .otherwise("train"))
   }
 
+  /** End-of-pipeline canonical selection: given docs and their near-dup
+    * pair list, resolve clusters ([[connectedComponents]]) and keep ONE doc
+    * per cluster — the highest `scoreCol` (ties broken by min id, so the
+    * choice is deterministic under re-runs). Singletons always survive.
+    * This is the decision a dedup pipeline actually ships: pairs → clusters
+    * → per-cluster top-1 (one window over the cluster key, the W5 shape).
+    */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String, bCol: String, scoreCol: String): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)

@@ -165,19 +165,6 @@ object Sampling {
       .drop("__rate")
   }
 
-  /** Sequence packing: lay documents end-to-end in token space within each
-    * SHARD (ordered by `orderCol`) and chunk the concatenated stream into
-    * fixed `seqLen`-token training sequences. Emits for each document its
-    * first sequence (`seq_id`), offset within it (`seq_offset`), and how
-    * many sequences it spans (`n_seqs`) — the contiguous-chunking semantics
-    * of standard LLM pretraining packing (documents straddle sequence
-    * boundaries; nothing is dropped).
-    *
-    * Scale shape: ONE window per shard — packing parallelism is the shard
-    * count and no global order exists. At 100 TB the shard column is the
-    * file/partition the tokenizer writes, exactly how packing is sharded in
-    * production pipelines.
-    */
   /** Balanced OUTPUT sharding: assign each document (ordered by `orderCol`)
     * a shard index so every shard holds ~`targetTokensPerShard` tokens —
     * the data-loader-facing export step (N roughly-equal-token training
@@ -266,9 +253,11 @@ object Sampling {
                         tokenIdsCol: String, dir: String): Unit = {
     val conf = new graft.sources.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // cast the id array too: an array<int> vocab column would otherwise die
+    // with a bare ClassCastException inside the task loop
     df.select(col(shardCol).cast("long").as("__shard"),
         col(orderCol).cast("long").as("__ord"),
-        col(tokenIdsCol).as("__toks"))
+        col(tokenIdsCol).cast("array<long>").as("__toks"))
       .repartition(col("__shard"))
       .sortWithinPartitions("__shard", "__ord")
       .foreachPartition { rows: Iterator[Row] =>
@@ -288,10 +277,16 @@ object Sampling {
               out = fs.create(
                 new org.apache.hadoop.fs.Path(dir, s"shard-$shard.bin"), true)
             }
-            val toks = r.getSeq[Long](2)
+            // elements come out boxed: a null ELEMENT would silently unbox
+            // to 0L under getSeq[Long] — the exact truncation the contract
+            // forbids — so null-check before unboxing
+            val toks = r.getSeq[Any](2)
             val buf = ByteBuffer.allocate(toks.length * 2)
               .order(ByteOrder.LITTLE_ENDIAN)
-            toks.foreach { t =>
+            toks.foreach { boxed =>
+              require(boxed != null,
+                "null token id inside the id array — ids must be dense")
+              val t = boxed.asInstanceOf[Long]
               require(t >= 0 && t < 65536,
                 s"token id $t does not fit u16 — rehash into a 0..65535 vocab")
               buf.putShort(t.toShort)
@@ -303,6 +298,19 @@ object Sampling {
       }
   }
 
+  /** Sequence packing: lay documents end-to-end in token space within each
+    * SHARD (ordered by `orderCol`) and chunk the concatenated stream into
+    * fixed `seqLen`-token training sequences. Emits for each document its
+    * first sequence (`seq_id`), offset within it (`seq_offset`), and how
+    * many sequences it spans (`n_seqs`) — the contiguous-chunking semantics
+    * of standard LLM pretraining packing (documents straddle sequence
+    * boundaries; nothing is dropped).
+    *
+    * Scale shape: ONE window per shard — packing parallelism is the shard
+    * count and no global order exists. At 100 TB the shard column is the
+    * file/partition the tokenizer writes, exactly how packing is sharded in
+    * production pipelines.
+    */
   def sequencePack(df: DataFrame, shardCol: String, orderCol: String,
                    tokensCol: String, seqLen: Int): DataFrame = {
     require(seqLen > 0)

@@ -174,12 +174,6 @@ object SystemQueries {
         .orderBy("doc_id")
     }),
 
-    // REAL zarr round trip: write a deterministic u16 store (zlib chunks,
-    // edge chunk included: 200 rows / 64-row chunks), read it back
-    // distributed with µV gain/offset. ORACLED against pure SQL arithmetic —
-    // chunk-grid layout, zlib inflate, edge-chunk truncation, and scaling
-    // all participate in the hash. No table input: the fixture IS the
-    // construction, exactly like the reference's compression round-trip.
     // END-TO-END EPHYS COMPOSITE — the science-side q93: pins the
     // COMPOSITION of S10 (zarr V2 read) + J4 (sync-window interval join) +
     // J9 (ONIX→HARP predict) + A3 (windowed column stats) as ONE oracled
@@ -228,6 +222,12 @@ object SystemQueries {
         .orderBy("wid")
     }),
 
+    // REAL zarr round trip: write a deterministic u16 store (zlib chunks,
+    // edge chunk included: 200 rows / 64-row chunks), read it back
+    // distributed with µV gain/offset. ORACLED against pure SQL arithmetic —
+    // chunk-grid layout, zlib inflate, edge-chunk truncation, and scaling
+    // all participate in the hash. No table input: the fixture IS the
+    // construction, exactly like the reference's compression round-trip.
     "q96_zarr_roundtrip" -> ((s, _) => {
       val data = Array.tabulate(200, 4)((r, c) => ((r * 31 + c * 13) % 4096).toDouble)
       val store = java.nio.file.Files.createTempDirectory("graft-zarr-q96")

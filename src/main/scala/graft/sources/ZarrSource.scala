@@ -414,8 +414,11 @@ object ZarrSource {
 
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val elemBytes = elemBytesOf(dtype)
+    // cast channels to array<double>: array<float> input gets a defined
+    // widening instead of a bare ClassCastException inside the task loop
     df.select(floor(col(rowCol) / cr).as("__chunk"),
-        col(rowCol).cast("long").as("__row"), col(channelsCol).as("__ch"))
+        col(rowCol).cast("long").as("__row"),
+        col(channelsCol).cast("array<double>").as("__ch"))
       .repartition(nChunks, col("__chunk"))
       .sortWithinPartitions("__chunk", "__row")
       .foreachPartition { (rows: Iterator[Row]) =>
@@ -464,11 +467,20 @@ object ZarrSource {
           require(row == curChunk * cr + filled,
             s"expected $rowCol ${curChunk * cr + filled} next in chunk " +
               s"$curChunk, got $row — $rowCol has gaps or duplicates")
-          val ch = r.getSeq[Double](2)
+          // elements come out boxed: a null ELEMENT would silently unbox to
+          // 0.0 under getSeq[Double] and land in the store indistinguishable
+          // from real data — null-check before unboxing (same discipline as
+          // the density/width requires above)
+          val ch = r.getSeq[Any](2)
           require(ch.length == nCols,
             s"$channelsCol width ${ch.length} != $nCols at $rowCol=$row")
           var c = 0
-          while (c < nCols) { putElem(buf, ch(c), dtype); c += 1 }
+          while (c < nCols) {
+            val v = ch(c)
+            require(v != null, s"null sample at $rowCol=$row channel $c")
+            putElem(buf, v.asInstanceOf[Double], dtype)
+            c += 1
+          }
           filled += 1
         }
         flush()

@@ -455,12 +455,14 @@ class OperatorsSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "reliable checkpointer materialized RDDs in the dir")
-    // setCheckpointDir ran ONCE for the whole run: it mints a random-UUID
-    // subdir per call, so one subdir proves the per-cut guard actually
-    // guards (the naive `getCheckpointDir.contains(dir)` check never
-    // matches the qualified UUID path and re-set on every cut)
+    // each cut gets its own UUID subdir and superseded rounds are RELEASED
+    // (deleted) as soon as their successor materializes — the run makes
+    // >= 4 cuts (edges, initial labels, >= 2 rounds) but only the final
+    // labels' subdir may remain, or an iterative/streaming caller would
+    // accumulate a full labels copy per round forever
     val uuidDirs = new java.io.File(dir).listFiles().count(_.isDirectory)
-    assert(uuidDirs == 1, s"expected one checkpoint UUID dir, got $uuidDirs")
+    assert(uuidDirs == 1,
+      s"expected only the final round's checkpoint dir to survive, got $uuidDirs")
   }
 
   test("mergeComponents: incremental batches converge to the one-shot clustering") {

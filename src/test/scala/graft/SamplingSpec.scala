@@ -224,5 +224,25 @@ class SamplingSpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("tok-export-bad").toString)
     }
     assert(messages(ex).contains("u16"))
+
+    // a null ELEMENT inside the id array fails loudly too — boxed access
+    // would otherwise unbox it to token id 0 and silently corrupt the shard
+    val nullElem = Seq((0L, 0L, Seq[java.lang.Long](1L, null, 3L)))
+      .toDF("doc_id", "shard", "toks")
+    val exNull = intercept[Exception] {
+      Sampling.exportTokenShards(nullElem, "shard", "doc_id", "toks",
+        java.nio.file.Files.createTempDirectory("tok-export-null").toString)
+    }
+    assert(messages(exNull).contains("null token id"))
+
+    // array<int> input exports identically (cast, not ClassCastException)
+    val intDir = java.nio.file.Files.createTempDirectory("tok-export-int").toString
+    Sampling.exportTokenShards(
+      Seq((0L, 0L, Seq(1, 258))).toDF("doc_id", "shard", "toks"),
+      "shard", "doc_id", "toks", intDir)
+    assert(bytesAt(intDir, "shard-0.bin").toSeq == Seq[Byte](1, 0, 2, 1))
   }
+
+  private def bytesAt(dir: String, f: String) =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
 }

@@ -231,6 +231,17 @@ class ZarrSourceSpec extends SparkSpec {
       ZarrSource.writeDistributed(ragged, store, chunkRows = 4)
     }
     assert(messages(exRag).contains("width"))
+
+    // a null SAMPLE inside the channel array fails loudly — boxed access
+    // would otherwise unbox it to 0.0 and publish it indistinguishable
+    // from real data (and from the zarr fill value)
+    val nullSample = spark.createDataFrame(
+      Seq((0L, Seq[java.lang.Double](1.0, null)), (1L, Seq[java.lang.Double](2.0, 3.0))))
+      .toDF("row_index", "channels")
+    val exNull = intercept[Exception] {
+      ZarrSource.writeDistributed(nullSample, store, chunkRows = 4)
+    }
+    assert(messages(exNull).contains("null sample"))
   }
 
   test("a truncated zlib chunk fails fast instead of spinning the inflater") {
