@@ -436,6 +436,31 @@ object SystemQueries {
       graft.operators.Populate.appendIdempotent(batch(200, 500), table, Seq("k"))
       graft.operators.Populate.appendIdempotent(batch(200, 500), table, Seq("k"))
       s.read.parquet(table).orderBy("k")
+    }),
+
+    // Z-ORDER layout cells: the Morton interleave that drives
+    // `Layout.zorderBy` (multi-dimensional file skipping — Delta/Iceberg
+    // ZORDER BY as a plain column), oracled as exact integer arithmetic:
+    // time is linearly bucketed over the 30-day window with the
+    // integral-division mortonBucket (a double round-trip would lose
+    // exactness at µs×2⁸ scale), users fold by pmod (the id range grows
+    // with SF), and the 16-bit z-code's high byte indexes the cell. The
+    // on-disk skip-rate property itself is pinned in LayoutZorderSpec —
+    // file envelopes are layout, not values, so the oracle checks the
+    // curve arithmetic and the per-cell aggregates.
+    "q119_zorder_cells" -> ((s, d) => {
+      val bits = 8
+      val lo = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+      val span = 30L * 86400 * 1000000L
+      Tables.events(s, d)
+        .select(pmod(col("user_id"), lit(256L)).as("bu"),
+          graft.sources.Layout.mortonBucket(
+            unix_micros(col("ts")), lo, lo + span - 1, bits).as("bt"))
+        .select(graft.sources.Layout.morton2(col("bu"), col("bt"), bits).as("z"))
+        .groupBy(shiftright(col("z"), bits).as("cell"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy("cell")
     })
   )
 
@@ -632,6 +657,22 @@ object SystemQueries {
        FROM src ORDER BY fid, clock""",
     "q113_idempotent_append" ->
       """SELECT CAST(k AS BIGINT) AS k, CAST(k * 3 + 1 AS BIGINT) AS v
-       FROM generate_series(0, 499) t(k) ORDER BY k"""
+       FROM generate_series(0, 499) t(k) ORDER BY k""",
+    "q119_zorder_cells" -> {
+      // the interleave replayed term-by-term: bit i of each dim lands at
+      // position 2i / 2i+1 — identical shift/mask arithmetic in any engine
+      val interleave = (0 until 8).flatMap(i => Seq(
+        s"(((bu >> $i) & 1) << ${2 * i})",
+        s"(((bt >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (
+         SELECT user_id % 256 AS bu,
+           ((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+             * 256) // 2592000000000 AS bt
+         FROM events),
+       zc AS (SELECT $interleave AS z FROM b)
+       SELECT z >> 8 AS cell, count(*) AS n_events,
+         min(z) AS z_min, max(z) AS z_max
+       FROM zc GROUP BY 1 ORDER BY 1"""
+    }
   )
 }
