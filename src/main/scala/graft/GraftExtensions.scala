@@ -50,6 +50,14 @@ object GraftFunctions {
       s"$fn: argument $pos must be an INT literal, got ${other.sql}")
   }
 
+  /** Plan-time LONG parameter (bucket bounds): INT or BIGINT literal. */
+  private def longLit(e: Expression, fn: String, pos: Int): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got ${other.sql}")
+  }
+
   /** name → expression builder, in one place so the config-time injection
     * and the live-session registration cannot drift apart. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq[
@@ -124,6 +132,19 @@ object GraftFunctions {
       toExpr(graft.operators.Sketch.cmBuckets(toCol(exprs.head),
         intLit(exprs(1), "graft_cm_buckets", 1),
         intLit(exprs(2), "graft_cm_buckets", 2)))
+    },
+    // z-order layout (the Morton curve; see sources/Layout)
+    "graft_morton2" -> { exprs =>
+      require(exprs.length == 3, "graft_morton2 expects (a, b, bits)")
+      toExpr(graft.sources.Layout.morton2(toCol(exprs(0)), toCol(exprs(1)),
+        intLit(exprs(2), "graft_morton2", 2)))
+    },
+    "graft_morton_bucket" -> { exprs =>
+      require(exprs.length == 4, "graft_morton_bucket expects (c, lo, hi, bits)")
+      toExpr(graft.sources.Layout.mortonBucket(toCol(exprs.head),
+        longLit(exprs(1), "graft_morton_bucket", 1),
+        longLit(exprs(2), "graft_morton_bucket", 2),
+        intLit(exprs(3), "graft_morton_bucket", 3)))
     })
 
   /** Config-time injection (`spark.sql.extensions=graft.GraftExtensions`). */

@@ -87,4 +87,21 @@ class LayoutZorderSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).orderBy("u", "t").collect().toSeq ==
       spark.read.parquet(linDir).orderBy("u", "t").collect().toSeq)
   }
+
+  test("SQL frontend builds the same z-codes as the Column API") {
+    GraftFunctions.register(spark)
+    val df = Seq((7L, 1704067200123456L), (140L, 1705000000000000L))
+      .toDF("u", "tm")
+    df.createOrReplaceTempView("zorder_spec_v")
+    val sql = spark.sql(
+      """SELECT graft_morton2(u % 256, graft_morton_bucket(
+        |  tm, 1704067200000000, 1706659199999999, 8), 8) AS z
+        |FROM zorder_spec_v ORDER BY z""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    val col0 = df.select(Layout.morton2(pmod(col("u"), lit(256L)),
+        Layout.mortonBucket(col("tm"), 1704067200000000L, 1706659199999999L, 8),
+        8).as("z"))
+      .orderBy("z").collect().map(_.getLong(0)).toSeq
+    assert(sql == col0)
+  }
 }
