@@ -63,7 +63,7 @@ object PlanAudit {
           val codegen = nodes.count(_.isInstanceOf[WholeStageCodegenExec])
           // SPARK_GRAFT_PLAN_DUMP=1: print the executed plan after the audit
           // line — for chasing where a flagged shuffle actually sits.
-          if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) println(planStr)
+          if (sys.env.get("SPARK_GRAFT_PLAN_DUMP").contains("1")) println(planStr)
           val notes = scala.collection.mutable.ListBuffer.empty[String]
           if (cartesian > 0) { notes += "CARTESIAN"; hardFailures += 1 }
           if (shuffles > 6) notes += s"many-shuffles($shuffles)"

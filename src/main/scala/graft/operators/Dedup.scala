@@ -339,8 +339,14 @@ object Dedup {
       * Reliable-checkpointed job per session at a time.
       */
     final case class Reliable(dir: String) extends Checkpointer {
+      // WeakHashMap (Dataset does not override equals, so lookup is
+      // reference identity): the FINAL cut of each job is never released,
+      // and a strong map would pin its plan + checkpoint RDD per call —
+      // unbounded driver growth for a streaming drain cutting every batch.
+      // Weak entries let the GC drop them; the final subdir's FILES are
+      // intentionally kept either way (delete `dir` when done).
       private val subdirs = java.util.Collections.synchronizedMap(
-        new java.util.IdentityHashMap[DataFrame, String]())
+        new java.util.WeakHashMap[DataFrame, String]())
       private[operators] def cut(df: DataFrame): DataFrame = {
         val sc = df.sparkSession.sparkContext
         sc.setCheckpointDir(dir) // fresh UUID subdir per cut
@@ -437,31 +443,41 @@ object Dedup {
     var cutLabels = checkpointer.cut(
       edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")))
-    var labels = cutLabels
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nl")).as("nmin"))
-      val next = checkpointer.cut(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-            (coalesce(col("nmin"), col("label")) < col("label")).as("__changed")))
-      converged = next.filter(col("__changed")).limit(1).isEmpty
-      checkpointer.release(cutLabels)
-      cutLabels = next
-      labels = next.drop("__changed")
-      iter += 1
+    try {
+      var labels = cutLabels
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nl")).as("nmin"))
+        val next = checkpointer.cut(
+          labels.join(neighborMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+              (coalesce(col("nmin"), col("label")) < col("label")).as("__changed")))
+        converged = next.filter(col("__changed")).limit(1).isEmpty
+        checkpointer.release(cutLabels)
+        cutLabels = next
+        labels = next.drop("__changed")
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponents did not converge in $maxIter rounds — duplicate " +
+          "graph diameter exceeds maxIter; raise it or pre-partition the corpus")
+      val out = labels.select(col("id"), col("label").as("cluster"))
+      checkpointer.release(edges) // the result depends only on the final cut
+      out
+    } catch {
+      case t: Throwable =>
+        // failure path (non-convergence, lost executor, cancel): the fix
+        // this release discipline exists for must also hold here — drop the
+        // last round's cut AND the edges, don't leave them on the store
+        checkpointer.release(cutLabels)
+        checkpointer.release(edges)
+        throw t
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — duplicate " +
-        "graph diameter exceeds maxIter; raise it or pre-partition the corpus")
-    val out = labels.select(col("id"), col("label").as("cluster"))
-    checkpointer.release(edges) // the result depends only on the final cut
-    out
   }
 
   /** Driver union-find over a collected edge list — the fast path of

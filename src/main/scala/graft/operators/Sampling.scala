@@ -253,8 +253,18 @@ object Sampling {
                         tokenIdsCol: String, dir: String): Unit = {
     val conf = new graft.sources.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    // cast the id array too: an array<int> vocab column would otherwise die
-    // with a bare ClassCastException inside the task loop
+    // widen INTEGRAL id arrays (array<int> etc. would otherwise die with a
+    // bare ClassCastException inside the task loop) — but only integral
+    // ones: a blanket cast would silently TRUNCATE array<double> ids (1.7
+    // -> 1), the exact corruption class the contract forbids
+    import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, ShortType}
+    df.schema(df.schema.fieldIndex(tokenIdsCol)).dataType match {
+      case ArrayType(et, _) if et == ByteType || et == ShortType ||
+        et == IntegerType || et == LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"exportTokenShards needs an integral-element array id column; " +
+          s"'$tokenIdsCol' is ${other.simpleString}")
+    }
     df.select(col(shardCol).cast("long").as("__shard"),
         col(orderCol).cast("long").as("__ord"),
         col(tokenIdsCol).cast("array<long>").as("__toks"))

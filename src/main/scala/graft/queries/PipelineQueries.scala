@@ -245,9 +245,14 @@ object PipelineQueries {
       Tables.documents(s, d)
         .select(col("source"), HashFunctions.portableHash60(col("text")).as("h"))
         .rollup("source")
+        // grouping(), not null-coalescing: a genuine NULL source group must
+        // not masquerade as the grand-total row (grouping() is only legal
+        // inside the rollup's agg, hence the __g passthrough)
         .agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"),
-          countDistinct(col("h")).as("exact_distinct"))
-        .select(coalesce(col("source"), lit("ALL")).as("scope"),
+          countDistinct(col("h")).as("exact_distinct"),
+          grouping(col("source")).as("__g"))
+        .select(when(col("__g") === 1, lit("ALL"))
+            .otherwise(col("source")).as("scope"),
           size(col("sk")).cast("long").as("n_kept"),
           element_at(col("sk"), size(col("sk"))).as("kth_min"),
           SketchFunctions.kmvEstimate(col("sk"), k).as("est_distinct"),

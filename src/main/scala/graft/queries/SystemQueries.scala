@@ -665,7 +665,7 @@ object SystemQueries {
         s"(((bu >> $i) & 1) << ${2 * i})",
         s"(((bt >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
       s"""WITH b AS (
-         SELECT user_id % 256 AS bu,
+         SELECT ((user_id % 256) + 256) % 256 AS bu, -- pmod, not %: sign-safe
            ((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
              * 256) // 2592000000000 AS bt
          FROM events),

@@ -39,6 +39,11 @@ object Layout {
   def mortonBucket(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")
     require(bits >= 1 && bits <= 31, s"need 1 <= bits <= 31, got $bits")
+    // (c-lo)·2^bits is computed in Long: reject spans where it could wrap
+    // (a silent non-ANSI overflow would alias buckets with no error)
+    require(hi - lo + 1 <= (Long.MaxValue >> bits),
+      s"span ${hi - lo + 1} * 2^$bits overflows Long — use fewer bits or a " +
+        "narrower range")
     import org.apache.spark.sql.GraftColumnBridge._
     column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       eagerExpression((c.cast("long") - lit(lo)) * lit(1L << bits)),
@@ -79,11 +84,25 @@ object Layout {
     * scaladoc for why content-bearing assignments must not rely on it.)
     */
   def zorderBy(df: DataFrame, a: Column, b: Column, numFiles: Int,
-               bits: Int = 16): DataFrame =
-    df.withColumn("__z", morton2(a, b, bits))
+               bits: Int = 16): DataFrame = {
+    // morton2 reads only the low `bits` bits, so an unbucketed dimension
+    // (ids in the millions at bits=16) would alias distant rows onto the
+    // same z-code and the layout would QUIETLY stop skipping — the failure
+    // is invisible until someone measures file envelopes. This is the
+    // write-path entry point (a branch per row is noise next to the write),
+    // so enforce the [0, 2^bits) contract loudly; bucket with
+    // [[mortonBucket]] / pmod first.
+    def checked(c: Column, name: String): Column =
+      when(c.cast("long").between(0L, (1L << bits) - 1), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"zorderBy: $name value "), c.cast("string"),
+          lit(s" outside [0, 2^$bits) — bucket dimensions first " +
+            "(mortonBucket/pmod)"))))
+    df.withColumn("__z", morton2(checked(a, "a"), checked(b, "b"), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+  }
 
   /** Pruned read of one time range [start, end): lexicographic
     * (chunk_date, chunk_hour) bounds as partition filters — only the hourly
