@@ -79,9 +79,14 @@ object HashFunctions {
     * engine's checked 64-bit integers, no ANSI overflow, no 128-bit types:
     * `(h1 + ((i·hi) mod 2³⁰)·2³⁰ + i·lo) AND (2⁶⁰−1)`.
     */
-  def portableSeededHash(c: Column, i: Int): Column = {
-    val h1 = portableHash60(c)
-    val h2 = portableHash60b(c)
+  def portableSeededHash(c: Column, i: Int): Column =
+    portableSeededFromParts(portableHash60(c), portableHash60b(c), i)
+
+  /** Same seeded member, but from ALREADY-COMPUTED `h60`/`h60b` columns —
+    * lets a k-probe consumer (Bloom positions, band hashes) pay the two MD5
+    * slices once per value instead of once per seed.
+    */
+  def portableSeededFromParts(h1: Column, h2: Column, i: Int): Column = {
     val hi = shiftright(h2, 30)
     val lo = h2.bitwiseAND(lit((1L << 30) - 1))
     (h1 + (lit(i.toLong) * hi % lit(1L << 30)) * lit(1L << 30) +

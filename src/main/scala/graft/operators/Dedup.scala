@@ -633,6 +633,85 @@ object Dedup {
       .withColumn("contaminated", col("n_contaminated_ngrams") > 0)
   }
 
+  /** Bloom bitset over a benchmark set's shingle probe positions — the
+    * build side of [[decontaminateBloom]]. Probe `i` of a shingle is
+    * `portableSeededHash(shingle, i) mod mBits` (the full-width
+    * Kirsch–Mitzenmacher family, ONE md5 per shingle for all `k` probes),
+    * so membership is engine-replayable: the oracle rebuilds the SET of
+    * bench positions in SQL and `might contain` ≡ "all k probe positions
+    * ∈ that set" — bit-for-bit the same answer this bitset gives.
+    *
+    * Built with `treeAggregate`: each task ORs its shingles into a local
+    * `mBits/64`-long array, partial bitsets merge up a tree — the driver
+    * receives O(mBits) bytes regardless of benchmark size, never the
+    * position stream.
+    */
+  def benchBloomBits(benchmarks: DataFrame, benchIdCol: String,
+                     benchTextCol: String, n: Int, mBits: Int,
+                     k: Int): Array[Long] = {
+    require(mBits >= 64 && mBits <= (1 << 30) && mBits % 64 == 0,
+      s"mBits must be in [64, 2^30] and a multiple of 64, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1, 16], got $k")
+    val sh = shingleRows(
+        benchmarks.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__btext")),
+        "__bid", "__btext", n)
+      .select(HashFunctions.portableHash60(col("__s")).as("__h1"),
+        HashFunctions.portableHash60b(col("__s")).as("__h2"))
+    val pos = sh.select(explode(array((0 until k).map { i =>
+      HashFunctions.portableSeededFromParts(col("__h1"), col("__h2"), i) %
+        lit(mBits.toLong)
+    }: _*)).as("__p"))
+    pos.select(col("__p")).rdd.map(_.getLong(0))
+      .treeAggregate(new Array[Long](mBits / 64))(
+        (bs, p) => { bs((p >>> 6).toInt) |= 1L << (p & 63L); bs },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+  }
+
+  /** Bloom-screened benchmark decontamination — the scale path for when the
+    * benchmark shingle set itself is too large to broadcast EXACTLY (a full
+    * eval-suite aggregation, or decontaminating corpus A against corpus B).
+    * [[decontaminate]] broadcasts every distinct `(hash, bench-doc)` pair;
+    * here the benchmark side collapses to an `mBits`-bit Bloom filter
+    * (16 MiB covers ~10⁸ shingles at k=3 within ~1% false positives) and
+    * the corpus probe is map-side arithmetic: 2 md5 slices + k codegen'd
+    * bit tests per shingle ([[graft.expressions.BitsetContains]] holding
+    * the broadcast HANDLE, so the plan stays small and the bitset ships
+    * once per executor).
+    *
+    * One-sided by construction: NO false negatives — every truly
+    * contaminated n-gram is flagged (the decontamination-safe direction);
+    * false positives at the classic `(1 - e^(-kn/m))^k` rate can only
+    * over-flag. Screen with this, then re-check the (tiny) flagged subset
+    * with [[decontaminate]] when exact counts matter.
+    *
+    * Output: input columns of `docs` + `n_flagged_ngrams` (distinct
+    * shingle hashes whose k probes all hit) + `contaminated`. No
+    * `n_benchmark_docs` — a Bloom filter keeps no ids.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         benchmarks: DataFrame, benchIdCol: String,
+                         benchTextCol: String, n: Int = 8,
+                         mBits: Int = 1 << 27, k: Int = 3): DataFrame = {
+    val bits = benchBloomBits(benchmarks, benchIdCol, benchTextCol, n, mBits, k)
+    val bc = docs.sparkSession.sparkContext.broadcast(bits)
+    val sh = shingleRows(docs.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col(idCol), HashFunctions.portableHash60(col("__s")).as("__h1"),
+        HashFunctions.portableHash60b(col("__s")).as("__h2"))
+    val might = (0 until k).map { i =>
+      val posI = HashFunctions.portableSeededFromParts(col("__h1"), col("__h2"), i) %
+        lit(mBits.toLong)
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.BitsetContains(
+          org.apache.spark.sql.GraftColumnBridge.expression(posI), bc))
+    }.reduce(_ && _)
+    val hits = sh.groupBy(col(idCol))
+      .agg(countDistinct(when(might, col("__h1"))).as("n_flagged_ngrams"))
+      .filter(col("n_flagged_ngrams") > 0)
+    docs.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_flagged_ngrams"))
+      .withColumn("contaminated", col("n_flagged_ngrams") > 0)
+  }
+
   /** Exact-substring span dedup (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better", arXiv:2107.06499): find maximal
     * token spans whose every `n`-token window appears verbatim in at least

@@ -539,6 +539,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Bloom-screened decontamination: q98's fixture, but the bench side
+    // collapses to a 2^13-bit Bloom filter (k=3 portable seeded probes) —
+    // the scale path when the benchmark shingle set is too large to
+    // broadcast exactly. m is deliberately small so false positives DO
+    // occur at this corpus size: the oracle must replay the probe/bit
+    // arithmetic itself, not just the exact intersection, and the
+    // no-false-negative direction is what the spec pins.
+    "q120_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+      Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "doc_id", "text",
+          n = 8, mBits = 1 << 13, k = 3)
+        .select("doc_id", "n_flagged_ngrams", "contaminated")
+        .orderBy("doc_id")
+    }),
+
     // Cluster resolution: the transitive closure over q65's verified
     // near-dup pairs (a≈b, b≈c ⇒ one cluster), min-label propagation to a
     // fixpoint, every doc kept with its cluster id (= min doc id in the
@@ -1401,6 +1417,39 @@ object PipelineQueries {
          coalesce(h.n_benchmark_docs, 0) AS n_benchmark_docs,
          coalesce(h.n_contaminated_ngrams, 0) > 0 AS contaminated
        FROM norm n LEFT JOIN hits h ON n.doc_id = h.doc_id
+       ORDER BY n.doc_id""",
+    // Bloom membership replayed as set membership: a bit is set at position
+    // p iff SOME bench probe produced p, so "might contain" ≡ all k probe
+    // positions ∈ the distinct bench-position set. Probe i is the q65
+    // piecewise seeded hash mod 2^16.
+    "q120_decontaminate_bloom" ->
+      s"""WITH norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
+         FROM documents),
+       grams AS (
+         SELECT doc_id, array_to_string(words[i:i+7], ' ') AS s
+         FROM norm, unnest(generate_series(1, len(words) - 7)) u(i)),
+       hashed AS (
+         SELECT doc_id, ${pHash60("s")} AS h1, ${pHash60b("s")} AS h2
+         FROM grams),
+       probes AS (
+         SELECT doc_id, h1,
+           ((h1 + ((seed * (h2 >> 30)) % 1073741824) * 1073741824
+             + seed * (h2 & 1073741823)) & 1152921504606846975) % 8192 AS p
+         FROM hashed, unnest(generate_series(0, 2)) t(seed)),
+       bench_pos AS (
+         SELECT DISTINCT p FROM probes WHERE doc_id % 41 = 0),
+       flags AS (
+         SELECT pr.doc_id, pr.h1, bool_and(bp.p IS NOT NULL) AS might
+         FROM probes pr LEFT JOIN bench_pos bp USING (p)
+         GROUP BY pr.doc_id, pr.h1),
+       counts AS (
+         SELECT doc_id, count(DISTINCT h1) FILTER (WHERE might) AS n_flagged
+         FROM flags GROUP BY doc_id)
+       SELECT n.doc_id,
+         coalesce(c.n_flagged, 0) AS n_flagged_ngrams,
+         coalesce(c.n_flagged, 0) > 0 AS contaminated
+       FROM norm n LEFT JOIN counts c ON n.doc_id = c.doc_id
        ORDER BY n.doc_id"""
   )
 }

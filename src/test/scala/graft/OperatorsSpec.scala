@@ -355,6 +355,87 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("decontaminateBloom: flags are one-sided — never misses an exact hit") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "intro words then alpha beta gamma delta epsilon zeta eta theta and more"),
+      (3L, "fox dog quick brown lazy the over jumps dog the fox"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+
+    // adequately sized filter (2^20 bits for ~10 bench shingles): zero
+    // collisions, so the screen reproduces the exact counts bit-for-bit
+    val wide = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 8, mBits = 1 << 20, k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_flagged_ngrams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(wide(1L) == (3L, true), "full copy: all three 8-grams flagged")
+    assert(wide(2L) == (1L, true))
+    assert(wide(3L) == (0L, false))
+    assert(wide(4L) == (0L, false), "sub-8-word doc survives with zeros")
+
+    // degenerate 64-bit filter: positions collide massively — the failure
+    // mode must be OVER-flagging (false positives), never a miss
+    val tiny = Dedup.decontaminateBloom(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 8, mBits = 64, k = 1)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_flagged_ngrams"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(tiny(1L)._2 && tiny(2L)._2, "exact hits still flagged at any m")
+    assert(tiny(1L)._1 >= 3L && tiny(2L)._1 >= 1L,
+      "per-doc flagged counts can only grow as m shrinks")
+    assert(tiny(4L) == (0L, false), "no shingles -> nothing to falsely flag")
+  }
+
+  test("benchBloomBits matches an independent driver-side build; probes are bit-exact") {
+    val mBits = 4096
+    val k = 3
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val bits = Dedup.benchBloomBits(bench, "doc_id", "text", n = 4,
+      mBits = mBits, k = k)
+    assert(bits.length == mBits / 64)
+
+    // independent reference: shingle + hash + probe recomputed from scratch
+    // on the driver (md5 hex slices + the piecewise Kirsch–Mitzenmacher
+    // arithmetic), no Spark code in the loop
+    def h(s: String, lo: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(lo, lo + 15), 16)
+    }
+    val expected = new Array[Long](mBits / 64)
+    for {
+      text <- Seq("alpha beta gamma delta epsilon", "one two three four")
+      gram <- text.split(" ").sliding(4).map(_.mkString(" "))
+      seed <- 0 until k
+    } {
+      val (h1, h2) = (h(gram, 0), h(gram, 16))
+      val p = ((h1 + ((seed * (h2 >> 30)) % (1L << 30)) * (1L << 30)
+        + seed * (h2 & ((1L << 30) - 1))) & ((1L << 60) - 1)) % mBits
+      expected((p >>> 6).toInt) |= 1L << (p & 63L)
+    }
+    assert(bits.sameElements(expected), "treeAggregate bitset == driver bitset")
+
+    // BitsetContains: every position 0..m-1 probed through the codegen
+    // expression agrees with the driver-side bit test
+    val bc = spark.sparkContext.broadcast(bits)
+    val probed = spark.range(mBits).select(col("id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.BitsetContains(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("id")), bc))
+          .as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (0 until mBits).foreach { p =>
+      val want = ((bits(p >>> 6) >>> (p & 63)) & 1L) == 1L
+      assert(probed(p.toLong) == want, s"position $p")
+    }
+  }
+
   test("connectedComponents resolves transitive near-dup clusters to min ids") {
     // chain 10-20, 20-30 (one cluster via transitivity), disjoint pair 40-50,
     // plus a reversed/duplicate edge that must not matter
