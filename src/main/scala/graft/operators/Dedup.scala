@@ -704,9 +704,12 @@ object Dedup {
         graft.expressions.BitsetContains(
           org.apache.spark.sql.GraftColumnBridge.expression(posI), bc))
     }.reduce(_ && _)
-    val hits = sh.groupBy(col(idCol))
-      .agg(countDistinct(when(might, col("__h1"))).as("n_flagged_ngrams"))
-      .filter(col("n_flagged_ngrams") > 0)
+    // filter BEFORE the distinct aggregate: at a properly sized m hits are
+    // rare, so the expensive per-doc count-distinct sees only the flagged
+    // sliver of the shingle stream, not the whole corpus
+    val hits = sh.filter(might)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__h1")).as("n_flagged_ngrams"))
     docs.join(hits, Seq(idCol), "left")
       .na.fill(0L, Seq("n_flagged_ngrams"))
       .withColumn("contaminated", col("n_flagged_ngrams") > 0)

@@ -540,17 +540,18 @@ object PipelineQueries {
     }),
 
     // Bloom-screened decontamination: q98's fixture, but the bench side
-    // collapses to a 2^13-bit Bloom filter (k=3 portable seeded probes) —
+    // collapses to a 2^15-bit Bloom filter (k=3 portable seeded probes) —
     // the scale path when the benchmark shingle set is too large to
     // broadcast exactly. m is deliberately small so false positives DO
-    // occur at this corpus size: the oracle must replay the probe/bit
-    // arithmetic itself, not just the exact intersection, and the
-    // no-false-negative direction is what the spec pins.
+    // occur at this corpus size (one extra flagged doc at sf0.01 beyond
+    // the 13 exact hits): the oracle must replay the probe/bit arithmetic
+    // itself, not just the exact intersection, while m stays large enough
+    // that the filter is unsaturated at bench scale.
     "q120_decontaminate_bloom" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val bench = docs.filter(col("doc_id") % 41 === 0)
       Dedup.decontaminateBloom(docs, "doc_id", "text", bench, "doc_id", "text",
-          n = 8, mBits = 1 << 13, k = 3)
+          n = 8, mBits = 1 << 15, k = 3)
         .select("doc_id", "n_flagged_ngrams", "contaminated")
         .orderBy("doc_id")
     }),
@@ -1435,7 +1436,7 @@ object PipelineQueries {
        probes AS (
          SELECT doc_id, h1,
            ((h1 + ((seed * (h2 >> 30)) % 1073741824) * 1073741824
-             + seed * (h2 & 1073741823)) & 1152921504606846975) % 8192 AS p
+             + seed * (h2 & 1073741823)) & 1152921504606846975) % 32768 AS p
          FROM hashed, unnest(generate_series(0, 2)) t(seed)),
        bench_pos AS (
          SELECT DISTINCT p FROM probes WHERE doc_id % 41 = 0),
