@@ -120,6 +120,60 @@ case class PortableHash60B(child: Expression) extends PortableHashExpression {
     copy(child = newChild)
 }
 
+/** BOTH full-width 60-bit slices from ONE digest, as `struct<h1, h2>` —
+  * for consumers that feed the seeded probe family (Bloom positions, band
+  * hashes) and would otherwise run [[PortableHash60]] and
+  * [[PortableHash60B]] as two separate expressions, each paying its own
+  * MD5 over the same string. Catalyst cannot merge those two digests
+  * (different expression trees), so the fusion has to be explicit.
+  */
+case class PortableHash60Pair(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "portable_hash60_pair"
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = PortableHashExpression.digest(input.asInstanceOf[UTF8String].getBytes)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](PortableHashExpression.h60(d), PortableHashExpression.h60b(d)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val md = ctx.addMutableState("java.security.MessageDigest", "portableMd5",
+      v => s"""try { $v = java.security.MessageDigest.getInstance("MD5"); }
+              |catch (java.security.NoSuchAlgorithmException e) {
+              |  throw new RuntimeException(e);
+              |}""".stripMargin)
+    val rowClass =
+      classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+    nullSafeCodeGen(ctx, ev, c => {
+      val d = ctx.freshName("digest")
+      val h1 = (0 until 7)
+        .map(i => s"((long)($d[$i] & 0xFF) << ${8 * (6 - i) + 4})")
+        .mkString(" | ") + s" | ((long)($d[7] & 0xF0) >>> 4)"
+      val h2 = (8 until 15)
+        .map(i => s"((long)($d[$i] & 0xFF) << ${8 * (14 - i) + 4})")
+        .mkString(" | ") + s" | ((long)($d[15] & 0xF0) >>> 4)"
+      s"""
+         |byte[] $d = $md.digest($c.getBytes());
+         |${ev.value} = new $rowClass(new Object[] {
+         |  java.lang.Long.valueOf($h1), java.lang.Long.valueOf($h2) });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Hex digits 16..22 of MD5 as a 28-bit long (== portableHash28). */
 case class PortableHash28(child: Expression) extends PortableHashExpression {
   override def prettyName: String = "portable_hash28"

@@ -82,6 +82,16 @@ object HashFunctions {
   def portableSeededHash(c: Column, i: Int): Column =
     portableSeededFromParts(portableHash60(c), portableHash60b(c), i)
 
+  /** Both 60-bit slices from ONE md5 as `struct<h1, h2>` — for k-probe
+    * consumers ([[graft.operators.Dedup.decontaminateBloom]]) that would
+    * otherwise digest the same string twice via [[portableHash60]] +
+    * [[portableHash60b]]. Feed the fields to [[portableSeededFromParts]].
+    */
+  def portableHashPair(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PortableHash60Pair(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
+
   /** Same seeded member, but from ALREADY-COMPUTED `h60`/`h60b` columns —
     * lets a k-probe consumer (Bloom positions, band hashes) pay the two MD5
     * slices once per value instead of once per seed.

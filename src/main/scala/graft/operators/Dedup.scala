@@ -655,8 +655,8 @@ object Dedup {
     val sh = shingleRows(
         benchmarks.select(col(benchIdCol).as("__bid"), col(benchTextCol).as("__btext")),
         "__bid", "__btext", n)
-      .select(HashFunctions.portableHash60(col("__s")).as("__h1"),
-        HashFunctions.portableHash60b(col("__s")).as("__h2"))
+      .select(HashFunctions.portableHashPair(col("__s")).as("__hp"))
+      .select(col("__hp.h1").as("__h1"), col("__hp.h2").as("__h2"))
     val pos = sh.select(explode(array((0 until k).map { i =>
       HashFunctions.portableSeededFromParts(col("__h1"), col("__h2"), i) %
         lit(mBits.toLong)
@@ -695,8 +695,8 @@ object Dedup {
     val bits = benchBloomBits(benchmarks, benchIdCol, benchTextCol, n, mBits, k)
     val bc = docs.sparkSession.sparkContext.broadcast(bits)
     val sh = shingleRows(docs.select(col(idCol), col(textCol)), idCol, textCol, n)
-      .select(col(idCol), HashFunctions.portableHash60(col("__s")).as("__h1"),
-        HashFunctions.portableHash60b(col("__s")).as("__h2"))
+      .select(col(idCol), HashFunctions.portableHashPair(col("__s")).as("__hp"))
+      .select(col(idCol), col("__hp.h1").as("__h1"), col("__hp.h2").as("__h2"))
     val might = (0 until k).map { i =>
       val posI = HashFunctions.portableSeededFromParts(col("__h1"), col("__h2"), i) %
         lit(mBits.toLong)

@@ -43,6 +43,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(2))
   }
 
+  test("fused pair kernel equals the two standalone slices on varied input") {
+    val samples = Seq("", "abc", "Ünïcødé 🎉", "x" * 500) ++
+      (0 until 200).map(i => s"shingle $i text ${i * 13}")
+    val mismatches = samples.toDF("s").select(
+        HashFunctions.portableHashPair(col("s")).as("p"),
+        HashFunctions.portableHash60(col("s")).as("h1"),
+        HashFunctions.portableHash60b(col("s")).as("h2"))
+      .filter(col("p.h1") =!= col("h1") || col("p.h2") =!= col("h2"))
+    assert(mismatches.count() == 0)
+    // null in -> null struct out (not a struct of nulls)
+    val n = spark.sql("SELECT 1")
+      .select(HashFunctions.portableHashPair(lit(null).cast("string")).as("p"))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   // SQL registration of portable_hash60/28 is covered by
   // LayoutExtensionsSpec's extensions-session test (the shared test session
   // deliberately runs without GraftExtensions).
