@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
@@ -73,5 +74,59 @@ object Sketch {
     val sketch = countMin(df, keyCol, depth, width)
     cmLookup(sketch, df.select(keyCol).distinct(), keyCol, depth, width)
       .filter(col("cm_est") >= threshold)
+  }
+
+  /** Mergeable uniform row sample: the k rows whose tag-keyed portable
+    * hashes are globally smallest (bottom-k sampling — the sample twin of
+    * the KMV distinct sketch, Bar-Yossef et al. 2002). Deterministic:
+    * re-runs, task retries, and other engines select the IDENTICAL rows
+    * (ties broken on id), unlike `TABLESAMPLE`/`rand()`. Mergeable:
+    * `bottomK(A ∪ B) = trimK(bottomK(A) ∪ bottomK(B))` — per-day samples
+    * union into a per-month sample without rescanning the raw data
+    * (SketchSpec pins the identity).
+    *
+    * Scale shape: rank ≤ k over the un-partitioned window is rewritten by
+    * Catalyst (LimitPushDownThroughWindow) into a top-k sort
+    * (TakeOrderedAndProject) — each task forwards only its own bottom-k
+    * frontier and the merge sees ≤ numPartitions·k rows, never the corpus.
+    * SketchSpec pins the rewrite.
+    */
+  def bottomKSample(df: DataFrame, idCol: String, k: Int,
+                    tag: String = "bottomk"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.orderBy(
+      HashFunctions.portableHash60(
+        concat(lit(tag + ":"), col(idCol).cast("string"))),
+      col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Quantile sketch over a [[bottomKSample]]: `quantile q` = the sample's
+    * LOWER order statistic at zero-based rank `floor(q·(n−1))`, where
+    * `n = min(k, |df|)` — pure integer indexing into the sorted sample, no
+    * interpolation, so the answer is engine-replayable exactly (the reason
+    * to prefer this over `approx_percentile`, whose GK sketch is
+    * engine-private). Error: the rank of the reported value is within
+    * O(n·√(1/k)) of the true rank w.h.p. — k=4096 lands every quantile
+    * within ~1.5% of its true rank.
+    *
+    * Output: one row per requested q, `(q double, value)`. Null value on
+    * empty input. The sample aggregate is k rows — driver-scale — and the
+    * corpus is touched exactly once by the sampling window.
+    */
+  def sampleQuantiles(df: DataFrame, idCol: String, valueCol: String, k: Int,
+                      qs: Seq[Double], tag: String = "bottomk"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantiles must be in [0, 1]")
+    val sample = bottomKSample(df, idCol, k, tag)
+      .agg(sort_array(collect_list(col(valueCol))).as("__vs"))
+    sample.select(explode(array(qs.map { q =>
+      val idx = (floor(lit(q) * (size(col("__vs")) - 1)) + 1).cast("int")
+      struct(lit(q).as("q"),
+        when(size(col("__vs")) > 0, element_at(col("__vs"), idx)).as("value"))
+    }: _*)).as("__qv"))
+      .select(col("__qv.q").as("q"), col("__qv.value").as("value"))
   }
 }

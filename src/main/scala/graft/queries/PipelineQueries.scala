@@ -260,6 +260,20 @@ object PipelineQueries {
         .orderBy("scope")
     }),
 
+    // Bottom-k sample quantiles: the third mergeable sketch (distinct
+    // count, heavy hitters, quantiles) — a deterministic k=200 bottom-k-by-
+    // hash sample of documents, quantiles as exact LOWER order statistics
+    // over the sorted sample (integer indexing, no interpolation), so the
+    // whole sketch replays in SQL. The sampled doc ids, not just the
+    // quantile values, are pinned by the hash compare via n (= min(k, N)).
+    "q121_sample_quantiles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      Sketch.sampleQuantiles(docs, "doc_id", "n_chars", k = 200,
+          qs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+        .orderBy("q")
+    }),
+
     // Count-min heavy hitters (Cormode & Muthukrishnan 2005): a depth-4 ×
     // width-1024 counter sketch over the event stream, probed for every
     // distinct user. Estimates are one-sided (cm_est >= exact_n — bucket
@@ -974,6 +988,26 @@ object PipelineQueries {
          END AS est_distinct,
          exact_distinct
        FROM u ORDER BY scope""",
+    // Bottom-k sampling replayed with QUALIFY over the tag-keyed hash, the
+    // lower order statistic with pure integer rank indexing; q·(n−1) is
+    // IEEE double multiply on both engines (q written ::DOUBLE so DuckDB
+    // doesn't parse it as DECIMAL).
+    "q121_sample_quantiles" -> s"""WITH s AS (
+         SELECT len(text) AS v, doc_id
+         FROM documents
+         QUALIFY row_number() OVER (
+           ORDER BY ${pHash60("concat('bottomk:', CAST(doc_id AS VARCHAR))")},
+                    doc_id) <= 200),
+       vs AS (
+         SELECT v, row_number() OVER (ORDER BY v) - 1 AS r,
+           count(*) OVER () AS n
+         FROM s)
+       SELECT q, v AS value
+       FROM (VALUES (0.0::DOUBLE), (0.1::DOUBLE), (0.25::DOUBLE),
+             (0.5::DOUBLE), (0.75::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE),
+             (1.0::DOUBLE)) t(q)
+       JOIN vs ON vs.r = CAST(floor(q * (vs.n - 1)) AS BIGINT)
+       ORDER BY q""",
     "q118_heavy_hitters" -> s"""WITH seeds AS (
          SELECT unnest(generate_series(0, 3)) AS seed),
        kh AS (

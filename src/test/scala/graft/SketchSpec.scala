@@ -125,4 +125,52 @@ class SketchSpec extends SparkSpec {
       .head.getDouble(0)
     assert(sql == col0)
   }
+
+  test("bottomKSample: mergeable, deterministic, rank-limit pushed down") {
+    val df = (1 to 500).map(i => (i.toLong, i * 3 % 101)).toDF("id", "v")
+    val whole = Sketch.bottomKSample(df, "id", 40)
+      .select("id").as[Long].collect().toSet
+    assert(whole.size == 40)
+    // merge rule: bottomK(A ∪ B) == trimK(bottomK(A) ∪ bottomK(B))
+    val a = df.filter(col("id") <= 250)
+    val b = df.filter(col("id") > 250)
+    val merged = Sketch.bottomKSample(
+        Sketch.bottomKSample(a, "id", 40).union(Sketch.bottomKSample(b, "id", 40)),
+        "id", 40)
+      .select("id").as[Long].collect().toSet
+    assert(merged == whole)
+    // identical across re-runs and sub-k inputs keep everything
+    assert(Sketch.bottomKSample(df, "id", 40).select("id").as[Long].collect().toSet == whole)
+    assert(Sketch.bottomKSample(df.limit(7), "id", 40).count() == 7)
+    // the un-partitioned window must run as a rank-limit (per-task bottom-k
+    // frontier: TakeOrderedAndProject via LimitPushDownThroughWindow, or
+    // WindowGroupLimit), never a full global sort of the corpus
+    val plan = Sketch.bottomKSample(df, "id", 40).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
+      s"expected a pushed rank limit:\n$plan")
+  }
+
+  test("sampleQuantiles: exact lower order statistics of the driver-replayed sample") {
+    val df = (1 to 300).map(i => (i.toLong, (i * 7919L) % 997)).toDF("id", "v")
+    val got = Sketch.sampleQuantiles(df, "id", "v", k = 50,
+        qs = Seq(0.0, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // independent driver-side replay: md5 bottom-k, sort values, index
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val sample = (1 to 300).map(i => (h60(s"bottomk:$i"), i.toLong))
+      .sortBy(identity).take(50)
+      .map { case (_, id) => (id * 7919L) % 997 }.sorted
+    Seq(0.0, 0.5, 0.9, 1.0).foreach { q =>
+      val want = sample(math.floor(q * (sample.size - 1)).toInt)
+      assert(got(q) == want, s"q=$q")
+    }
+    // empty input: one row per q, null values, no index error
+    val empty = Sketch.sampleQuantiles(df.filter(col("id") < 0), "id", "v",
+        k = 50, qs = Seq(0.5, 0.9)).collect()
+    assert(empty.length == 2 && empty.forall(_.isNullAt(1)))
+  }
 }
