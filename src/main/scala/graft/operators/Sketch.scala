@@ -103,6 +103,32 @@ object Sketch {
       .drop("__rk")
   }
 
+  /** Per-group [[bottomKSample]]: each group keeps its k hash-smallest rows
+    * — deterministic stratified sampling where every stratum gets an EQUAL
+    * row budget (vs [[graft.operators.Sampling.stratifiedSample]]'s
+    * per-stratum RATES), the shape for "audit n examples from every source"
+    * and per-stratum quantile sketches. The same merge rule holds per
+    * group, so per-day per-group samples trim-union into per-month ones.
+    *
+    * Scale shape: one hash-partitioned shuffle on `groupCol`; the rank ≤ k
+    * filter is detected by `InferWindowGroupLimit` and evaluated as a
+    * Partial `WindowGroupLimit` BEFORE the exchange, so each task forwards
+    * at most k rows per group it sees, never its whole input (spec-pinned).
+    * Skew-safe for k·|groups| ≪ corpus; a single giant group still lands
+    * on one reducer but only k rows survive the partial pass.
+    */
+  def bottomKSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                            k: Int, tag: String = "bottomk"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(
+      HashFunctions.portableHash60(
+        concat(lit(tag + ":"), col(idCol).cast("string"))),
+      col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Quantile sketch over a [[bottomKSample]]: `quantile q` = the sample's
     * LOWER order statistic at zero-based rank `floor(q·(n−1))`, where
     * `n = min(k, |df|)` — pure integer indexing into the sorted sample, no

@@ -274,6 +274,16 @@ object PipelineQueries {
         .orderBy("q")
     }),
 
+    // Per-group bottom-k: every language keeps its 25 hash-smallest docs —
+    // equal-budget stratified sampling (the "audit n examples per source"
+    // shape), deterministic so the oracle replays the exact sampled ids.
+    "q122_group_sample" -> ((s, d) => {
+      Sketch.bottomKSamplePerGroup(Tables.documents(s, d), "lang", "doc_id",
+          k = 25)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    }),
+
     // Count-min heavy hitters (Cormode & Muthukrishnan 2005): a depth-4 ×
     // width-1024 counter sketch over the event stream, probed for every
     // distinct user. Estimates are one-sided (cm_est >= exact_n — bucket
@@ -1008,6 +1018,11 @@ object PipelineQueries {
              (1.0::DOUBLE)) t(q)
        JOIN vs ON vs.r = CAST(floor(q * (vs.n - 1)) AS BIGINT)
        ORDER BY q""",
+    "q122_group_sample" -> s"""SELECT doc_id, lang, source FROM documents
+       QUALIFY row_number() OVER (PARTITION BY lang
+         ORDER BY ${pHash60("concat('bottomk:', CAST(doc_id AS VARCHAR))")},
+                  doc_id) <= 25
+       ORDER BY lang, doc_id""",
     "q118_heavy_hitters" -> s"""WITH seeds AS (
          SELECT unnest(generate_series(0, 3)) AS seed),
        kh AS (

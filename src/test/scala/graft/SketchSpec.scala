@@ -150,6 +150,36 @@ class SketchSpec extends SparkSpec {
       s"expected a pushed rank limit:\n$plan")
   }
 
+  test("bottomKSamplePerGroup: equal budgets, per-group merge rule, partial group limit") {
+    val df = (1 to 600).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    val got = Sketch.bottomKSamplePerGroup(df, "g", "id", 20)
+      .select("g", "id").as[(String, Long)].collect()
+    // every group keeps exactly k; the selection matches a whole-corpus
+    // per-group bottom-k done independently per group
+    val byG = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byG.keySet == Set("g0", "g1", "g2") && byG.values.forall(_.size == 20))
+    byG.foreach { case (g, ids) =>
+      val solo = Sketch.bottomKSample(df.filter(col("g") === g), "id", 20)
+        .select("id").as[Long].collect().toSet
+      assert(ids == solo, s"group $g differs from its standalone bottom-k")
+    }
+    // merge rule holds per group across a disjoint split
+    val a = df.filter(col("id") % 2 === 0)
+    val b = df.filter(col("id") % 2 === 1)
+    val merged = Sketch.bottomKSamplePerGroup(
+        Sketch.bottomKSamplePerGroup(a, "g", "id", 20)
+          .union(Sketch.bottomKSamplePerGroup(b, "g", "id", 20)),
+        "g", "id", 20)
+      .select("g", "id").as[(String, Long)].collect()
+    assert(merged.toSet == got.toSet)
+    // the rank filter must run as a PARTIAL WindowGroupLimit before the
+    // exchange — each task forwards <= k rows per group, never its input
+    val plan = Sketch.bottomKSamplePerGroup(df, "g", "id", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"expected a partial window group limit:\n$plan")
+  }
+
   test("sampleQuantiles: exact lower order statistics of the driver-replayed sample") {
     val df = (1 to 300).map(i => (i.toLong, (i * 7919L) % 997)).toDF("id", "v")
     val got = Sketch.sampleQuantiles(df, "id", "v", k = 50,
