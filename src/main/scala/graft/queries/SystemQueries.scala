@@ -461,6 +461,36 @@ object SystemQueries {
         .agg(count(lit(1)).as("n_events"),
           min(col("z")).as("z_min"), max(col("z")).as("z_max"))
         .orderBy("cell")
+    }),
+
+    // REAL small-file compaction round trip: 20 tiny files per hive leaf,
+    // `Layout.compact` rewrites each leaf in place (staged write + atomic
+    // swap), and the ORACLE pins that the rewrite changed the LAYOUT and
+    // nothing else — per-leaf aggregates replay the construction
+    // arithmetic, and `files_after` (re-listed from disk, not from the
+    // stat report) pins the one-file-per-leaf outcome.
+    "q123_compact_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-compact-q123")
+        .toString + "/t"
+      s.range(0, 600)
+        .select(col("id").as("k"), (col("id") * 7 % 31).as("v"),
+          concat(lit("p"), pmod(col("id"), lit(3))).as("p"))
+        .repartition(20)
+        .write.partitionBy("p").parquet(root)
+      graft.sources.Layout.compact(s, root, targetBytes = 1L << 30)
+      val filesAfter = new java.io.File(root).listFiles().toSeq
+        .filter(_.isDirectory).map { d =>
+          val n = d.listFiles().count(f => f.isFile &&
+            !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          (d.getName.stripPrefix("p="), n.toLong)
+        }
+      s.read.parquet(root)
+        .groupBy("p")
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("sum_k"),
+          sum("v").as("sum_v"))
+        .join(filesAfter.toDF("p", "files_after"), "p")
+        .orderBy("p")
     })
   )
 
@@ -658,6 +688,13 @@ object SystemQueries {
     "q113_idempotent_append" ->
       """SELECT CAST(k AS BIGINT) AS k, CAST(k * 3 + 1 AS BIGINT) AS v
        FROM generate_series(0, 499) t(k) ORDER BY k""",
+    "q123_compact_roundtrip" ->
+      """SELECT 'p' || CAST(k % 3 AS VARCHAR) AS p,
+         count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k,
+         CAST(sum(k * 7 % 31) AS BIGINT) AS sum_v,
+         CAST(1 AS BIGINT) AS files_after
+       FROM generate_series(0, 599) t(k)
+       GROUP BY 1 ORDER BY p""",
     "q119_zorder_cells" -> {
       // the interleave replayed term-by-term: bit i of each dim lands at
       // position 2i / 2i+1 — identical shift/mask arithmetic in any engine

@@ -104,6 +104,124 @@ object Layout {
       .drop("__z")
   }
 
+  /** One leaf directory's compaction outcome. */
+  final case class CompactStat(dir: String, filesBefore: Int,
+                               filesAfter: Int, bytes: Long)
+
+  /** Compact a parquet table's small files in place: every leaf directory
+    * (hive partition, or the root when unpartitioned) whose file count
+    * exceeds `ceil(bytes / targetBytes)` is rewritten into that many
+    * target-sized files. The steady-state killer this addresses at 100 TB:
+    * hourly/streaming appends leave millions of KB-scale files, and scan
+    * planning + task scheduling start costing more than the reads
+    * (the V2 sources bin-pack at READ time; parquet tables also need the
+    * layout itself fixed, or every downstream consumer pays the listing
+    * tax forever).
+    *
+    * Shape: the driver walks the file listing (catalog-scale metadata —
+    * names and sizes, never data), picks leaves needing work, and rewrites
+    * each as its own Spark job — `coalesce(n)`, so the rewrite is a
+    * shuffle-free read-merge-write; up to `maxConcurrent` leaves run as
+    * concurrent jobs (independent leaves, one scheduler). Row values,
+    * schema, and hive partition values (encoded in dir names, untouched)
+    * are preserved exactly — q123 oracles a round trip through the rewrite.
+    *
+    * Publish per leaf is replaceAtomic-style: write to a dot-prefixed
+    * staged sibling (invisible to readers), mark complete, swap via
+    * delete + rename. A crash mid-swap leaves either the old leaf (staged
+    * superseded, deleted on the next run) or a completeness-marked staged
+    * dir with the leaf missing — the next [[compact]] call finishes the
+    * rename before planning (spec-pinned). Re-running after success is a
+    * no-op: compacted leaves no longer exceed their target file count.
+    */
+  def compact(spark: SparkSession, tablePath: String,
+              targetBytes: Long = 128L << 20,
+              maxConcurrent: Int = 8): Seq[CompactStat] = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0 && maxConcurrent > 0,
+      "targetBytes and maxConcurrent must be positive")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    def isVisible(name: String) = !name.startsWith(".") && !name.startsWith("_")
+    def stagedFor(leaf: Path) =
+      new Path(leaf.getParent, "." + leaf.getName + StagedSuffix)
+
+    // root-level staged dirs live NEXT TO the root (same convention as
+    // Populate.replaceAtomic), so the in-tree walk below never sees them —
+    // recover/retire the root's own leftovers first
+    locally {
+      val staged = stagedFor(root)
+      if (fs.exists(staged)) {
+        val complete = fs.exists(new Path(staged, CompleteMarker))
+        if (!fs.exists(root)) {
+          require(complete, s"compact: $staged has no completeness marker " +
+            s"and $root is gone — inconsistent state, not auto-fixable")
+          if (!fs.rename(staged, root))
+            throw new java.io.IOException(s"failed to recover $root")
+          fs.delete(new Path(root, CompleteMarker), false)
+        } else fs.delete(staged, true)
+      }
+    }
+
+    // pass 1 — recover/retire staged leftovers, then list leaf contents
+    val leaves = scala.collection.mutable.Map.empty[Path, Vector[(String, Long)]]
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.endsWith(StagedSuffix)) {
+        val leaf = new Path(st.getPath.getParent,
+          name.stripPrefix(".").stripSuffix(StagedSuffix))
+        val complete = fs.exists(new Path(st.getPath, CompleteMarker))
+        if (!fs.exists(leaf)) {
+          // crashed between delete and rename: the staged dir IS the data
+          require(complete, s"compact: ${st.getPath} has no completeness " +
+            s"marker and $leaf is gone — inconsistent state, not auto-fixable")
+          if (!fs.rename(st.getPath, leaf))
+            throw new java.io.IOException(s"failed to recover $leaf")
+          fs.delete(new Path(leaf, CompleteMarker), false)
+          walk(leaf)
+        } else fs.delete(st.getPath, true) // superseded attempt
+      } else if (st.isDirectory && isVisible(name)) walk(st.getPath)
+      else if (st.isFile && isVisible(name))
+        leaves.updateWith(st.getPath.getParent)(prev =>
+          Some(prev.getOrElse(Vector.empty) :+ (name, st.getLen)))
+    }
+    walk(root)
+
+    val work = leaves.toSeq.sortBy(_._1.toString).flatMap { case (leaf, files) =>
+      val bytes = files.map(_._2).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.size > n) Some((leaf, files.size, n, bytes)) else None
+    }
+
+    // pass 2 — rewrite each selected leaf as its own (concurrent) job
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, math.max(1, work.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val stats = work.map { case (leaf, before, n, bytes) => Future {
+        val staged = stagedFor(leaf)
+        fs.delete(staged, true)
+        spark.read.parquet(leaf.toString).coalesce(n)
+          .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+        fs.create(new Path(staged, CompleteMarker), true).close()
+        fs.delete(leaf, true)
+        if (!fs.rename(staged, leaf))
+          throw new java.io.IOException(s"failed to publish $staged over $leaf")
+        fs.delete(new Path(leaf, CompleteMarker), false)
+        val after = fs.listStatus(leaf)
+          .count(st => st.isFile && isVisible(st.getPath.getName))
+        CompactStat(leaf.toString, before, after, bytes)
+      }}
+      stats.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  private val StagedSuffix = ".__compact_staged"
+  private val CompleteMarker = "_GRAFT_STAGED_COMPLETE"
+
   /** Pruned read of one time range [start, end): lexicographic
     * (chunk_date, chunk_hour) bounds as partition filters — only the hourly
     * partitions intersecting the range are listed/read — plus the exact row
