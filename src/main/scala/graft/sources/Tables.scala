@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -27,18 +27,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The `events` stream table is written with nanosecond timestamps, which
-    * Spark's parquet reader rejects outright. Read the nanos as a long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to the µs
-    * TimestampType — the reference's own fetch-edge precision contract
-    * (µs rounding, `aeon/dj_pipeline/__init__.py:100-105`).
+  /** The `events` stream table has been written by the generator with three
+    * different physical `ts` encodings across rounds; normalize all of them
+    * to the µs-precision session-TZ TimestampType the query layer expects —
+    * the reference's own fetch-edge precision contract (µs rounding,
+    * `aeon/dj_pipeline/__init__.py:100-105`):
+    *  - nanosecond INT64 (Spark rejects outright): read as long via
+    *    `spark.sql.legacy.parquet.nanosAsLong`, floor-divide to µs;
+    *  - `timestamp[us]` without TZ annotation (Spark 4 infers
+    *    TIMESTAMP_NTZ, which `unix_micros` et al. reject): cast to
+    *    TIMESTAMP — the session timezone is pinned UTC (GraftSession), so
+    *    the instant is unchanged;
+    *  - plain `timestamp[us]` with TZ: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
