@@ -85,22 +85,23 @@ object Sketch {
     * union into a per-month sample without rescanning the raw data
     * (SketchSpec pins the identity).
     *
-    * Scale shape: rank ≤ k over the un-partitioned window is rewritten by
-    * Catalyst (LimitPushDownThroughWindow) into a top-k sort
-    * (TakeOrderedAndProject) — each task forwards only its own bottom-k
-    * frontier and the merge sees ≤ numPartitions·k rows, never the corpus.
-    * SketchSpec pins the rewrite.
+    * Scale shape: `orderBy(hash, id).limit(k)` plans DIRECTLY as
+    * `TakeOrderedAndProject` — each task keeps a k-row heap and forwards
+    * only its own bottom-k frontier; the merge sees ≤ numPartitions·k rows,
+    * never the corpus, and no WindowExec ever runs (the earlier
+    * `row_number <= k` formulation planned as a single-partition
+    * WindowGroupLimit — same data movement, but an avoidable global-window
+    * operator). SketchSpec pins the physical plan.
     */
   def bottomKSample(df: DataFrame, idCol: String, k: Int,
                     tag: String = "bottomk"): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = Window.orderBy(
-      HashFunctions.portableHash60(
-        concat(lit(tag + ":"), col(idCol).cast("string"))),
-      col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    df.withColumn("__bk",
+        HashFunctions.portableHash60(
+          concat(lit(tag + ":"), col(idCol).cast("string"))))
+      .orderBy(col("__bk"), col(idCol))
+      .limit(k)
+      .drop("__bk")
   }
 
   /** Per-group [[bottomKSample]]: each group keeps its k hash-smallest rows

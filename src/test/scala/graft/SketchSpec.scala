@@ -142,12 +142,13 @@ class SketchSpec extends SparkSpec {
     // identical across re-runs and sub-k inputs keep everything
     assert(Sketch.bottomKSample(df, "id", 40).select("id").as[Long].collect().toSet == whole)
     assert(Sketch.bottomKSample(df.limit(7), "id", 40).count() == 7)
-    // the un-partitioned window must run as a rank-limit (per-task bottom-k
-    // frontier: TakeOrderedAndProject via LimitPushDownThroughWindow, or
-    // WindowGroupLimit), never a full global sort of the corpus
+    // must plan as a per-task bottom-k frontier (TakeOrderedAndProject) —
+    // never a full global sort of the corpus, and never a WindowExec (a
+    // single-partition global window would drag every row to one task)
     val plan = Sketch.bottomKSample(df, "id", 40).queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject") || plan.contains("WindowGroupLimit"),
-      s"expected a pushed rank limit:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a top-k plan:\n$plan")
+    assert(!plan.contains("Window"), s"expected no window operator:\n$plan")
   }
 
   test("bottomKSamplePerGroup: equal budgets, per-group merge rule, partial group limit") {
