@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, QualityFilter, Sampling, Similarity, Sketch, Skew}
+import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -580,6 +580,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): model the TARGET
+    // distribution (en docs — the wiki-quality seed) and the RAW corpus as
+    // hashed {uni,bi}gram LMs; each doc's weight is Σ ln(p_t/p_r) over its
+    // features on a micro-nat INTEGER grid (order-free exact sums — the
+    // q102 fixed-point discipline applied to log space); keep the
+    // Gumbel-top-k, with the Gumbel draw keyed on the portable id hash so
+    // the sample replays exactly.
+    "q124_dsir_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val target = Dsir.trainNgramModel(docs.filter(col("lang") === "en"),
+        "text", nBuckets = 512)
+      val raw = Dsir.trainNgramModel(docs, "text", nBuckets = 512)
+      Dsir.importanceResample(docs.select("doc_id", "lang", "source", "text"),
+          "doc_id", "text", target, raw, k = 150)
+        .select("doc_id", "lang", "source", "dsir_score")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style perplexity scoring: per-doc cross-entropy (micro-nats per
+    // feature, integer) under the en-target hashed n-gram LM; `kept` is the
+    // perplexity gate at 5.25 nats/feature (≈ the fixture corpus median, so the gate bites). Featureless docs carry null CE
+    // and are never kept.
+    "q125_ngram_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Dsir.trainNgramModel(docs.filter(col("lang") === "en"),
+        "text", nBuckets = 512)
+      Dsir.crossEntropy(docs, "doc_id", "text", model)
+        .withColumn("kept",
+          col("ce_micro").isNotNull && col("ce_micro") <= lit(5250000L))
+        .orderBy("doc_id")
+    }),
+
     // Cluster resolution: the transitive closure over q65's verified
     // near-dup pairs (a≈b, b≈c ⇒ one cluster), min-label propagation to a
     // fixpoint, every doc kept with its cluster id (= min doc id in the
@@ -786,6 +818,42 @@ object PipelineQueries {
   private def acceptSql(idCol: String, tag: String, rateSql: String): String =
     s"CAST(${pHash60(s"concat('$tag:', CAST($idCol AS VARCHAR))")} AS DOUBLE)" +
       s" < ($rateSql) * 1152921504606846976.0"
+
+  /** Shared CTE prefix of the q124/q125 DSIR oracles: normalized token
+    * arrays → hashed {uni,bi}gram feature stream (multiplicity kept) →
+    * 512-bucket grid, mirroring `Dsir.featureBuckets` / `trainNgramModel`:
+    * bucket probability = add-one-smoothed count on the 10⁻⁹ integer grid,
+    * clamped ≥ 1. `tc`/`tp` are the en-target model counts/probs, `rc`/`rp`
+    * the raw-corpus ones.
+    */
+  private lazy val dsirCtes: String =
+    s"""WITH norm AS (
+         SELECT doc_id, lang, regexp_split_to_array(${normSql("text")}, ' ')
+           AS ws
+         FROM documents),
+       feats AS (
+         SELECT doc_id, lang, CAST(${pHash60("w")} % 512 AS INTEGER) AS b
+         FROM (
+           SELECT doc_id, lang, unnest(ws) AS w FROM norm
+           UNION ALL
+           SELECT n.doc_id, n.lang, n.ws[i] || ' ' || n.ws[i+1] AS w
+           FROM norm n, unnest(generate_series(1, len(n.ws) - 1)) u(i))
+         WHERE len(w) > 0),
+       grid AS (
+         SELECT CAST(i AS INTEGER) AS b
+         FROM unnest(generate_series(0, 511)) t(i)),
+       tc AS (
+         SELECT b, CAST(count(*) AS BIGINT) AS c
+         FROM feats WHERE lang = 'en' GROUP BY b),
+       rc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM feats GROUP BY b),
+       tp AS (
+         SELECT g.b, coalesce(tc.c, 0) + 1 AS c
+         FROM grid g LEFT JOIN tc ON g.b = tc.b),
+       rp AS (
+         SELECT g.b, coalesce(rc.c, 0) + 1 AS c
+         FROM grid g LEFT JOIN rc ON g.b = rc.b),
+       tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tp),
+       rt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM rp)"""
 
   /** DuckDB fragments: per-language stopword scores + the argmax CASE —
     * shared by q63 and q93 so the two oracles cannot desynchronize from
@@ -1500,6 +1568,51 @@ object PipelineQueries {
          coalesce(c.n_flagged, 0) AS n_flagged_ngrams,
          coalesce(c.n_flagged, 0) > 0 AS contaminated
        FROM norm n LEFT JOIN counts c ON n.doc_id = c.doc_id
-       ORDER BY n.doc_id"""
+       ORDER BY n.doc_id""",
+    // DSIR end to end: both LMs retrained in SQL (integer fixed point),
+    // per-bucket weight = floor(1e6·ln(p_t/p_r)) — ln of a ratio of two
+    // exactly-replayed int64s, snapped once per bucket — then integer doc
+    // sums and the hash-keyed Gumbel-top-k.
+    "q124_dsir_sample" ->
+      s"""$dsirCtes,
+       wts AS (
+         SELECT tp.b,
+           CAST(floor(1000000.0 * ln(
+             CAST(greatest(tp.c * 1000000000 // tt.t, 1) AS DOUBLE) /
+             CAST(greatest(rp.c * 1000000000 // rt.t, 1) AS DOUBLE)))
+             AS BIGINT) AS w
+         FROM tp, tt, rp, rt WHERE tp.b = rp.b),
+       scores AS (
+         SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS dsir_score
+         FROM feats f JOIN wts w ON f.b = w.b GROUP BY f.doc_id),
+       keyed AS (
+         SELECT d.doc_id, d.lang, d.source,
+           coalesce(s.dsir_score, 0) AS dsir_score,
+           coalesce(s.dsir_score, 0) + CAST(floor(1000000.0 *
+             -ln(-ln((CAST(${pHash60(
+               "concat('dsir:', CAST(d.doc_id AS VARCHAR))")} AS DOUBLE)
+               + 0.5) / 1152921504606846976.0))) AS BIGINT) AS k
+         FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id),
+       sel AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 150)
+       SELECT doc_id, lang, source, dsir_score FROM sel ORDER BY doc_id""",
+    // Cross-entropy under the en-target LM alone: per-bucket log-prob
+    // floor(1e6·ln(p/1e9)), integer doc sums, integer per-feature division.
+    "q125_ngram_perplexity" ->
+      s"""$dsirCtes,
+       wts AS (
+         SELECT tp.b,
+           CAST(floor(1000000.0 * ln(
+             CAST(greatest(tp.c * 1000000000 // tt.t, 1) AS DOUBLE) /
+             1000000000.0)) AS BIGINT) AS w
+         FROM tp, tt),
+       sc AS (
+         SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(w.w) AS BIGINT) AS ll
+         FROM feats f JOIN wts w ON f.b = w.b GROUP BY f.doc_id)
+       SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+         (-sc.ll) // sc.n_feats AS ce_micro,
+         coalesce((-sc.ll) // sc.n_feats <= 5250000, FALSE) AS kept
+       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       ORDER BY d.doc_id"""
   )
 }
