@@ -68,6 +68,25 @@ object VectorFunctions {
     }.reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss random projection: `vec · plane_b` for `outDim`
+    * portable Rademacher (±1) planes (Achlioptas 2003's database-friendly
+    * JL variant) → `array<double>` of length `outDim`. Distances and
+    * angles are preserved within `ε ≈ sqrt(ln n / outDim)` w.h.p., so a
+    * 64→16 projection cuts candidate-scoring FLOPs and shuffle width 4×
+    * while keeping cosine RANKS roughly intact — the standard prefilter
+    * before an exact re-rank on the full vectors.
+    *
+    * No `1/√outDim` scaling: cosine and rank comparisons are
+    * scale-invariant, and leaving the raw ±1 dots makes the projection an
+    * exactly engine-replayable integer-weighted sum (each component is one
+    * codegen'd [[dot]] against a literal plane, double accumulation in
+    * element order — the q68-pinned contract `list_dot_product` matches).
+    */
+  def randomProject(vec: Column, outDim: Int, dim: Int, seed: Int): Column = {
+    val planes = hyperplanes(outDim, dim, seed)
+    array(planes.map(p => dot(vec, typedlit(p.toSeq))): _*)
+  }
+
   /** All `nTables` LSH signatures at once → array<long> (explode to
     * (table, bucket) rows). Table t uses seed `seed + t`, bit-packed exactly
     * like [[simhashBucket]] — one fused codegen kernel instead of

@@ -71,6 +71,41 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"))
   }
 
+  /** Top-k by cosine in a Johnson–Lindenstrauss-PROJECTED space
+    * ([[VectorFunctions.randomProject]]): both sides are projected onto the
+    * same `projDim` portable ±1 planes, then ranked exactly like
+    * [[bruteForceTopK]]. Output: (queryIdCol, idCol, cosine_proj).
+    *
+    * Scale shape: the corpus projection is a map-only pass (materialize it
+    * once for a static corpus — `projDim` doubles/row instead of `dim`
+    * floats), and every candidate score costs `projDim` multiply-adds
+    * instead of `dim` — at 768-d embeddings projected to 64, a 12× cut in
+    * both scan width and scoring FLOPs. The trade is JL distortion
+    * (ε ≈ sqrt(ln n / projDim)): use it as the cheap first stage and
+    * re-rank the survivors with exact cosine when ranks near the cut
+    * matter (SimilaritySpec pins recall against the exact top-k).
+    */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, queryIdCol: String,
+                    vecCol: String, k: Int, projDim: Int,
+                    seed: Int = 42,
+                    scoreDigits: Option[Int] = None): DataFrame = {
+    require(projDim > 0, "projDim must be positive")
+    val dim = vecDim(corpus, vecCol)
+    val pc = corpus.select(col(idCol),
+      VectorFunctions.randomProject(col(vecCol), projDim, dim, seed).as("__pv"))
+    val pq = queries.select(col(queryIdCol),
+      VectorFunctions.randomProject(col(vecCol), projDim, dim, seed).as("__pq"))
+    val raw = VectorFunctions.cosine(col("__pv"), col("__pq"))
+    val scored = pc.join(broadcast(pq), col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine_proj", scoreDigits.fold(raw)(d => round(raw, d)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine_proj").desc, col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine_proj"))
+  }
+
   /** LSH-bucketed approximate top-k: multi-table random-hyperplane bucketing;
     * candidates = bucket collisions in ANY table; exact cosine re-rank.
     *

@@ -163,6 +163,21 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     }),
 
+    // Johnson–Lindenstrauss projected top-k (the ANN prefilter stage):
+    // corpus and queries projected 64→16 dims onto portable ±1 planes,
+    // ranked on round(cosine_proj, 6) + id like q69. ORACLED: the oracle
+    // SQL embeds the SAME md5-derived planes as literal DOUBLE[] lists and
+    // replays projection + ranking exactly (list_dot_product matches the
+    // kernels' element-order double accumulation — the q68 contract).
+    "q126_jl_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.projectedTopK(emb, queries, "vec_id", "query_id",
+          "embedding", k = 10, projDim = 16, seed = 7, scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine_proj").desc, col("vec_id"))
+    }),
+
     // Winnowing overlap detection (MOSS rolling-hash fingerprints): shared
     // token runs between documents surface as shared window-min hashes. The
     // synthetic corpus has no overlapping docs, so overlap is planted: full
@@ -818,6 +833,19 @@ object PipelineQueries {
   private def acceptSql(idCol: String, tag: String, rateSql: String): String =
     s"CAST(${pHash60(s"concat('$tag:', CAST($idCol AS VARCHAR))")} AS DOUBLE)" +
       s" < ($rateSql) * 1152921504606846976.0"
+
+  /** DuckDB fragment: the q126 JL planes as literal DOUBLE[] rows —
+    * generated from the SAME `VectorFunctions.hyperplanes(16, 64, 7)` the
+    * query uses, so the oracle replays the exact projection (the planes
+    * are ±1, so the literals are exact).
+    */
+  private lazy val jlPlanesSql: String =
+    VectorFunctions.hyperplanes(nBits = 16, dim = 64, seed = 7).zipWithIndex
+      .map { case (p, b) =>
+        s"SELECT $b AS b, ${p.map(x => if (x > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")}::DOUBLE[] AS plane"
+      }
+      .mkString(" UNION ALL ")
 
   /** Shared CTE prefix of the q124/q125 DSIR oracles: normalized token
     * arrays → hashed {uni,bi}gram feature stream (multiplicity kept) →
@@ -1613,6 +1641,28 @@ object PipelineQueries {
          (-sc.ll) // sc.n_feats AS ce_micro,
          coalesce((-sc.ll) // sc.n_feats <= 5250000, FALSE) AS kept
        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-       ORDER BY d.doc_id"""
+       ORDER BY d.doc_id""",
+    "q126_jl_topk" ->
+      s"""WITH planes AS ($jlPlanesSql),
+       corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       proj AS (
+         SELECT vec_id, list(dp ORDER BY b) AS pv FROM (
+           SELECT c.vec_id, p.b, list_dot_product(c.v, p.plane) AS dp
+           FROM corp c CROSS JOIN planes p)
+         GROUP BY vec_id),
+       q AS (SELECT vec_id AS query_id, pv AS qv FROM proj WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.pv, q.qv)
+             / (sqrt(list_dot_product(e.pv, e.pv))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_proj
+         FROM proj e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_proj DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine_proj FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine_proj DESC, vec_id"""
   )
 }

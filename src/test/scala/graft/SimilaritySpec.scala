@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.operators.Similarity
 import graft.sources.Tables
 
@@ -60,6 +61,51 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.75, s"LSH recall $recall below 0.75 — bucketing broken?")
+  }
+
+  test("randomProject equals a hand-rolled ±1 projection, exactly") {
+    import spark.implicits._
+    val vec = Array.tabulate(16)(i => (0.25f * (i - 7)) + 0.125f)
+    val planes = VectorFunctions.hyperplanes(nBits = 8, dim = 16, seed = 11)
+    val got = Seq(Tuple1(vec)).toDF("v")
+      .select(VectorFunctions.randomProject(col("v"), 8, 16, seed = 11))
+      .head.getSeq[Double](0)
+    val want = planes.map(p =>
+      (0 until 16).foldLeft(0.0)((acc, j) => acc + vec(j).toDouble * p(j)))
+    assert(got.length == 8)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
+  test("projectedTopK: JL half-dims keeps recall on planted clusters") {
+    val exact = Similarity.bruteForceTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val proj = Similarity.projectedTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10, projDim = 8, seed = 11)
+    val projPairs = proj.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // JL distortion at 16→8 shuffles ranks among near-equal within-cluster
+    // neighbors — direct recall@10 is only moderate (measured ~0.57); the
+    // operator's contract is the PREFILTER pattern: a 3× candidate net must
+    // catch nearly all true neighbors for the exact re-rank stage
+    val recall10 = (exact & projPairs).size.toDouble / exact.size
+    assert(recall10 >= 0.45, s"JL recall@10 $recall10 collapsed")
+    val net = Similarity.projectedTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 30, projDim = 8, seed = 11)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefilter = (exact & net).size.toDouble / exact.size
+    assert(prefilter >= 0.85,
+      s"projected top-30 catches only $prefilter of the exact top-10")
+    assert(proj.groupBy("query_id").count().select("count")
+      .collect().forall(_.getLong(0) == 10))
+    // deterministic across runs
+    val again = Similarity.projectedTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10, projDim = 8, seed = 11)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == projPairs)
   }
 
   test("lshTopK on the real corpus returns corpus subsets with sane scores") {
