@@ -74,23 +74,45 @@ object Dsir {
       .drop("__f")
   }
 
-  /** Train the hashed n-gram model: add-one-smoothed bucket probabilities
-    * on the 10⁻⁹ integer grid, clamped to ≥ 1 so log weights stay finite
-    * (a bucket's floored share hits 0 only past 10⁹ total features — at
-    * that scale raise `Scale`, or accept the clamp's floor on rare-bucket
-    * penalties). All arithmetic integer; replays exactly in SQL.
+  /** Raw per-bucket feature counts — the MERGEABLE form of the model
+    * (counts are additive; smoothing and normalization are not). Train
+    * per day/shard, [[mergeNgramCounts]] the arrays, then
+    * [[modelFromCounts]] once — the incremental-twin discipline: a rolling
+    * corpus model never re-scans history.
     */
-  def trainNgramModel(docs: DataFrame, textCol: String,
-                      nBuckets: Int = 1024): Array[Long] = {
+  def trainNgramCounts(docs: DataFrame, textCol: String,
+                       nBuckets: Int = 1024): Array[Long] = {
     require(nBuckets > 0, "nBuckets must be positive")
     val counts = featureBuckets(docs.select(col(textCol)), textCol, nBuckets)
       .groupBy("__b").agg(count(lit(1)).as("c"))
       .collect()
-    val c = Array.fill(nBuckets)(1L) // add-one smoothing
+    val c = Array.fill(nBuckets)(0L)
     counts.foreach(r => c(r.getInt(0)) += r.getLong(1))
-    val t = c.sum
-    Array.tabulate(nBuckets)(i => math.max(1L, c(i) * Scale / t))
+    c
   }
+
+  /** Elementwise sum of two count arrays (same nBuckets required). */
+  def mergeNgramCounts(a: Array[Long], b: Array[Long]): Array[Long] = {
+    require(a.length == b.length, "count arrays must share nBuckets")
+    Array.tabulate(a.length)(i => a(i) + b(i))
+  }
+
+  /** Counts → add-one-smoothed bucket probabilities on the 10⁻⁹ integer
+    * grid, clamped to ≥ 1 so log weights stay finite (a bucket's floored
+    * share hits 0 only past 10⁹ total features — at that scale raise
+    * `Scale`, or accept the clamp's floor on rare-bucket penalties). All
+    * arithmetic integer; replays exactly in SQL.
+    */
+  def modelFromCounts(counts: Array[Long]): Array[Long] = {
+    val c = counts.map(_ + 1L) // add-one smoothing
+    val t = c.sum
+    Array.tabulate(c.length)(i => math.max(1L, c(i) * Scale / t))
+  }
+
+  /** One-shot convenience: [[trainNgramCounts]] → [[modelFromCounts]]. */
+  def trainNgramModel(docs: DataFrame, textCol: String,
+                      nBuckets: Int = 1024): Array[Long] =
+    modelFromCounts(trainNgramCounts(docs, textCol, nBuckets))
 
   /** DSIR importance weights in micro-nats: `floor(10⁶·ln(p_target/p_raw))`
     * per bucket. `StrictMath.log` (fdlibm) for JVM-stable results; the

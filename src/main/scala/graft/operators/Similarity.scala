@@ -106,6 +106,40 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine_proj"))
   }
 
+  /** Two-stage retrieval: [[projectedTopK]] casts a `candidateFactor·k`
+    * net in the cheap JL space, then the survivors are re-ranked by EXACT
+    * cosine on the full vectors — the standard prefilter+re-rank shape
+    * (SimilaritySpec measures the net's catch rate). Output and ranking
+    * semantics match [[bruteForceTopK]]; only candidate generation differs.
+    *
+    * Scale shape: stage 1 scans projDim-wide vectors (materialize the
+    * projection once for a static corpus); stage 2 re-attaches full
+    * vectors for only `candidateFactor·k` rows per query via one join on
+    * the corpus id — the wide vectors never enter the all-pairs score.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, queryIdCol: String,
+                 vecCol: String, k: Int, projDim: Int,
+                 candidateFactor: Int = 3, seed: Int = 42,
+                 scoreDigits: Option[Int] = None): DataFrame = {
+    require(candidateFactor >= 1, "candidateFactor must be >= 1")
+    val cands = projectedTopK(corpus, queries, idCol, queryIdCol, vecCol,
+        k = candidateFactor * k, projDim = projDim, seed = seed,
+        scoreDigits = scoreDigits)
+      .select(col(queryIdCol), col(idCol))
+    val raw = VectorFunctions.cosine(col(vecCol), col("__qvec"))
+    val scored = cands
+      .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec"))),
+        Seq(queryIdCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("cosine", scoreDigits.fold(raw)(d => round(raw, d)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine"))
+  }
+
   /** LSH-bucketed approximate top-k: multi-table random-hyperplane bucketing;
     * candidates = bucket collisions in ANY table; exact cosine re-rank.
     *

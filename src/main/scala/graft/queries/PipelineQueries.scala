@@ -178,6 +178,19 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("cosine_proj").desc, col("vec_id"))
     }),
 
+    // Two-stage retrieval: q126's JL prefilter casts a 3k candidate net,
+    // exact cosine re-ranks the survivors — the production ANN shape (wide
+    // vectors touch only 30 candidates/query, never the all-pairs score).
+    "q127_rerank_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.rerankTopK(emb, queries, "vec_id", "query_id", "embedding",
+          k = 10, projDim = 16, candidateFactor = 3, seed = 7,
+          scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    }),
+
     // Winnowing overlap detection (MOSS rolling-hash fingerprints): shared
     // token runs between documents surface as shared window-min hashes. The
     // synthetic corpus has no overlapping docs, so overlap is planted: full
@@ -1663,6 +1676,41 @@ object PipelineQueries {
            PARTITION BY query_id ORDER BY cosine_proj DESC, vec_id) AS rn
          FROM scored)
        SELECT query_id, vec_id, cosine_proj FROM ranked WHERE rn <= 10
-       ORDER BY query_id, cosine_proj DESC, vec_id"""
+       ORDER BY query_id, cosine_proj DESC, vec_id""",
+    "q127_rerank_topk" ->
+      s"""WITH planes AS ($jlPlanesSql),
+       corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       proj AS (
+         SELECT vec_id, list(dp ORDER BY b) AS pv FROM (
+           SELECT c.vec_id, p.b, list_dot_product(c.v, p.plane) AS dp
+           FROM corp c CROSS JOIN planes p)
+         GROUP BY vec_id),
+       q AS (SELECT vec_id AS query_id, pv AS qv FROM proj WHERE vec_id < 5),
+       pscored AS (
+         SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.pv, q.qv)
+             / (sqrt(list_dot_product(e.pv, e.pv))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cp
+         FROM proj e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       cands AS (
+         SELECT query_id, vec_id FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cp DESC, vec_id) AS rn
+           FROM pscored) WHERE rn <= 30),
+       qf AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       ex AS (
+         SELECT c.query_id, c.vec_id,
+           round(list_dot_product(e.v, qf.qv)
+             / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(qf.qv, qf.qv))), 6) AS cosine
+         FROM cands c JOIN corp e ON c.vec_id = e.vec_id
+           JOIN qf ON c.query_id = qf.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM ex)
+       SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine DESC, vec_id"""
   )
 }

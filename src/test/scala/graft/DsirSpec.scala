@@ -101,6 +101,20 @@ class DsirSpec extends SparkSpec {
       .filter(col("id") === 2L).select("dsir_score").as[Long].head() == 0L)
   }
 
+  test("sharded count training merges to the one-shot model exactly") {
+    val parts = Seq(
+      corpus.filter(col("id") <= 50),
+      corpus.filter(col("id") > 50 && col("id") <= 110),
+      corpus.filter(col("id") > 110))
+    val merged = parts
+      .map(p => Dsir.trainNgramCounts(p, "text", nBuckets = 256))
+      .reduce(Dsir.mergeNgramCounts)
+    val oneShot = Dsir.trainNgramCounts(corpus, "text", nBuckets = 256)
+    assert(merged.sameElements(oneShot))
+    assert(Dsir.modelFromCounts(merged)
+      .sameElements(Dsir.trainNgramModel(corpus, "text", nBuckets = 256)))
+  }
+
   test("model invariants and the top-k physical plan") {
     val m = Dsir.trainNgramModel(corpus, "text", nBuckets = 128)
     assert(m.length == 128 && m.forall(_ >= 1L))

@@ -108,6 +108,28 @@ class SimilaritySpec extends SparkSpec {
     assert(again == projPairs)
   }
 
+  test("rerankTopK recovers exact ranks the raw projection shuffles") {
+    val exact = Similarity.bruteForceTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10, scoreDigits = Some(6))
+    val exactPairs = exact.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reranked = Similarity.rerankTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10, projDim = 8, candidateFactor = 3,
+        seed = 11, scoreDigits = Some(6))
+    val rerankedPairs = reranked.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 3× net + exact re-rank must beat the raw projected recall by a
+    // wide margin (prefilter catches it, exact cosine orders it)
+    val recall = (exactPairs & rerankedPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.85, s"re-ranked recall $recall below 0.85")
+    // a net that spans the whole corpus IS brute force, row for row
+    val full = Similarity.rerankTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10, projDim = 8,
+        candidateFactor = 48, seed = 11, scoreDigits = Some(6))
+    assert(full.orderBy("query_id", "vec_id").collect().toSeq ==
+      exact.orderBy("query_id", "vec_id").collect().toSeq)
+  }
+
   test("lshTopK on the real corpus returns corpus subsets with sane scores") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
