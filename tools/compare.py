@@ -24,8 +24,22 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Queries that threw in Verify never write a dump; surface them as
+    # failures instead of letting them silently vanish from the report
+    # (the round-6 TIMESTAMP_NTZ regression hid exactly this way).
+    try:
+        failures = json.load(open(f"{out_dir}/failures.json"))
+    except FileNotFoundError:
+        failures = {}
+    for name, err in sorted(failures.items()):
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: Verify threw: {err[:200]}")
+        n_fail += 1
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
+            continue
+        if name in failures:
             continue
         try:
             got = con.execute(
