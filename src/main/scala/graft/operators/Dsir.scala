@@ -91,6 +91,33 @@ object Dsir {
     c
   }
 
+  /** Target and raw counts in ONE corpus pass: `targetCol` (boolean) marks
+    * the docs that also feed the target model; the raw side counts every
+    * doc. One explode + one conditional-sum aggregate instead of two full
+    * feature scans — the DSIR training shape when the target seed lives
+    * inside the corpus (the common case: a lang/source/label column).
+    */
+  def trainTargetRawCounts(docs: DataFrame, textCol: String,
+                           targetCol: String,
+                           nBuckets: Int = 1024): (Array[Long], Array[Long]) = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val counts = featureBuckets(
+        docs.select(col(targetCol).cast("boolean").as("__t"), col(textCol)),
+        textCol, nBuckets)
+      .groupBy("__b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      .collect()
+    val t = Array.fill(nBuckets)(0L)
+    val r = Array.fill(nBuckets)(0L)
+    counts.foreach { row =>
+      val i = row.getInt(0)
+      t(i) += row.getLong(1)
+      r(i) += row.getLong(2)
+    }
+    (t, r)
+  }
+
   /** Elementwise sum of two count arrays (same nBuckets required). */
   def mergeNgramCounts(a: Array[Long], b: Array[Long]): Array[Long] = {
     require(a.length == b.length, "count arrays must share nBuckets")
@@ -136,21 +163,28 @@ object Dsir {
         StrictMath.log(model(i).toDouble / Scale.toDouble)).toLong
     }
 
-  /** Sum a literal per-bucket weight table over every document's features:
-    * `(idCol, dsir_score)`, one row per input doc, featureless docs score 0.
+  /** `(idCol, dsir_score)` sums for docs that HAVE features — the shared
+    * aggregate behind [[importanceScore]]/[[importanceResample]] (callers
+    * left-join and coalesce featureless docs to 0 themselves, so the
+    * resample path attaches extra doc columns with ONE join, not two).
     */
-  def importanceScore(docs: DataFrame, idCol: String, textCol: String,
-                      weights: Array[Long]): DataFrame = {
-    val scored = featureBuckets(docs.select(col(idCol), col(textCol)),
+  private def scoreAgg(docs: DataFrame, idCol: String, textCol: String,
+                       weights: Array[Long]): DataFrame =
+    featureBuckets(docs.select(col(idCol), col(textCol)),
         textCol, weights.length)
       .select(col(idCol),
         element_at(typedlit(weights.toSeq), col("__b") + 1).as("__w"))
       .groupBy(idCol)
       .agg(sum(col("__w")).as("dsir_score"))
+
+  /** Sum a literal per-bucket weight table over every document's features:
+    * `(idCol, dsir_score)`, one row per input doc, featureless docs score 0.
+    */
+  def importanceScore(docs: DataFrame, idCol: String, textCol: String,
+                      weights: Array[Long]): DataFrame =
     docs.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
+      .join(scoreAgg(docs, idCol, textCol, weights), Seq(idCol), "left")
       .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0L)))
-  }
 
   /** The deterministic Gumbel(0,1) draw keyed on the document id:
     * `u = (hash+0.5)/2⁶⁰ ∈ (0,1)`, `g = −ln(−ln u)` — snapped to the
@@ -175,8 +209,9 @@ object Dsir {
                          tag: String = "dsir"): DataFrame = {
     require(k > 0, "k must be positive")
     val scored = docs.join(
-      importanceScore(docs, idCol, textCol, importanceWeights(target, raw)),
-      Seq(idCol))
+        scoreAgg(docs, idCol, textCol, importanceWeights(target, raw)),
+        Seq(idCol), "left")
+      .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0L)))
     scored
       .withColumn("__key", col("dsir_score") + gumbelMicro(idCol, tag))
       .orderBy(col("__key").desc, col(idCol))

@@ -617,11 +617,13 @@ object PipelineQueries {
     // the sample replays exactly.
     "q124_dsir_sample" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val target = Dsir.trainNgramModel(docs.filter(col("lang") === "en"),
-        "text", nBuckets = 512)
-      val raw = Dsir.trainNgramModel(docs, "text", nBuckets = 512)
+      // both models in ONE feature pass (conditional sums — the q102 shape)
+      val (tc, rc) = Dsir.trainTargetRawCounts(
+        docs.withColumn("__is_en", col("lang") === lit("en")),
+        "text", "__is_en", nBuckets = 512)
       Dsir.importanceResample(docs.select("doc_id", "lang", "source", "text"),
-          "doc_id", "text", target, raw, k = 150)
+          "doc_id", "text",
+          Dsir.modelFromCounts(tc), Dsir.modelFromCounts(rc), k = 150)
         .select("doc_id", "lang", "source", "dsir_score")
         .orderBy("doc_id")
     }),

@@ -101,6 +101,15 @@ class DsirSpec extends SparkSpec {
       .filter(col("id") === 2L).select("dsir_score").as[Long].head() == 0L)
   }
 
+  test("one-pass target+raw training equals the two-scan counts exactly") {
+    val labeled = corpus.withColumn("__t", col("id") <= 80)
+    val (tc, rc) = Dsir.trainTargetRawCounts(labeled, "text", "__t",
+      nBuckets = 256)
+    assert(tc.sameElements(
+      Dsir.trainNgramCounts(corpus.filter(col("id") <= 80), "text", 256)))
+    assert(rc.sameElements(Dsir.trainNgramCounts(corpus, "text", 256)))
+  }
+
   test("sharded count training merges to the one-shot model exactly") {
     val parts = Seq(
       corpus.filter(col("id") <= 50),
