@@ -642,6 +642,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The round-7 SELECTION composite (the q93 discipline applied to the
+    // learned stages): rule gates (langid + length) → perplexity gate under
+    // the target LM → DSIR importance resample of the survivors. Models are
+    // trained on the UNfiltered corpus — selection must never feed back
+    // into its own training set — and the oracle replays every stage.
+    "q128_selection_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (tc, rc) = Dsir.trainTargetRawCounts(
+        docs.withColumn("__is_en", col("lang") === lit("en")),
+        "text", "__is_en", nBuckets = 512)
+      val target = Dsir.modelFromCounts(tc)
+      val raw = Dsir.modelFromCounts(rc)
+      val gated = docs
+        .withColumn("lang_pred", TextFunctions.langIdHeuristic(col("text")))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 20)
+        .select("doc_id", "text", "source")
+      val survivors = Dsir.perplexityFilter(gated, "doc_id", "text", target,
+        maxCeMicro = 5300000L)
+      Dsir.importanceResample(survivors, "doc_id", "text", target, raw,
+          k = 100)
+        .select("doc_id", "source", "dsir_score", "ce_micro")
+        .orderBy("doc_id")
+    }),
+
     // Cluster resolution: the transitive closure over q65's verified
     // near-dup pairs (a≈b, b≈c ⇒ one cluster), min-label propagation to a
     // fixpoint, every doc kept with its cluster id (= min doc id in the
@@ -1657,6 +1682,54 @@ object PipelineQueries {
          coalesce((-sc.ll) // sc.n_feats <= 5250000, FALSE) AS kept
        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        ORDER BY d.doc_id""",
+    // Every stage of the selection composite replayed: rule gates reuse the
+    // q93/q63 fragments, the LM stages reuse the q124/q125 weight CTEs, the
+    // Gumbel key is q124's (same tag).
+    "q128_selection_pipeline" ->
+      s"""$dsirCtes,
+       wts AS (
+         SELECT tp.b,
+           CAST(floor(1000000.0 * ln(
+             CAST(greatest(tp.c * 1000000000 // tt.t, 1) AS DOUBLE) /
+             CAST(greatest(rp.c * 1000000000 // rt.t, 1) AS DOUBLE)))
+             AS BIGINT) AS w
+         FROM tp, tt, rp, rt WHERE tp.b = rp.b),
+       lw AS (
+         SELECT tp.b,
+           CAST(floor(1000000.0 * ln(
+             CAST(greatest(tp.c * 1000000000 // tt.t, 1) AS DOUBLE) /
+             1000000000.0)) AS BIGINT) AS w
+         FROM tp, tt),
+       lp AS (
+         SELECT doc_id, text, source,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           ${langScoresSql("text")}
+         FROM documents),
+       gated AS (
+         SELECT doc_id, text, source FROM lp
+         WHERE $langPredSql = 'en' AND n_tokens >= 20),
+       ce AS (
+         SELECT f.doc_id, CAST(count(*) AS BIGINT) AS nf,
+           CAST(sum(lw.w) AS BIGINT) AS ll
+         FROM feats f JOIN lw ON f.b = lw.b GROUP BY f.doc_id),
+       survivors AS (
+         SELECT g.doc_id, g.source, (-ce.ll) // ce.nf AS ce_micro
+         FROM gated g JOIN ce ON g.doc_id = ce.doc_id
+         WHERE (-ce.ll) // ce.nf <= 5300000),
+       sc AS (
+         SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS dsir_score
+         FROM feats f JOIN wts w ON f.b = w.b GROUP BY f.doc_id),
+       keyed AS (
+         SELECT v.doc_id, v.source, v.ce_micro,
+           coalesce(s.dsir_score, 0) AS dsir_score,
+           coalesce(s.dsir_score, 0) + CAST(floor(1000000.0 *
+             -ln(-ln((CAST(${pHash60(
+               "concat('dsir:', CAST(v.doc_id AS VARCHAR))")} AS DOUBLE)
+               + 0.5) / 1152921504606846976.0))) AS BIGINT) AS k
+         FROM survivors v LEFT JOIN sc s ON v.doc_id = s.doc_id),
+       sel AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+       SELECT doc_id, source, dsir_score, ce_micro FROM sel
+       ORDER BY doc_id""",
     "q126_jl_topk" ->
       s"""WITH planes AS ($jlPlanesSql),
        corp AS (
