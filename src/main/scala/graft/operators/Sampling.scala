@@ -45,6 +45,36 @@ object Sampling {
     HashFunctions.portableHash60(concat(lit(tag + ":"), id.cast("string")))
       .cast("double") < rate * lit(HashSpace)
 
+  /** Weighted sampling WITHOUT replacement: the k rows with the largest
+    * `⌊10⁶·(ln w + Gumbel(hash(id)))⌋` keys — the Efraimidis–Spirakis
+    * scheme in its Gumbel formulation, so inclusion probability tracks the
+    * weight column (sample k docs ∝ quality score / token count; the
+    * generic form of the DSIR draw, whose weight is the learned
+    * exp(importance)). Deterministic and engine-replayable: the Gumbel
+    * draw keys on the portable id hash and the key snaps to a micro grid
+    * (one ln per row — same accepted 1-ulp-at-boundary class as the DSIR
+    * weights), so re-runs, task retries, and the oracle select identical
+    * rows. Rows with NULL or non-positive weight are excluded (no mass).
+    *
+    * Scale shape: a pure per-row key computation then
+    * `orderBy(key).limit(k)` — TakeOrderedAndProject per-task frontiers,
+    * no shuffle of the corpus, no window operator.
+    */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String,
+                      k: Int, tag: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (HashFunctions.portableHash60(
+        concat(lit(tag + ":"), col(idCol).cast("string"))).cast("double") +
+      lit(0.5)) / lit(HashSpace)
+    val key = floor(lit(1e6) *
+      (log(col(weightCol).cast("double")) + -log(-log(u)))).cast("long")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wk", key)
+      .orderBy(col("__wk").desc, col(idCol))
+      .limit(k)
+      .drop("__wk")
+  }
+
   /** Stratified sampling with per-stratum rates: keep a row of stratum `s`
     * with probability `rates(s)` (else `defaultRate`), deterministically in
     * the row id. The LLM-pipeline use: DOWN-sample an over-represented

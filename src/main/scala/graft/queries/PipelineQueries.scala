@@ -642,6 +642,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis via
+    // Gumbel keys): 120 docs ∝ n_chars — longer docs proportionally more
+    // likely, the "sample by token mass" primitive. Key arithmetic on the
+    // micro grid, replayed exactly by the oracle.
+    "q129_weighted_sample" -> ((s, d) => {
+      Sampling.weightedSampleK(Tables.documents(s, d), "doc_id", "n_chars",
+          k = 120)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // The round-7 SELECTION composite (the q93 discipline applied to the
     // learned stages): rule gates (langid + length) → perplexity gate under
     // the target LM → DSIR importance resample of the survivors. Models are
@@ -1682,6 +1693,16 @@ object PipelineQueries {
          coalesce((-sc.ll) // sc.n_feats <= 5250000, FALSE) AS kept
        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        ORDER BY d.doc_id""",
+    "q129_weighted_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+         SELECT doc_id, lang, source, n_chars,
+           CAST(floor(1000000.0 * (ln(CAST(n_chars AS DOUBLE)) +
+             -ln(-ln((CAST(${pHash60(
+               "concat('wsample:', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+               + 0.5) / 1152921504606846976.0)))) AS BIGINT) AS wk
+         FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+         ORDER BY wk DESC, doc_id LIMIT 120)
+       ORDER BY doc_id""",
     // Every stage of the selection composite replayed: rule gates reuse the
     // q93/q63 fragments, the LM stages reuse the q124/q125 weight CTEs, the
     // Gumbel key is q124's (same tag).

@@ -180,6 +180,37 @@ class SamplingSpec extends SparkSpec {
       s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("weightedSampleK: inclusion tracks weight, deterministic, top-k plan") {
+    import spark.implicits._
+    // 400 light rows (w=1) vs 400 heavy rows (w=20): the heavy half must
+    // dominate a k=100 draw (E-S inclusion ∝ weight for k ≪ n)
+    val df = ((1 to 400).map(i => (i.toLong, 1L)) ++
+      (401 to 800).map(i => (i.toLong, 20L))).toDF("id", "w")
+    val picked = Sampling.weightedSampleK(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(picked.size == 100)
+    val heavy = picked.count(_ > 400)
+    assert(heavy >= 80, s"heavy-weight rows got only $heavy of 100 slots")
+    // deterministic re-run; equal weights ≈ uniform (straddles both halves)
+    assert(Sampling.weightedSampleK(df, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet == picked)
+    val uni = Sampling.weightedSampleK(
+        df.withColumn("w", lit(7L)), "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    val uniHeavy = uni.count(_ > 400)
+    assert(uniHeavy >= 30 && uniHeavy <= 70, s"uniform draw came out $uniHeavy")
+    // null/zero/negative weights carry no mass; k >= n keeps all positives
+    val edge = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-3L)))
+      .toDF("id", "w")
+    assert(Sampling.weightedSampleK(edge, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    // plans as a per-task top-k frontier, no window operator
+    val plan = Sampling.weightedSampleK(df, "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
+
   test("sampling filters contain no shuffle (pure per-row gate)") {
     val plan = Sampling.stratifiedSample(corpus(100), "lang", "id", Map("en" -> 0.2), 0.5)
       .queryExecution.executedPlan.toString
