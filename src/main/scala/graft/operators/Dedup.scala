@@ -841,12 +841,23 @@ object Dedup {
     * are few, and the corpus-scale work all happened in [[repeatedSpans]].
     */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int = 8, minDf: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, idCol, textCol, n, minDf)
+                          n: Int = 8, minDf: Int = 2): DataFrame =
+    stripSpans(docs, idCol, textCol,
+      repeatedSpans(docs, idCol, textCol, n, minDf))
+
+  /** Strip `[span_start, span_end)` token ranges out of each doc's
+    * normalized token stream — the shared removal tail of
+    * [[removeRepeatedSpans]] and [[decontaminateSpans]]. Docs with no
+    * spans pass through; output `(idCol, …, n_tokens, n_removed,
+    * clean_text)`.
+    */
+  private def stripSpans(docs: DataFrame, idCol: String, textCol: String,
+                         spans: DataFrame): DataFrame = {
+    val spanLists = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))
-    docs.join(spans, Seq(idCol), "left")
+    docs.join(spanLists, Seq(idCol), "left")
       .withColumn("__words",
         split(TextFunctions.normalizeForDedup(col(textCol)), " "))
       .withColumn("__kept",
@@ -860,6 +871,40 @@ object Dedup {
       .withColumn("n_removed",
         (size(col("__words")) - size(col("__kept"))).cast("long"))
       .drop("__spans", "__words", "__kept")
+  }
+
+  /** SPAN-LEVEL benchmark decontamination: every maximal corpus span whose
+    * `n`-token windows appear anywhere in the benchmark set is REMOVED
+    * from the text — [[decontaminate]]'s doc-level flag traded for
+    * surgical excision (arXiv:2107.06499 §4's span-removal discipline
+    * applied to eval contamination: dropping whole documents over one
+    * leaked question throws away the rest of the doc; keeping them leaks
+    * the benchmark). Output mirrors [[removeRepeatedSpans]]:
+    * `(idCol, …, n_tokens, n_removed, clean_text)`, every doc kept.
+    *
+    * Scale shape: the bench side collapses to its DISTINCT window hashes
+    * and BROADCASTS (eval suites are MBs against a 100 TB corpus; use
+    * [[decontaminateBloom]] first as a pre-screen when even the hash set
+    * is large); the corpus shingle stream joins map-side on 8-byte longs,
+    * and only flagged window starts enter the per-doc islands merge.
+    */
+  def decontaminateSpans(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchIdCol: String,
+                         benchTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"span window must be >= 1 token (got $n)")
+    val benchHashes = shingleRows(
+        bench.select(col(benchIdCol), col(benchTextCol)),
+        benchIdCol, benchTextCol, n)
+      .select(HashFunctions.portableHash60(col("__s")).as("__h"))
+      .distinct()
+    val flagged = shingleRows(corpus.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .select(col(idCol), col("__pos"),
+        HashFunctions.portableHash60(col("__s")).as("__h"))
+      .join(broadcast(benchHashes), "__h")
+      .select(col(idCol), col("__pos"))
+    stripSpans(corpus, idCol, textCol,
+      mergeFlaggedWindows(flagged, idCol, n))
   }
 
   /** Signature width of [[simhashSignatures]]: 60 bits — the width of the

@@ -642,6 +642,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // SPAN-LEVEL decontamination: benchmark snippets (the 12-token prefix
+    // of every doc_id % 41 == 0 doc — a planted leaked-question fixture)
+    // are excised from the corpus as maximal spans, not doc-level flags:
+    // contaminated docs lose exactly their leaked prefix and keep the
+    // rest; everyone else passes through verbatim.
+    "q130_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"),
+          array_join(slice(split(
+            TextFunctions.normalizeForDedup(col("text")), " "), 1, 12), " ")
+            .as("snippet"))
+      Dedup.decontaminateSpans(docs, "doc_id", "text", bench, "bench_id",
+          "snippet", n = 8)
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .orderBy("doc_id")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis via
     // Gumbel keys): 120 docs ∝ n_chars — longer docs proportionally more
     // likely, the "sample by token mass" primitive. Key arithmetic on the
@@ -1693,6 +1711,52 @@ object PipelineQueries {
          coalesce((-sc.ll) // sc.n_feats <= 5250000, FALSE) AS kept
        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        ORDER BY d.doc_id""",
+    "q130_decontaminate_spans" ->
+      s"""WITH norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ')
+           AS words
+         FROM documents),
+       bnorm AS (
+         SELECT words[1:12] AS bw FROM norm WHERE doc_id % 41 = 0),
+       bh AS (
+         SELECT DISTINCT ${pHash60("array_to_string(bw[i:i+7], ' ')")} AS h
+         FROM bnorm, unnest(generate_series(1, len(bw) - 7)) u(i)),
+       grams AS (
+         SELECT doc_id, i - 1 AS pos,
+           ${pHash60("array_to_string(words[i:i+7], ' ')")} AS h
+         FROM norm, unnest(generate_series(1, len(words) - 7)) u(i)),
+       flagged AS (SELECT g.doc_id, g.pos FROM grams g JOIN bh USING (h)),
+       marked AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos > coalesce(max(pos + 8) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS newi
+         FROM flagged),
+       grp AS (
+         SELECT doc_id, pos, sum(newi) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS island
+         FROM marked),
+       spans AS (
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+         FROM grp GROUP BY doc_id, island),
+       toks AS (
+         SELECT doc_id, i - 1 AS pos, words[i] AS wd
+         FROM norm, unnest(generate_series(1, len(words))) u(i)),
+       kept AS (
+         SELECT t.doc_id, t.pos, t.wd FROM toks t
+         WHERE NOT EXISTS (
+           SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+             AND t.pos >= s.span_start AND t.pos < s.span_end)),
+       agg AS (
+         SELECT doc_id, count(*) AS n_kept,
+           string_agg(wd, ' ' ORDER BY pos) AS clean_text
+         FROM kept GROUP BY doc_id)
+       SELECT n.doc_id, CAST(len(n.words) AS BIGINT) AS n_tokens,
+         CAST(len(n.words) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+         coalesce(a.clean_text, '') AS clean_text
+       FROM norm n LEFT JOIN agg a USING (doc_id)
+       ORDER BY n.doc_id""",
     "q129_weighted_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM (
          SELECT doc_id, lang, source, n_chars,

@@ -298,6 +298,33 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.repeatedSpans(docs, "doc_id", "text", n = 4, minDf = 2).count() == 2)
   }
 
+  test("decontaminateSpans excises exactly the bench-overlapping spans") {
+    val leaked = "what is the capital of france answer paris obviously"
+    val docs = Seq(
+      (1L, s"intro words here $leaked closing remarks follow now"),
+      (2L, "completely unrelated content with no benchmark overlap at all"),
+      (3L, leaked)).toDF("doc_id", "text")
+    val bench = Seq((100L, leaked)).toDF("bench_id", "btext")
+    val out = Dedup.decontaminateSpans(docs, "doc_id", "text",
+        bench, "bench_id", "btext", n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // doc 1: the 9 leaked tokens go, context stays; doc 2 untouched;
+    // doc 3 (pure leak) cleans to empty but KEEPS its row
+    assert(out(0) == (1L, 16L, 9L,
+      "intro words here closing remarks follow now"))
+    assert(out(1)._3 == 0L)
+    assert(out(1)._4 == "completely unrelated content with no benchmark overlap at all")
+    assert(out(2) == (3L, 9L, 9L, ""))
+    // a bench snippet shorter than the window flags nothing
+    val none = Dedup.decontaminateSpans(docs, "doc_id", "text",
+      Seq((101L, "too short")).toDF("bench_id", "btext"),
+      "bench_id", "btext", n = 4)
+    assert(none.agg(sum(col("n_removed"))).head.getLong(0) == 0L)
+  }
+
   test("removeRepeatedSpans cuts exactly the span tokens; full copies clean to empty") {
     val shared = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
