@@ -186,6 +186,50 @@ object Dsir {
       .join(scoreAgg(docs, idCol, textCol, weights), Seq(idCol), "left")
       .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0L)))
 
+  /** DSIR score AND cross-entropy in ONE feature pass: two `element_at`
+    * lookups per exploded feature, one aggregate — the fused scorer for
+    * pipelines that gate on perplexity and then resample by importance
+    * (q128), where separate [[importanceScore]]+[[crossEntropy]] calls
+    * would each re-shingle the corpus. Output: docs' columns +
+    * `(dsir_score, n_feats, ce_micro)`; featureless docs score 0 with
+    * null CE. Exactly equal to the separate calls (spec-pinned).
+    */
+  def scoreAndCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                           weights: Array[Long],
+                           targetModel: Array[Long]): DataFrame = {
+    require(weights.length == targetModel.length,
+      "weights and targetModel must share nBuckets")
+    val lw = logProbWeights(targetModel)
+    val agg = featureBuckets(docs.select(col(idCol), col(textCol)),
+        textCol, weights.length)
+      .select(col(idCol),
+        element_at(typedlit(weights.toSeq), col("__b") + 1).as("__w"),
+        element_at(typedlit(lw.toSeq), col("__b") + 1).as("__lw"))
+      .groupBy(idCol)
+      .agg(sum(col("__w")).as("dsir_score"), count(lit(1)).as("n_feats"),
+        sum(col("__lw")).as("__ll"))
+      .withColumn("ce_micro", expr("(-__ll) div n_feats"))
+      .drop("__ll")
+    docs.join(agg, Seq(idCol), "left")
+      .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0L)))
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+  }
+
+  /** Gumbel-top-k over an ALREADY-COMPUTED integer score column — the
+    * selection tail of [[importanceResample]], public so fused pipelines
+    * (one [[scoreAndCrossEntropy]] pass → gate → draw) don't re-extract
+    * features just to sample. Same key arithmetic, same plan shape
+    * (TakeOrderedAndProject).
+    */
+  def gumbelTopK(df: DataFrame, idCol: String, scoreCol: String, k: Int,
+                 tag: String = "dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__key", col(scoreCol) + gumbelMicro(idCol, tag))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** The deterministic Gumbel(0,1) draw keyed on the document id:
     * `u = (hash+0.5)/2⁶⁰ ∈ (0,1)`, `g = −ln(−ln u)` — snapped to the
     * micro-nat grid so the resampling key stays integral.
@@ -212,11 +256,7 @@ object Dsir {
         scoreAgg(docs, idCol, textCol, importanceWeights(target, raw)),
         Seq(idCol), "left")
       .withColumn("dsir_score", coalesce(col("dsir_score"), lit(0L)))
-    scored
-      .withColumn("__key", col("dsir_score") + gumbelMicro(idCol, tag))
-      .orderBy(col("__key").desc, col(idCol))
-      .limit(k)
-      .drop("__key")
+    gumbelTopK(scored, idCol, "dsir_score", k, tag)
   }
 
   /** Per-document cross-entropy under the model, in micro-nats per feature:

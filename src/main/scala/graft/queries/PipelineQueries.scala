@@ -688,10 +688,14 @@ object PipelineQueries {
         .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
         .filter(col("lang_pred") === "en" && col("n_tokens") >= 20)
         .select("doc_id", "text", "source")
-      val survivors = Dsir.perplexityFilter(gated, "doc_id", "text", target,
-        maxCeMicro = 5300000L)
-      Dsir.importanceResample(survivors, "doc_id", "text", target, raw,
-          k = 100)
+      // ONE feature pass scores CE and importance together; the perplexity
+      // gate and the Gumbel draw then run over the tiny scored table
+      val scored = Dsir.scoreAndCrossEntropy(gated, "doc_id", "text",
+        Dsir.importanceWeights(target, raw), target)
+      Dsir.gumbelTopK(
+          scored.filter(col("ce_micro").isNotNull &&
+            col("ce_micro") <= lit(5300000L)),
+          "doc_id", "dsir_score", k = 100)
         .select("doc_id", "source", "dsir_score", "ce_micro")
         .orderBy("doc_id")
     }),

@@ -50,10 +50,10 @@ object StreamingDsir {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val docs = batch.select(col(idCol), col(textCol))
-        val scored = Dsir.importanceScore(docs, idCol, textCol, weights)
-          .join(Dsir.crossEntropy(docs, idCol, textCol, targetModel)
-              .select(col(idCol), col("n_feats"), col("ce_micro")),
-            Seq(idCol))
+        val scored = Dsir.scoreAndCrossEntropy(docs, idCol, textCol,
+            weights, targetModel)
+          .select(col(idCol), col("dsir_score"), col("n_feats"),
+            col("ce_micro"))
         Populate.appendIdempotent(scored, scoresDir, Seq(idCol))
         ()
       }

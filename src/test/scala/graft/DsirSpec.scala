@@ -124,6 +124,33 @@ class DsirSpec extends SparkSpec {
       .sameElements(Dsir.trainNgramModel(corpus, "text", nBuckets = 256)))
   }
 
+  test("fused scoreAndCrossEntropy equals the separate calls exactly") {
+    val target = Dsir.trainNgramModel(targetSeed, "text", nBuckets = 256)
+    val raw = Dsir.trainNgramModel(corpus, "text", nBuckets = 256)
+    val w = Dsir.importanceWeights(target, raw)
+    val docs = corpus.unionByName(
+      Seq((999L, "??!")).toDF("id", "text")) // a featureless doc too
+    val fused = Dsir.scoreAndCrossEntropy(docs, "id", "text", w, target)
+      .select("id", "dsir_score", "n_feats", "ce_micro")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    val separate = Dsir.importanceScore(docs, "id", "text", w)
+      .join(Dsir.crossEntropy(docs, "id", "text", target), Seq("id"))
+      .select("id", "dsir_score", "n_feats", "ce_micro")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(fused == separate)
+    // gumbelTopK over precomputed scores == importanceResample end to end
+    val viaFused = Dsir.gumbelTopK(
+        Dsir.scoreAndCrossEntropy(corpus, "id", "text", w, target),
+        "id", "dsir_score", k = 40)
+      .select("id").as[Long].collect().toSet
+    val viaResample = Dsir.importanceResample(corpus, "id", "text", target,
+        raw, k = 40)
+      .select("id").as[Long].collect().toSet
+    assert(viaFused == viaResample)
+  }
+
   test("model invariants and the top-k physical plan") {
     val m = Dsir.trainNgramModel(corpus, "text", nBuckets = 128)
     assert(m.length == 128 && m.forall(_ >= 1L))
