@@ -265,6 +265,46 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("DSIR training/scoring invariant to layout; random split merges == one-shot (3 trials)") {
+    import graft.operators.Dsir
+    for (trial <- 1 to 3) {
+      val docs = (0 until 150).map { i =>
+        val words = Array.tabulate(3 + rnd.nextInt(25))(_ =>
+          s"w${rnd.nextInt(60)}")
+        (i.toLong, words.mkString(" "))
+      }.toSeq.toDF("id", "text")
+      // layout invariance: counts don't depend on order or partitioning
+      val c1 = Dsir.trainNgramCounts(docs, "text", nBuckets = 128)
+      val c2 = Dsir.trainNgramCounts(
+        docs.repartition(11).orderBy(col("id").desc), "text", nBuckets = 128)
+      assert(c1.sameElements(c2), s"trial $trial: counts depend on layout")
+      // random split points: merged shard counts == one-shot
+      val cut1 = rnd.nextInt(70)
+      val cut2 = cut1 + 1 + rnd.nextInt(149 - cut1)
+      val merged = Seq(
+        docs.filter(col("id") < cut1),
+        docs.filter(col("id") >= cut1 && col("id") < cut2),
+        docs.filter(col("id") >= cut2))
+        .map(p => Dsir.trainNgramCounts(p, "text", nBuckets = 128))
+        .reduce(Dsir.mergeNgramCounts)
+      assert(merged.sameElements(c1),
+        s"trial $trial: merge at ($cut1, $cut2) diverged")
+      // scoring invariant to partitioning
+      val model = Dsir.modelFromCounts(c1)
+      val w = Dsir.importanceWeights(model, model)
+      val s1 = Dsir.scoreAndCrossEntropy(docs, "id", "text", w, model)
+        .select("id", "n_feats", "ce_micro").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      val s2 = Dsir.scoreAndCrossEntropy(docs.repartition(7), "id", "text",
+          w, model)
+        .select("id", "n_feats", "ce_micro").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      assert(s1 == s2, s"trial $trial: scoring depends on layout")
+    }
+  }
+
   test("pointInInterval half-open semantics hold on random boundaries (3 trials)") {
     for (trial <- 1 to 3) {
       val points = (1 to 40).map(i => (i.toLong, t(rnd.nextInt(500) * 1000L)))
