@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew}
+import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew, Vocab}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -640,6 +640,15 @@ object PipelineQueries {
         .withColumn("kept",
           col("ce_micro").isNotNull && col("ce_micro") <= lit(5250000L))
         .orderBy("doc_id")
+    }),
+
+    // Subword seed-vocabulary induction (the SentencePiece seeding step):
+    // top-200 most frequent substrings of length 2..5, ties on the token —
+    // the distributed half of tokenizer training.
+    "q131_subword_vocab" -> ((s, d) => {
+      Vocab.topSubstrings(Tables.documents(s, d), "text",
+          minLen = 2, maxLen = 5, topN = 200)
+        .orderBy("token")
     }),
 
     // SPAN-LEVEL decontamination: benchmark snippets (the 12-token prefix
@@ -1715,6 +1724,25 @@ object PipelineQueries {
          coalesce((-sc.ll) // sc.n_feats <= 5250000, FALSE) AS kept
        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        ORDER BY d.doc_id""",
+    "q131_subword_vocab" ->
+      s"""WITH norm AS (
+         SELECT regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       words AS (
+         SELECT w FROM (SELECT unnest(ws) AS w FROM norm) WHERE len(w) > 0),
+       subs AS (
+         SELECT substr(w, p, l) AS token
+         FROM words,
+           unnest(generate_series(2, 5)) ll(l),
+           unnest(generate_series(1, len(w) - l + 1)) pp(p)
+         WHERE len(w) >= l),
+       counts AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS count
+         FROM subs GROUP BY token),
+       top AS (
+         SELECT token, count FROM counts
+         ORDER BY count DESC, token LIMIT 200)
+       SELECT token, count FROM top ORDER BY token""",
     "q130_decontaminate_spans" ->
       s"""WITH norm AS (
          SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ')
