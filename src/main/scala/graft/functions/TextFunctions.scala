@@ -76,6 +76,16 @@ object TextFunctions {
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** JVM twin of [[normalizeForDedup]] for imperative kernels
+    * (`Vocab.encodeGreedy`): same regexes, `Locale.ROOT` lowering so a
+    * Turkish default locale cannot desynchronize the two.
+    */
+  def normalizeForDedupJvm(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9\\s]", " ")
+      .replaceAll("\\s+", " ")
+      .trim
+
   /** 64-bit document fingerprint: xxhash64 of the normalized text. Exact-dup
     * detection at 100 TB = groupBy on this 8-byte key instead of the full
     * text. Internal-only values (fast path) — when the fingerprint leaves the

@@ -651,6 +651,22 @@ object PipelineQueries {
         .orderBy("token")
     }),
 
+    // Subword ENCODING (the tokenizer apply step): greedy longest-match
+    // against the q131-induced vocabulary — train the vocab, encode the
+    // corpus, aggregate. The oracle replays greedy consumption with a
+    // recursive CTE over (doc, word, position).
+    "q132_subword_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vocab = Vocab.topSubstrings(docs, "text", minLen = 2, maxLen = 5,
+        topN = 200).collect().map(_.getString(0))
+      Vocab.encodeGreedy(docs.select("doc_id", "text"), "doc_id", "text",
+          vocab)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          array_join(slice(col("subwords"), 1, 20), " ").as("head_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // SPAN-LEVEL decontamination: benchmark snippets (the 12-token prefix
     // of every doc_id % 41 == 0 doc — a planted leaked-question fixture)
     // are excised from the corpus as maximal spans, not doc-level flags:
@@ -1743,6 +1759,57 @@ object PipelineQueries {
          SELECT token, count FROM counts
          ORDER BY count DESC, token LIMIT 200)
        SELECT token, count FROM top ORDER BY token""",
+    // Greedy longest-match consumption replayed as a recursive CTE: each
+    // step takes the longest vocab token matching at pos (unique per
+    // length), else the single-char unknown; tokens ordered by (word,
+    // step) rebuild the stream.
+    "q132_subword_encode" ->
+      s"""WITH RECURSIVE norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       words0 AS (
+         SELECT doc_id, i AS wi, ws[i] AS w
+         FROM norm, unnest(generate_series(1, len(ws))) u(i)
+         WHERE len(ws[i]) > 0),
+       subs AS (
+         SELECT substr(w, p, l) AS token
+         FROM words0,
+           unnest(generate_series(2, 5)) ll(l),
+           unnest(generate_series(1, len(w) - l + 1)) pp(p)
+         WHERE len(w) >= l),
+       counts AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS c
+         FROM subs GROUP BY token),
+       vocab AS (
+         SELECT token FROM counts ORDER BY c DESC, token LIMIT 200),
+       steps AS (
+         SELECT doc_id, wi, w, 1 AS pos, CAST(NULL AS VARCHAR) AS tok,
+           0 AS n
+         FROM words0
+         UNION ALL
+         SELECT doc_id, wi, w, pos + len(tok) AS pos, tok, n + 1
+         FROM (
+           SELECT s.doc_id, s.wi, s.w, s.pos, s.n,
+             coalesce(
+               (SELECT v.token FROM vocab v
+                WHERE len(v.token) <= len(s.w) - s.pos + 1
+                  AND v.token = substr(s.w, s.pos, len(v.token))
+                ORDER BY len(v.token) DESC LIMIT 1),
+               substr(s.w, s.pos, 1)) AS tok
+           FROM steps s WHERE s.pos <= len(s.w)) t),
+       ord AS (
+         SELECT doc_id, tok, row_number() OVER (
+           PARTITION BY doc_id ORDER BY wi, n) AS rn
+         FROM steps WHERE tok IS NOT NULL),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+           string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
+             AS head_subwords
+         FROM ord GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+         coalesce(a.head_subwords, '') AS head_subwords
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id""",
     "q130_decontaminate_spans" ->
       s"""WITH norm AS (
          SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ')

@@ -37,6 +37,58 @@ class VocabSpec extends SparkSpec {
     assert(!got.contains("x") && !got.contains("b")) // nothing below minLen
   }
 
+  test("encodeGreedy: longest match wins, unknown falls back to chars, round-trips") {
+    val docs = Seq(
+      (1L, "banana band"),
+      (2L, "Qx!"),      // q and x not in vocab → single-char unknowns
+      (3L, "")          // empty → empty encoding
+    ).toDF("doc_id", "text")
+    val vocab = Array("ban", "ana", "na", "an", "band")
+    val got = Vocab.encodeGreedy(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+      .select("doc_id", "subwords")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    // "banana": ban + ana (longest at each step); "band" whole
+    assert(got(1L) == List("ban", "ana", "band"))
+    assert(got(2L) == List("q", "x"))
+    assert(got(3L) == List.empty)
+    // concatenating subwords reconstructs the normalized words exactly
+    val joined = got(1L).mkString
+    assert(joined == "bananaband")
+  }
+
+  test("encodeGreedy parity with a naive reference over random words") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    def word() = Array.fill(1 + rnd.nextInt(12))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (1 to 60).map(i => (i.toLong, Seq.fill(1 + rnd.nextInt(6))(
+      word()).mkString(" "))).toDF("doc_id", "text")
+    val vocab = Array("ab", "abc", "bcd", "cd", "aa", "dd", "abcd")
+    def naive(w: String): List[String] = {
+      val maxLen = vocab.map(_.length).max
+      var pos = 0
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (pos < w.length) {
+        val l = (math.min(maxLen, w.length - pos) to 1 by -1)
+          .find(k => vocab.contains(w.substring(pos, pos + k)))
+        val tok = l.map(k => w.substring(pos, pos + k))
+          .getOrElse(w.substring(pos, pos + 1))
+        out += tok; pos += tok.length
+      }
+      out.toList
+    }
+    val got = Vocab.encodeGreedy(docs, "doc_id", "text", vocab)
+      .select("doc_id", "text", "subwords")
+      .collect()
+    got.foreach { r =>
+      val want = r.getString(1).split(" ").filter(_.nonEmpty)
+        .flatMap(naive).toList
+      assert(r.getSeq[String](2).toList == want,
+        s"doc ${r.getLong(0)} diverged")
+    }
+  }
+
   test("topN cap, deterministic tie order, top-k physical plan") {
     val docs = Seq((1L, "aa bb cc dd ee aa bb")).toDF("id", "text")
     val top = Vocab.topSubstrings(docs, "text", minLen = 2, maxLen = 2,
