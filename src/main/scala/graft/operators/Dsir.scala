@@ -118,6 +118,19 @@ object Dsir {
     (t, r)
   }
 
+  /** Per-group bucket-count ROWS `(groupCol, bucket, c)` — the fully
+    * distributed form of [[trainNgramCounts]] for partitioned or
+    * incremental training: no driver array, one row per non-empty
+    * `(group, bucket)` cell. The incremental training drain keys groups
+    * by source FILE so replays land idempotently.
+    */
+  def ngramCountsBy(docs: DataFrame, groupCol: String, textCol: String,
+                    nBuckets: Int): DataFrame =
+    featureBuckets(docs.select(col(groupCol), col(textCol)),
+        textCol, nBuckets)
+      .groupBy(col(groupCol), col("__b").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Elementwise sum of two count arrays (same nBuckets required). */
   def mergeNgramCounts(a: Array[Long], b: Array[Long]): Array[Long] = {
     require(a.length == b.length, "count arrays must share nBuckets")

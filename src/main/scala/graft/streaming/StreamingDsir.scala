@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.{Dsir, Populate}
@@ -59,5 +59,56 @@ object StreamingDsir {
       }
       .start()
     query.awaitTermination()
+  }
+
+  /** Restartable TRAINING drain: each source FILE's per-bucket feature
+    * counts land in a persisted counts table as `(src_file, bucket, c)`
+    * rows, idempotently keyed on `(src_file, bucket)`. The file path is
+    * the append unit's STABLE identity — a lost checkpoint replays the
+    * same files (possibly re-batched differently), and every replayed
+    * row keys onto an existing `(src_file, bucket)` pair, so the model
+    * can never double-count. (A batch-content key would NOT survive
+    * re-batching: one replayed batch spanning two original waves carries
+    * a new key and lands twice.) The current model is
+    * `modelFromCounts(loadCounts(...))` — one `nBuckets`-cell aggregate
+    * over the table, however many files accumulated it.
+    */
+  def trainDrain(spark: SparkSession, sourceDir: String, countsDir: String,
+                 checkpointDir: String, textCol: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    // the metadata column must be bound at the SOURCE — inside foreachBatch
+    // the batch is a plain LogicalRDD and file lineage is gone
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(sourceDir)
+      .withColumn("__src", col("_metadata.file_path"))
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = Dsir.ngramCountsBy(batch, "__src", textCol, nBuckets)
+          .withColumnRenamed("__src", "src_file")
+        Populate.appendIdempotent(rows, countsDir, Seq("src_file", "bucket"))
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The accumulated count array of a [[trainDrain]] table (all zeros if
+    * the table does not exist yet). Feed to [[Dsir.modelFromCounts]].
+    */
+  def loadCounts(spark: SparkSession, countsDir: String,
+                 nBuckets: Int): Array[Long] = {
+    val out = Array.fill(nBuckets)(0L)
+    Populate.readIfExists(spark, countsDir).foreach { df =>
+      df.groupBy("bucket").agg(sum(col("c")).as("c"))
+        .collect()
+        .foreach(r => out(r.getInt(0)) += r.getLong(1))
+    }
+    out
   }
 }

@@ -64,4 +64,34 @@ class StreamingDsirSpec extends SparkSpec {
       w, target)
     assert(spark.read.parquet(scores).count() == 40)
   }
+
+  test("trainDrain accumulates one-shot counts; checkpoint loss cannot double-count") {
+    val all = ((1 to 30).map(i => (i.toLong, sciDoc(i))) ++
+      (31 to 60).map(i => (i.toLong, webDoc(i))))
+    val root = Files.createTempDirectory("stream_dsir_train")
+    val src = root.resolve("incoming").toString
+    val counts = root.resolve("counts").toString
+    val ckpt = root.resolve("ckpt").toString
+    Files.createDirectories(root.resolve("incoming"))
+
+    all.take(25).toDF("id", "text").write.mode("append").parquet(src)
+    StreamingDsir.trainDrain(spark, src, counts, ckpt, "text", schema,
+      nBuckets = 128)
+    all.drop(25).toDF("id", "text").write.mode("append").parquet(src)
+    StreamingDsir.trainDrain(spark, src, counts, ckpt, "text", schema,
+      nBuckets = 128)
+
+    val oneShot = Dsir.trainNgramCounts(all.toDF("id", "text"), "text", 128)
+    assert(StreamingDsir.loadCounts(spark, counts, 128).sameElements(oneShot))
+
+    // checkpoint loss: the engine replays ALL files (possibly re-batched),
+    // but the FILE-keyed idempotent append lands nothing — counts stay
+    // exactly one-shot
+    org.apache.commons.io.FileUtils.deleteDirectory(root.resolve("ckpt").toFile)
+    StreamingDsir.trainDrain(spark, src, counts, ckpt, "text", schema,
+      nBuckets = 128)
+    assert(StreamingDsir.loadCounts(spark, counts, 128).sameElements(oneShot))
+    assert(Dsir.modelFromCounts(StreamingDsir.loadCounts(spark, counts, 128))
+      .sameElements(Dsir.trainNgramModel(all.toDF("id", "text"), "text", 128)))
+  }
 }
