@@ -209,6 +209,16 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k:\n$plan")
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
+    // mergeable like bottomK: keys are per-row pure functions, so per-shard
+    // samples trim-union into the whole-corpus sample
+    val whole = picked
+    val merged = Sampling.weightedSampleK(
+        Sampling.weightedSampleK(df.filter(col("id") <= 400), "id", "w", 100)
+          .union(Sampling.weightedSampleK(df.filter(col("id") > 400),
+            "id", "w", 100)),
+        "id", "w", 100)
+      .select("id").as[Long].collect().toSet
+    assert(merged == whole)
   }
 
   test("sampling filters contain no shuffle (pure per-row gate)") {
