@@ -180,6 +180,85 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"))
   }
 
+  /** Per-dimension scalar-quantization bounds `(mins, maxs)` over the
+    * corpus — the training half of SQ8 (the FAISS `SQ8` discipline): one
+    * posexplode + per-dimension min/max aggregate, a `dim`-row driver
+    * collect (catalog-scale, same class as [[vecDim]]).
+    */
+  def sqTrain(corpus: DataFrame, vecCol: String)
+      : (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy("__d")
+      .agg(min(col("__x").cast("double")).as("mn"),
+        max(col("__x").cast("double")).as("mx"))
+      .collect()
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1)
+      maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    (mins, maxs)
+  }
+
+  /** Encode a vector to uint8 codes (`array<int>` in [0, 255]):
+    * `round(255·(x_i − min_i)/(max_i − min_i))` clamped, constant
+    * dimensions code to 0. 4× smaller than float32 — the memory/shuffle
+    * cut that makes a billion-vector corpus fit executor RAM; codes are
+    * integer-exact so any engine replays them (modulo a rounding-boundary
+    * ulp, the accepted DSIR class).
+    */
+  def sqEncode(vec: org.apache.spark.sql.Column, mins: Array[Double],
+               maxs: Array[Double]): org.apache.spark.sql.Column = {
+    val codes = mins.indices.map { i =>
+      val x = element_at(vec, i + 1).cast("double")
+      if (maxs(i) == mins(i)) lit(0)
+      else least(lit(255), greatest(lit(0),
+        round((x - lit(mins(i))) * lit(255.0 / (maxs(i) - mins(i))), 0)
+          .cast("int")))
+    }
+    array(codes: _*)
+  }
+
+  /** Decode SQ8 codes back to doubles:
+    * `min_i + code·((max_i − min_i)/255)` — the reconstruction used for
+    * asymmetric distance (raw query vs decoded corpus).
+    */
+  def sqDecode(codes: org.apache.spark.sql.Column, mins: Array[Double],
+               maxs: Array[Double]): org.apache.spark.sql.Column =
+    array(mins.indices.map { i =>
+      lit(mins(i)) + element_at(codes, i + 1).cast("double") *
+        lit((maxs(i) - mins(i)) / 255.0)
+    }: _*)
+
+  /** Top-k by ASYMMETRIC cosine: the corpus is stored as SQ8 codes
+    * (4 B → 1 B per dimension), each candidate is decoded in-plan and
+    * scored against the RAW query vector — FAISS's ADC shape. Ranking
+    * matches [[bruteForceTopK]] (round + id tie-break); recall loss is
+    * the quantization error (≤ half a code step per dimension,
+    * SimilaritySpec measures it).
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, queryIdCol: String,
+             vecCol: String, k: Int,
+             scoreDigits: Option[Int] = None): DataFrame = {
+    val (mins, maxs) = sqTrain(corpus, vecCol)
+    val coded = corpus.select(col(idCol),
+      sqEncode(col(vecCol), mins, maxs).as("__codes"))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val raw = VectorFunctions.cosine(
+      sqDecode(col("__codes"), mins, maxs), col("__qvec"))
+    val scored = coded.join(broadcast(q), col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine_sq", scoreDigits.fold(raw)(d => round(raw, d)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine_sq").desc, col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine_sq"))
+  }
+
   /** Deterministic coarse-quantizer centers: the `nCentroids` corpus vectors
     * with the smallest portable hash of their id — a seeded pseudo-random
     * sample that any engine reproduces (ties break on id). One tiny driver

@@ -178,6 +178,19 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("cosine_proj").desc, col("vec_id"))
     }),
 
+    // SQ8 scalar quantization (FAISS's SQ8/ADC shape): the corpus stored
+    // as uint8 codes (4× smaller), candidates decoded in-plan and scored
+    // asymmetrically against the raw query. Codes are integer-exact, so
+    // the oracle replays train → encode → decode → rank end to end.
+    "q133_sq8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.sqTopK(emb, queries, "vec_id", "query_id", "embedding",
+          k = 10, scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine_sq").desc, col("vec_id"))
+    }),
+
     // Two-stage retrieval: q126's JL prefilter casts a 3k candidate net,
     // exact cosine re-ranks the survivors — the production ANN shape (wide
     // vectors touch only 30 candidates/query, never the all-pairs score).
@@ -1936,6 +1949,42 @@ object PipelineQueries {
          FROM scored)
        SELECT query_id, vec_id, cosine_proj FROM ranked WHERE rn <= 10
        ORDER BY query_id, cosine_proj DESC, vec_id""",
+    "q133_sq8_topk" ->
+      """WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       dims AS (
+         SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+         FROM corp, unnest(generate_series(1, len(v))) u(i)
+         GROUP BY i),
+       codes AS (
+         SELECT c.vec_id, list(
+             CASE WHEN dm.mx = dm.mn THEN 0
+             ELSE least(255, greatest(0, CAST(round(
+               (c.v[dm.d] - dm.mn) * (255.0 / (dm.mx - dm.mn)))
+               AS INTEGER))) END
+           ORDER BY dm.d) AS code
+         FROM corp c CROSS JOIN dims dm
+         GROUP BY c.vec_id),
+       dec AS (
+         SELECT k.vec_id, list(
+             dm.mn + k.code[dm.d] * ((dm.mx - dm.mn) / 255.0)
+           ORDER BY dm.d) AS dv
+         FROM codes k CROSS JOIN dims dm
+         GROUP BY k.vec_id),
+       q AS (
+         SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.dv, q.qv)
+             / (sqrt(list_dot_product(e.dv, e.dv))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sq
+         FROM dec e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sq DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine_sq FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine_sq DESC, vec_id""",
     "q127_rerank_topk" ->
       s"""WITH planes AS ($jlPlanesSql),
        corp AS (

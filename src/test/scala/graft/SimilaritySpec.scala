@@ -130,6 +130,44 @@ class SimilaritySpec extends SparkSpec {
       exact.orderBy("query_id", "vec_id").collect().toSeq)
   }
 
+  test("SQ8: reconstruction within half a code step; top-k nearly exact") {
+    // reconstruction error bound per dimension
+    val (mins, maxs) = Similarity.sqTrain(planted, "embedding")
+    val err = planted.select(
+        VectorFunctions.cosine(col("embedding"), col("embedding")).as("one"),
+        col("embedding"),
+        Similarity.sqDecode(
+          Similarity.sqEncode(col("embedding"), mins, maxs), mins, maxs)
+          .as("dec"))
+      .select(expr(
+        """aggregate(zip_with(embedding, dec, (a, b) -> abs(a - b)),
+           CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))""").as("maxerr"))
+      .agg(max(col("maxerr"))).head.getDouble(0)
+    val worstStep = mins.indices.map(i => (maxs(i) - mins(i)) / 255.0).max
+    assert(err <= worstStep / 2 + 1e-9,
+      s"reconstruction error $err exceeds half a code step $worstStep")
+    // quantized ranking nearly matches exact top-10 on planted clusters
+    val exact = Similarity.bruteForceTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sqTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall below 0.9")
+    // constant dimension: codes 0, decode == the constant
+    import spark.implicits._
+    val const = Seq((1L, Array(2.5f, 1.0f)), (2L, Array(2.5f, 3.0f)))
+      .toDF("id", "v")
+    val (m2, x2) = Similarity.sqTrain(const, "v")
+    val dec = const.select(Similarity.sqDecode(
+        Similarity.sqEncode(col("v"), m2, x2), m2, x2).as("d"))
+      .collect().map(_.getSeq[Double](0))
+    assert(dec.forall(d => math.abs(d.head - 2.5) < 1e-12))
+  }
+
   test("lshTopK on the real corpus returns corpus subsets with sane scores") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
