@@ -133,6 +133,15 @@ object GraftFunctions {
         intLit(exprs(1), "graft_cm_buckets", 1),
         intLit(exprs(2), "graft_cm_buckets", 2)))
     },
+    // JL random projection (portable ±1 planes; see VectorFunctions)
+    "graft_random_project" -> { exprs =>
+      require(exprs.length == 4,
+        "graft_random_project expects (vec, outDim, dim, seed)")
+      toExpr(VectorFunctions.randomProject(toCol(exprs.head),
+        intLit(exprs(1), "graft_random_project", 1),
+        intLit(exprs(2), "graft_random_project", 2),
+        intLit(exprs(3), "graft_random_project", 3)))
+    },
     // z-order layout (the Morton curve; see sources/Layout)
     "graft_morton2" -> { exprs =>
       require(exprs.length == 3, "graft_morton2 expects (a, b, bits)")

@@ -92,6 +92,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.getDouble(3) == 5.0)
   }
 
+  test("SQL random projection matches the Column API exactly") {
+    import registered.implicits._
+    val df = Seq(Tuple1(Array.tabulate(16)(i => 0.25f * (i - 7)))).toDF("v")
+    df.createOrReplaceTempView("jl")
+    val viaSql = registered.sql(
+      "SELECT graft_random_project(v, 8, 16, 11) AS p FROM jl")
+      .collect().head.getSeq[Double](0)
+    val viaCol = df.select(
+      VectorFunctions.randomProject(col("v"), 8, 16, 11).as("p"))
+      .collect().head.getSeq[Double](0)
+    assert(viaSql == viaCol && viaSql.length == 8)
+  }
+
   test("SQL time functions match the Column API") {
     val viaSql = registered.sql(
       """SELECT graft_harp_ts(3600.5D) AS ts,
