@@ -259,6 +259,83 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine_sq"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the dimension is
+    * split into `m` contiguous subspaces and each subspace gets a
+    * `k`-entry codebook — here the sub-vectors of the `k` hash-smallest
+    * corpus rows (the [[sampledCenters]] discipline: deterministic,
+    * engine-reproducible; swap in per-subspace k-means offline exactly
+    * like IVF's `trainCenters` when recall matters more than replay).
+    * Returns `[m][k][subDim]`. Requires `dim % m == 0`.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int): Array[Array[Array[Float]]] = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val sampled = sampledCenters(corpus, idCol, vecCol, k)
+    require(sampled.length == k, s"corpus has fewer than $k rows")
+    Array.tabulate(m)(mi =>
+      sampled.map(v => v.slice(mi * sub, (mi + 1) * sub)))
+  }
+
+  /** Encode to `m` codebook ids (`array<int>`): per subspace the argmin of
+    * `||c||² − 2·v·c` over the k centroids, first-min tie-break (lowest
+    * centroid id — the same measure-zero double-tie caveat as q101's
+    * argmin). `dim` floats → `m` small ints.
+    */
+  def pqEncode(vec: org.apache.spark.sql.Column,
+               codebooks: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.Column = {
+    val sub = codebooks.head.head.length
+    val codes = codebooks.indices.map { mi =>
+      val vSub = slice(vec, mi * sub + 1, sub)
+      val dists = array(codebooks(mi).map { c =>
+        val cc = c.indices.foldLeft(0.0)((a, j) =>
+          a + c(j).toDouble * c(j).toDouble)
+        lit(cc) - lit(2.0) * VectorFunctions.dot(vSub, typedlit(c.toSeq))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Reconstruct the `dim`-double vector from PQ codes (centroid lookup
+    * per subspace, concatenated).
+    */
+  def pqDecode(codes: org.apache.spark.sql.Column,
+               codebooks: Array[Array[Array[Float]]])
+      : org.apache.spark.sql.Column =
+    concat(codebooks.indices.map { mi =>
+      val book = codebooks(mi).map(_.map(_.toDouble).toSeq).toSeq
+      element_at(typedlit(book), element_at(codes, mi + 1) + 1)
+    }: _*)
+
+  /** Top-k by asymmetric cosine over PQ-RECONSTRUCTED candidates — the
+    * ADC shape at `m` bytes per vector (64-d × 4 B = 256 B → 8 B at
+    * m=8): coarser than [[sqTopK]]'s 1 B/dim, the regime where the
+    * corpus' vector bytes must all but vanish. Ranking semantics match
+    * [[bruteForceTopK]].
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, queryIdCol: String,
+             vecCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
+             scoreDigits: Option[Int] = None): DataFrame = {
+    val books = pqTrain(corpus, idCol, vecCol, m, nCodes)
+    val coded = corpus.select(col(idCol),
+      pqEncode(col(vecCol), books).as("__codes"))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val raw = VectorFunctions.cosine(
+      pqDecode(col("__codes"), books), col("__qvec"))
+    val scored = coded.join(broadcast(q), col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine_pq", scoreDigits.fold(raw)(d => round(raw, d)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine_pq").desc, col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("cosine_pq"))
+  }
+
   /** Deterministic coarse-quantizer centers: the `nCentroids` corpus vectors
     * with the smallest portable hash of their id — a seeded pseudo-random
     * sample that any engine reproduces (ties break on id). One tiny driver

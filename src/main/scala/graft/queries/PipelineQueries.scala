@@ -191,6 +191,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("cosine_sq").desc, col("vec_id"))
     }),
 
+    // PRODUCT quantization (Jégou et al. 2011 ADC): 8 subspaces × 16
+    // hash-sampled codebook entries → 8 small ints per vector (256 B →
+    // 8 B), candidates reconstructed in-plan and scored against the raw
+    // query. Codebooks, argmin codes, reconstruction, and ranking all
+    // replay in SQL (the q101 argmin tie rule).
+    "q134_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqTopK(emb, queries, "vec_id", "query_id", "embedding",
+          k = 10, m = 8, nCodes = 16, scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine_pq").desc, col("vec_id"))
+    }),
+
     // Two-stage retrieval: q126's JL prefilter casts a 3k candidate net,
     // exact cosine re-ranks the survivors — the production ANN shape (wide
     // vectors touch only 30 candidates/query, never the all-pairs score).
@@ -1949,6 +1963,47 @@ object PipelineQueries {
          FROM scored)
        SELECT query_id, vec_id, cosine_proj FROM ranked WHERE rn <= 10
        ORDER BY query_id, cosine_proj DESC, vec_id""",
+    "q134_pq_topk" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM corp ORDER BY hk, vec_id LIMIT 16)),
+       dists AS (
+         SELECT c.vec_id, s.m, t.ci,
+           list_dot_product(t.cvec[s.m*8+1 : s.m*8+8],
+                            t.cvec[s.m*8+1 : s.m*8+8])
+             - 2.0 * list_dot_product(c.v[s.m*8+1 : s.m*8+8],
+                                      t.cvec[s.m*8+1 : s.m*8+8]) AS dd
+         FROM corp c
+           CROSS JOIN unnest(generate_series(0, 7)) s(m)
+           CROSS JOIN cents t),
+       argm AS (
+         SELECT vec_id, m, ci FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY dd, ci) AS rn
+           FROM dists) WHERE rn = 1),
+       dec AS (
+         SELECT a.vec_id,
+           flatten(list(t.cvec[a.m*8+1 : a.m*8+8] ORDER BY a.m)) AS dv
+         FROM argm a JOIN cents t ON a.ci = t.ci
+         GROUP BY a.vec_id),
+       q AS (
+         SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.dv, q.qv)
+             / (sqrt(list_dot_product(e.dv, e.dv))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_pq
+         FROM dec e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_pq DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine_pq FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine_pq DESC, vec_id""",
     "q133_sq8_topk" ->
       """WITH corp AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -168,6 +168,42 @@ class SimilaritySpec extends SparkSpec {
     assert(dec.forall(d => math.abs(d.head - 2.5) < 1e-12))
   }
 
+  test("PQ: codes bounded, sampled centers reconstruct exactly, neighbors stay in-cluster") {
+    val books = Similarity.pqTrain(planted, "vec_id", "embedding",
+      m = 4, k = 16)
+    assert(books.length == 4 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 4)))
+    val codes = planted.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 4 &&
+      c.forall(x => x >= 0 && x < 16)))
+    // a vector that IS a sampled codebook row reconstructs itself exactly
+    // (distance-0 argmin per subspace)
+    val centerIds = planted
+      .orderBy(graft.functions.HashFunctions.portableHash60(
+        col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val selfErr = planted.filter(col("vec_id").isin(centerIds.toSeq: _*))
+      .select(expr("embedding"),
+        Similarity.pqDecode(
+          Similarity.pqEncode(col("embedding"), books), books).as("dec"))
+      .select(expr(
+        """aggregate(zip_with(embedding, dec, (a, b) -> abs(a - b)),
+           CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, x))""").as("e"))
+      .agg(max(col("e"))).head.getDouble(0)
+    assert(selfErr == 0.0, s"sampled centers must reconstruct exactly: $selfErr")
+    // quantized neighbors stay in the query's own planted cluster
+    val pq = Similarity.pqTopK(planted, plantedQueries, "vec_id",
+        "query_id", "embedding", k = 10, m = 4, nCodes = 16)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val inCluster = pq.count { case (q, v) => q / 100 == v / 100 }
+    assert(inCluster >= 21,
+      s"only $inCluster/30 PQ neighbors from the query's cluster")
+  }
+
   test("lshTopK on the real corpus returns corpus subsets with sane scores") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
