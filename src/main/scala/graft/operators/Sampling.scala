@@ -75,6 +75,35 @@ object Sampling {
       .drop("__wk")
   }
 
+  /** Per-group [[weightedSampleK]]: each group keeps its k largest
+    * `⌊10⁶·(ln w + Gumbel(hash(id)))⌋` keys — "k docs per language,
+    * weighted by quality/token mass", the stratified form of the E–S
+    * draw (equal budgets per stratum like
+    * [[graft.operators.Sketch.bottomKSamplePerGroup]], inclusion ∝
+    * weight within each).
+    *
+    * Scale shape: one hash-partitioned shuffle on `groupCol`; the
+    * rank ≤ k filter runs as a Partial WindowGroupLimit before the
+    * exchange (≤ k rows per group leave each task, spec-pinned).
+    */
+  def weightedSampleKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                              weightCol: String, k: Int,
+                              tag: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (HashFunctions.portableHash60(
+        concat(lit(tag + ":"), col(idCol).cast("string"))).cast("double") +
+      lit(0.5)) / lit(HashSpace)
+    val key = floor(lit(1e6) *
+      (log(col(weightCol).cast("double")) + -log(-log(u)))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__wk").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wk", key)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__wk", "__rk")
+  }
+
   /** Stratified sampling with per-stratum rates: keep a row of stratum `s`
     * with probability `rates(s)` (else `defaultRate`), deterministically in
     * the row id. The LLM-pipeline use: DOWN-sample an over-represented

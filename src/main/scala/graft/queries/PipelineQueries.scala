@@ -723,6 +723,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-language weighted sampling: 20 docs per language, inclusion ∝
+    // n_chars within each — equal stratum budgets, weighted draws.
+    "q135_group_weighted_sample" -> ((s, d) => {
+      Sampling.weightedSampleKPerGroup(Tables.documents(s, d), "lang",
+          "doc_id", "n_chars", k = 20)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // The round-7 SELECTION composite (the q93 discipline applied to the
     // learned stages): rule gates (langid + length) → perplexity gate under
     // the target LM → DSIR importance resample of the survivors. Models are
@@ -1883,6 +1892,17 @@ object PipelineQueries {
          coalesce(a.clean_text, '') AS clean_text
        FROM norm n LEFT JOIN agg a USING (doc_id)
        ORDER BY n.doc_id""",
+    "q135_group_weighted_sample" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+         SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             CAST(floor(1000000.0 * (ln(CAST(n_chars AS DOUBLE)) +
+               -ln(-ln((CAST(${pHash60(
+                 "concat('wsample:', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+                 + 0.5) / 1152921504606846976.0)))) AS BIGINT) DESC,
+             doc_id) AS rk
+         FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+       WHERE rk <= 20 ORDER BY doc_id""",
     "q129_weighted_sample" ->
       s"""SELECT doc_id, lang, source, n_chars FROM (
          SELECT doc_id, lang, source, n_chars,

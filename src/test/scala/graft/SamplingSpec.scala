@@ -221,6 +221,31 @@ class SamplingSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("weightedSampleKPerGroup: equal budgets, weight skew within, partial limit") {
+    import spark.implicits._
+    // two groups; within each, heavy rows carry 20× the weight
+    val df = (1 to 800).map { i =>
+      val g = if (i <= 400) "a" else "b"
+      val w = if (i % 2 == 0) 20L else 1L
+      (i.toLong, g, w)
+    }.toDF("id", "g", "w")
+    val got = Sampling.weightedSampleKPerGroup(df, "g", "id", "w", k = 50)
+      .select("id", "g").as[(Long, String)].collect()
+    assert(got.count(_._2 == "a") == 50 && got.count(_._2 == "b") == 50)
+    val heavy = got.count(_._1 % 2 == 0)
+    assert(heavy >= 80, s"heavy rows got only $heavy of 100 slots")
+    // deterministic; selection within a group matches the solo draw on it
+    val soloA = Sampling.weightedSampleK(df.filter(col("g") === "a"),
+        "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(got.filter(_._2 == "a").map(_._1).toSet == soloA)
+    // rank-limit evaluated as a Partial WindowGroupLimit before the shuffle
+    val plan = Sampling.weightedSampleKPerGroup(df, "g", "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected group limit:\n$plan")
+    assert(plan.contains("Partial"), s"expected partial mode:\n$plan")
+  }
+
   test("sampling filters contain no shuffle (pure per-row gate)") {
     val plan = Sampling.stratifiedSample(corpus(100), "lang", "id", Map("en" -> 0.2), 0.5)
       .queryExecution.executedPlan.toString
