@@ -279,6 +279,38 @@ class SimilaritySpec extends SparkSpec {
       s"probe read $probedFiles of $allFiles files — pruning not physical?")
   }
 
+  test("IVF x SQ8 index: full probe equals sqTopK; pruning + codes compose") {
+    val path = java.nio.file.Files.createTempDirectory("ivfsq").toString + "/idx"
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (cents, mins, maxs) = Similarity.writeIvfSqIndex(emb, path,
+      "vec_id", "embedding", nCentroids = 16)
+    // probing EVERY cell must equal the flat SQ8 scan, row for row (same
+    // bounds, same codes, same asymmetric ranking)
+    val full = Similarity.ivfSqProbe(spark, path, cents, mins, maxs, queries,
+        "vec_id", "query_id", "embedding", k = 5, nProbe = 16,
+        scoreDigits = Some(6))
+      .withColumnRenamed("cosine", "c").orderBy("query_id", "vec_id")
+      .collect().toSeq
+    val flat = Similarity.sqTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 5, scoreDigits = Some(6))
+      .withColumnRenamed("cosine_sq", "c").orderBy("query_id", "vec_id")
+      .collect().toSeq
+    assert(full == flat)
+    // the stored vector column is CODES (ints), not floats
+    val schema = spark.read.parquet(path).schema
+    assert(schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false) ||
+      schema("codes").dataType.simpleString.startsWith("array<int"),
+      s"codes column should be int codes, got ${schema("codes").dataType}")
+    // narrow probes still return k rows per query from probed cells only
+    val narrow = Similarity.ivfSqProbe(spark, path, cents, mins, maxs,
+      queries, "vec_id", "query_id", "embedding", k = 5, nProbe = 2)
+    assert(narrow.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5))
+  }
+
   test("ivfTopK with nProbe == nCentroids equals exact brute force") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
