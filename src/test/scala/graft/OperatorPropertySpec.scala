@@ -305,6 +305,53 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("SQ8/PQ quantizers vs in-memory references over random shapes (4 trials)") {
+    import graft.operators.Similarity
+    for (trial <- 1 to 4) {
+      val dim = Seq(4, 8, 12, 16)(trial - 1)
+      val n = 40 + rnd.nextInt(40)
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextGaussian() * 3).toFloat)))
+      val df = vecs.toDF("id", "v")
+      // SQ8: codes within [0,255]; decode error ≤ half a step, per dim
+      val (mins, maxs) = Similarity.sqTrain(df, "v")
+      val decoded = df.select(col("id"), Similarity.sqDecode(
+          Similarity.sqEncode(col("v"), mins, maxs), mins, maxs).as("d"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      vecs.foreach { case (id, v) =>
+        v.indices.foreach { j =>
+          val step = (maxs(j) - mins(j)) / 255.0
+          val err = math.abs(v(j).toDouble - decoded(id)(j))
+          assert(err <= step / 2 + 1e-9,
+            s"trial $trial id $id dim $j: err $err > ${step / 2}")
+        }
+      }
+      // PQ: codes equal an in-memory argmin over the same codebooks
+      val m = Seq(2, 4, 3, 4)(trial - 1)
+      if (dim % m == 0) {
+        val books = Similarity.pqTrain(df, "id", "v", m, k = 8)
+        val sub = dim / m
+        val got = df.select(col("id"),
+            Similarity.pqEncode(col("v"), books).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+        vecs.foreach { case (id, v) =>
+          val want = (0 until m).map { mi =>
+            val vs = v.slice(mi * sub, (mi + 1) * sub)
+            val dists = books(mi).map { c =>
+              val cc = c.indices.foldLeft(0.0)((a, j) =>
+                a + c(j).toDouble * c(j).toDouble)
+              val dot = c.indices.foldLeft(0.0)((a, j) =>
+                a + vs(j).toDouble * c(j).toDouble)
+              cc - 2.0 * dot
+            }
+            dists.indexOf(dists.min)
+          }
+          assert(got(id) == want, s"trial $trial id $id: ${got(id)} != $want")
+        }
+      }
+    }
+  }
+
   test("pointInInterval half-open semantics hold on random boundaries (3 trials)") {
     for (trial <- 1 to 3) {
       val points = (1 to 40).map(i => (i.toLong, t(rnd.nextInt(500) * 1000L)))
