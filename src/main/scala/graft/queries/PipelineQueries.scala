@@ -191,6 +191,25 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("cosine_sq").desc, col("vec_id"))
     }),
 
+    // IVF × SQ8 (the FAISS production config) oracled END TO END: the
+    // cell-partitioned uint8-code index is materialized to disk, probed at
+    // nProbe=4, decoded in-plan, re-ranked asymmetrically; the oracle
+    // replays centers, cell argmin, probe selection, bounds, codes,
+    // reconstruction, and ranking.
+    "q136_ivf_sq_probe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-q136")
+        .toString + "/idx"
+      val (cents, mins, maxs) = Similarity.writeIvfSqIndex(emb, dir,
+        "vec_id", "embedding", nCentroids = 16)
+      Similarity.ivfSqProbe(s, dir, cents, mins, maxs, queries,
+          "vec_id", "query_id", "embedding", k = 10, nProbe = 4,
+          scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    }),
+
     // PRODUCT quantization (Jégou et al. 2011 ADC): 8 subspaces × 16
     // hash-sampled codebook entries → 8 small ints per vector (256 B →
     // 8 B), candidates reconstructed in-plan and scored against the raw
@@ -1983,6 +2002,67 @@ object PipelineQueries {
          FROM scored)
        SELECT query_id, vec_id, cosine_proj FROM ranked WHERE rn <= 10
        ORDER BY query_id, cosine_proj DESC, vec_id""",
+    "q136_ivf_sq_probe" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM corp ORDER BY hk, vec_id LIMIT 16)),
+       cdists AS (
+         SELECT c.vec_id, t.ci,
+           list_dot_product(t.cvec, t.cvec)
+             - 2.0 * list_dot_product(c.v, t.cvec) AS s
+         FROM corp c CROSS JOIN cents t),
+       assigned AS (
+         SELECT vec_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists WHERE vec_id < 5) WHERE rn <= 4),
+       dims AS (
+         SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+         FROM corp, unnest(generate_series(1, len(v))) u(i)
+         GROUP BY i),
+       codes AS (
+         SELECT c.vec_id, list(
+             CASE WHEN dm.mx = dm.mn THEN 0
+             ELSE least(255, greatest(0, CAST(round(
+               (c.v[dm.d] - dm.mn) * (255.0 / (dm.mx - dm.mn)))
+               AS INTEGER))) END
+           ORDER BY dm.d) AS code
+         FROM corp c CROSS JOIN dims dm
+         GROUP BY c.vec_id),
+       dec AS (
+         SELECT k.vec_id, list(
+             dm.mn + k.code[dm.d] * ((dm.mx - dm.mn) / 255.0)
+           ORDER BY dm.d) AS dv
+         FROM codes k CROSS JOIN dims dm
+         GROUP BY k.vec_id),
+       q AS (
+         SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       cand AS (
+         SELECT p.query_id, a.vec_id
+         FROM probes p JOIN assigned a ON p.cell = a.cell
+         WHERE a.vec_id <> p.query_id),
+       scored AS (
+         SELECT c.query_id, c.vec_id,
+           round(list_dot_product(e.dv, q.qv)
+             / (sqrt(list_dot_product(e.dv, e.dv))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+         FROM cand c JOIN dec e ON c.vec_id = e.vec_id
+           JOIN q ON c.query_id = q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine DESC, vec_id""",
     "q134_pq_topk" ->
       s"""WITH corp AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
