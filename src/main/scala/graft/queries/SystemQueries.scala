@@ -39,9 +39,11 @@ object SystemQueries {
     }),
 
     // Windowed per-key stats via the streaming transform (batch mode).
+    // valueScale=2: events.value sits on a centi-grid, so the mean comes
+    // from an exact int64 sum — order-free, no last-ulp rounding flips.
     "q82_windowed_stats" -> ((s, d) => {
       StreamOps.windowedStats(Tables.events(s, d), "ts", "value",
-        Seq("event_type"), width = "1 day")
+        Seq("event_type"), width = "1 day", valueScale = 2)
         .orderBy("event_type", "window_start")
     }),
 
@@ -528,7 +530,10 @@ object SystemQueries {
        SELECT event_type, date_trunc('day', ts) AS window_start,
          count(value) AS count,
          min(value) AS min, max(value) AS max,
-         round(avg(value), 4) AS mean
+         CAST(((abs(sum(CAST(round(value * 100.0) AS BIGINT)) * 100) * 2
+                 + count(value)) // (2 * count(value)))
+               * (CASE WHEN sum(CAST(round(value * 100.0) AS BIGINT)) < 0
+                  THEN -1 ELSE 1 END) AS DOUBLE) / 10000.0 AS mean
        FROM ev GROUP BY event_type, date_trunc('day', ts)
        ORDER BY event_type, window_start""",
     "q85_camera_qc" -> s"""$EV,

@@ -104,15 +104,46 @@ object StreamOps {
   /** Rolling per-key column stats over tumbling windows (streaming form of
     * the per-chunk summary stats, `utils/stats.py:14-23`).
     */
+  /** @param valueScale when > 0, values are declared to sit on a
+    *   10^-valueScale decimal grid (sensor readings, prices) and the mean
+    *   is computed from an EXACT integer-scaled sum: partial aggregates
+    *   are int64 — order-free and associative, so the result cannot drift
+    *   across partial-aggregation order, task retries, or engines (a plain
+    *   double `avg` is accumulation-order-dependent in its last ulp, which
+    *   can cross the display-rounding boundary — caught by the sf0.001
+    *   q82 run). 0 = general doubles, plain avg.
+    */
   def windowedStats(events: DataFrame, tsCol: String, valueCol: String,
                     keys: Seq[String], width: String = "1 hour",
-                    lateness: String = "2 hours"): DataFrame = {
+                    lateness: String = "2 hours",
+                    valueScale: Int = 0): DataFrame = {
+    require(valueScale >= 0 && valueScale <= 4, "valueScale in [0, 4]")
     val wm = if (events.isStreaming) events.withWatermark(tsCol, lateness) else events
-    wm.groupBy((keys.map(col) :+ window(col(tsCol), width).as("w")): _*)
-      .agg(count(col(valueCol)).as("count"),
+    val grouped = wm.groupBy(
+      (keys.map(col) :+ window(col(tsCol), width).as("w")): _*)
+    val agged =
+      if (valueScale > 0) {
+        // exact int64 sum on the declared grid; the 4-decimal mean is then
+        // rounded IN INTEGER SPACE (half away from zero) and divided once
+        // — `round(double, 4)` on an exact .xxxx5 half-point is
+        // engine-specific (Spark rounds the shortest decimal repr HALF_UP,
+        // DuckDB rounds the scaled binary double), so no double may carry
+        // a half-point into a rounding call
+        val f = math.pow(10, valueScale) // exact power of ten in double
+        val p = math.pow(10, 4 - valueScale).toLong
+        grouped.agg(count(col(valueCol)).as("count"),
+            min(col(valueCol)).as("min"), max(col(valueCol)).as("max"),
+            sum(round(col(valueCol) * lit(f), 0).cast("long")).as("__s"))
+          .withColumn("__num", col("__s") * lit(p))
+          .withColumn("mean",
+            (expr("(abs(__num) * 2 + count) div (2 * count)") *
+              when(col("__num") < 0, lit(-1L)).otherwise(lit(1L)))
+              .cast("double") / lit(10000.0))
+          .drop("__s", "__num")
+      } else grouped.agg(count(col(valueCol)).as("count"),
         min(col(valueCol)).as("min"), max(col(valueCol)).as("max"),
         round(avg(col(valueCol)), 4).as("mean"))
-      .select((keys.map(col) :+ col("w.start").as("window_start") :+
-        col("count") :+ col("min") :+ col("max") :+ col("mean")): _*)
+    agged.select((keys.map(col) :+ col("w.start").as("window_start") :+
+      col("count") :+ col("min") :+ col("max") :+ col("mean")): _*)
   }
 }
