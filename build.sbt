@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Spark's SQL lower() slow path (non-ASCII input) lowercases under the
+  // JVM default locale; pin it so e.g. a tr/az host locale cannot
+  // desynchronize SQL normalizeForDedup from its Locale.ROOT JVM twin.
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -77,8 +77,11 @@ object TextFunctions {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
   /** JVM twin of [[normalizeForDedup]] for imperative kernels
-    * (`Vocab.encodeGreedy`): same regexes, `Locale.ROOT` lowering so a
-    * Turkish default locale cannot desynchronize the two.
+    * (`Vocab.encodeGreedy`): same regexes, `Locale.ROOT` lowering. NOTE:
+    * Spark's SQL `lower()` slow path for non-ASCII strings lowercases under
+    * the JVM DEFAULT locale, so `Locale.ROOT` here is only half the story —
+    * the launcher pins `-Duser.language=en -Duser.country=US` (build.sbt)
+    * to keep the two sides aligned; deployments must carry the same pin.
     */
   def normalizeForDedupJvm(text: String): String =
     text.toLowerCase(java.util.Locale.ROOT)

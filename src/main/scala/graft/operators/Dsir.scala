@@ -145,8 +145,13 @@ object Dsir {
     */
   def modelFromCounts(counts: Array[Long]): Array[Long] = {
     val c = counts.map(_ + 1L) // add-one smoothing
-    val t = c.sum
-    Array.tabulate(c.length)(i => math.max(1L, c(i) * Scale / t))
+    val t = c.foldLeft(BigInt(0))(_ + _)
+    // BigInt intermediate: c(i)*Scale overflows Long once a bucket holds
+    // >~9.2e9 features (plausible at 100 TB). The SQL replay's BIGINT
+    // multiply would hard-error there; below that threshold BigInt and
+    // Long arithmetic agree bit-for-bit, so oracle parity is unaffected.
+    Array.tabulate(c.length)(i =>
+      math.max(1L, (BigInt(c(i)) * Scale / t).toLong))
   }
 
   /** One-shot convenience: [[trainNgramCounts]] → [[modelFromCounts]]. */

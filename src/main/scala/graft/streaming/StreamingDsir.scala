@@ -107,7 +107,16 @@ object StreamingDsir {
     Populate.readIfExists(spark, countsDir).foreach { df =>
       df.groupBy("bucket").agg(sum(col("c")).as("c"))
         .collect()
-        .foreach(r => out(r.getInt(0)) += r.getLong(1))
+        .foreach { r =>
+          val b = r.getInt(0)
+          // The counts table does not record its own nBuckets; a mismatch
+          // would either crash (larger) or silently misnormalize (smaller).
+          require(b >= 0 && b < nBuckets,
+            s"counts table at $countsDir has bucket=$b outside " +
+              s"[0, $nBuckets) — it was trained with a different nBuckets; " +
+              "pass the nBuckets the drain was started with")
+          out(b) += r.getLong(1)
+        }
     }
     out
   }
