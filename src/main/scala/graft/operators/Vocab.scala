@@ -103,4 +103,172 @@ object Vocab {
       }, outSchema)
     docs.join(enc.drop(textCol), Seq(idCol))
   }
+
+  /** One learned BPE merge rule: at `step`, the adjacent symbol pair
+    * (`left`, `right`) had the highest corpus frequency (`pairCount`,
+    * ties broken on the pair strings) and was fused into `left+right`.
+    */
+  final case class BpeMerge(step: Int, left: String, right: String,
+                            pairCount: Long)
+
+  /** `|`-delimited symbol-string representation used throughout BPE
+    * training: the word `abc` symbolized as chars is `"|a||b||c|"` — every
+    * token wrapped in `|…|`. Tokens are normalized `[a-z0-9]+` (see
+    * [[TextFunctions.normalizeForDedup]]) so `|` can never occur inside
+    * one, which makes the per-round merge apply a LITERAL string replace:
+    * fusing pair (a, b) is `replace(s, "|a||b|", "|ab|")`. Both Spark's
+    * `StringReplace` and ANSI SQL `replace` scan left-to-right,
+    * non-overlapping, continuing AFTER each replacement — exactly the
+    * regex-substitution semantics of the original BPE implementation
+    * (Sennrich 2016, arXiv:1508.07909 §3.2), so the engine and a SQL
+    * oracle replay the training bit-for-bit by construction.
+    */
+  private def symbolized(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(filter(
+        split(TextFunctions.normalizeForDedup(col(textCol)), " "),
+        w => length(w) >= 2)).as("__w")) // 1-char words never form pairs
+      .groupBy("__w").agg(count(lit(1)).as("__freq"))
+      .select(
+        concat(lit("|"),
+          array_join(expr(
+            "transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"),
+            "||"),
+          lit("|")).as("s"),
+        col("__freq"))
+
+  /** The round's argmax: adjacent-pair corpus counts over the symbolized
+    * word-type table, highest count first, ties on (left, right) so the
+    * winner is deterministic and engine-replayable. `orderBy.limit(1)`
+    * plans as TakeOrderedAndProject — per-task frontiers, no global sort.
+    */
+  private def topPair(words: DataFrame): DataFrame =
+    words
+      .select(col("__freq"),
+        expr("""split(trim(BOTH '|' FROM s), '\\|\\|')""").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("__freq"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+             i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"""))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("__freq")).as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(1)
+
+  /** Distributed BPE merge-rule TRAINING (Sennrich 2016, arXiv:1508.07909
+    * §3.2) — the iterative half of tokenizer training that
+    * [[topSubstrings]] (unigram seeding) deliberately stops short of.
+    *
+    * Scale shape: training state is the WORD-TYPE table `(symbol-string,
+    * freq)` — distinct normalized words weighted by corpus multiplicity,
+    * which plateaus at the corpus vocabulary (~10⁷ rows at 100 TB), not the
+    * token stream. Each round is (1) one map + hash-aggregate shuffle for
+    * pair counts with map-side partials, (2) a 1-row TakeOrderedAndProject
+    * argmax collect, (3) a codegen'd literal `replace` applying the merge
+    * in-plan. Rounds materialize through the [[Dedup.Checkpointer]] (the
+    * superseded round is released immediately), and words that become a
+    * single symbol drop out of the working set — the table only shrinks.
+    * The merge table itself is catalog-scale (`nMerges` rows, ~30k in
+    * production tokenizers) and lives on the driver like IVF centers or
+    * classifier weights.
+    *
+    * Stops early when no adjacent pair remains. Returns merges in learned
+    * order; feed to [[encodeBpe]] / [[mergesDf]].
+    */
+  def trainBpe(docs: DataFrame, textCol: String, nMerges: Int,
+               checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : Seq[BpeMerge] = {
+    require(nMerges > 0, "nMerges must be positive")
+    var cut = checkpointer.cut(symbolized(docs, textCol))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    try {
+      var r = 1
+      var drained = false
+      while (r <= nMerges && !drained) {
+        val top = topPair(cut).collect()
+        if (top.isEmpty) drained = true
+        else {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += BpeMerge(r, a, b, c)
+          if (r < nMerges) { // the final round's apply feeds nothing
+            val next = checkpointer.cut(
+              cut.select(
+                replace(col("s"), lit("|" + a + "||" + b + "|"),
+                  lit("|" + a + b + "|")).as("s"),
+                col("__freq"))
+              .filter(col("s").contains("||"))) // fully-merged words retire
+            checkpointer.release(cut)
+            cut = next
+          }
+          r += 1
+        }
+      }
+      merges.toSeq
+    } finally checkpointer.release(cut)
+  }
+
+  /** The learned merge table as a DataFrame `(step, merge_left,
+    * merge_right, pair_count)` — the persistable model artifact.
+    */
+  def mergesDf(spark: org.apache.spark.sql.SparkSession,
+               merges: Seq[BpeMerge]): DataFrame =
+    spark.createDataFrame(merges)
+      .select(col("step"), col("left").as("merge_left"),
+        col("right").as("merge_right"), col("pairCount").as("pair_count"))
+
+  /** BPE ENCODING: symbolize each normalized word to characters, then apply
+    * the learned merges IN ORDER, each as a leftmost non-overlapping pass
+    * that never rescans a token it just produced — the exact semantics
+    * training used (see [[symbolized]]), so encoding the training corpus
+    * reproduces training's final state. Output: input columns + `subwords:
+    * array<string>` in stream order.
+    *
+    * `mapPartitions` over the broadcast merge table (same justification as
+    * [[encodeGreedy]]: per-word consumption is genuinely imperative, and
+    * the table is catalog-scale KBs). Cost is O(nMerges · len) per word;
+    * for production-sized merge tables (~30k rules) the standard rank-map
+    * optimization (merge the lowest-rank adjacent pair present, repeat —
+    * equivalent because a rule can only reference symbols produced by
+    * earlier rules) drops this to O(len² ) probes with len ≲ 30.
+    */
+  def encodeBpe(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[BpeMerge]): DataFrame = {
+    val spark = docs.sparkSession
+    val ordered = merges.sortBy(_.step).map(m => (m.left, m.right)).toArray
+    val bm = spark.sparkContext.broadcast(ordered)
+    val inSchema = docs.select(col(idCol), col(textCol)).schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("subwords", ArrayType(StringType, containsNull = false)))
+    val enc = spark.createDataFrame(
+      docs.select(col(idCol), col(textCol)).rdd.mapPartitions { rows =>
+        val rules = bm.value
+        rows.map { r =>
+          val text = Option(r.getString(1)).getOrElse("")
+          val words = TextFunctions.normalizeForDedupJvm(text)
+            .split(" ").filter(_.nonEmpty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          words.foreach { w =>
+            var syms = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+            var k = 0
+            while (k < rules.length && syms.length > 1) {
+              val (a, b) = rules(k)
+              val next = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  next += a + b; i += 2
+                } else { next += syms(i); i += 1 }
+              }
+              syms = next.toArray
+              k += 1
+            }
+            out ++= syms
+          }
+          Row(r.get(0), r.getString(1), out.toSeq)
+        }
+      }, outSchema)
+    docs.join(enc.drop(textCol), Seq(idCol))
+  }
 }

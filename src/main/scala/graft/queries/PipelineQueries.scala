@@ -713,6 +713,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE merge-rule TRAINING (the iterative tokenizer-training loop q131
+    // seeds): 8 rounds of pair-count argmax + in-plan literal-replace merge
+    // over the word-type table. The oracle replays all 8 rounds as an
+    // unrolled CTE chain — counts, deterministic tie-break, and the
+    // left-to-right non-overlapping replace are identical by construction.
+    "q137_bpe_merges" -> ((s, d) => {
+      val merges = Vocab.trainBpe(Tables.documents(s, d), "text", nMerges = 8)
+      Vocab.mergesDf(s, merges).orderBy("step")
+    }),
+
+    // BPE ENCODING with the merge table trained in-query: symbolize each
+    // word to chars, apply the 8 learned merges in order, aggregate like
+    // q132. Oracle = the q137 training chain + 8 unrolled apply steps over
+    // per-doc words.
+    "q138_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Vocab.trainBpe(docs, "text", nMerges = 8)
+      Vocab.encodeBpe(docs.select("doc_id", "text"), "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          array_join(slice(col("subwords"), 1, 20), " ").as("head_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // SPAN-LEVEL decontamination: benchmark snippets (the 12-token prefix
     // of every doc_id % 41 == 0 doc — a planted leaked-question fixture)
     // are excised from the corpus as maximal spans, not doc-level flags:
@@ -935,6 +959,45 @@ object PipelineQueries {
     * `TextFunctions.normalizeForDedup` exactly). */
   private def normSql(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB CTE chain replaying `nRounds` of BPE training (q137/q138):
+    * `w0` is the symbolized word-type table in the `|a||b||c|`
+    * representation `Vocab.symbolized` documents; round r = adjacent-pair
+    * counts (`p_r`) → deterministic argmax (`m_r`, ties on the pair) →
+    * literal-replace apply (`w_r`). SQL `replace` and Spark's
+    * `StringReplace` both scan left-to-right non-overlapping and continue
+    * AFTER each replacement, so every round replays bit-for-bit.
+    */
+  private def bpeCtes(nRounds: Int): String = {
+    val base = s"""norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       wt AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(ws) AS w FROM norm)
+         WHERE len(w) >= 2 GROUP BY w),
+       w0 AS (
+         SELECT '|' || array_to_string(list_transform(
+             generate_series(1, len(w)), i -> substr(w, i, 1)), '||')
+           || '|' AS s, freq
+         FROM wt)"""
+    val rounds = (1 to nRounds).map { r =>
+      s"""p$r AS (
+         SELECT t[i] AS l, t[i+1] AS r2, CAST(sum(freq) AS BIGINT) AS c
+         FROM (SELECT string_split(trim(s, '|'), '||') AS t, freq
+               FROM w${r - 1}),
+           unnest(generate_series(1, len(t) - 1)) u(i)
+         GROUP BY 1, 2),
+       m$r AS (
+         SELECT $r AS step, l, r2, c FROM p$r
+         ORDER BY c DESC, l, r2 LIMIT 1),
+       w$r AS (
+         SELECT replace(s, '|' || m.l || '||' || m.r2 || '|',
+             '|' || m.l || m.r2 || '|') AS s, freq
+         FROM w${r - 1}, m$r m)"""
+    }.mkString(",\n", ",\n", "")
+    base + rounds
+  }
 
   /** Shared CTE prefix of the q114/q115 span-dedup oracles: planted-copy
     * corpus → normalized token arrays → 0-indexed 8-token window hashes →
@@ -1856,6 +1919,47 @@ object PipelineQueries {
          SELECT doc_id, tok, row_number() OVER (
            PARTITION BY doc_id ORDER BY wi, n) AS rn
          FROM steps WHERE tok IS NOT NULL),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+           string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
+             AS head_subwords
+         FROM ord GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+         coalesce(a.head_subwords, '') AS head_subwords
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id""",
+    "q137_bpe_merges" ->
+      s"""WITH ${bpeCtes(8)}
+       SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
+       FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       ORDER BY step""",
+    // Training chain + 8 unrolled apply steps over per-doc words; tokens
+    // rebuilt from the final symbol strings in (word, position) order.
+    "q138_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+       dwords AS (
+         SELECT doc_id, i AS wi, ws[i] AS w
+         FROM norm, unnest(generate_series(1, len(ws))) u(i)
+         WHERE len(ws[i]) > 0),
+       a0 AS (
+         SELECT doc_id, wi, '|' || array_to_string(list_transform(
+             generate_series(1, len(w)), i -> substr(w, i, 1)), '||')
+           || '|' AS s
+         FROM dwords),
+       ${(1 to 8).map(r =>
+        s"""a$r AS (
+         SELECT doc_id, wi, replace(s, '|' || m.l || '||' || m.r2 || '|',
+             '|' || m.l || m.r2 || '|') AS s
+         FROM a${r - 1}, m$r m)""").mkString(",\n")},
+       toks AS (
+         SELECT doc_id, wi, j, t[j] AS tok
+         FROM (SELECT doc_id, wi, string_split(trim(s, '|'), '||') AS t
+               FROM a8),
+           unnest(generate_series(1, len(t))) u(j)),
+       ord AS (
+         SELECT doc_id, tok, row_number() OVER (
+           PARTITION BY doc_id ORDER BY wi, j) AS rn
+         FROM toks),
        agg AS (
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
            string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
