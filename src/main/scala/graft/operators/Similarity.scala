@@ -549,6 +549,58 @@ object Similarity {
       scoreDigits)
   }
 
+  /** IVF × PQ — the FAISS BILLION-scale composition (IVFADC, Jégou et al.
+    * 2011 §IV): the cell-partitioned index stores `m` codebook ids per
+    * vector instead of floats, so a probe pays partition pruning on WHICH
+    * cells are read and the `dim·4 B → m B` cut on every row it does read
+    * — coarser than [[writeIvfSqIndex]]'s 1 B/dim, the regime where the
+    * corpus' vector bytes must all but vanish. Returns (centers,
+    * codebooks) — the probe needs both; persist them with the index as
+    * its identity (they are its model artifact, like SQ's bounds).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+                      idCol: String, vecCol: String,
+                      nCentroids: Int = 16, m: Int = 8, nCodes: Int = 16,
+                      centers: Option[Array[Array[Float]]] = None,
+                      codebooks: Option[Array[Array[Array[Float]]]] = None)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val cents: Array[Array[Float]] =
+      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
+    val books: Array[Array[Array[Float]]] =
+      codebooks.getOrElse(pqTrain(corpus, idCol, vecCol, m, nCodes))
+    corpus.select(col(idCol),
+        pqEncode(col(vecCol), books).as("codes"),
+        array_min(cellScores(cents, vecCol)).getField("i").as("cell"))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    (cents, books)
+  }
+
+  /** Probe a [[writeIvfPqIndex]] store: partition-pruned cell scan, in-plan
+    * PQ reconstruction (centroid lookup per subspace — the ADC decode),
+    * asymmetric cosine re-rank against the raw query. [[ivfSqProbe]]
+    * semantics at `m` bytes per corpus vector; SimilaritySpec pins
+    * nProbe == nCentroids ≡ flat [[pqTopK]] row-for-row.
+    */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                 centers: Array[Array[Float]],
+                 codebooks: Array[Array[Array[Float]]],
+                 queries: DataFrame,
+                 idCol: String, queryIdCol: String, vecCol: String,
+                 k: Int, nProbe: Int = 4,
+                 scoreDigits: Option[Int] = None): DataFrame = {
+    val probes = probesFor(queries, centers, queryIdCol, vecCol, nProbe)
+    val activeCells = probes.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(activeCells: _*))
+      .withColumnRenamed("cell", "__cell")
+      .withColumn(vecCol, pqDecode(col("codes"), codebooks))
+      .drop("codes")
+    rankCandidates(assigned, probes, idCol, queryIdCol, vecCol, k,
+      scoreDigits)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH buckets
     * (dedup-by-embedding; pairs with id_a < id_b).
     *

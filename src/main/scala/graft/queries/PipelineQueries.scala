@@ -200,11 +200,28 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivfsq-q136")
-        .toString + "/idx"
+      val dir = tempIndexDir("graft-ivfsq-q136")
       val (cents, mins, maxs) = Similarity.writeIvfSqIndex(emb, dir,
         "vec_id", "embedding", nCentroids = 16)
       Similarity.ivfSqProbe(s, dir, cents, mins, maxs, queries,
+          "vec_id", "query_id", "embedding", k = 10, nProbe = 4,
+          scoreDigits = Some(6))
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    }),
+
+    // IVF × PQ (the FAISS billion-scale IVFADC config) oracled END TO END:
+    // the cell-partitioned m-byte-code index is materialized to disk,
+    // probed at nProbe=4, PQ-reconstructed in-plan, re-ranked
+    // asymmetrically; the oracle replays centers, cell argmin, probe
+    // selection, codebooks, argmin codes, reconstruction, and ranking.
+    "q139_ivf_pq_probe" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val dir = tempIndexDir("graft-ivfpq-q139")
+      val (cents, books) = Similarity.writeIvfPqIndex(emb, dir,
+        "vec_id", "embedding", nCentroids = 16, m = 8, nCodes = 16)
+      Similarity.ivfPqProbe(s, dir, cents, books, queries,
           "vec_id", "query_id", "embedding", k = 10, nProbe = 4,
           scoreDigits = Some(6))
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
@@ -954,6 +971,24 @@ object PipelineQueries {
          FROM cand c JOIN gsets a ON c.id_a = a.doc_id
            JOIN gsets b ON c.id_b = b.doc_id)
        WHERE jaccard >= 0.5"""
+
+  /** Fresh scratch directory for a disk-materialized index (q136/q139),
+    * deleted by a JVM shutdown hook: the probe plan scans it LAZILY, so
+    * deleting eagerly inside the query would break execution (and an
+    * eager collect would hide the real probe plan from PlanAudit) —
+    * at-exit cleanup keeps the plan honest and leaves nothing behind
+    * after a Verify/Bench run.
+    */
+  private def tempIndexDir(prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      val p = new org.apache.hadoop.fs.Path(root.toString)
+      p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .delete(p, true)
+      ()
+    }
+    root.toString + "/idx"
+  }
 
   /** DuckDB fragment: the dedup text normalization (must mirror
     * `TextFunctions.normalizeForDedup` exactly). */
@@ -2148,6 +2183,70 @@ object PipelineQueries {
            ORDER BY dm.d) AS dv
          FROM codes k CROSS JOIN dims dm
          GROUP BY k.vec_id),
+       q AS (
+         SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       cand AS (
+         SELECT p.query_id, a.vec_id
+         FROM probes p JOIN assigned a ON p.cell = a.cell
+         WHERE a.vec_id <> p.query_id),
+       scored AS (
+         SELECT c.query_id, c.vec_id,
+           round(list_dot_product(e.dv, q.qv)
+             / (sqrt(list_dot_product(e.dv, e.dv))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+         FROM cand c JOIN dec e ON c.vec_id = e.vec_id
+           JOIN q ON c.query_id = q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine DESC, vec_id""",
+    // q136's cell/probe machinery composed with q134's PQ codebook chain:
+    // same 16 hash-sampled centers double as coarse cells; candidates from
+    // probed cells are PQ-reconstructed and re-ranked asymmetrically.
+    "q139_ivf_pq_probe" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM corp ORDER BY hk, vec_id LIMIT 16)),
+       cdists AS (
+         SELECT c.vec_id, t.ci,
+           list_dot_product(t.cvec, t.cvec)
+             - 2.0 * list_dot_product(c.v, t.cvec) AS s
+         FROM corp c CROSS JOIN cents t),
+       assigned AS (
+         SELECT vec_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists WHERE vec_id < 5) WHERE rn <= 4),
+       dists AS (
+         SELECT c.vec_id, s.m, t.ci,
+           list_dot_product(t.cvec[s.m*8+1 : s.m*8+8],
+                            t.cvec[s.m*8+1 : s.m*8+8])
+             - 2.0 * list_dot_product(c.v[s.m*8+1 : s.m*8+8],
+                                      t.cvec[s.m*8+1 : s.m*8+8]) AS dd
+         FROM corp c
+           CROSS JOIN unnest(generate_series(0, 7)) s(m)
+           CROSS JOIN cents t),
+       argm AS (
+         SELECT vec_id, m, ci FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY dd, ci) AS rn
+           FROM dists) WHERE rn = 1),
+       dec AS (
+         SELECT a.vec_id,
+           flatten(list(t.cvec[a.m*8+1 : a.m*8+8] ORDER BY a.m)) AS dv
+         FROM argm a JOIN cents t ON a.ci = t.ci
+         GROUP BY a.vec_id),
        q AS (
          SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
        cand AS (

@@ -311,6 +311,37 @@ class SimilaritySpec extends SparkSpec {
       .forall(_.getLong(1) == 5))
   }
 
+  test("IVF x PQ index: full probe equals pqTopK; pruning + codes compose") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (cents, books) = Similarity.writeIvfPqIndex(emb, path,
+      "vec_id", "embedding", nCentroids = 16, m = 8, nCodes = 16)
+    // probing EVERY cell must equal the flat PQ scan, row for row (same
+    // codebooks, same argmin codes, same asymmetric ranking)
+    val full = Similarity.ivfPqProbe(spark, path, cents, books, queries,
+        "vec_id", "query_id", "embedding", k = 5, nProbe = 16,
+        scoreDigits = Some(6))
+      .withColumnRenamed("cosine", "c").orderBy("query_id", "vec_id")
+      .collect().toSeq
+    val flat = Similarity.pqTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 5, m = 8, nCodes = 16, scoreDigits = Some(6))
+      .withColumnRenamed("cosine_pq", "c").orderBy("query_id", "vec_id")
+      .collect().toSeq
+    assert(full == flat)
+    // the stored vector column is m codebook ids, not dim floats
+    val stored = spark.read.parquet(path)
+    assert(stored.schema("codes").dataType.simpleString.startsWith("array<int"),
+      s"codes column should be int codes, got ${stored.schema("codes").dataType}")
+    assert(stored.select(expr("max(size(codes))")).head.getInt(0) == 8,
+      "PQ index must store m=8 codes per vector")
+    // narrow probes still return k rows per query from probed cells only
+    val narrow = Similarity.ivfPqProbe(spark, path, cents, books,
+      queries, "vec_id", "query_id", "embedding", k = 5, nProbe = 2)
+    assert(narrow.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5))
+  }
+
   test("ivfTopK with nProbe == nCentroids equals exact brute force") {
     val queries = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding"))
