@@ -320,8 +320,9 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, queryIdCol: String,
              vecCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
+             codebooks: Option[Array[Array[Array[Float]]]] = None,
              scoreDigits: Option[Int] = None): DataFrame = {
-    val books = pqTrain(corpus, idCol, vecCol, m, nCodes)
+    val books = codebooks.getOrElse(pqTrain(corpus, idCol, vecCol, m, nCodes))
     val coded = corpus.select(col(idCol),
       pqEncode(col(vecCol), books).as("__codes"))
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
@@ -334,6 +335,42 @@ object Similarity {
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("cosine_pq"))
+  }
+
+  /** Train PQ codebooks OFFLINE with per-subspace MLlib KMeans — the
+    * [[trainCenters]] discipline applied to [[pqTrain]]'s pluggable
+    * codebook slot: run once per corpus (or per re-index), persist the
+    * `[m][k][subDim]` matrix, and pass it as `codebooks` to [[pqTopK]] /
+    * [[pqEncode]] / [[writeIvfPqIndex]]. Lloyd-refined sub-codebooks cut
+    * per-subspace quantization error versus the hash-sampled fallback,
+    * which lifts both reconstruction fidelity and recall@k at the same m
+    * (spec-asserted on the planted-cluster corpus).
+    *
+    * Cost: `m` KMeans fits, each a column-pruned pass over `dim/m` doubles
+    * per row (the slice projects before the shuffle); subspace seeds
+    * differ so identical subspace distributions still train independent
+    * books. Deliberately NOT wired into the oracled query path: KMeans
+    * iteration order is engine-private ([[trainCenters]] has the full
+    * argument), so the deterministic hash-sample stays the
+    * cross-engine-checkable default.
+    */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+                       maxIter: Int = 20, seed: Long = 42L)
+      : Array[Array[Array[Float]]] = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { mi =>
+      val ds = corpus.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col(vecCol), mi * sub + 1, sub).cast("array<double>"))
+        .as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setMaxIter(maxIter).setSeed(seed + mi)
+        .setFeaturesCol("features")
+        .fit(ds)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }
   }
 
   /** Deterministic coarse-quantizer centers: the `nCentroids` corpus vectors

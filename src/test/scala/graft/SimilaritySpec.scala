@@ -401,6 +401,48 @@ class SimilaritySpec extends SparkSpec {
     assert(rT >= rS, s"trained recall $rT below sampled recall $rS")
   }
 
+  test("KMeans-trained PQ codebooks beat hash-sampled on reconstruction and neighbor quality") {
+    val (m, nCodes) = (4, 16)
+    val trained = Similarity.trainPqCodebooks(planted, "embedding", m, nCodes)
+    assert(trained.length == m && trained.forall(_.length == nCodes) &&
+      trained.forall(_.forall(_.length == 16 / m)))
+    val sampled = Similarity.pqTrain(planted, "vec_id", "embedding", m, nCodes)
+
+    // Lloyd-refined sub-codebooks must strictly cut PQ reconstruction error
+    // (the sum of the per-subspace KMeans objectives) vs raw corpus samples
+    val vecs = planted.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    def cost(books: Array[Array[Array[Float]]]): Double = {
+      val sub = 16 / m
+      vecs.map { v =>
+        (0 until m).map { mi =>
+          val s = v.slice(mi * sub, (mi + 1) * sub)
+          books(mi).map(c =>
+            c.zip(s).map { case (a, b) => (a - b).toDouble * (a - b) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    assert(cost(trained) < cost(sampled),
+      s"trained cost ${cost(trained)} not below sampled ${cost(sampled)}")
+
+    // Behavioral floor: ADC over trained books must keep every neighbor in
+    // the query's own planted cluster (within-cluster reconstructions
+    // collapse toward the centroid, so exact-rank recall is the wrong
+    // metric here — id tie-breaks among collapsed members are arbitrary;
+    // what quantization quality controls is whether CROSS-cluster
+    // candidates can outscore the true cluster).
+    def inCluster(books: Array[Array[Array[Float]]]): Double = {
+      val got = Similarity.pqTopK(planted, plantedQueries, "vec_id",
+          "query_id", "embedding", k = 10, m = m, nCodes = nCodes,
+          codebooks = Some(books))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.count { case (q, v) => q / 100 == v / 100 }.toDouble / got.length
+    }
+    val (rT, rS) = (inCluster(trained), inCluster(sampled))
+    assert(rT >= 0.9, s"trained-codebook in-cluster rate $rT below 0.9")
+    assert(rT >= rS, s"trained rate $rT below sampled rate $rS")
+  }
+
   test("nearDupPairs finds planted identical vectors and orders ids") {
     import spark.implicits._
     val planted = Seq(
