@@ -26,9 +26,12 @@ object AsOfJoin {
     * @param right      build side; its latest row at-or-before each left time is appended
     * @param leftTime   event-time column name on `left`
     * @param rightTime  event-time column name on `right`
-    * @param keys       equi-partitioning keys present on BOTH sides (may be empty —
-    *                   then the window is global: fine at the presentation edge,
-    *                   wrong in a 100 TB pipeline; pass keys there)
+    * @param keys       equi-partitioning keys present on BOTH sides. Must be
+    *                   non-empty: an empty key set would drag BOTH inputs
+    *                   through one partition's global window — the classic
+    *                   silent scale killer. For a genuinely unkeyed as-of at
+    *                   the presentation edge use [[backwardGlobal]], which
+    *                   says so in the caller's code.
     * @param valueCols  right columns to carry (default: all non-key columns,
     *                   including `rightTime` — the matched right timestamp is
     *                   part of the as-of result, as in pandas merge_asof;
@@ -36,8 +39,30 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame,
                leftTime: String, rightTime: String,
-               keys: Seq[String] = Seq.empty,
+               keys: Seq[String],
                valueCols: Seq[String] = Seq.empty): DataFrame = {
+    require(keys.nonEmpty,
+      "AsOfJoin.backward needs partitioning keys (the sort-merge window " +
+        "shuffles on them); an unkeyed as-of runs in ONE partition — if " +
+        "that is really what you want, call backwardGlobal")
+    backwardImpl(left, right, leftTime, rightTime, keys, valueCols)
+  }
+
+  /** Unkeyed [[backward]]: the whole merged input sorts in ONE partition —
+    * correct, and fine for presentation-edge frames (a device's config
+    * history, a session summary), but never for corpus-scale inputs. The
+    * separate name makes the single-partition choice explicit at the call
+    * site instead of an accident of an empty default.
+    */
+  def backwardGlobal(left: DataFrame, right: DataFrame,
+                     leftTime: String, rightTime: String,
+                     valueCols: Seq[String] = Seq.empty): DataFrame =
+    backwardImpl(left, right, leftTime, rightTime, Seq.empty, valueCols)
+
+  private def backwardImpl(left: DataFrame, right: DataFrame,
+                           leftTime: String, rightTime: String,
+                           keys: Seq[String],
+                           valueCols: Seq[String]): DataFrame = {
     val values =
       if (valueCols.nonEmpty) valueCols
       else right.columns.toSeq.diff(keys)

@@ -21,6 +21,23 @@ object Sessionize {
     * Adds `session_id` (0-based per key, ordered by time).
     */
   def byGap(df: DataFrame, timeCol: String, keys: Seq[String], gapSeconds: Long): DataFrame = {
+    require(keys.nonEmpty,
+      "Sessionize.byGap needs partitioning keys (sessions shuffle on " +
+        "them); an unkeyed sessionization runs in ONE partition — if that " +
+        "is really what you want, call byGapGlobal")
+    byGapImpl(df, timeCol, keys, gapSeconds)
+  }
+
+  /** Unkeyed [[byGap]]: one global gaps-and-islands pass in a single
+    * partition — fine for a presentation-edge frame (one device's events,
+    * a catalog), never for corpus-scale input. The separate name makes the
+    * single-partition choice explicit at the call site.
+    */
+  def byGapGlobal(df: DataFrame, timeCol: String, gapSeconds: Long): DataFrame =
+    byGapImpl(df, timeCol, Seq.empty, gapSeconds)
+
+  private def byGapImpl(df: DataFrame, timeCol: String, keys: Seq[String],
+                        gapSeconds: Long): DataFrame = {
     val part = if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy()
     val w = part.orderBy(col(timeCol))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -37,6 +54,20 @@ object Sessionize {
     * `boundary` is true (the reference's `exit_patch.cumsum()` pattern).
     */
   def byBoundary(df: DataFrame, timeCol: String, keys: Seq[String], boundary: Column): DataFrame = {
+    require(keys.nonEmpty,
+      "Sessionize.byBoundary needs partitioning keys (islands shuffle on " +
+        "them); an unkeyed pass runs in ONE partition — if that is really " +
+        "what you want, call byBoundaryGlobal")
+    byBoundaryImpl(df, timeCol, keys, boundary)
+  }
+
+  /** Unkeyed [[byBoundary]] — same single-partition caveat as
+    * [[byGapGlobal]]. */
+  def byBoundaryGlobal(df: DataFrame, timeCol: String, boundary: Column): DataFrame =
+    byBoundaryImpl(df, timeCol, Seq.empty, boundary)
+
+  private def byBoundaryImpl(df: DataFrame, timeCol: String,
+                             keys: Seq[String], boundary: Column): DataFrame = {
     val part = if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*) else Window.partitionBy()
     val wRun = part.orderBy(col(timeCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

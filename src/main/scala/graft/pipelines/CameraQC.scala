@@ -24,8 +24,12 @@ object CameraQC {
     *  - `frame_offset`: cumulative dropped frames (`drops.cumsum`).
     */
   def frameDeltas(meta: DataFrame, keys: Seq[String]): DataFrame = {
-    val part = if (keys.nonEmpty) Window.partitionBy(keys.map(col): _*)
-               else Window.partitionBy()
+    // QC is inherently per-stream (per camera/chunk); an empty key set
+    // would drag every frame row through one partition's global window.
+    require(keys.nonEmpty,
+      "CameraQC.frameDeltas needs partitioning keys (per camera/chunk); " +
+        "an unkeyed pass runs in ONE partition")
+    val part = Window.partitionBy(keys.map(col): _*)
     val w = part.orderBy(col("time"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     meta

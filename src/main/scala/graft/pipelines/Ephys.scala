@@ -27,6 +27,12 @@ object Ephys {
   def assignSpikeOwners(spikes: DataFrame, chunks: DataFrame,
                         orderCol: String, chunkKeys: Seq[String],
                         blockKeys: Seq[String] = Seq.empty): DataFrame = {
+    // Empty blockKeys is safe HERE, unlike the operator-level window
+    // fallbacks (AsOfJoin/Sessionize require keys): the global window runs
+    // over the chunk CATALOG, not the spike stream, and the catalog must
+    // already fit the broadcast join below — catalog-scale input by
+    // contract, so the single partition holds KBs either way. The spike
+    // side never enters a window.
     val w = (if (blockKeys.nonEmpty) Window.partitionBy(blockKeys.map(col): _*)
              else Window.partitionBy())
       .orderBy(col(orderCol))

@@ -100,6 +100,67 @@ class OperatorsSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("openEndHorizon")))
   }
 
+  // the count of WindowExec nodes running with an EMPTY partition spec —
+  // the silent single-partition scale killer the keyed entry points must
+  // never plan (AQE hides finalized stages behind wrapper nodes)
+  private def emptyPartWindows(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.collect() // finalize the adaptive plan
+    def walk(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(walk)
+      case o => o.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).count(_.partitionSpec.isEmpty)
+  }
+
+  test("window operators reject empty keys; keyed plans have no global window") {
+    val left = Seq(("a", ts("2024-01-01 10:00:00"), 1)).toDF("k", "t", "row")
+    val right = Seq(("a", ts("2024-01-01 09:30:00"), "x")).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, "t", "rt", keys = Seq.empty)
+    }
+    val sess = Seq(("a", ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      Sessionize.byGap(sess, "t", Seq.empty, gapSeconds = 60)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.byBoundary(sess, "t", Seq.empty, lit(true))
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipelines.CameraQC.frameDeltas(
+        Seq((ts("2024-01-01 10:00:00"), 1L, 1L, 1L))
+          .toDF("time", "hw_counter", "hw_timestamp", "frame"), Seq.empty)
+    }
+    // the keyed paths never plan a global (empty-partition) WindowExec
+    assert(emptyPartWindows(
+      AsOfJoin.backward(left, right, "t", "rt", keys = Seq("k"))) == 0)
+    assert(emptyPartWindows(
+      Sessionize.byGap(sess, "t", Seq("k"), gapSeconds = 60)) == 0)
+  }
+
+  test("explicit *Global variants keep the unkeyed semantics") {
+    val left = Seq((ts("2024-01-01 10:00:00"), 1), (ts("2024-01-01 11:00:00"), 2))
+      .toDF("t", "row")
+    val right = Seq((ts("2024-01-01 10:30:00"), "x")).toDF("rt", "v")
+    val out = AsOfJoin.backwardGlobal(left, right, "t", "rt")
+      .select("row", "v").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    assert(out == Set((1, None), (2, Some("x"))))
+
+    val sess = Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:30"),
+      ts("2024-01-01 11:00:00")).map(Tuple1(_)).toDF("t")
+    val ids = Sessionize.byGapGlobal(sess, "t", gapSeconds = 60)
+      .orderBy("t").select("session_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(0L, 0L, 1L))
+    val bids = Sessionize.byBoundaryGlobal(sess, "t", col("t") === ts("2024-01-01 11:00:00"))
+      .orderBy("t").select("session_id").collect().map(_.getLong(0)).toSeq
+    assert(bids == Seq(0L, 0L, 1L))
+  }
+
   test("Sessionize.byGap: new session when gap exceeds threshold") {
     val df = Seq(
       ("u", ts("2024-01-01 10:00:00")),
