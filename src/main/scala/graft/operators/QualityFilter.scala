@@ -71,6 +71,19 @@ object QualityFilter {
     */
   def trainHashedCentroid(docs: DataFrame, textCol: String, labelCol: String,
                           nBuckets: Int = 1024): Array[Long] = {
+    val (g, bad) = trainLabeledCounts(docs, textCol, labelCol, nBuckets)
+    weightsFromCounts(g, bad)
+  }
+
+  /** One-shot RAW per-bucket class counts `(goodCounts, badCounts)` — the
+    * mergeable training state behind [[trainHashedCentroid]] (the
+    * `Dsir.trainNgramCounts` discipline applied to the classifier):
+    * persist/merge these across shards or waves, then
+    * [[weightsFromCounts]] when a model is needed. Unsmoothed — smoothing
+    * belongs to the counts→weights step so merging stays exact.
+    */
+  def trainLabeledCounts(docs: DataFrame, textCol: String, labelCol: String,
+                         nBuckets: Int = 1024): (Array[Long], Array[Long]) = {
     require(nBuckets > 0, "nBuckets must be positive")
     val counts = tokenBuckets(
         docs.select(col(labelCol).cast("boolean").as("__y"), col(textCol)),
@@ -79,16 +92,62 @@ object QualityFilter {
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("g"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("bad"))
       .collect()
-    val g = Array.fill(nBuckets)(1L) // add-one smoothing
-    val bad = Array.fill(nBuckets)(1L)
+    val g = Array.fill(nBuckets)(0L)
+    val bad = Array.fill(nBuckets)(0L)
     counts.foreach { r =>
       val i = r.getInt(0)
       g(i) += r.getLong(1)
       bad(i) += r.getLong(2)
     }
-    val tg = g.sum
-    val tb = bad.sum
-    Array.tabulate(nBuckets)(i => g(i) * Scale / tg - bad(i) * Scale / tb)
+    (g, bad)
+  }
+
+  /** Per-group labeled bucket-count ROWS `(groupCol, bucket, g, bad)` — the
+    * fully distributed form of [[trainLabeledCounts]] for partitioned or
+    * incremental training: no driver array, one row per non-empty
+    * `(group, bucket)` cell. The streaming training drain keys groups by
+    * source FILE so replays land idempotently
+    * (graft.streaming.StreamingQualityFilter).
+    */
+  def labeledCountsBy(docs: DataFrame, groupCol: String, textCol: String,
+                      labelCol: String, nBuckets: Int): DataFrame =
+    tokenBuckets(
+        docs.select(col(groupCol), col(labelCol).cast("boolean").as("__y"),
+          col(textCol)),
+        textCol, nBuckets)
+      .groupBy(col(groupCol), col("__b").as("bucket"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("g"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("bad"))
+
+  /** Elementwise sum of two labeled-count states (same nBuckets required):
+    * counts are plain sums, so sharded training merged in ANY order equals
+    * the one-shot pass (spec-pinned).
+    */
+  def mergeLabeledCounts(a: (Array[Long], Array[Long]),
+                         b: (Array[Long], Array[Long]))
+      : (Array[Long], Array[Long]) = {
+    require(a._1.length == b._1.length && a._2.length == b._2.length,
+      "count arrays must share nBuckets")
+    (Array.tabulate(a._1.length)(i => a._1(i) + b._1(i)),
+      Array.tabulate(a._2.length)(i => a._2(i) + b._2(i)))
+  }
+
+  /** Raw class counts → centroid weights: add-one smoothing, then the
+    * fixed-point share difference on the 10⁻⁹ grid. BigInt intermediate
+    * for `(c+1)·S` (the `Dsir.modelFromCounts` overflow discipline): a
+    * bucket past ~9.2e9 tokens no longer silently wraps, while below that
+    * threshold BigInt and Long agree bit-for-bit, so oracle parity is
+    * unaffected.
+    */
+  def weightsFromCounts(gRaw: Array[Long], badRaw: Array[Long]): Array[Long] = {
+    require(gRaw.length == badRaw.length,
+      "good and bad count arrays must share nBuckets")
+    val g = gRaw.map(_ + 1L) // add-one smoothing
+    val bad = badRaw.map(_ + 1L)
+    val tg = g.foldLeft(BigInt(0))(_ + _)
+    val tb = bad.foldLeft(BigInt(0))(_ + _)
+    Array.tabulate(g.length)(i =>
+      ((BigInt(g(i)) * Scale / tg) - (BigInt(bad(i)) * Scale / tb)).toLong)
   }
 
   /** Score every document against trained weights: `(idCol, score,

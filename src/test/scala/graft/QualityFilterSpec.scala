@@ -38,6 +38,74 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("sharded count training merged in any order equals one-shot weights") {
+    val shards = Seq(
+      corpus.filter(col("doc_id") < 13),
+      corpus.filter(col("doc_id") >= 13 && col("doc_id") < 27),
+      corpus.filter(col("doc_id") >= 27))
+    val parts = shards.map(s =>
+      QualityFilter.trainLabeledCounts(s, "text", "label", nBuckets = 64))
+    val mergedFwd = parts.reduce(QualityFilter.mergeLabeledCounts)
+    val mergedRev = parts.reverse.reduce(QualityFilter.mergeLabeledCounts)
+    val oneShot = QualityFilter.trainHashedCentroid(corpus, "text", "label",
+      nBuckets = 64)
+    assert(QualityFilter.weightsFromCounts(mergedFwd._1, mergedFwd._2)
+      .sameElements(oneShot))
+    assert(QualityFilter.weightsFromCounts(mergedRev._1, mergedRev._2)
+      .sameElements(oneShot))
+    // the distributed row form accumulates the same state
+    val rows = QualityFilter.labeledCountsBy(
+        corpus.withColumn("shard", col("doc_id") % 3),
+        "shard", "text", "label", nBuckets = 64)
+      .groupBy("bucket")
+      .agg(sum(col("g")).as("g"), sum(col("bad")).as("bad"))
+      .collect()
+    val g = Array.fill(64)(0L); val bad = Array.fill(64)(0L)
+    rows.foreach { r =>
+      g(r.getInt(0)) = r.getLong(1); bad(r.getInt(0)) = r.getLong(2)
+    }
+    assert(QualityFilter.weightsFromCounts(g, bad).sameElements(oneShot))
+  }
+
+  test("trainDrain accumulates one-shot counts; checkpoint loss cannot double-count") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("stream_qf")
+    val src = root.resolve("incoming").toString
+    val counts = root.resolve("counts").toString
+    val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(root.resolve("incoming"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("label", BooleanType)))
+
+    corpus.filter(col("doc_id") < 25).write.mode("append").parquet(src)
+    graft.streaming.StreamingQualityFilter.trainDrain(spark, src, counts,
+      ckpt, "text", "label", schema, nBuckets = 64)
+    corpus.filter(col("doc_id") >= 25).write.mode("append").parquet(src)
+    graft.streaming.StreamingQualityFilter.trainDrain(spark, src, counts,
+      ckpt, "text", "label", schema, nBuckets = 64)
+
+    val (g, bad) = graft.streaming.StreamingQualityFilter.loadCounts(
+      spark, counts, nBuckets = 64)
+    val oneShot = QualityFilter.trainHashedCentroid(corpus, "text", "label",
+      nBuckets = 64)
+    assert(QualityFilter.weightsFromCounts(g, bad).sameElements(oneShot))
+
+    // checkpoint loss: a fresh checkpoint replays every file, but the
+    // (src_file, bucket) key makes the replay land nothing new
+    graft.streaming.StreamingQualityFilter.trainDrain(spark, src, counts,
+      root.resolve("ckpt2").toString, "text", "label", schema, nBuckets = 64)
+    val (g2, bad2) = graft.streaming.StreamingQualityFilter.loadCounts(
+      spark, counts, nBuckets = 64)
+    assert(g2.sameElements(g) && bad2.sameElements(bad))
+
+    // a mismatched nBuckets is rejected loudly, not silently misnormalized
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingQualityFilter.loadCounts(spark, counts,
+        nBuckets = 16)
+    }
+  }
+
   test("tokenless and unseen-vocabulary docs score 0 / near 0") {
     import spark.implicits._
     val w = QualityFilter.trainHashedCentroid(corpus, "text", "label",
