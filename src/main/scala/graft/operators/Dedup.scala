@@ -480,6 +480,99 @@ object Dedup {
     }
   }
 
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond", SoCC §3) — the
+    * HIGH-DIAMETER twin of [[connectedComponents]]: min-label propagation
+    * needs one round per unit of graph diameter, which is right for LSH
+    * quasi-cliques (diameter 2–3) but fails fast on chain-shaped duplicate
+    * graphs (long revision chains, boilerplate gradients). The alternating
+    * star operations contract every path toward its minimum by halving,
+    * converging in O(log² n) rounds REGARDLESS of diameter:
+    *
+    *  - large-star: each node connects its LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself);
+    *  - small-star: each node connects its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    *
+    * Each operation is one hash-partitioned window min over the adjacency
+    * plus a distinct — ~4 shuffles per round vs the propagation's 2, the
+    * price of diameter independence; labels are identical (component
+    * minimum, [[driverComponents]]-checked in the spec). Same contracts as
+    * [[connectedComponents]]: integral ids, per-round [[Checkpointer]]
+    * cuts with superseded rounds released, the sub-`driverMaxEdges` driver
+    * union-find fast path, and `(id, cluster)` output over every node in
+    * `pairs`.
+    */
+  def connectedComponentsStars(pairs: DataFrame, aCol: String, bCol: String,
+                               maxIter: Int = 50,
+                               checkpointer: Checkpointer = Checkpointer.Local,
+                               driverMaxEdges: Long = 1L << 20): DataFrame = {
+    requireIntegralIds(pairs, Seq(aCol, bCol), "connectedComponentsStars")
+    // canonical child>parent orientation from the start so the fixpoint
+    // comparison below is orientation-stable
+    val edges0 = checkpointer.cut(
+      pairs.select(col(aCol).cast("long").as("__a"),
+          col(bCol).cast("long").as("__b"))
+        .filter(col("__a") =!= col("__b"))
+        .select(greatest(col("__a"), col("__b")).as("u"),
+          least(col("__a"), col("__b")).as("v"))
+        .distinct())
+    if (edges0.count() <= driverMaxEdges) {
+      val out = driverComponents(pairs.sparkSession,
+        edges0.select(col("u").as("src"), col("v").as("dst")))
+      checkpointer.release(edges0)
+      return out
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = least(min(col("v")).over(Window.partitionBy(col("u"))), col("u"))
+      adj.withColumn("__m", m)
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val withMin = oriented.withColumn("__m",
+        min(col("v")).over(Window.partitionBy(col("u"))))
+      withMin.select(col("v").as("u"), col("__m").as("v"))
+        .union(withMin.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var cur = edges0
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val next = checkpointer.cut(smallStar(largeStar(cur)))
+        // fixpoint = identical edge SET (both sides are canonical
+        // child>parent): equal counts and no row in next missing from cur
+        converged = next.count() == cur.count() &&
+          next.join(cur, Seq("u", "v"), "left_anti").limit(1).isEmpty
+        checkpointer.release(cur)
+        cur = next
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponentsStars did not converge in $maxIter rounds — " +
+          "pathological input (the star rounds are O(log² n)); raise maxIter")
+      // the fixpoint is a star forest: every non-min node carries exactly
+      // one (node, component-min) edge; centers label themselves
+      cur.select(col("u").as("id"), col("v").as("cluster"))
+        .union(cur.select(col("v"), col("v")).distinct()
+          .toDF("id", "cluster"))
+    } catch {
+      case t: Throwable =>
+        checkpointer.release(cur)
+        throw t
+    }
+  }
+
   /** Driver union-find over a collected edge list — the fast path of
     * [[connectedComponents]] below `driverMaxEdges`. Path-halving find +
     * union by attaching the larger root under the smaller: since every node

@@ -840,6 +840,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // The same cluster resolution via the HIGH-DIAMETER resolver:
+    // large-star/small-star contraction (O(log n) rounds regardless of
+    // chain length), forced onto the distributed rounds (driverMaxEdges=0)
+    // so the star fixpoint itself is what the oracle checks. Labels are
+    // the same component minima as q99 by construction.
+    "q140_dedup_clusters_stars" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pairs = minhashVerifiedPairs(docs)
+      val comps = Dedup.connectedComponentsStars(pairs, "id_a", "id_b",
+          driverMaxEdges = 0L)
+        .withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          (coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+            .as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // LEAKAGE-AWARE train/val split: the split draw keys on the q99
     // near-dup CLUSTER, so a doc and its near-twins land on one side —
     // the within-corpus analogue of q98's benchmark decontamination.
@@ -1185,6 +1204,25 @@ object PipelineQueries {
       s"""WITH $minhashPairCtesSql
        $minhashPairSelectSql ORDER BY id_a, id_b""",
     "q99_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtesSql,
+       pairs AS ($minhashPairSelectSql),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       comp AS (
+         SELECT n AS did, least(min(m), n) AS cluster FROM reach GROUP BY n)
+       SELECT d.doc_id,
+         coalesce(c.cluster, d.doc_id) AS cluster,
+         coalesce(c.cluster, d.doc_id) = d.doc_id AS is_canonical
+       FROM documents d LEFT JOIN comp c ON d.doc_id = c.did
+       ORDER BY d.doc_id""",
+    // identical closure to q99 — the star resolver must land on the same
+    // component minima the recursive reachability computes
+    "q140_dedup_clusters_stars" ->
       s"""WITH RECURSIVE $minhashPairCtesSql,
        pairs AS ($minhashPairSelectSql),
        edges AS (

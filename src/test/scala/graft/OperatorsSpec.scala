@@ -556,6 +556,40 @@ class OperatorsSpec extends SparkSpec {
     assert(viaDriver == (1L to 5L).map(i => (i, 1L)))
   }
 
+  test("star rounds close a path graph far beyond min-label's round budget") {
+    // a 200-link chain: diameter 200 >> the propagation's default 25
+    // rounds, the exact shape the O(log n) star contraction exists for
+    val chain = (1 to 200).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b",
+        driverMaxEdges = 0L) // default maxIter = 25 < diameter -> fail fast
+    }
+    val stars = graft.operators.Dedup.connectedComponentsStars(chain,
+        "id_a", "id_b", driverMaxEdges = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stars == (1L to 201L).map(i => (i, 1L)))
+
+    // labels == union-find on a messy graph (rings, bridges, dup edges)
+    val edges = (0 until 60).map { i =>
+      val a = (i * 17 + 3) % 47
+      val b = (a + (i % 5) + 1) % 47
+      (a.toLong, b.toLong)
+    }.filter(e => e._1 != e._2)
+    val pairs = edges.toDF("id_a", "id_b")
+    val viaStars = graft.operators.Dedup.connectedComponentsStars(pairs,
+        "id_a", "id_b", driverMaxEdges = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDriver = graft.operators.Dedup.connectedComponents(pairs,
+        "id_a", "id_b") // driver union-find fast path
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaStars == viaDriver)
+    // the sub-threshold fast path serves the stars entry point too
+    val starsFast = graft.operators.Dedup.connectedComponentsStars(pairs,
+        "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(starsFast == viaDriver)
+  }
+
   test("driver union-find fast path matches the distributed propagation") {
     // a messy random-ish graph: rings, chains, bridged components, isolates
     // absent — 60 edges over ~50 nodes, seeds fixed by construction
