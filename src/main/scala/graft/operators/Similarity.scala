@@ -24,6 +24,20 @@ object Similarity {
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** Caller-supplied dimension, else the [[vecDim]] lookup: every vector
+    * entry point takes `dim: Option[Int]` so composed pipelines calling
+    * several operators over the same corpus pay the plan-time discovery
+    * job ONCE (or never — the dim is usually in the embedding model's
+    * spec). The value is TRUSTED: hyperplane/codebook literals are built
+    * to exactly `dim` entries, so an understated dim silently projects a
+    * vector PREFIX (and PQ rejects non-divisible dims loudly) — supply the
+    * model's real dimension or let the lookup read it.
+    */
+  private def resolveDim(dim: Option[Int], df: DataFrame, vecCol: String): Int = {
+    dim.foreach(d => require(d > 0, "dim must be positive"))
+    dim.getOrElse(vecDim(df, vecCol))
+  }
+
   /** LSH signature width from corpus size: `2^bits` buckets sized so the mean
     * bucket holds ~`targetPop` vectors. Bucket-population math: per-table
     * candidate pairs ≈ n·pop/2, so with bits = log₂(n/targetPop) the
@@ -42,9 +56,9 @@ object Similarity {
     * scan is metadata-cheap — no column data read).
     */
   private def dimAndBits(df: DataFrame, vecCol: String, nBits: Int,
-                         targetPop: Int): (Int, Int) =
-    if (nBits > 0) (vecDim(df, vecCol), nBits)
-    else (vecDim(df, vecCol), deriveBits(df.count(), targetPop))
+                         targetPop: Int, dim: Option[Int]): (Int, Int) =
+    if (nBits > 0) (resolveDim(dim, df, vecCol), nBits)
+    else (resolveDim(dim, df, vecCol), deriveBits(df.count(), targetPop))
 
   /** Exact top-k nearest neighbors by cosine for each query vector.
     * Output: (queryIdCol, idCol, cosine) — k rows per query.
@@ -89,13 +103,14 @@ object Similarity {
                     idCol: String, queryIdCol: String,
                     vecCol: String, k: Int, projDim: Int,
                     seed: Int = 42,
-                    scoreDigits: Option[Int] = None): DataFrame = {
+                    scoreDigits: Option[Int] = None,
+                    dim: Option[Int] = None): DataFrame = {
     require(projDim > 0, "projDim must be positive")
-    val dim = vecDim(corpus, vecCol)
+    val d = resolveDim(dim, corpus, vecCol)
     val pc = corpus.select(col(idCol),
-      VectorFunctions.randomProject(col(vecCol), projDim, dim, seed).as("__pv"))
+      VectorFunctions.randomProject(col(vecCol), projDim, d, seed).as("__pv"))
     val pq = queries.select(col(queryIdCol),
-      VectorFunctions.randomProject(col(vecCol), projDim, dim, seed).as("__pq"))
+      VectorFunctions.randomProject(col(vecCol), projDim, d, seed).as("__pq"))
     val raw = VectorFunctions.cosine(col("__pv"), col("__pq"))
     val scored = pc.join(broadcast(pq), col(idCol) =!= col(queryIdCol))
       .withColumn("cosine_proj", scoreDigits.fold(raw)(d => round(raw, d)))
@@ -121,11 +136,12 @@ object Similarity {
                  idCol: String, queryIdCol: String,
                  vecCol: String, k: Int, projDim: Int,
                  candidateFactor: Int = 3, seed: Int = 42,
-                 scoreDigits: Option[Int] = None): DataFrame = {
+                 scoreDigits: Option[Int] = None,
+                 dim: Option[Int] = None): DataFrame = {
     require(candidateFactor >= 1, "candidateFactor must be >= 1")
     val cands = projectedTopK(corpus, queries, idCol, queryIdCol, vecCol,
         k = candidateFactor * k, projDim = projDim, seed = seed,
-        scoreDigits = scoreDigits)
+        scoreDigits = scoreDigits, dim = dim)
       .select(col(queryIdCol), col(idCol))
     val raw = VectorFunctions.cosine(col(vecCol), col("__qvec"))
     val scored = cands
@@ -156,12 +172,13 @@ object Similarity {
               idCol: String, queryIdCol: String,
               vecCol: String, k: Int,
               nBits: Int = 0, nTables: Int = 4,
-              scoreDigits: Option[Int] = None): DataFrame = {
-    val (dim, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 32)
+              scoreDigits: Option[Int] = None,
+              dim: Option[Int] = None): DataFrame = {
+    val (d, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 32, dim)
     def bucketIds(df: DataFrame, id: String): DataFrame =
       df.select(col(id),
         posexplode(VectorFunctions.simhashBuckets(col(vecCol), nTables, bits,
-          seed = 42, dim = dim)).as(Seq("__table", "__bucket")))
+          seed = 42, dim = d)).as(Seq("__table", "__bucket")))
 
     val pairs = bucketIds(corpus, idCol)
       .join(bucketIds(queries, queryIdCol), Seq("__table", "__bucket"))
@@ -268,11 +285,11 @@ object Similarity {
     * Returns `[m][k][subDim]`. Requires `dim % m == 0`.
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-              m: Int, k: Int): Array[Array[Array[Float]]] = {
+              m: Int, k: Int, dim: Option[Int] = None): Array[Array[Array[Float]]] = {
     require(m > 0 && k > 0, "m and k must be positive")
-    val dim = vecDim(corpus, vecCol)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
+    val d = resolveDim(dim, corpus, vecCol)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
     val sampled = sampledCenters(corpus, idCol, vecCol, k)
     require(sampled.length == k, s"corpus has fewer than $k rows")
     Array.tabulate(m)(mi =>
@@ -321,8 +338,10 @@ object Similarity {
              idCol: String, queryIdCol: String,
              vecCol: String, k: Int, m: Int = 8, nCodes: Int = 16,
              codebooks: Option[Array[Array[Array[Float]]]] = None,
-             scoreDigits: Option[Int] = None): DataFrame = {
-    val books = codebooks.getOrElse(pqTrain(corpus, idCol, vecCol, m, nCodes))
+             scoreDigits: Option[Int] = None,
+             dim: Option[Int] = None): DataFrame = {
+    val books = codebooks.getOrElse(
+      pqTrain(corpus, idCol, vecCol, m, nCodes, dim))
     val coded = corpus.select(col(idCol),
       pqEncode(col(vecCol), books).as("__codes"))
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
@@ -355,12 +374,13 @@ object Similarity {
     * cross-engine-checkable default.
     */
   def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int, k: Int,
-                       maxIter: Int = 20, seed: Long = 42L)
+                       maxIter: Int = 20, seed: Long = 42L,
+                       dim: Option[Int] = None)
       : Array[Array[Array[Float]]] = {
     require(m > 0 && k > 0, "m and k must be positive")
-    val dim = vecDim(corpus, vecCol)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
+    val d = resolveDim(dim, corpus, vecCol)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
     Array.tabulate(m) { mi =>
       val ds = corpus.select(org.apache.spark.ml.functions.array_to_vector(
         slice(col(vecCol), mi * sub + 1, sub).cast("array<double>"))
@@ -810,11 +830,12 @@ object Similarity {
   }
 
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, nBits: Int = 0, nTables: Int = 4): DataFrame = {
-    val (dim, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 8)
+                   threshold: Double, nBits: Int = 0, nTables: Int = 4,
+                   dim: Option[Int] = None): DataFrame = {
+    val (d, bits) = dimAndBits(corpus, vecCol, nBits, targetPop = 8, dim)
     val b = corpus.select(col(idCol),
       posexplode(VectorFunctions.simhashBuckets(col(vecCol), nTables, bits,
-        seed = 42, dim = dim)).as(Seq("__table", "__bucket")))
+        seed = 42, dim = d)).as(Seq("__table", "__bucket")))
     val pairs = b.select(col(idCol).as("id_a"), col("__table"), col("__bucket"))
       .join(b.select(col(idCol).as("id_b"), col("__table"), col("__bucket")),
         Seq("__table", "__bucket"))

@@ -443,6 +443,41 @@ class SimilaritySpec extends SparkSpec {
     assert(rT >= rS, s"trained rate $rT below sampled rate $rS")
   }
 
+  test("caller-supplied dim skips the plan-time discovery job") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def settledJobs(): Int = { // listener bus is async — let it drain
+      var prev = -1
+      var cur = jobs.get()
+      while (prev != cur) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (withDim, withoutDim) = try {
+      // PLAN CONSTRUCTION with dim supplied runs no job at all
+      val planned = Similarity.projectedTopK(emb, queries, "vec_id",
+        "query_id", "embedding", k = 5, projDim = 8, dim = Some(64))
+      assert(settledJobs() == 0,
+        s"dim=Some still launched ${jobs.get()} plan-time jobs")
+      // ... while the default pays the single-row discovery lookup
+      jobs.set(0)
+      val discovered = Similarity.projectedTopK(emb, queries, "vec_id",
+        "query_id", "embedding", k = 5, projDim = 8)
+      assert(settledJobs() >= 1, "expected a plan-time dim-discovery job")
+      (planned, discovered)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // identical results either way
+    assert(withDim.orderBy("query_id", "vec_id").collect().toSeq ==
+      withoutDim.orderBy("query_id", "vec_id").collect().toSeq)
+  }
+
   test("nearDupPairs finds planted identical vectors and orders ids") {
     import spark.implicits._
     val planted = Seq(
