@@ -285,13 +285,15 @@ object Similarity {
     * Returns `[m][k][subDim]`. Requires `dim % m == 0`.
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-              m: Int, k: Int, dim: Option[Int] = None): Array[Array[Array[Float]]] = {
+              m: Int, k: Int, dim: Option[Int] = None,
+              sampleSkip: Int = 0): Array[Array[Array[Float]]] = {
     require(m > 0 && k > 0, "m and k must be positive")
     val d = resolveDim(dim, corpus, vecCol)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val sub = d / m
-    val sampled = sampledCenters(corpus, idCol, vecCol, k)
-    require(sampled.length == k, s"corpus has fewer than $k rows")
+    val sampled = sampledCenters(corpus, idCol, vecCol, k, sampleSkip)
+    require(sampled.length == k,
+      s"corpus has fewer than ${sampleSkip + k} rows")
     Array.tabulate(m)(mi =>
       sampled.map(v => v.slice(mi * sub, (mi + 1) * sub)))
   }
@@ -398,13 +400,19 @@ object Similarity {
     * sample that any engine reproduces (ties break on id). One tiny driver
     * collect (nCentroids rows), same class of touch as [[vecDim]].
     */
+  /** @param skip drop the first `skip` rows of the hash order before
+    *              taking the sample — lets a SECOND sample (e.g. residual
+    *              PQ codebooks) avoid coinciding with a first (the IVF
+    *              centers), which would be degenerate: a center row's own
+    *              residual is exactly zero. */
   private def sampledCenters(corpus: DataFrame, idCol: String, vecCol: String,
-                             nCentroids: Int): Array[Array[Float]] =
+                             nCentroids: Int, skip: Int = 0): Array[Array[Float]] =
     corpus.select(col(idCol), col(vecCol))
       .orderBy(graft.functions.HashFunctions.portableHash60(
         col(idCol).cast("string")), col(idCol))
-      .limit(nCentroids)
+      .limit(skip + nCentroids)
       .collect()
+      .drop(skip)
       .map(_.getSeq[Float](1).toArray)
 
   /** Train the IVF coarse quantizer OFFLINE with MLlib KMeans — the scale
@@ -614,30 +622,60 @@ object Similarity {
     * corpus' vector bytes must all but vanish. Returns (centers,
     * codebooks) — the probe needs both; persist them with the index as
     * its identity (they are its model artifact, like SQ's bounds).
+    *
+    * `residual = true` is the paper's full IVFADC: PQ encodes the RESIDUAL
+    * `v − c(v)` instead of `v` (codebooks trained on residuals too), and
+    * the probe adds the cell centroid back before scoring. Residuals
+    * cluster around zero regardless of where cells sit in the space, so
+    * the same code budget quantizes finer — the probe must then be given
+    * the same flag. The residual rides as float32 (the codebook's own
+    * precision) so encode and replay stay engine-exact.
     */
   def writeIvfPqIndex(corpus: DataFrame, path: String,
                       idCol: String, vecCol: String,
                       nCentroids: Int = 16, m: Int = 8, nCodes: Int = 16,
                       centers: Option[Array[Array[Float]]] = None,
-                      codebooks: Option[Array[Array[Array[Float]]]] = None)
+                      codebooks: Option[Array[Array[Array[Float]]]] = None,
+                      residual: Boolean = false)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     val cents: Array[Array[Float]] =
       centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
+    val cellCol = array_min(cellScores(cents, vecCol)).getField("i")
+    val encoded =
+      if (!residual)
+        corpus.select(col(idCol), col(vecCol), cellCol.as("cell"))
+      else
+        corpus.select(col(idCol),
+          zip_with(col(vecCol), element_at(centroidLit(cents), cellCol + 1),
+            (a, b) => a - b).cast("array<float>").as(vecCol),
+          cellCol.as("cell"))
     val books: Array[Array[Array[Float]]] =
-      codebooks.getOrElse(pqTrain(corpus, idCol, vecCol, m, nCodes))
-    corpus.select(col(idCol),
+      codebooks.getOrElse(pqTrain(encoded, idCol, vecCol, m, nCodes,
+        // residual codebooks sample PAST the center rows: a center's own
+        // residual is exactly zero, so the coinciding hash sample would
+        // yield an all-zeros codebook
+        sampleSkip = if (residual) nCentroids else 0))
+    encoded.select(col(idCol),
         pqEncode(col(vecCol), books).as("codes"),
-        array_min(cellScores(cents, vecCol)).getField("i").as("cell"))
+        col("cell"))
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     (cents, books)
   }
 
+  /** The centers matrix as a literal `array<array<double>>` column for
+    * in-plan residual arithmetic (KBs — the same class of literal as the
+    * per-cell [[cellScores]] planes). */
+  private def centroidLit(cents: Array[Array[Float]]) =
+    typedlit(cents.map(_.map(_.toDouble).toSeq).toSeq)
+
   /** Probe a [[writeIvfPqIndex]] store: partition-pruned cell scan, in-plan
-    * PQ reconstruction (centroid lookup per subspace — the ADC decode),
+    * PQ reconstruction (centroid lookup per subspace — the ADC decode;
+    * plus the cell centroid when the index was written `residual = true`),
     * asymmetric cosine re-rank against the raw query. [[ivfSqProbe]]
     * semantics at `m` bytes per corpus vector; SimilaritySpec pins
-    * nProbe == nCentroids ≡ flat [[pqTopK]] row-for-row.
+    * nProbe == nCentroids ≡ flat [[pqTopK]] row-for-row (non-residual)
+    * and exact self-reconstruction of codebook-sampled rows (residual).
     */
   def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                  centers: Array[Array[Float]],
@@ -645,14 +683,19 @@ object Similarity {
                  queries: DataFrame,
                  idCol: String, queryIdCol: String, vecCol: String,
                  k: Int, nProbe: Int = 4,
-                 scoreDigits: Option[Int] = None): DataFrame = {
+                 scoreDigits: Option[Int] = None,
+                 residual: Boolean = false): DataFrame = {
     val probes = probesFor(queries, centers, queryIdCol, vecCol, nProbe)
     val activeCells = probes.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
+    val decoded =
+      if (!residual) pqDecode(col("codes"), codebooks)
+      else zip_with(element_at(centroidLit(centers), col("__cell") + 1),
+        pqDecode(col("codes"), codebooks), (a, b) => a + b)
     val assigned = spark.read.parquet(indexPath)
       .filter(col("cell").isin(activeCells: _*))
       .withColumnRenamed("cell", "__cell")
-      .withColumn(vecCol, pqDecode(col("codes"), codebooks))
+      .withColumn(vecCol, decoded)
       .drop("codes")
     rankCandidates(assigned, probes, idCol, queryIdCol, vecCol, k,
       scoreDigits)

@@ -227,6 +227,25 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
     }),
 
+    // The FULL IVFADC (residual encoding): PQ codes quantize v − c(v)
+    // (codebooks trained on residuals, sampled past the center rows), the
+    // probe adds the cell centroid back before the asymmetric re-rank.
+    // Same code budget as q139, finer quantization — and still fully
+    // SQL-replayed, including the float32 residual round-trip.
+    "q141_ivf_pq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val dir = tempIndexDir("graft-ivfpqr-q141")
+      val (cents, books) = Similarity.writeIvfPqIndex(emb, dir,
+        "vec_id", "embedding", nCentroids = 16, m = 8, nCodes = 16,
+        residual = true)
+      Similarity.ivfPqProbe(s, dir, cents, books, queries,
+          "vec_id", "query_id", "embedding", k = 10, nProbe = 4,
+          scoreDigits = Some(6), residual = true)
+        .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+    }),
+
     // PRODUCT quantization (Jégou et al. 2011 ADC): 8 subspaces × 16
     // hash-sampled codebook entries → 8 small ints per vector (256 B →
     // 8 B), candidates reconstructed in-plan and scored against the raw
@@ -2221,6 +2240,87 @@ object PipelineQueries {
            ORDER BY dm.d) AS dv
          FROM codes k CROSS JOIN dims dm
          GROUP BY k.vec_id),
+       q AS (
+         SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
+       cand AS (
+         SELECT p.query_id, a.vec_id
+         FROM probes p JOIN assigned a ON p.cell = a.cell
+         WHERE a.vec_id <> p.query_id),
+       scored AS (
+         SELECT c.query_id, c.vec_id,
+           round(list_dot_product(e.dv, q.qv)
+             / (sqrt(list_dot_product(e.dv, e.dv))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+         FROM cand c JOIN dec e ON c.vec_id = e.vec_id
+           JOIN q ON c.query_id = q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
+       ORDER BY query_id, cosine DESC, vec_id""",
+    // q139's chain with the residual twist: codes quantize the float32
+    // residual v − c(v), codebooks are the residuals of hash-order rows
+    // 17..32 (skipping the 16 center rows, whose own residuals are zero),
+    // and reconstruction adds the centroid back.
+    "q141_ivf_pq_residual" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+         FROM embeddings),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec, hk
+               FROM corp ORDER BY hk, vec_id LIMIT 16)),
+       cdists AS (
+         SELECT c.vec_id, t.ci,
+           list_dot_product(t.cvec, t.cvec)
+             - 2.0 * list_dot_product(c.v, t.cvec) AS s
+         FROM corp c CROSS JOIN cents t),
+       assigned AS (
+         SELECT vec_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists WHERE vec_id < 5) WHERE rn <= 4),
+       res AS (
+         SELECT c.vec_id, c.hk, a.cell,
+           CAST(CAST(list_transform(generate_series(1, len(c.v)),
+               i -> c.v[i] - t.cvec[i]) AS FLOAT[]) AS DOUBLE[]) AS r
+         FROM corp c JOIN assigned a USING (vec_id)
+           JOIN cents t ON a.cell = t.ci),
+       bsample AS (
+         SELECT r AS bvec, row_number() OVER (ORDER BY hk, vec_id) AS rn
+         FROM (SELECT vec_id, hk, r FROM res ORDER BY hk, vec_id LIMIT 32)),
+       books AS (SELECT bvec, rn - 17 AS bi FROM bsample WHERE rn >= 17),
+       dists AS (
+         SELECT s.vec_id, u.m, b.bi,
+           list_dot_product(b.bvec[u.m*8+1 : u.m*8+8],
+                            b.bvec[u.m*8+1 : u.m*8+8])
+             - 2.0 * list_dot_product(s.r[u.m*8+1 : u.m*8+8],
+                                      b.bvec[u.m*8+1 : u.m*8+8]) AS dd
+         FROM res s
+           CROSS JOIN unnest(generate_series(0, 7)) u(m)
+           CROSS JOIN books b),
+       argm AS (
+         SELECT vec_id, m, bi FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY dd, bi) AS rn
+           FROM dists) WHERE rn = 1),
+       rdec AS (
+         SELECT a.vec_id,
+           flatten(list(b.bvec[a.m*8+1 : a.m*8+8] ORDER BY a.m)) AS rdv
+         FROM argm a JOIN books b ON a.bi = b.bi
+         GROUP BY a.vec_id),
+       dec AS (
+         SELECT d.vec_id, list_transform(generate_series(1, len(t.cvec)),
+             i -> t.cvec[i] + d.rdv[i]) AS dv
+         FROM rdec d JOIN assigned a USING (vec_id)
+           JOIN cents t ON a.cell = t.ci),
        q AS (
          SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 5),
        cand AS (
