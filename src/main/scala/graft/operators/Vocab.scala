@@ -123,12 +123,11 @@ object Vocab {
     * (Sennrich 2016, arXiv:1508.07909 §3.2), so the engine and a SQL
     * oracle replay the training bit-for-bit by construction.
     */
-  private def symbolized(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(explode(filter(
-        split(TextFunctions.normalizeForDedup(col(textCol)), " "),
-        w => length(w) >= 2)).as("__w")) // 1-char words never form pairs
-      .groupBy("__w").agg(count(lit(1)).as("__freq"))
+  private def symbolized(wordCounts: DataFrame, wordCol: String,
+                         freqCol: String): DataFrame =
+    wordCounts
+      .select(col(wordCol).as("__w"), col(freqCol).cast("long").as("__freq"))
+      .filter(length(col("__w")) >= 2) // 1-char words never form pairs
       .select(
         concat(lit("|"),
           array_join(expr(
@@ -136,6 +135,34 @@ object Vocab {
             "||"),
           lit("|")).as("s"),
         col("__freq"))
+
+  /** `(word, freq)` — the corpus's normalized word-type table, BPE
+    * training's entire input state: counts are plain sums, so shards or
+    * waves merge by `groupBy(word).sum(freq)` and training from the
+    * merged table equals the one-shot pass (spec-pinned; the
+    * `trainLabeledCounts` discipline with the corpus vocabulary as the
+    * bucket space). Persist it with [[wordCountsBy]] +
+    * `graft.streaming.StreamingVocab` for incremental accumulation.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(filter(
+        split(TextFunctions.normalizeForDedup(col(textCol)), " "),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Per-group `(groupCol, word, freq)` rows — the fully distributed form
+    * of [[wordCounts]] for partitioned or incremental training; the
+    * streaming drain keys groups by source FILE so replays land
+    * idempotently.
+    */
+  def wordCountsBy(docs: DataFrame, groupCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(groupCol), explode(filter(
+        split(TextFunctions.normalizeForDedup(col(textCol)), " "),
+        w => length(w) > 0)).as("word"))
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("freq"))
 
   /** The round's argmax: adjacent-pair corpus counts over the symbolized
     * word-type table, highest count first, ties on (left, right) so the
@@ -178,9 +205,22 @@ object Vocab {
     */
   def trainBpe(docs: DataFrame, textCol: String, nMerges: Int,
                checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : Seq[BpeMerge] =
+    trainBpeFromCounts(wordCounts(docs, textCol), "word", "freq", nMerges,
+      checkpointer)
+
+  /** [[trainBpe]] from a PERSISTED/merged word-count table ([[wordCounts]]
+    * schema) — the restartable path: accumulate counts incrementally
+    * (`StreamingVocab.trainDrain`), then train the merge table from the
+    * aggregate whenever a new tokenizer epoch is needed, without
+    * re-tokenizing the corpus.
+    */
+  def trainBpeFromCounts(wordCounts: DataFrame, wordCol: String,
+                         freqCol: String, nMerges: Int,
+                         checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
       : Seq[BpeMerge] = {
     require(nMerges > 0, "nMerges must be positive")
-    var cut = checkpointer.cut(symbolized(docs, textCol))
+    var cut = checkpointer.cut(symbolized(wordCounts, wordCol, freqCol))
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     try {
       var r = 1

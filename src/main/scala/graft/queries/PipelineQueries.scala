@@ -759,6 +759,34 @@ object PipelineQueries {
       Vocab.mergesDf(s, merges).orderBy("step")
     }),
 
+    // BPE training from a DRAINED word-count table: the corpus lands in
+    // two parquet waves, each drained into a persisted (src_file, word,
+    // freq) store by the AvailableNow streaming drain, and the merge table
+    // trains from the aggregate WITHOUT re-tokenizing the corpus. Word
+    // counts are plain sums, so the oracle is exactly q137's — the
+    // incremental path must land on the identical merge sequence.
+    "q142_bpe_from_drain" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val root = tempIndexDir("graft-bpedrain-q142")
+      val (src, counts, ckpt) =
+        (root + "/src", root + "/counts", root + "/ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      graft.streaming.StreamingVocab.trainDrain(s, src, counts, ckpt,
+        "text", schema)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      graft.streaming.StreamingVocab.trainDrain(s, src, counts, ckpt,
+        "text", schema)
+      val merges = Vocab.trainBpeFromCounts(
+        graft.streaming.StreamingVocab.loadWordCounts(s, counts),
+        "word", "freq", nMerges = 8)
+      Vocab.mergesDf(s, merges).orderBy("step")
+    }),
+
     // BPE ENCODING with the merge table trained in-query: symbolize each
     // word to chars, apply the 8 learned merges in order, aggregate like
     // q132. Oracle = the q137 training chain + 8 unrolled apply steps over
@@ -2021,6 +2049,13 @@ object PipelineQueries {
        FROM documents d LEFT JOIN agg a USING (doc_id)
        ORDER BY d.doc_id""",
     "q137_bpe_merges" ->
+      s"""WITH ${bpeCtes(8)}
+       SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
+       FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       ORDER BY step""",
+    // incremental accumulate -> train must equal one-shot training: the
+    // oracle is q137's verbatim
+    "q142_bpe_from_drain" ->
       s"""WITH ${bpeCtes(8)}
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
        FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})

@@ -2,6 +2,8 @@ package graft
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.functions.sum
+
 import graft.functions.TextFunctions
 import graft.operators.Vocab
 import graft.operators.Vocab.BpeMerge
@@ -110,6 +112,54 @@ class BpeSpec extends SparkSpec {
       assert(subwords.mkString == TextFunctions.normalizeForDedupJvm(text)
         .split(" ").filter(_.nonEmpty).mkString)
     }
+  }
+
+  test("trainBpeFromCounts over merged shard counts equals one-shot training") {
+    val texts = Seq("low lower lowest aaaa", "low lower xy yx", "aaaa xy yx")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val oneShot = Vocab.trainBpe(docs, "text", nMerges = 6)
+    // shard-wise counts merged by plain summation
+    val merged = (0 until 3).map(i =>
+        Vocab.wordCounts(docs.filter($"doc_id" === i.toLong), "text"))
+      .reduce(_ unionByName _)
+      .groupBy("word").agg(sum($"freq").as("freq"))
+    assert(Vocab.trainBpeFromCounts(merged, "word", "freq", 6) == oneShot)
+  }
+
+  test("StreamingVocab drain accumulates one-shot counts; checkpoint loss cannot double-count") {
+    import org.apache.spark.sql.types._
+    val texts = (1 to 30).map(i => s"banana band bandana split $i") ++
+      (31 to 60).map(i => s"tartan tarpit tar pit $i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("stream_vocab")
+    val src = root.resolve("incoming").toString
+    val counts = root.resolve("counts").toString
+    val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(root.resolve("incoming"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    docs.filter($"doc_id" < 25).write.mode("append").parquet(src)
+    graft.streaming.StreamingVocab.trainDrain(spark, src, counts, ckpt,
+      "text", schema)
+    docs.filter($"doc_id" >= 25).write.mode("append").parquet(src)
+    graft.streaming.StreamingVocab.trainDrain(spark, src, counts, ckpt,
+      "text", schema)
+
+    val loaded = graft.streaming.StreamingVocab.loadWordCounts(spark, counts)
+    val loadedSum = loaded.agg(sum($"freq")).head.getLong(0) // pre-replay
+    val oneShot = Vocab.trainBpe(docs, "text", nMerges = 8)
+    assert(Vocab.trainBpeFromCounts(loaded, "word", "freq", 8) == oneShot)
+
+    // checkpoint loss: a fresh checkpoint replays every file, but the
+    // (src_file, word) key makes the replay land nothing new
+    graft.streaming.StreamingVocab.trainDrain(spark, src, counts,
+      root.resolve("ckpt2").toString, "text", schema)
+    val reloaded = graft.streaming.StreamingVocab.loadWordCounts(spark, counts)
+    assert(Vocab.trainBpeFromCounts(reloaded, "word", "freq", 8) == oneShot)
+    assert(reloaded.agg(sum($"freq")).head.getLong(0) == loadedSum)
   }
 
   // ---- randomized parity ----------------------------------------------
