@@ -267,11 +267,16 @@ object Vocab {
     *
     * `mapPartitions` over the broadcast merge table (same justification as
     * [[encodeGreedy]]: per-word consumption is genuinely imperative, and
-    * the table is catalog-scale KBs). Cost is O(nMerges · len) per word;
-    * for production-sized merge tables (~30k rules) the standard rank-map
-    * optimization (merge the lowest-rank adjacent pair present, repeat —
-    * equivalent because a rule can only reference symbols produced by
-    * earlier rules) drops this to O(len² ) probes with len ≲ 30.
+    * the table is catalog-scale KBs). Cost is O(nMerges · len) per word.
+    * The standard rank-map optimization (merge the lowest-rank adjacent
+    * pair present, repeat — subword-nmt/HF-style) would drop this to
+    * O(len²) probes, but it is NOT exactly equivalent to in-order
+    * application: when two distinct rules produce equal strings (e.g.
+    * "abc" via both (ab, c) and (a, bc)), a later rule can manufacture
+    * the symbol an earlier rule's pair mentions, and min-rank iteration
+    * revisits that earlier rule where the sequential pass (and therefore
+    * the training fixpoint and the SQL oracle) does not. Sequential is
+    * the semantics here — one pass per rule, in learned order.
     */
   def encodeBpe(docs: DataFrame, idCol: String, textCol: String,
                 merges: Seq[BpeMerge]): DataFrame = {
