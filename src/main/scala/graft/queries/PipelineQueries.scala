@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew, Vocab}
+import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew, Unigram, Vocab}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -801,6 +801,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // UNIGRAM-LM tokenizer (Kudo 2018) E-STEP: the seed model's Viterbi
+    // segmentation of every word type, token wins summed over the corpus
+    // weighted by word frequency — the distributed half of hard-EM
+    // training. The oracle unrolls the lattice DP over suffix lengths and
+    // walks the argmax path with a recursive CTE.
+    "q143_unigram_estep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.seedModel(docs, "text", minLen = 2, maxLen = 5,
+        topN = 200)
+      Unigram.viterbiCounts(Vocab.wordCounts(docs, "text"), "word", "freq",
+          model)
+        .orderBy("token")
+    }),
+
+    // UNIGRAM-LM Viterbi ENCODING under the seed model — the apply step:
+    // max-probability segmentation per word (micro-nat integer scores,
+    // deterministic tie rule), aggregated like q132/q138.
+    "q144_unigram_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.seedModel(docs, "text", minLen = 2, maxLen = 5,
+        topN = 200)
+      Unigram.encode(docs.select("doc_id", "text"), "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          array_join(slice(col("subwords"), 1, 20), " ").as("head_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // SPAN-LEVEL decontamination: benchmark snippets (the 12-token prefix
     // of every doc_id % 41 == 0 doc — a planted leaked-question fixture)
     // are excised from the corpus as maximal spans, not doc-level flags:
@@ -1098,6 +1126,79 @@ object PipelineQueries {
          FROM w${r - 1}, m$r m)"""
     }.mkString(",\n", ",\n", "")
     base + rounds
+  }
+
+  /** DuckDB CTE chain for the unigram-LM queries (q143/q144): seed vocab
+    * (top-200 substrings of len 2..5 + ALL single chars) on the micro-nat
+    * grid, then the Viterbi lattice DP unrolled over suffix lengths
+    * 1..`dpLevels` (corpus max word length is 8; 12 is slack — a longer
+    * word would drop out of the DP and fail the row compare LOUDLY), a
+    * per-position argmax with the (score, longer token, lexicographic)
+    * tie rule, and the chosen path rebuilt by a plain recursive walk.
+    * Mirrors `Unigram.seedModel`/`viterbiSegment` exactly.
+    */
+  private def unigramCtes(dpLevels: Int): String = {
+    val base = s"""norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       words0 AS MATERIALIZED (
+         SELECT doc_id, i AS wi, ws[i] AS w
+         FROM norm, unnest(generate_series(1, len(ws))) u(i)
+         WHERE len(ws[i]) > 0),
+       wt AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words0 GROUP BY w),
+       subs AS (
+         SELECT substr(w, p, l) AS token
+         FROM (SELECT w FROM words0),
+           unnest(generate_series(2, 5)) ll(l),
+           unnest(generate_series(1, len(w) - l + 1)) pp(p)
+         WHERE len(w) >= l),
+       scount AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS c
+         FROM subs GROUP BY token),
+       seeds AS (
+         SELECT token, c FROM scount ORDER BY c DESC, token LIMIT 200),
+       chars AS (
+         SELECT substr(w, p, 1) AS token, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT w FROM words0),
+           unnest(generate_series(1, len(w))) pp(p)
+         GROUP BY 1),
+       vocab0 AS (
+         SELECT token, c FROM seeds UNION ALL SELECT token, c FROM chars),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab0),
+       vocab AS MATERIALIZED (
+         SELECT v.token AS t,
+           CAST(floor(1000000.0 * ln(v.c / tot.t)) AS BIGINT) AS wt
+         FROM vocab0 v, tot),
+       b0 AS MATERIALIZED (
+         SELECT w, len(w) + 1 AS pos, CAST(0 AS BIGINT) AS s,
+           CAST(NULL AS VARCHAR) AS tok
+         FROM wt)"""
+    val levels = (1 to dpLevels).map { i =>
+      s"""b$i AS MATERIALIZED (
+         SELECT * FROM b${i - 1}
+         UNION ALL
+         SELECT w, pos, s, tok FROM (
+           SELECT n.w, n.pos, v.wt + b.s AS s, v.t AS tok,
+             row_number() OVER (PARTITION BY n.w, n.pos
+               ORDER BY v.wt + b.s DESC, len(v.t) DESC, v.t) AS rn
+           FROM (SELECT w, len(w) - $i + 1 AS pos FROM wt
+                 WHERE len(w) >= $i) n
+             JOIN vocab v ON len(v.t) <= $i
+               AND v.t = substr(n.w, n.pos, len(v.t))
+             JOIN b${i - 1} b ON b.w = n.w AND b.pos = n.pos + len(v.t)
+         ) WHERE rn = 1)"""
+    }.mkString(",\n", ",\n", "")
+    val tail = s""",
+       choices AS MATERIALIZED (
+         SELECT w, pos, tok FROM b$dpLevels WHERE tok IS NOT NULL),
+       walk(w, pos, tok) AS (
+         SELECT w, pos, tok FROM choices WHERE pos = 1
+         UNION ALL
+         SELECT c.w, c.pos, c.tok
+         FROM walk k JOIN choices c
+           ON c.w = k.w AND c.pos = k.pos + len(k.tok))"""
+    base + levels + tail
   }
 
   /** Shared CTE prefix of the q114/q115 span-dedup oracles: planted-copy
@@ -2053,6 +2154,33 @@ object PipelineQueries {
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
        FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
        ORDER BY step""",
+    // seed vocab + unrolled Viterbi lattice + recursive path walk; counts
+    // = wins per token weighted by word-type frequency
+    "q143_unigram_estep" ->
+      s"""WITH RECURSIVE ${unigramCtes(12)}
+       SELECT k.tok AS token, CAST(sum(t.freq) AS BIGINT) AS count
+       FROM walk k JOIN wt t USING (w)
+       GROUP BY k.tok ORDER BY token""",
+    // the same lattice walk joined back to per-doc word positions; q138's
+    // aggregation tail
+    "q144_unigram_encode" ->
+      s"""WITH RECURSIVE ${unigramCtes(12)},
+       toks AS (
+         SELECT d.doc_id, d.wi, k.pos, k.tok
+         FROM words0 d JOIN walk k USING (w)),
+       ord AS (
+         SELECT doc_id, tok, row_number() OVER (
+           PARTITION BY doc_id ORDER BY wi, pos) AS rn
+         FROM toks),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+           string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
+             AS head_subwords
+         FROM ord GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+         coalesce(a.head_subwords, '') AS head_subwords
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id""",
     // incremental accumulate -> train must equal one-shot training: the
     // oracle is q137's verbatim
     "q142_bpe_from_drain" ->
