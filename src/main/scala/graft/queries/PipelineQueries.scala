@@ -829,6 +829,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // A FULL unigram hard-EM round oracled: seed E-step counts → M-step
+    // renormalize + prune (zero-win tokens drop, single chars floor at
+    // count 1) → E-step again under the new model. The oracle runs the
+    // lattice DP twice (seed vocab, then the renormalized one).
+    "q145_unigram_em_round" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wc = Vocab.wordCounts(docs, "text")
+      val m0 = Unigram.seedModel(docs, "text", minLen = 2, maxLen = 5,
+        topN = 200)
+      val m1 = Unigram.emRound(wc, "word", "freq", m0)
+      Unigram.viterbiCounts(wc, "word", "freq", m1).orderBy("token")
+    }),
+
     // SPAN-LEVEL decontamination: benchmark snippets (the 12-token prefix
     // of every doc_id % 41 == 0 doc — a planted leaked-question fixture)
     // are excised from the corpus as maximal spans, not doc-level flags:
@@ -1169,14 +1182,26 @@ object PipelineQueries {
        vocab AS MATERIALIZED (
          SELECT v.token AS t,
            CAST(floor(1000000.0 * ln(v.c / tot.t)) AS BIGINT) AS wt
-         FROM vocab0 v, tot),
-       b0 AS MATERIALIZED (
+         FROM vocab0 v, tot)"""
+    base + unigramDpCtes("vocab", "", dpLevels)
+  }
+
+  /** The Viterbi lattice DP + path walk over `wt`, parameterized by the
+    * vocab CTE (so an EM round can re-run it under a renormalized model,
+    * q145) and a table-name prefix. Each level is MATERIALIZED — plain
+    * chained CTEs re-execute their predecessor per reference, which is
+    * exponential in levels under DuckDB's default inlining.
+    */
+  private def unigramDpCtes(vocabCte: String, p: String,
+                            dpLevels: Int): String = {
+    val b0 = s""",
+       ${p}b0 AS MATERIALIZED (
          SELECT w, len(w) + 1 AS pos, CAST(0 AS BIGINT) AS s,
            CAST(NULL AS VARCHAR) AS tok
          FROM wt)"""
     val levels = (1 to dpLevels).map { i =>
-      s"""b$i AS MATERIALIZED (
-         SELECT * FROM b${i - 1}
+      s"""${p}b$i AS MATERIALIZED (
+         SELECT * FROM ${p}b${i - 1}
          UNION ALL
          SELECT w, pos, s, tok FROM (
            SELECT n.w, n.pos, v.wt + b.s AS s, v.t AS tok,
@@ -1184,21 +1209,21 @@ object PipelineQueries {
                ORDER BY v.wt + b.s DESC, len(v.t) DESC, v.t) AS rn
            FROM (SELECT w, len(w) - $i + 1 AS pos FROM wt
                  WHERE len(w) >= $i) n
-             JOIN vocab v ON len(v.t) <= $i
+             JOIN $vocabCte v ON len(v.t) <= $i
                AND v.t = substr(n.w, n.pos, len(v.t))
-             JOIN b${i - 1} b ON b.w = n.w AND b.pos = n.pos + len(v.t)
+             JOIN ${p}b${i - 1} b ON b.w = n.w AND b.pos = n.pos + len(v.t)
          ) WHERE rn = 1)"""
     }.mkString(",\n", ",\n", "")
     val tail = s""",
-       choices AS MATERIALIZED (
-         SELECT w, pos, tok FROM b$dpLevels WHERE tok IS NOT NULL),
-       walk(w, pos, tok) AS (
-         SELECT w, pos, tok FROM choices WHERE pos = 1
+       ${p}choices AS MATERIALIZED (
+         SELECT w, pos, tok FROM ${p}b$dpLevels WHERE tok IS NOT NULL),
+       ${p}walk(w, pos, tok) AS (
+         SELECT w, pos, tok FROM ${p}choices WHERE pos = 1
          UNION ALL
          SELECT c.w, c.pos, c.tok
-         FROM walk k JOIN choices c
+         FROM ${p}walk k JOIN ${p}choices c
            ON c.w = k.w AND c.pos = k.pos + len(k.tok))"""
-    base + levels + tail
+    b0 + levels + tail
   }
 
   /** Shared CTE prefix of the q114/q115 span-dedup oracles: planted-copy
@@ -2154,6 +2179,27 @@ object PipelineQueries {
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
        FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
        ORDER BY step""",
+    // seed DP (walk) -> counts1 -> renormalized vocab2 (prune + char
+    // floor) -> second DP (r-prefixed tables) -> final counts
+    "q145_unigram_em_round" ->
+      s"""WITH RECURSIVE ${unigramCtes(12)},
+       counts1 AS MATERIALIZED (
+         SELECT k.tok AS t, CAST(sum(t2.freq) AS BIGINT) AS c
+         FROM walk k JOIN wt t2 USING (w)
+         GROUP BY k.tok),
+       v2raw AS (
+         SELECT v.t AS token,
+           CASE WHEN coalesce(c1.c, 0) > 0 THEN c1.c ELSE 1 END AS c
+         FROM vocab v LEFT JOIN counts1 c1 ON v.t = c1.t
+         WHERE coalesce(c1.c, 0) > 0 OR len(v.t) = 1),
+       tot2 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM v2raw),
+       vocab2 AS MATERIALIZED (
+         SELECT v.token AS t,
+           CAST(floor(1000000.0 * ln(v.c / tot2.t)) AS BIGINT) AS wt
+         FROM v2raw v, tot2)${unigramDpCtes("vocab2", "r", 12)}
+       SELECT k.tok AS token, CAST(sum(t2.freq) AS BIGINT) AS count
+       FROM rwalk k JOIN wt t2 USING (w)
+       GROUP BY k.tok ORDER BY token""",
     // seed vocab + unrolled Viterbi lattice + recursive path walk; counts
     // = wins per token weighted by word-type frequency
     "q143_unigram_estep" ->
