@@ -51,4 +51,38 @@ object StreamingVocab {
       .map(_.groupBy("word").agg(sum(col("freq")).as("freq")))
       .getOrElse(spark.emptyDataFrame
         .select(lit("").as("word"), lit(0L).as("freq")).limit(0))
+
+  /** TOKENIZE-the-backlog drain — the [[StreamingDsir.drain]] shape
+    * applied to the tokenizer: newly-landed document files are encoded
+    * under a PINNED merge table and appended to a persisted tokens store
+    * `(idCol, subwords, n_subwords)` idempotently keyed on the doc id.
+    * The merge table is the store's IDENTITY (tokens under different
+    * merges are not comparable — retraining means re-draining from
+    * scratch, same contract as the DSIR score table's pinned weights);
+    * encoding is a pure per-document function, so the streamed result is
+    * batch-split-invariant by construction (spec pins drained ≡ one-shot
+    * anyway).
+    */
+  def encodeDrain(spark: SparkSession, sourceDir: String, tokensDir: String,
+                  checkpointDir: String, idCol: String, textCol: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  merges: Seq[Vocab.BpeMerge]): Unit = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(sourceDir)
+    val query = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enc = Vocab.encodeBpe(batch.select(col(idCol), col(textCol)),
+            idCol, textCol, merges)
+          .select(col(idCol), col("subwords"),
+            size(col("subwords")).cast("long").as("n_subwords"))
+        Populate.appendIdempotent(enc, tokensDir, Seq(idCol))
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
 }

@@ -162,6 +162,43 @@ class BpeSpec extends SparkSpec {
     assert(reloaded.agg(sum($"freq")).head.getLong(0) == loadedSum)
   }
 
+  test("encodeDrain tokenizes waves under pinned merges; re-drain is a no-op") {
+    import org.apache.spark.sql.types._
+    val texts = (1 to 30).map(i => s"banana band bandana split $i") ++
+      (31 to 60).map(i => s"tartan tarpit tar pit $i")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Vocab.trainBpe(docs, "text", nMerges = 6)
+    val root = java.nio.file.Files.createTempDirectory("stream_encode")
+    val src = root.resolve("incoming").toString
+    val tokens = root.resolve("tokens").toString
+    val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(root.resolve("incoming"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    docs.filter($"doc_id" < 25).write.mode("append").parquet(src)
+    graft.streaming.StreamingVocab.encodeDrain(spark, src, tokens, ckpt,
+      "doc_id", "text", schema, merges)
+    assert(spark.read.parquet(tokens).count() == 25)
+    docs.filter($"doc_id" >= 25).write.mode("append").parquet(src)
+    graft.streaming.StreamingVocab.encodeDrain(spark, src, tokens, ckpt,
+      "doc_id", "text", schema, merges)
+
+    val streamed = spark.read.parquet(tokens)
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[String](1).toList, r.getLong(2)))).toMap
+    val oneShot = Vocab.encodeBpe(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[String](2).toList, r.getSeq[String](2).size.toLong))).toMap
+    assert(streamed == oneShot)
+
+    // re-drain with nothing new: the tokens table does not grow
+    graft.streaming.StreamingVocab.encodeDrain(spark, src, tokens, ckpt,
+      "doc_id", "text", schema, merges)
+    assert(spark.read.parquet(tokens).count() == 60)
+  }
+
   // ---- randomized parity ----------------------------------------------
 
   test("trainBpe + encodeBpe parity with reference on random corpora") {
