@@ -842,6 +842,20 @@ object PipelineQueries {
       Unigram.viterbiCounts(wc, "word", "freq", m1).orderBy("token")
     }),
 
+    // Viterbi encoding under the TRAINED (one-EM-round) model — the
+    // apply step production actually ships: prune reshapes the lattice,
+    // so segmentations differ from the seed model's (q144).
+    "q146_unigram_encode_trained" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = Unigram.train(docs, "text", rounds = 1, minLen = 2,
+        maxLen = 5, topN = 200)
+      Unigram.encode(docs.select("doc_id", "text"), "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          array_join(slice(col("subwords"), 1, 20), " ").as("head_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // SPAN-LEVEL decontamination: benchmark snippets (the 12-token prefix
     // of every doc_id % 41 == 0 doc — a planted leaked-question fixture)
     // are excised from the corpus as maximal spans, not doc-level flags:
@@ -2200,6 +2214,39 @@ object PipelineQueries {
        SELECT k.tok AS token, CAST(sum(t2.freq) AS BIGINT) AS count
        FROM rwalk k JOIN wt t2 USING (w)
        GROUP BY k.tok ORDER BY token""",
+    // q145's renormalized-model DP (rwalk) + q144's per-doc aggregation
+    "q146_unigram_encode_trained" ->
+      s"""WITH RECURSIVE ${unigramCtes(12)},
+       counts1 AS MATERIALIZED (
+         SELECT k.tok AS t, CAST(sum(t2.freq) AS BIGINT) AS c
+         FROM walk k JOIN wt t2 USING (w)
+         GROUP BY k.tok),
+       v2raw AS (
+         SELECT v.t AS token,
+           CASE WHEN coalesce(c1.c, 0) > 0 THEN c1.c ELSE 1 END AS c
+         FROM vocab v LEFT JOIN counts1 c1 ON v.t = c1.t
+         WHERE coalesce(c1.c, 0) > 0 OR len(v.t) = 1),
+       tot2 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM v2raw),
+       vocab2 AS MATERIALIZED (
+         SELECT v.token AS t,
+           CAST(floor(1000000.0 * ln(v.c / tot2.t)) AS BIGINT) AS wt
+         FROM v2raw v, tot2)${unigramDpCtes("vocab2", "r", 12)},
+       toks AS (
+         SELECT d.doc_id, d.wi, k.pos, k.tok
+         FROM words0 d JOIN rwalk k USING (w)),
+       ord AS (
+         SELECT doc_id, tok, row_number() OVER (
+           PARTITION BY doc_id ORDER BY wi, pos) AS rn
+         FROM toks),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+           string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
+             AS head_subwords
+         FROM ord GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+         coalesce(a.head_subwords, '') AS head_subwords
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id""",
     // seed vocab + unrolled Viterbi lattice + recursive path walk; counts
     // = wins per token weighted by word-type frequency
     "q143_unigram_estep" ->
