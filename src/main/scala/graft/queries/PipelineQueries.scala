@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew, Unigram, Vocab}
+import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew, Unigram, Vocab, Wordpiece}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -801,6 +801,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // WordPiece merge-rule TRAINING (Schuster & Nakajima 2012): 8 rounds of
+    // likelihood-scored argmax (count(pair)/(count(l)·count(r)) — exact
+    // BIGINT counts, one IEEE multiply+divide, so the ordering is
+    // engine-identical with no libm involved) over the ##-marked word-type
+    // table. Fully-merged words stay in the unit-count denominators. The
+    // oracle unrolls all 8 rounds as a CTE chain like q137's.
+    "q147_wordpiece_merges" -> ((s, d) => {
+      val merges = Wordpiece.train(Tables.documents(s, d), "text", nMerges = 8)
+      Wordpiece.mergesDf(s, merges).orderBy("step")
+    }),
+
+    // WordPiece ENCODING: greedy longest-match against the trained
+    // vocabulary (alphabet + one unit per merge), word-initial vs ##
+    // continuation identities, whole-word [UNK] collapse. Oracle = the
+    // q147 training chain + a recursive greedy-consumption CTE (q132's
+    // shape with the ## position rule).
+    "q148_wordpiece_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wc = Vocab.wordCounts(docs, "text")
+      val merges = Wordpiece.trainFromCounts(wc, "word", "freq", nMerges = 8)
+      val vocab = Wordpiece.vocabulary(wc, "word", merges)
+      Wordpiece.encode(docs.select("doc_id", "text"), "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          array_join(slice(col("subwords"), 1, 20), " ").as("head_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // UNIGRAM-LM tokenizer (Kudo 2018) E-STEP: the seed model's Viterbi
     // segmentation of every word type, token wins summed over the corpus
     // weighted by word frequency — the distributed half of hard-EM
@@ -1150,6 +1178,58 @@ object PipelineQueries {
        w$r AS (
          SELECT replace(s, '|' || m.l || '||' || m.r2 || '|',
              '|' || m.l || m.r2 || '|') AS s, freq
+         FROM w${r - 1}, m$r m)"""
+    }.mkString(",\n", ",\n", "")
+    base + rounds
+  }
+
+  /** DuckDB CTE chain replaying `nRounds` of WordPiece training
+    * (q147/q148): `w0` symbolizes each word type with the `##` continuation
+    * marking (`abc` → `|a||##b||##c|`, ALL word types kept — 1-char words
+    * and fully-merged words still feed the unit-count denominators). Round
+    * r = unit counts (`u_r`) + adjacent-pair counts (`p_r`) → argmax on the
+    * likelihood score `c/(cl·cr)` as one IEEE double multiply+divide over
+    * exact BIGINTs (ties on the pair) → literal-replace apply fusing
+    * `l + strip##(r)` (`w_r`). Same replace semantics argument as
+    * [[bpeCtes]].
+    */
+  private def wpCtes(nRounds: Int): String = {
+    val base = s"""norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       wt AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(ws) AS w FROM norm)
+         WHERE len(w) > 0 GROUP BY w),
+       w0 AS MATERIALIZED (
+         SELECT '|' || array_to_string(list_transform(
+             generate_series(1, len(w)), i -> CASE WHEN i = 1
+               THEN substr(w, 1, 1) ELSE '##' || substr(w, i, 1) END), '||')
+           || '|' AS s, freq
+         FROM wt)"""
+    val rounds = (1 to nRounds).map { r =>
+      s"""u$r AS (
+         SELECT u, CAST(sum(freq) AS BIGINT) AS uc
+         FROM (SELECT unnest(string_split(trim(s, '|'), '||')) AS u, freq
+               FROM w${r - 1})
+         GROUP BY u),
+       p$r AS (
+         SELECT t[i] AS l, t[i+1] AS r2, CAST(sum(freq) AS BIGINT) AS c
+         FROM (SELECT string_split(trim(s, '|'), '||') AS t, freq
+               FROM w${r - 1}),
+           unnest(generate_series(1, len(t) - 1)) uu(i)
+         GROUP BY 1, 2),
+       m$r AS MATERIALIZED (
+         SELECT $r AS step, p.l, p.r2, p.c, cl.uc AS cl, cr.uc AS cr
+         FROM p$r p JOIN u$r cl ON cl.u = p.l JOIN u$r cr ON cr.u = p.r2
+         ORDER BY CAST(p.c AS DOUBLE) /
+             (CAST(cl.uc AS DOUBLE) * CAST(cr.uc AS DOUBLE)) DESC,
+           p.l, p.r2
+         LIMIT 1),
+       w$r AS MATERIALIZED (
+         SELECT replace(s, '|' || m.l || '||' || m.r2 || '|',
+             '|' || m.l || CASE WHEN m.r2 LIKE '##%' THEN substr(m.r2, 3)
+               ELSE m.r2 END || '|') AS s, freq
          FROM w${r - 1}, m$r m)"""
     }.mkString(",\n", ",\n", "")
     base + rounds
@@ -2137,10 +2217,13 @@ object PipelineQueries {
          SELECT token, count FROM counts
          ORDER BY count DESC, token LIMIT 200)
        SELECT token, count FROM top ORDER BY token""",
-    // Greedy longest-match consumption replayed as a recursive CTE: each
-    // step takes the longest vocab token matching at pos (unique per
-    // length), else the single-char unknown; tokens ordered by (word,
-    // step) rebuild the stream.
+    // Greedy longest-match consumption replayed per WORD TYPE: a
+    // MATERIALIZED (word, pos) → longest-matching-token table (plain join
+    // + window — a correlated scalar subquery inside the recursion is
+    // evaluated nondeterministically by multithreaded DuckDB, caught on
+    // q148), then a recursive walk that only joins it; the single-char
+    // unknown is the join-miss fallback. Tokens ordered by (word, step)
+    // rebuild the stream via the doc→word join.
     "q132_subword_encode" ->
       s"""WITH RECURSIVE norm AS (
          SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
@@ -2149,6 +2232,8 @@ object PipelineQueries {
          SELECT doc_id, i AS wi, ws[i] AS w
          FROM norm, unnest(generate_series(1, len(ws))) u(i)
          WHERE len(ws[i]) > 0),
+       wt AS MATERIALIZED (
+         SELECT DISTINCT w FROM words0),
        subs AS (
          SELECT substr(w, p, l) AS token
          FROM words0,
@@ -2160,25 +2245,103 @@ object PipelineQueries {
          FROM subs GROUP BY token),
        vocab AS (
          SELECT token FROM counts ORDER BY c DESC, token LIMIT 200),
-       steps AS (
-         SELECT doc_id, wi, w, 1 AS pos, CAST(NULL AS VARCHAR) AS tok,
-           0 AS n
-         FROM words0
+       best AS MATERIALIZED (
+         SELECT w, pos, tok FROM (
+           SELECT p.w, p.pos, v.token AS tok,
+             row_number() OVER (PARTITION BY p.w, p.pos
+               ORDER BY len(v.token) DESC) AS rn
+           FROM (SELECT w, i AS pos
+                 FROM wt, unnest(generate_series(1, len(w))) pp(i)) p
+             JOIN vocab v ON len(v.token) <= len(p.w) - p.pos + 1
+               AND v.token = substr(p.w, p.pos, len(v.token))
+         ) WHERE rn = 1),
+       steps(w, pos, tok, n) AS (
+         SELECT w, 1, CAST(NULL AS VARCHAR), 0 FROM wt
          UNION ALL
-         SELECT doc_id, wi, w, pos + len(tok) AS pos, tok, n + 1
-         FROM (
-           SELECT s.doc_id, s.wi, s.w, s.pos, s.n,
-             coalesce(
-               (SELECT v.token FROM vocab v
-                WHERE len(v.token) <= len(s.w) - s.pos + 1
-                  AND v.token = substr(s.w, s.pos, len(v.token))
-                ORDER BY len(v.token) DESC LIMIT 1),
-               substr(s.w, s.pos, 1)) AS tok
-           FROM steps s WHERE s.pos <= len(s.w)) t),
+         SELECT s.w, s.pos + len(coalesce(b.tok, substr(s.w, s.pos, 1))),
+           coalesce(b.tok, substr(s.w, s.pos, 1)), s.n + 1
+         FROM steps s LEFT JOIN best b ON b.w = s.w AND b.pos = s.pos
+         WHERE s.pos <= len(s.w)),
+       wtoks AS MATERIALIZED (
+         SELECT w, n, tok FROM steps WHERE tok IS NOT NULL),
        ord AS (
-         SELECT doc_id, tok, row_number() OVER (
-           PARTITION BY doc_id ORDER BY wi, n) AS rn
-         FROM steps WHERE tok IS NOT NULL),
+         SELECT d.doc_id, t.tok, row_number() OVER (
+           PARTITION BY d.doc_id ORDER BY d.wi, t.n) AS rn
+         FROM words0 d JOIN wtoks t USING (w)),
+       agg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+           string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
+             AS head_subwords
+         FROM ord GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+         coalesce(a.head_subwords, '') AS head_subwords
+       FROM documents d LEFT JOIN agg a USING (doc_id)
+       ORDER BY d.doc_id""",
+    "q147_wordpiece_merges" ->
+      s"""WITH ${wpCtes(8)}
+       SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count,
+         cl AS left_count, cr AS right_count
+       FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       ORDER BY step""",
+    // q147's training chain + vocabulary (alphabet ∪ merge units) + the
+    // recursive greedy walk: word-initial positions match non-## units,
+    // later positions ## units (advance = surface length covered); a
+    // position with no match marks the word, which collapses to [UNK].
+    "q148_wordpiece_encode" ->
+      s"""WITH RECURSIVE ${wpCtes(8)},
+       alpha AS (
+         SELECT DISTINCT CASE WHEN i = 1 THEN substr(w, 1, 1)
+           ELSE '##' || substr(w, i, 1) END AS u
+         FROM wt, unnest(generate_series(1, len(w))) pp(i)),
+       vunits AS MATERIALIZED (
+         SELECT u FROM alpha
+         UNION
+         SELECT m.l || CASE WHEN m.r2 LIKE '##%' THEN substr(m.r2, 3)
+           ELSE m.r2 END AS u
+         FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")}) m),
+       dwords AS (
+         SELECT doc_id, i AS wi, ws[i] AS w
+         FROM norm, unnest(generate_series(1, len(ws))) uw(i)
+         WHERE len(ws[i]) > 0),
+       best AS MATERIALIZED (
+         SELECT w, pos, tok, adv FROM (
+           SELECT p.w, p.pos, v.u AS tok,
+             CASE WHEN p.pos = 1 THEN len(v.u) ELSE len(v.u) - 2 END AS adv,
+             row_number() OVER (PARTITION BY p.w, p.pos
+               ORDER BY len(v.u) DESC) AS rn
+           FROM (SELECT w, i AS pos
+                 FROM wt, unnest(generate_series(1, len(w))) pp(i)) p
+             JOIN vunits v ON CASE WHEN p.pos = 1
+               THEN v.u NOT LIKE '##%'
+                 AND len(v.u) <= len(p.w) - p.pos + 1
+                 AND v.u = substr(p.w, p.pos, len(v.u))
+               ELSE v.u LIKE '##%'
+                 AND len(v.u) - 2 BETWEEN 1 AND len(p.w) - p.pos + 1
+                 AND substr(v.u, 3) = substr(p.w, p.pos, len(v.u) - 2)
+               END
+         ) WHERE rn = 1),
+       steps(w, pos, tok, n) AS (
+         SELECT w, 1, CAST(NULL AS VARCHAR), 0 FROM wt
+         UNION ALL
+         SELECT s.w, s.pos + coalesce(b.adv, 1),
+           coalesce(b.tok, '[FAIL]'), s.n + 1
+         FROM steps s LEFT JOIN best b ON b.w = s.w AND b.pos = s.pos
+         WHERE s.pos <= len(s.w)),
+       toks AS MATERIALIZED (
+         SELECT w, n, tok FROM steps WHERE tok IS NOT NULL),
+       wtoks AS MATERIALIZED (
+         SELECT w, n, CASE WHEN bad = 1 THEN '[UNK]' ELSE tok END AS tok
+         FROM (
+           SELECT w, n, tok,
+             max(CASE WHEN tok = '[FAIL]' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY w) AS bad,
+             row_number() OVER (PARTITION BY w ORDER BY n) AS rwn
+           FROM toks)
+         WHERE bad = 0 OR rwn = 1),
+       ord AS (
+         SELECT d.doc_id, t.tok, row_number() OVER (
+           PARTITION BY d.doc_id ORDER BY d.wi, t.n) AS rn
+         FROM dwords d JOIN wtoks t USING (w)),
        agg AS (
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
            string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
