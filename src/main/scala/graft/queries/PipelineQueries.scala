@@ -1,11 +1,12 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Dsir, QualityFilter, Sampling, Similarity, Sketch, Skew, Unigram, Vocab, Wordpiece}
+import graft.operators.{Dedup, Dsir, QualityFilter, Retrieval, Sampling, Similarity, Sketch, Skew, Unigram, Vocab, Wordpiece}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -799,6 +800,67 @@ object PipelineQueries {
           size(col("subwords")).cast("long").as("n_subwords"),
           array_join(slice(col("subwords"), 1, 20), " ").as("head_subwords"))
         .orderBy("doc_id")
+    }),
+
+    // Okapi BM25 top-10 per query — sparse lexical retrieval: one corpus
+    // tokenize pass, postings broadcast-restricted to the query terms, IDF
+    // micro-snapped off the one ln() call, per-(doc,term) contributions
+    // floored then BIGINT-summed (order-independent). Candidates = docs
+    // sharing ≥1 term; ranks tie on doc_id.
+    "q149_bm25_topk" -> ((s, d) => {
+      val qs = s.createDataFrame(Seq(
+        (1L, "hash join merge batch"), (2L, "window agg stream"),
+        (3L, "fast scan filter column"), (4L, "vector sort query table")))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text", qs,
+          "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·idf_micro
+    // (ties on the term), idf = ln(N/df) on the micro grid.
+    "q150_tfidf_keywords" -> ((s, d) => {
+      Retrieval.tfidfKeywords(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Hybrid retrieval: BM25 (query = the doc's own text) fused with exact
+    // dense cosine (query = the doc's embedding; vec_id aligns with
+    // doc_id) by reciprocal-rank fusion — the pure-integer 10⁹ div (60+r)
+    // reciprocal, so the fusion needs no float compare at all.
+    "q151_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qids = Seq(3L, 57L, 120L, 311L)
+      val qdocs = docs.filter(col("doc_id").isin(qids: _*))
+        .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+      val sparse = Retrieval.bm25TopK(docs, "doc_id", "text", qdocs,
+        "query_id", "qtext", k = 20)
+      val qvecs = emb.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(emb, qvecs, "vec_id", "query_id",
+          "embedding", k = 20, scoreDigits = Some(6))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      Retrieval.hybridRrf(Seq(
+          sparse.select("query_id", "doc_id", "rank"),
+          dense.select(col("query_id"), col("vec_id").as("doc_id"),
+            col("rank"))),
+        "query_id", "doc_id", "rank", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Exact phrase search over the positional posting index (overlapping
+    // matches count). The oracle is an INDEPENDENT formulation — a
+    // token-array slice compare per position — so the posting-join shape
+    // is checked against different semantics, not a mirror.
+    "q152_phrase_search" -> ((s, d) => {
+      val phrases = s.createDataFrame(Seq(
+        (1L, "hash join"), (2L, "slow fast"), (3L, "window agg row"),
+        (4L, "the table"))).toDF("query_id", "phrase")
+      Retrieval.phraseSearch(Tables.documents(s, d), "doc_id", "text",
+          phrases, "query_id", "phrase")
+        .orderBy("query_id", "doc_id")
     }),
 
     // WordPiece merge-rule TRAINING (Schuster & Nakajima 2012): 8 rounds of
@@ -2277,6 +2339,213 @@ object PipelineQueries {
          coalesce(a.head_subwords, '') AS head_subwords
        FROM documents d LEFT JOIN agg a USING (doc_id)
        ORDER BY d.doc_id""",
+    // BM25: every float expression replays the engine's literals and
+    // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
+    // decimals as exact DECIMAL); idf micro-snapped off the one ln();
+    // per-(doc,term) floors then BIGINT sums.
+    "q149_bm25_topk" ->
+      s"""WITH qs(query_id, qtext) AS (
+         VALUES (CAST(1 AS BIGINT), 'hash join merge batch'),
+           (CAST(2 AS BIGINT), 'window agg stream'),
+           (CAST(3 AS BIGINT), 'fast scan filter column'),
+           (CAST(4 AS BIGINT), 'vector sort query table')),
+       norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       toks AS (
+         SELECT doc_id, w
+         FROM (SELECT doc_id, unnest(ws) AS w FROM norm) WHERE len(w) > 0),
+       dl AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY doc_id),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS tot
+         FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+       qterms AS (
+         SELECT DISTINCT query_id, w
+         FROM (SELECT query_id,
+                 unnest(regexp_split_to_array(${normSql("qtext")}, ' ')) AS w
+               FROM qs)
+         WHERE len(w) > 0),
+       tf AS (
+         SELECT t.w, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+         FROM toks t JOIN (SELECT DISTINCT w FROM qterms) q USING (w)
+         GROUP BY 1, 2),
+       idf AS (
+         SELECT w, CAST(floor(CAST(1000000.0 AS DOUBLE) *
+             ln(CAST(1.0 AS DOUBLE) +
+               (CAST(s.n - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+               (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))) AS BIGINT)
+           AS idf_micro
+         FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY w) f, stats s),
+       contrib AS (
+         SELECT tf.w, tf.doc_id,
+           CAST(floor(CAST(i.idf_micro AS DOUBLE) *
+             (CAST(tf.tf AS DOUBLE) *
+               (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+               (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) /
+                 (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+             AS BIGINT) AS contrib
+         FROM tf JOIN idf i USING (w) JOIN dl USING (doc_id), stats s),
+       scores AS (
+         SELECT q.query_id, c.doc_id,
+           CAST(sum(c.contrib) AS BIGINT) AS score_micro
+         FROM qterms q JOIN contrib c USING (w)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+         FROM scores)
+       SELECT query_id, CAST(rn AS BIGINT) AS "rank", doc_id, score_micro
+       FROM ranked WHERE rn <= 10 ORDER BY query_id, "rank"""",
+    "q150_tfidf_keywords" ->
+      s"""WITH norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       toks AS (
+         SELECT doc_id, w
+         FROM (SELECT doc_id, unnest(ws) AS w FROM norm) WHERE len(w) > 0),
+       tf AS (
+         SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         FROM toks GROUP BY 1, 2),
+       dfc AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       idf AS (
+         SELECT w, CAST(floor(CAST(1000000.0 AS DOUBLE) *
+             ln(CAST(nn.n AS DOUBLE) / CAST(dfc.df AS DOUBLE))) AS BIGINT)
+           AS idf_micro
+         FROM dfc, nn),
+       scored AS (
+         SELECT tf.doc_id, tf.w, tf.tf * i.idf_micro AS tfidf_micro
+         FROM tf JOIN idf i USING (w)),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf_micro DESC, w) AS rn
+         FROM scored)
+       SELECT doc_id, CAST(rn AS BIGINT) AS "rank", w AS term, tfidf_micro
+       FROM ranked WHERE rn <= 3 ORDER BY doc_id, "rank"""",
+    // Sparse chain = q149's with the query docs' own text (k=20); dense
+    // chain = q69's rounded-cosine ranking (k=20); fusion is pure-integer
+    // 10⁹ // (60 + rank) summed per (query, doc).
+    "q151_hybrid_rrf" ->
+      s"""WITH qs AS (
+         SELECT doc_id AS query_id, text AS qtext FROM documents
+         WHERE doc_id IN (3, 57, 120, 311)),
+       norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       toks AS (
+         SELECT doc_id, w
+         FROM (SELECT doc_id, unnest(ws) AS w FROM norm) WHERE len(w) > 0),
+       dl AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY doc_id),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS tot
+         FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+       qterms AS (
+         SELECT DISTINCT query_id, w
+         FROM (SELECT query_id,
+                 unnest(regexp_split_to_array(${normSql("qtext")}, ' ')) AS w
+               FROM qs)
+         WHERE len(w) > 0),
+       tf AS (
+         SELECT t.w, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+         FROM toks t JOIN (SELECT DISTINCT w FROM qterms) q USING (w)
+         GROUP BY 1, 2),
+       idf AS (
+         SELECT w, CAST(floor(CAST(1000000.0 AS DOUBLE) *
+             ln(CAST(1.0 AS DOUBLE) +
+               (CAST(s.n - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+               (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))) AS BIGINT)
+           AS idf_micro
+         FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY w) f, stats s),
+       contrib AS (
+         SELECT tf.w, tf.doc_id,
+           CAST(floor(CAST(i.idf_micro AS DOUBLE) *
+             (CAST(tf.tf AS DOUBLE) *
+               (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+               (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) /
+                 (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+             AS BIGINT) AS contrib
+         FROM tf JOIN idf i USING (w) JOIN dl USING (doc_id), stats s),
+       scores AS (
+         SELECT q.query_id, c.doc_id,
+           CAST(sum(c.contrib) AS BIGINT) AS score_micro
+         FROM qterms q JOIN contrib c USING (w)
+         GROUP BY 1, 2),
+       stop AS (
+         SELECT query_id, doc_id, rn FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+           FROM scores) WHERE rn <= 20),
+       qv AS (
+         SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+         WHERE vec_id IN (3, 57, 120, 311)),
+       dscored AS (
+         SELECT q.query_id, e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])))), 6)
+             AS cosine
+         FROM embeddings e CROSS JOIN qv q
+         WHERE e.vec_id <> q.query_id),
+       dtop AS (
+         SELECT query_id, doc_id, rn FROM (
+           SELECT query_id, vec_id AS doc_id, row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+           FROM dscored) WHERE rn <= 20),
+       fused AS (
+         SELECT query_id, doc_id, CAST(sum(rr) AS BIGINT) AS rrf_score
+         FROM (
+           SELECT query_id, doc_id, CAST(1000000000 AS BIGINT) //
+             (CAST(60 AS BIGINT) + CAST(rn AS BIGINT)) AS rr FROM stop
+           UNION ALL
+           SELECT query_id, doc_id, CAST(1000000000 AS BIGINT) //
+             (CAST(60 AS BIGINT) + CAST(rn AS BIGINT)) AS rr FROM dtop)
+         GROUP BY 1, 2),
+       franked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
+         FROM fused)
+       SELECT query_id, CAST(rn AS BIGINT) AS "rank", doc_id, rrf_score
+       FROM franked WHERE rn <= 10 ORDER BY query_id, "rank"""",
+    // Independent formulation: token-array slice compare per position —
+    // stronger than mirroring the posting join.
+    "q152_phrase_search" ->
+      s"""WITH pq(query_id, phrase) AS (
+         VALUES (CAST(1 AS BIGINT), 'hash join'),
+           (CAST(2 AS BIGINT), 'slow fast'),
+           (CAST(3 AS BIGINT), 'window agg row'),
+           (CAST(4 AS BIGINT), 'the table')),
+       nd AS (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(${normSql("text")}, ' '),
+           w -> len(w) > 0) AS ws
+         FROM documents),
+       np AS (
+         SELECT query_id, list_filter(
+           regexp_split_to_array(${normSql("phrase")}, ' '),
+           w -> len(w) > 0) AS pws
+         FROM pq)
+       SELECT p.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       FROM nd d, np p,
+         unnest(generate_series(1, len(d.ws) - len(p.pws) + 1)) g(pp)
+       WHERE len(d.ws) >= len(p.pws)
+         AND d.ws[pp : pp + len(p.pws) - 1] = p.pws
+       GROUP BY 1, 2 ORDER BY 1, 2""",
     "q147_wordpiece_merges" ->
       s"""WITH ${wpCtes(8)}
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count,
