@@ -438,6 +438,44 @@ object Similarity {
       .clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
+  /** One distributed Lloyd (k-means) iteration over the corpus,
+    * oracle-checkable — the cross-engine-verifiable counterpart of the
+    * engine-private [[trainCenters]]: assignment reuses the shared
+    * codegen'd quantizer ([[cellScores]] argmin, identical distance and
+    * tie semantics as every IVF path); the update emits per cell the
+    * captured count and the per-dimension MICRO-INTEGER coordinate sums
+    * (`floor(10⁶·x)` per component, BIGINT-summed — order-independent, so
+    * both engines land identical totals; callers rebuild the refined
+    * centroid as `sums/(10⁶·n)`). Cells that captured nothing are absent —
+    * re-seeding them is a catalog-scale driver decision, like the centers
+    * themselves. Output: `(cell, n, sums_micro: array<bigint>)`.
+    *
+    * Scale shape: assignment is a map-only pass (centers are broadcast
+    * literals); the update is posexplode → ONE hash aggregate on (cell,
+    * dim) with map-side partials — the shuffle carries nCentroids·dim
+    * partial-sum rows, not the corpus — then an nCentroids-row array
+    * reassembly. Iterating = calling this per round on the rebuilt
+    * centers; each round is one corpus pass, the Lloyd minimum.
+    */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCentroids: Int = 16,
+                 centers: Option[Array[Array[Float]]] = None): DataFrame = {
+    val cents: Array[Array[Float]] =
+      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
+    assignCells(corpus, idCol, vecCol, cents)
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy("cell", "__d")
+      .agg(count(lit(1)).as("__n"),
+        sum(floor(lit(1e6) * col("__x").cast("double")).cast("long"))
+          .as("__s"))
+      .groupBy("cell")
+      .agg(max("__n").as("n"), // every dim carries the cell's full count
+        expr("transform(array_sort(collect_list(struct(__d, __s)))," +
+          " p -> p.__s)").as("sums_micro"))
+      .select(col("cell").cast("long").as("cell"), col("n"),
+        col("sums_micro"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path beside
     * LSH: a coarse quantizer partitions the corpus into cells; each query
     * probes its `nProbe` nearest cells and re-ranks exactly within them. At

@@ -863,6 +863,17 @@ object PipelineQueries {
         .orderBy("query_id", "doc_id")
     }),
 
+    // One distributed Lloyd (k-means) iteration, oracled — the
+    // cross-engine-checkable counterpart of the engine-private MLlib
+    // trainCenters: hash-sampled seed centers (the IVF default), the
+    // shared quantizer argmin, then per-cell counts + per-dimension
+    // micro-integer coordinate sums (BIGINT — order-independent totals).
+    "q153_kmeans_step" -> ((s, d) => {
+      Similarity.kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCentroids = 16)
+        .orderBy("cell")
+    }),
+
     // WordPiece merge-rule TRAINING (Schuster & Nakajima 2012): 8 rounds of
     // likelihood-scored argmax (count(pair)/(count(l)·count(r)) — exact
     // BIGINT counts, one IEEE multiply+divide, so the ordering is
@@ -2546,6 +2557,36 @@ object PipelineQueries {
        WHERE len(d.ws) >= len(p.pws)
          AND d.ws[pp : pp + len(p.pws) - 1] = p.pws
        GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q136's cents/assignment chain + the Lloyd update: per-cell count and
+    // per-dim floor(1e6*x) BIGINT sums, list-assembled in dim order.
+    "q153_kmeans_step" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM corp ORDER BY hk, vec_id LIMIT 16)),
+       cdists AS (
+         SELECT c.vec_id, t.ci,
+           list_dot_product(t.cvec, t.cvec)
+             - 2.0 * list_dot_product(c.v, t.cvec) AS s
+         FROM corp c CROSS JOIN cents t),
+       assigned AS (
+         SELECT vec_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists) WHERE rn = 1),
+       dsums AS (
+         SELECT a.cell, i.i AS d, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(CAST(1000000.0 AS DOUBLE) * c.v[i.i])
+             AS BIGINT)) AS BIGINT) AS s
+         FROM assigned a JOIN corp c USING (vec_id),
+           unnest(generate_series(1, len(c.v))) i(i)
+         GROUP BY 1, 2)
+       SELECT CAST(cell AS BIGINT) AS cell, max(n) AS n,
+         list(s ORDER BY d) AS sums_micro
+       FROM dsums GROUP BY cell ORDER BY cell""",
     "q147_wordpiece_merges" ->
       s"""WITH ${wpCtes(8)}
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count,

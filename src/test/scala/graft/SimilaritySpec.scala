@@ -418,6 +418,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("kmeansStep matches brute-force assignment + micro sums; counts partition the corpus") {
+    val data = planted.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // pinned centers so the reference shares them exactly
+    val cents = data.sortBy(_._1).take(5).map(_._2)
+    val got = Similarity.kmeansStep(planted, "vec_id", "embedding",
+        centers = Some(cents))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toVector)))
+      .toMap
+    // brute: argmin of ||c||^2 - 2 v.c with (score, index) ties, then
+    // per-dim floor(1e6*x) sums
+    val brute = data.groupBy { case (_, v) =>
+      cents.indices.map { i =>
+        val c = cents(i)
+        val n2 = c.map(x => x.toDouble * x).sum
+        val dot = c.indices.map(j => v(j).toDouble * c(j).toDouble).sum
+        (n2 - 2.0 * dot, i)
+      }.min._2
+    }.map { case (cell, members) =>
+      cell.toLong -> ((members.size.toLong,
+        members.map(_._2.map(x => math.floor(1e6 * x.toDouble).toLong))
+          .reduce((a, b) => a.zip(b).map(t => t._1 + t._2)).toVector))
+    }
+    assert(got == brute)
+    assert(got.values.map(_._1).sum == data.length.toLong)
+    // one Lloyd round on the planted corpus shrinks total quantization
+    // error (monotonicity of the k-means objective under exact updates)
+    def sse(cs: Array[Array[Float]]): Double = data.map { case (_, v) =>
+      cs.map { c =>
+        v.indices.map(j => (v(j).toDouble - c(j)) *
+          (v(j).toDouble - c(j))).sum
+      }.min
+    }.sum
+    val refined = got.toSeq.sortBy(_._1).map { case (_, (n, sums)) =>
+      sums.map(s => (s.toDouble / (1e6 * n.toDouble)).toFloat).toArray
+    }.toArray
+    assert(sse(refined) < sse(cents))
+  }
+
   test("KMeans-trained centers beat hash-sampled centers on quantization and recall@10") {
     val trained = Similarity.trainCenters(planted, "embedding", nCentroids = 16)
     assert(trained.length == 16 && trained.head.length == 16)
