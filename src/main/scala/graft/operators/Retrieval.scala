@@ -57,12 +57,16 @@ object Retrieval {
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, "k must be positive")
     val toks = tokens(docs, idCol, textCol)
-    val dl = toks.groupBy("__doc").agg(count(lit(1)).as("__dl"))
-    // N counts ALL docs (token-less ones included); avgdl = Σdl / N
-    val stats = docs.select(col(idCol).as("__doc"))
-      .join(dl, Seq("__doc"), "left")
-      .agg(count(lit(1)).as("__n"),
-        sum(coalesce(col("__dl"), lit(0L))).as("__tot"))
+    // ONE rollup aggregate yields every per-doc length AND the corpus
+    // token total (the null-group row) in a single shuffle — never a
+    // corpus-wide docs ⋈ dl join, and the exchange is reused between the
+    // two consumers. N counts ALL docs (token-less included) off the
+    // column-pruned id scan.
+    val dlAll = toks.rollup("__doc").agg(count(lit(1)).as("__dl"))
+    val dl = dlAll.filter(col("__doc").isNotNull)
+    val stats = docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
+      .crossJoin(dlAll.filter(col("__doc").isNull)
+        .select(col("__dl").as("__tot")))
       .withColumn("__avgdl",
         col("__tot").cast("double") / col("__n").cast("double"))
     val qterms = queries.select(col(queryIdCol).as("query_id"),
@@ -102,6 +106,117 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("__doc").as("doc_id"),
         col("score_micro"))
   }
+
+  /** Materialize the BM25 index as a PHYSICAL layout — the 100 TB shape
+    * (the [[Similarity.writeIvfIndex]] discipline): [[bm25TopK]] re-scans
+    * and re-tokenizes the corpus once per consumer of each shared
+    * intermediate (tf, dl — Spark's exchange reuse does not survive the
+    * divergent prunings), which is the right tool ad hoc; an index you
+    * probe repeatedly pays tokenization ONCE at write time. Layout:
+    *
+    *   - `postings/` — `(term, doc, tf, dl)` parquet partitioned by
+    *     `bucket = pmod(xxhash64(term), nBuckets)`: a probe reads only its
+    *     query terms' buckets via partition pruning, with the term
+    *     equality pushed into the row-group scan — the distributed
+    *     analogue of seeking the query terms' posting lists.
+    *   - `df/` — `(term, df)` (vocabulary-scale).
+    *   - `stats/` — one row `(n, tot)` over the WHOLE corpus, so probes
+    *     never touch the documents table.
+    *
+    * Like the IVF centers, the index is rebuilt to re-shard (`nBuckets` is
+    * baked into the layout).
+    */
+  def writeBm25Index(docs: DataFrame, path: String, idCol: String,
+                     textCol: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = tokens(docs, idCol, textCol)
+    val tfAll = toks.groupBy("__doc", "__t").agg(count(lit(1)).as("tf"))
+    val dl = tfAll.groupBy("__doc").agg(sum("tf").as("dl"))
+    tfAll.join(dl, Seq("__doc"))
+      .select(col("__t").as("term"), col("__doc").as("doc"), col("tf"),
+        col("dl"),
+        pmod(xxhash64(col("__t")), lit(nBuckets.toLong)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(path + "/postings")
+    tfAll.groupBy("__t").agg(count(lit(1)).as("df"))
+      .select(col("__t").as("term"), col("df"))
+      .write.mode("overwrite").parquet(path + "/df")
+    docs.select(col(idCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum("dl").as("tot")))
+      .withColumn("nbuckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** BM25 top-`k` over a [[writeBm25Index]] layout — identical output
+    * contract and micro-grid arithmetic as [[bm25TopK]] (spec-pinned
+    * equal), but the plan reads ONLY the query terms' posting buckets:
+    * partition pruning on `bucket`, term-equality row-group pushdown, idf
+    * from the vocabulary table, corpus stats from the one-row `stats/` —
+    * zero scans of the documents table, one narrow candidate shuffle plus
+    * the per-query rank.
+    */
+  def bm25Probe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                queries: DataFrame, queryIdCol: String, queryTextCol: String,
+                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(filter(
+        split(TextFunctions.normalizeForDedup(col(queryTextCol)), " "),
+        w => length(w) > 0))).as("__t"))
+    // resolve the terms' bucket ids with the ENGINE's own hash (a 1-task
+    // job over the catalog-scale term set — never a JVM twin of xxhash64)
+    val terms = qterms.select(col("__t").as("term")).distinct()
+    val resolved = terms.select(col("term"),
+      pmod(xxhash64(col("term")), lit(bucketCount(spark, indexPath).toLong))
+        .as("bucket")).collect()
+    val termLits = resolved.map(_.getString(0)).toSeq
+    val bucketLits = resolved.map(_.getLong(1)).distinct.toSeq
+    val postings = spark.read.parquet(indexPath + "/postings")
+      .filter(col("bucket").isin(bucketLits: _*) &&
+        col("term").isin(termLits: _*))
+    val stats = spark.read.parquet(indexPath + "/stats")
+      .withColumn("__avgdl",
+        col("tot").cast("double") / col("n").cast("double"))
+    val idf = spark.read.parquet(indexPath + "/df")
+      .filter(col("term").isin(termLits: _*))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf_micro",
+        floor(lit(1e6) * log(lit(1.0) +
+          ((col("n") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))).cast("long"))
+      .select("term", "__idf_micro", "__avgdl")
+    val contrib = postings
+      .join(broadcast(idf), Seq("term"))
+      .withColumn("__contrib",
+        floor(col("__idf_micro").cast("double") *
+          (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast("double") / col("__avgdl"))))
+          .cast("long"))
+      .select(col("term").as("__t"), col("doc"), col("__contrib"))
+    qterms.join(contrib, Seq("__t"))
+      .groupBy("query_id", "doc")
+      .agg(sum("__contrib").as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc").as("doc_id"),
+        col("score_micro"))
+  }
+
+  /** The bucket modulus a [[writeBm25Index]] layout was written with —
+    * recorded IN the layout (`stats/nbuckets`): recovering it from the
+    * partition directories under-counts whenever the top buckets happen
+    * to capture no terms, silently hashing probe terms under the wrong
+    * modulus (the StreamingDsir nBuckets lesson — a layout must carry its
+    * own sharding identity).
+    */
+  private def bucketCount(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Int =
+    spark.read.parquet(indexPath + "/stats")
+      .select("nbuckets").head().getInt(0)
 
   /** Top-`n` TF-IDF keywords per document: `(doc_id, rank, term,
     * tfidf_micro)` with `tfidf_micro = floor(tf · floor(10⁶·ln(N/df)))` —

@@ -817,6 +817,25 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // BM25 over a DISK-MATERIALIZED index (the 100 TB path): postings
+    // (term, doc, tf, dl) written partitioned by pmod(xxhash64(term),
+    // nBuckets), df + corpus stats (and the bucket modulus) beside them;
+    // the probe partition-prunes to the query terms' buckets with the
+    // term equality pushed to row groups — zero corpus scans. The oracle
+    // is q149's inline computation verbatim: index ≡ inline is the
+    // contract (also spec-pinned with the physical numFiles assertion).
+    "q154_bm25_probe" -> ((s, d) => {
+      val idx = tempIndexDir("graft-bm25-q154")
+      Retrieval.writeBm25Index(Tables.documents(s, d), idx, "doc_id", "text",
+        nBuckets = 16)
+      val qs = s.createDataFrame(Seq(
+        (1L, "hash join merge batch"), (2L, "window agg stream"),
+        (3L, "fast scan filter column"), (4L, "vector sort query table")))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25Probe(s, idx, qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·idf_micro
     // (ties on the term), idf = ln(N/df) on the micro grid.
     "q150_tfidf_keywords" -> ((s, d) => {
@@ -1211,6 +1230,68 @@ object PipelineQueries {
     }
     root.toString + "/idx"
   }
+
+  /** q149's full inline BM25 computation — also the oracle for the
+    * materialized-index probe (q154): index ≡ inline is the contract. */
+  private def bm25OracleSql: String =
+    s"""WITH qs(query_id, qtext) AS (
+         VALUES (CAST(1 AS BIGINT), 'hash join merge batch'),
+           (CAST(2 AS BIGINT), 'window agg stream'),
+           (CAST(3 AS BIGINT), 'fast scan filter column'),
+           (CAST(4 AS BIGINT), 'vector sort query table')),
+       norm AS (
+         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
+         FROM documents),
+       toks AS (
+         SELECT doc_id, w
+         FROM (SELECT doc_id, unnest(ws) AS w FROM norm) WHERE len(w) > 0),
+       dl AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         FROM toks GROUP BY doc_id),
+       stats AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS tot
+         FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
+       qterms AS (
+         SELECT DISTINCT query_id, w
+         FROM (SELECT query_id,
+                 unnest(regexp_split_to_array(${normSql("qtext")}, ' ')) AS w
+               FROM qs)
+         WHERE len(w) > 0),
+       tf AS (
+         SELECT t.w, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+         FROM toks t JOIN (SELECT DISTINCT w FROM qterms) q USING (w)
+         GROUP BY 1, 2),
+       idf AS (
+         SELECT w, CAST(floor(CAST(1000000.0 AS DOUBLE) *
+             ln(CAST(1.0 AS DOUBLE) +
+               (CAST(s.n - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+               (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))) AS BIGINT)
+           AS idf_micro
+         FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
+               FROM tf GROUP BY w) f, stats s),
+       contrib AS (
+         SELECT tf.w, tf.doc_id,
+           CAST(floor(CAST(i.idf_micro AS DOUBLE) *
+             (CAST(tf.tf AS DOUBLE) *
+               (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+             (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+               (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) /
+                 (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+             AS BIGINT) AS contrib
+         FROM tf JOIN idf i USING (w) JOIN dl USING (doc_id), stats s),
+       scores AS (
+         SELECT q.query_id, c.doc_id,
+           CAST(sum(c.contrib) AS BIGINT) AS score_micro
+         FROM qterms q JOIN contrib c USING (w)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
+         FROM scores)
+       SELECT query_id, CAST(rn AS BIGINT) AS "rank", doc_id, score_micro
+       FROM ranked WHERE rn <= 10 ORDER BY query_id, "rank""""
 
   /** DuckDB fragment: the dedup text normalization (must mirror
     * `TextFunctions.normalizeForDedup` exactly). */
@@ -2354,65 +2435,8 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
-    "q149_bm25_topk" ->
-      s"""WITH qs(query_id, qtext) AS (
-         VALUES (CAST(1 AS BIGINT), 'hash join merge batch'),
-           (CAST(2 AS BIGINT), 'window agg stream'),
-           (CAST(3 AS BIGINT), 'fast scan filter column'),
-           (CAST(4 AS BIGINT), 'vector sort query table')),
-       norm AS (
-         SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws
-         FROM documents),
-       toks AS (
-         SELECT doc_id, w
-         FROM (SELECT doc_id, unnest(ws) AS w FROM norm) WHERE len(w) > 0),
-       dl AS (
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-         FROM toks GROUP BY doc_id),
-       stats AS (
-         SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(coalesce(dl.dl, 0)) AS BIGINT) AS tot
-         FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id),
-       qterms AS (
-         SELECT DISTINCT query_id, w
-         FROM (SELECT query_id,
-                 unnest(regexp_split_to_array(${normSql("qtext")}, ' ')) AS w
-               FROM qs)
-         WHERE len(w) > 0),
-       tf AS (
-         SELECT t.w, t.doc_id, CAST(count(*) AS BIGINT) AS tf
-         FROM toks t JOIN (SELECT DISTINCT w FROM qterms) q USING (w)
-         GROUP BY 1, 2),
-       idf AS (
-         SELECT w, CAST(floor(CAST(1000000.0 AS DOUBLE) *
-             ln(CAST(1.0 AS DOUBLE) +
-               (CAST(s.n - f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
-               (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))) AS BIGINT)
-           AS idf_micro
-         FROM (SELECT w, CAST(count(*) AS BIGINT) AS df
-               FROM tf GROUP BY w) f, stats s),
-       contrib AS (
-         SELECT tf.w, tf.doc_id,
-           CAST(floor(CAST(i.idf_micro AS DOUBLE) *
-             (CAST(tf.tf AS DOUBLE) *
-               (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
-             (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-               (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
-                 CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE) /
-                 (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))))
-             AS BIGINT) AS contrib
-         FROM tf JOIN idf i USING (w) JOIN dl USING (doc_id), stats s),
-       scores AS (
-         SELECT q.query_id, c.doc_id,
-           CAST(sum(c.contrib) AS BIGINT) AS score_micro
-         FROM qterms q JOIN contrib c USING (w)
-         GROUP BY 1, 2),
-       ranked AS (
-         SELECT *, row_number() OVER (
-           PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rn
-         FROM scores)
-       SELECT query_id, CAST(rn AS BIGINT) AS "rank", doc_id, score_micro
-       FROM ranked WHERE rn <= 10 ORDER BY query_id, "rank"""",
+    "q149_bm25_topk" -> bm25OracleSql,
+    "q154_bm25_probe" -> bm25OracleSql,
     "q150_tfidf_keywords" ->
       s"""WITH norm AS (
          SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws

@@ -95,6 +95,44 @@ class RetrievalSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bm25Probe over the materialized index equals inline bm25TopK and prunes buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    Retrieval.writeBm25Index(docs, path, "doc_id", "text", nBuckets = 8)
+    val queries = Seq(10L -> "quick fox", 11L -> "lazy dog day")
+      .toDF("qid", "qtext")
+    val inline = Retrieval.bm25TopK(docs, "doc_id", "text", queries, "qid",
+        "qtext", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val probed = Retrieval.bm25Probe(spark, path, queries, "qid", "qtext",
+      k = 4)
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(got == inline)
+    // physical pruning: the postings scan reads only the query terms'
+    // bucket partitions, not the whole layout
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val post = scans(probed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+    val allBuckets = spark.read.parquet(path + "/postings")
+      .select("bucket").distinct().count()
+    val qBuckets = Seq("quick", "fox", "lazy", "dog", "day")
+      .toDF("term").select(pmod(xxhash64(col("term")), lit(8L)))
+      .distinct().count()
+    assert(qBuckets < allBuckets, "fixture too small to show pruning")
+    val read = post.map(_.metrics("numFiles").value).sum
+    val total = spark.read.parquet(path + "/postings").inputFiles.length
+    assert(read > 0 && read < total,
+      s"probe read $read of $total posting files — pruning not physical?")
+  }
+
   test("hybridRrf: integer reciprocal sum, missing list contributes zero") {
     val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("qid", "did", "rank")
     val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("qid", "did", "rank")
