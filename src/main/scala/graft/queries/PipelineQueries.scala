@@ -836,6 +836,37 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Incremental BM25 index: the corpus lands in two parquet waves, each
+    // drained into the staging store (doc-keyed posting rows + per-file
+    // stats, src_file-idempotent), then published into the bucket-
+    // partitioned probe layout WITHOUT re-tokenizing the backlog. Oracle =
+    // q149's inline computation verbatim — incremental ≡ one-shot.
+    "q155_bm25_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val root = tempIndexDir("graft-bm25drain-q155")
+      val (src, staging, idx, ckpt) =
+        (root + "/src", root + "/staging", root + "/idx", root + "/ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      graft.streaming.StreamingRetrieval.indexDrain(s, src, staging, ckpt,
+        "doc_id", "text", schema)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      graft.streaming.StreamingRetrieval.indexDrain(s, src, staging, ckpt,
+        "doc_id", "text", schema)
+      graft.streaming.StreamingRetrieval.publish(s, staging, idx,
+        nBuckets = 16)
+      val qs = s.createDataFrame(Seq(
+        (1L, "hash join merge batch"), (2L, "window agg stream"),
+        (3L, "fast scan filter column"), (4L, "vector sort query table")))
+        .toDF("query_id", "qtext")
+      Retrieval.bm25Probe(s, idx, qs, "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·idf_micro
     // (ties on the term), idf = ln(N/df) on the micro grid.
     "q150_tfidf_keywords" -> ((s, d) => {
@@ -2437,6 +2468,7 @@ object PipelineQueries {
     // per-(doc,term) floors then BIGINT sums.
     "q149_bm25_topk" -> bm25OracleSql,
     "q154_bm25_probe" -> bm25OracleSql,
+    "q155_bm25_incremental" -> bm25OracleSql,
     "q150_tfidf_keywords" ->
       s"""WITH norm AS (
          SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS ws

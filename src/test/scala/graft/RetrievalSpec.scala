@@ -133,6 +133,41 @@ class RetrievalSpec extends SparkSpec {
       s"probe read $read of $total posting files — pruning not physical?")
   }
 
+  test("incremental drain + publish equals the one-shot index; re-drain is a no-op") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamingRetrieval
+    val root = java.nio.file.Files.createTempDirectory("bm25drain").toString
+    val (src, staging, idx, idx1, ckpt) = (root + "/src", root + "/staging",
+      root + "/idx", root + "/one", root + "/ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val queries = Seq(10L -> "quick fox", 11L -> "lazy dog day")
+      .toDF("qid", "qtext")
+    def probeSet(path: String) =
+      Retrieval.bm25Probe(spark, path, queries, "qid", "qtext", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // wave 1 (includes the token-less doc — stats must still count it),
+    // then wave 2; each drain sees only the backlog since the last
+    docs.filter($"doc_id" >= 3).write.mode("append").parquet(src)
+    StreamingRetrieval.indexDrain(spark, src, staging, ckpt, "doc_id",
+      "text", schema)
+    docs.filter($"doc_id" < 3).write.mode("append").parquet(src)
+    StreamingRetrieval.indexDrain(spark, src, staging, ckpt, "doc_id",
+      "text", schema)
+    StreamingRetrieval.publish(spark, staging, idx, nBuckets = 8)
+    Retrieval.writeBm25Index(docs, idx1, "doc_id", "text", nBuckets = 8)
+    assert(probeSet(idx) == probeSet(idx1))
+    // checkpoint loss: a fresh checkpoint replays every file; the
+    // (src_file, doc, term) keys land nothing new
+    val before = spark.read.parquet(staging + "/postings").count()
+    StreamingRetrieval.indexDrain(spark, src, staging, root + "/ckpt2",
+      "doc_id", "text", schema)
+    assert(spark.read.parquet(staging + "/postings").count() == before)
+    StreamingRetrieval.publish(spark, staging, idx, nBuckets = 8)
+    assert(probeSet(idx) == probeSet(idx1))
+  }
+
   test("hybridRrf: integer reciprocal sum, missing list contributes zero") {
     val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("qid", "did", "rank")
     val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("qid", "did", "rank")
