@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Dsir, QualityFilter, Retrieval, Sampling, Similarity, Sketch, Skew, Unigram, Vocab, Wordpiece}
+import graft.operators.{Collocations, Dedup, Dsir, QualityFilter, Retrieval, Sampling, Similarity, Sketch, Skew, Unigram, Vocab, Wordpiece}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -865,6 +865,16 @@ object PipelineQueries {
         .toDF("query_id", "qtext")
       Retrieval.bm25Probe(s, idx, qs, "query_id", "qtext", k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // PMI bigram collocations (Church & Hanks 1990): adjacent pairs straight
+    // off each doc's word array (no per-doc window shuffle), vocabulary-
+    // scale count joins, micro-snapped ln, min-count gate, top-50 as
+    // TakeOrderedAndProject.
+    "q156_pmi_collocations" -> ((s, d) => {
+      Collocations.pmiBigrams(Tables.documents(s, d), "text",
+          minCount = 5L, topN = 50)
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
     }),
 
     // TF-IDF keyword extraction: top-3 terms per doc by tf·idf_micro
@@ -2466,6 +2476,38 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
+    "q156_pmi_collocations" ->
+      s"""WITH norm AS (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(${normSql("text")}, ' '),
+           w -> len(w) > 0) AS ws
+         FROM documents),
+       uni AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT unnest(ws) AS w FROM norm) GROUP BY w),
+       bi AS (
+         SELECT ws[i] AS w1, ws[i+1] AS w2,
+           CAST(count(*) AS BIGINT) AS pair_count
+         FROM norm, unnest(generate_series(1, len(ws) - 1)) g(i)
+         WHERE len(ws) >= 2
+         GROUP BY 1, 2),
+       tot AS (
+         SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS u,
+           (SELECT CAST(sum(pair_count) AS BIGINT) FROM bi) AS b),
+       scored AS (
+         SELECT b2.w1, b2.w2, b2.pair_count,
+           CAST(floor(CAST(1000000.0 AS DOUBLE) * ln(
+             (CAST(b2.pair_count AS DOUBLE) * CAST(t.u AS DOUBLE) *
+               CAST(t.u AS DOUBLE)) /
+             (CAST(t.b AS DOUBLE) * CAST(ca.c AS DOUBLE) *
+               CAST(cb.c AS DOUBLE)))) AS BIGINT) AS pmi_micro
+         FROM bi b2
+           JOIN uni ca ON ca.w = b2.w1
+           JOIN uni cb ON cb.w = b2.w2
+           CROSS JOIN tot t
+         WHERE b2.pair_count >= 5)
+       SELECT w1, w2, pair_count, pmi_micro FROM scored
+       ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""",
     "q149_bm25_topk" -> bm25OracleSql,
     "q154_bm25_probe" -> bm25OracleSql,
     "q155_bm25_incremental" -> bm25OracleSql,
