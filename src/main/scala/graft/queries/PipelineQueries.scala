@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
 import graft.functions.{HashFunctions, SketchFunctions, TextFunctions, VectorFunctions}
-import graft.operators.{Collocations, Dedup, Dsir, QualityFilter, Retrieval, Sampling, Similarity, Sketch, Skew, Unigram, Vocab, Wordpiece}
+import graft.operators.{Collocations, Dedup, Dsir, Graphs, QualityFilter, Retrieval, Sampling, Similarity, Sketch, Skew, Unigram, Vocab, Wordpiece}
 import graft.sources.Tables
 
 /** Training-data pipeline pack (driver brief: first-class alongside
@@ -865,6 +865,20 @@ object PipelineQueries {
         .toDF("query_id", "qtext")
       Retrieval.bm25Probe(s, idx, qs, "query_id", "qtext", k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // Integer-arithmetic PageRank over the corpus's own kNN similarity
+    // graph (top-3 rounded-cosine neighbors per embedding) — centrality
+    // from similarity structure, 3 rounds of pure-BIGINT rank propagation
+    // (div floors, no floats → bit-exact on any engine, no grid hazard).
+    "q157_pagerank_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.pageRank(knn.select(col("query_id").as("src"),
+          col("vec_id").as("dst")), "src", "dst", iterations = 3)
+        .orderBy("node")
     }),
 
     // PMI bigram collocations (Church & Hanks 1990): adjacent pairs straight
@@ -2476,6 +2490,47 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
+    // q69's all-pairs rounded-cosine ranking builds the kNN edges; 3
+    // PageRank rounds unrolled, every step BIGINT // division.
+    "q157_pagerank_knn" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS src, e.vec_id AS dst,
+           round(list_dot_product(e.v, q.v)
+             / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+         FROM corp e CROSS JOIN corp q WHERE e.vec_id <> q.vec_id),
+       edges AS MATERIALIZED (
+         SELECT src, dst FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+           FROM scored) WHERE rn <= 3),
+       nodes AS MATERIALIZED (
+         SELECT DISTINCT node FROM (
+           SELECT src AS node FROM edges
+           UNION ALL SELECT dst AS node FROM edges)),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       deg AS MATERIALIZED (
+         SELECT src, CAST(count(*) AS BIGINT) AS d
+         FROM edges GROUP BY src),
+       r0 AS MATERIALIZED (
+         SELECT node, CAST(1000000000000 AS BIGINT) // nn.n AS r
+         FROM nodes, nn),
+       ${(1 to 3).map { k =>
+        s"""i$k AS MATERIALIZED (
+         SELECT nd.node,
+           (15 * CAST(1000000000000 AS BIGINT)) // (100 * nn.n)
+             + (85 * coalesce(s.s, 0)) // 100 AS r
+         FROM nodes nd CROSS JOIN nn
+           LEFT JOIN (
+             SELECT e.dst AS node, CAST(sum(r.r // g.d) AS BIGINT) AS s
+             FROM edges e
+               JOIN ${if (k == 1) "r0" else s"i${k - 1}"} r ON r.node = e.src
+               JOIN deg g ON g.src = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)"""
+      }.mkString(",\n")}
+       SELECT node, r AS rank_fx FROM i3 ORDER BY node""",
     "q156_pmi_collocations" ->
       s"""WITH norm AS (
          SELECT doc_id, list_filter(

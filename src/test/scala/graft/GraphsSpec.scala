@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Graphs
+
+/** Integer PageRank against a brute in-memory replay of the exact same
+  * BIGINT arithmetic — dangling mass, zero-in-degree nodes, duplicate
+  * edges, and the zero-iteration base case.
+  */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1→2, 1→3, 2→3, 3→1, 4→1 (4 has no in-edges), 5→5 omitted;
+  // plus a duplicate of 1→2 that must NOT double-count
+  private val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L),
+    (1L, 2L))
+
+  private def brute(iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = 15L * Graphs.Scale / (100L * n)
+    var r = nodes.map(_ -> Graphs.Scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map(t => r(t._1) / deg(t._1)).sum).toMap
+      r = nodes.map(v => v -> (teleport + 85L * in.getOrElse(v, 0L) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  private def run(iters: Int): Map[Long, Long] =
+    Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank replays the integer arithmetic exactly") {
+    (0 to 3).foreach(i => assert(run(i) == brute(i), s"iteration $i"))
+  }
+
+  test("hub structure ranks: node 3 (two in-edges incl. the hub) beats node 4 (none)") {
+    val r = run(3)
+    assert(r(3L) > r(4L) && r(1L) > r(4L))
+    // node 4 (the only zero-in-degree node of the 4-node graph) holds
+    // exactly the teleport mass after any round
+    assert(r(4L) == 15L * Graphs.Scale / (100L * 4L))
+  }
+}
