@@ -192,6 +192,82 @@ object Dedup {
       .distinct()
   }
 
+  /** EXACT all-pairs Jaccard join via prefix filtering (Bayardo et al.
+    * 2007, "Scaling Up All Pairs Similarity Search" — the AllPairs/PPJoin
+    * candidate rule): every pair of documents whose DISTINCT-word sets
+    * have `Jaccard ≥ thresholdPct/100`, with NO approximation — the exact
+    * counterpart of [[lshCandidates]] for when the threshold is a hard
+    * contract rather than a recall target.
+    *
+    * Candidate rule: order the vocabulary globally by (df ascending,
+    * token) — rarest first — and index only each doc's PREFIX of length
+    * `m − ⌈t·m⌉ + 1` (m = set size): if `J(A,B) ≥ t` then
+    * `|A∩B| ≥ ⌈t·m⌉`, so the intersection cannot avoid the prefix; pairs
+    * sharing no prefix token are pruned WITHOUT being scored. Rare-first
+    * ordering makes prefix postings the SHORTEST lists in the corpus.
+    *
+    * Scale shape: df is one vocabulary aggregate; per-doc ordering is an
+    * in-group `sort_array` (never a global sort); prefix postings group
+    * into ONE shuffle with in-place pair expansion ([[pairsWithinGroups]],
+    * `maxPosting` bounds the m²/2 blow-up of boilerplate tokens — the cap
+    * is part of the semantics and mirrored in the oracle); verification
+    * explodes pairs to (pair, side) and joins the token-set table ONCE
+    * (the q65 exchange-reuse discipline — two differently-consumed joins
+    * would re-derive the corpus-wide array table per side).
+    *
+    * All-integer semantics: the gate is `100·|A∩B| ≥ pct·|A∪B|` and the
+    * prefix length uses `⌈pct·m/100⌉ = (pct·m + 99) div 100` — no float
+    * appears anywhere, so any engine replays the pair set exactly.
+    * Output: `(id_a, id_b, inter_size, union_size)`, id_a < id_b.
+    *
+    * @param n the set unit: 1 = distinct words; ≥ 2 = distinct word
+    *          n-gram shingles ([[TextFunctions.shingles]] — the q65/q67
+    *          unit; word sets saturate on small shared vocabularies)
+    */
+  def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
+                          thresholdPct: Int, n: Int = 1,
+                          maxPosting: Int = 10000): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      "thresholdPct must be in [1, 100]")
+    require(n >= 1, "n must be >= 1")
+    val units =
+      if (n == 1) array_distinct(filter(
+        split(TextFunctions.normalizeForDedup(col(textCol)), " "),
+        w => length(w) > 0))
+      else TextFunctions.shingles(col(textCol), n)
+    val tokset = docs.select(col(idCol).as("__id"),
+      explode(units).as("__t"))
+    val dfc = tokset.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ts = tokset.join(dfc, Seq("__t"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t"))))
+        .as("__o"))
+      .select(col("__id"), expr("transform(__o, s -> s.__t)").as("__toks"),
+        size(col("__o")).as("__m"))
+    val prefixes = ts
+      .withColumn("__p",
+        col("__m") - expr(s"($thresholdPct * __m + 99) div 100") + lit(1))
+      .select(struct(col("__id")).as("__pay"),
+        explode(slice(col("__toks"), lit(1), col("__p"))).as("__t"))
+    val cands = pairsWithinGroups(prefixes, Seq("__t"), col("__pay"),
+        maxPosting)
+      .select(col("__a")("__id").as("id_a"), col("__b")("__id").as("id_b"))
+      .distinct()
+    cands
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .join(ts.select("__id", "__toks"), Seq("__id"))
+      .groupBy("id_a", "id_b")
+      .agg(collect_list(col("__toks")).as("__two"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(element_at(col("__two"), 1),
+          element_at(col("__two"), 2))).cast("long").as("inter_size"),
+        size(array_union(element_at(col("__two"), 1),
+          element_at(col("__two"), 2))).cast("long").as("union_size"))
+      .filter(col("inter_size") * lit(100L) >=
+        lit(thresholdPct.toLong) * col("union_size"))
+  }
+
   /** Winnowing fingerprints `(idCol, fingerprints: array<long>)` — the
     * rolling-hash document fingerprinting of Schleimer et al. (MOSS), the
     * standard overlap-detection primitive in training-data pipelines: hash

@@ -867,6 +867,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // EXACT all-pairs Jaccard join (Bayardo/PPJoin prefix filtering) over
+    // 3-shingle sets at J >= 0.6 — the hard-contract counterpart of
+    // q65's LSH. The oracle is an INDEPENDENT formulation (candidates =
+    // any shared shingle, then the exact integer gate, no prefix logic),
+    // so it checks the pruning lost nothing, not a mirror.
+    "q158_allpairs_jaccard" -> ((s, d) => {
+      Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
+          thresholdPct = 60, n = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Integer-arithmetic PageRank over the corpus's own kNN similarity
     // graph (top-3 rounded-cosine neighbors per embedding) — centrality
     // from similarity structure, 3 rounds of pure-BIGINT rank propagation
@@ -2490,6 +2501,32 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
+    // Independent of the engine's prefix rule: candidates = pairs sharing
+    // ANY shingle (complete for J > 0), then the same all-integer gate.
+    "q158_allpairs_jaccard" ->
+      s"""WITH norm AS (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(${normSql("text")}, ' '),
+           w -> len(w) > 0) AS ws
+         FROM documents),
+       ts AS MATERIALIZED (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         FROM norm WHERE len(ws) >= 3),
+       sh AS (SELECT doc_id, unnest(s) AS t FROM ts),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.t = b.t AND a.doc_id < b.doc_id)
+       SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter_size,
+         CAST(len(list_distinct(x.s || y.s)) AS BIGINT) AS union_size
+       FROM cand c
+         JOIN ts x ON x.doc_id = c.id_a
+         JOIN ts y ON y.doc_id = c.id_b
+       WHERE len(list_intersect(x.s, y.s)) * 100 >=
+         60 * len(list_distinct(x.s || y.s))
+       ORDER BY id_a, id_b""",
     // q69's all-pairs rounded-cosine ranking builds the kNN edges; 3
     // PageRank rounds unrolled, every step BIGINT // division.
     "q157_pagerank_knn" ->

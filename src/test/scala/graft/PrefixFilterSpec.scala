@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Exact all-pairs Jaccard via prefix filtering: equality against the
+  * brute-force all-pairs scan (the pruning must lose NOTHING), boundary
+  * thresholds, and the integer gate.
+  */
+class PrefixFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(t: String): Set[String] =
+    t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim
+      .split("\\s+").filter(_.nonEmpty).toSet
+
+  private def brute(texts: Seq[(Long, String)], pct: Int)
+      : Set[(Long, Long, Long, Long)] = {
+    val sets = texts.map { case (id, t) => id -> norm(t) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * 100L >= pct.toLong * uni
+    } yield (a, b, inter, uni)).toSet
+  }
+
+  private def run(texts: Seq[(Long, String)], pct: Int)
+      : Set[(Long, Long, Long, Long)] =
+    Dedup.prefixFilterJaccard(texts.toDF("doc_id", "text"), "doc_id", "text",
+        thresholdPct = pct)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+  private val texts: Seq[(Long, String)] = Seq(
+    0L -> "the quick brown fox jumps over the lazy dog",
+    1L -> "the quick brown fox jumps over a lazy dog",   // near-dup of 0
+    2L -> "the quick brown fox jumps over the lazy dog", // exact dup of 0
+    3L -> "lazy dog sleeps",
+    4L -> "completely different words entirely here",
+    5L -> "words entirely different completely here",    // exact set-dup of 4
+    6L -> "",
+    7L -> "quick brown")
+
+  test("prefix-filtered pairs equal the brute-force all-pairs scan") {
+    for (pct <- Seq(30, 50, 60, 80, 100))
+      assert(run(texts, pct) == brute(texts, pct), s"pct=$pct")
+  }
+
+  test("boundary: a pair at exactly the threshold is kept") {
+    // sets {a,b,c} and {a,b,d}: inter=2, union=4 → J = 0.5 exactly
+    val t = Seq(0L -> "a b c", 1L -> "a b d")
+    assert(run(t, 50) == Set((0L, 1L, 2L, 4L)))
+    assert(run(t, 51) == Set.empty)
+  }
+
+  test("shingle units (n=3) replay the brute shingle-set scan") {
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").trim
+        .split("\\s+").filter(_.nonEmpty)
+      ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val bruteSh = (for {
+      (a, sa) <- texts.map { case (i, t) => i -> shingleSet(t) }
+        .filter(_._2.nonEmpty)
+      (b, sb) <- texts.map { case (i, t) => i -> shingleSet(t) }
+        .filter(_._2.nonEmpty)
+      if a < b
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * 100L >= 60L * uni
+    } yield (a, b, inter, uni)).toSet
+    val got = Dedup.prefixFilterJaccard(texts.toDF("doc_id", "text"),
+        "doc_id", "text", thresholdPct = 60, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == bruteSh)
+    assert(got.nonEmpty) // docs 0/1/2 share shingles — fixture has teeth
+  }
+
+  test("random corpora: pruning never loses a qualifying pair") {
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 't').map(_.toString)
+    val corpus = (0L until 40L).map { i =>
+      i -> rnd.shuffle(vocab).take(3 + rnd.nextInt(8)).mkString(" ")
+    }
+    for (pct <- Seq(40, 70))
+      assert(run(corpus, pct) == brute(corpus, pct), s"pct=$pct")
+  }
+}
