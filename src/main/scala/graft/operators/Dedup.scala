@@ -226,32 +226,64 @@ object Dedup {
     */
   def prefixFilterJaccard(docs: DataFrame, idCol: String, textCol: String,
                           thresholdPct: Int, n: Int = 1,
-                          maxPosting: Int = 10000): DataFrame = {
+                          maxPosting: Int = 10000,
+                          checkpointer: Checkpointer = Checkpointer.Local)
+      : DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       "thresholdPct must be in [1, 100]")
     require(n >= 1, "n must be >= 1")
-    val units =
-      if (n == 1) array_distinct(filter(
-        split(TextFunctions.normalizeForDedup(col(textCol)), " "),
-        w => length(w) > 0))
-      else TextFunctions.shingles(col(textCol), n)
-    val tokset = docs.select(col(idCol).as("__id"),
-      explode(units).as("__t"))
+    // shingle units come from the codegen'd lead-window shape
+    // ([[shingleRows]]) — the array-lambda form is O(words²) interpreted
+    val tokset = checkpointer.cut(
+      if (n == 1)
+        docs.select(col(idCol).as("__id"),
+          explode(array_distinct(filter(
+            split(TextFunctions.normalizeForDedup(col(textCol)), " "),
+            w => length(w) > 0))).as("__t"))
+      else
+        shingleRows(docs, idCol, textCol, n)
+          .select(col(idCol).as("__id"), col("__s").as("__t")).distinct())
     val dfc = tokset.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val ts = tokset.join(dfc, Seq("__t"))
+    // cut: the ordered-set table feeds BOTH the prefix index and the pair
+    // verification — uncut, the whole tokenize⋈df⋈collect pipeline runs
+    // once per consumer (the q149 exchange-reuse lesson)
+    val ts = checkpointer.cut(tokset.join(dfc, Seq("__t"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__t"))))
         .as("__o"))
       .select(col("__id"), expr("transform(__o, s -> s.__t)").as("__toks"),
-        size(col("__o")).as("__m"))
+        size(col("__o")).as("__m")))
     val prefixes = ts
       .withColumn("__p",
         col("__m") - expr(s"($thresholdPct * __m + 99) div 100") + lit(1))
-      .select(struct(col("__id")).as("__pay"),
-        explode(slice(col("__toks"), lit(1), col("__p"))).as("__t"))
+      .select(col("__id"), col("__m"),
+        posexplode(slice(col("__toks"), lit(1), col("__p")))
+          .as(Seq("__i0", "__t")))
+      .select(struct(col("__id"), col("__m"),
+        (col("__i0") + lit(1)).as("__pos")).as("__pay"), col("__t"))
+    // PPJoin's cheap pair filters BEFORE the distinct + verification join
+    // (measured: the prefix rule alone left 300k candidates for 256 real
+    // pairs on the repetitive synthetic corpus):
+    //  - length: J ≥ t forces 100·min(m) ≥ pct·max(m);
+    //  - positional: at the FIRST shared prefix token (positions pa, pb in
+    //    the global order) overlap ≤ 1 + min(mA−pa, mB−pb), which must
+    //    reach α = ⌈pct·(mA+mB)/(100+pct)⌉ (J ≥ t ⟺ |A∩B| ≥ α). A pair is
+    //    kept if ANY of its shared-token occurrences passes — the first
+    //    occurrence's bound is valid and loosest, so pruning stays
+    //    complete (spec-pinned by brute equality on random corpora).
+    val denom = 100 + thresholdPct
     val cands = pairsWithinGroups(prefixes, Seq("__t"), col("__pay"),
         maxPosting)
-      .select(col("__a")("__id").as("id_a"), col("__b")("__id").as("id_b"))
+      .select(col("__a")("__id").as("id_a"), col("__a")("__m").as("__ma"),
+        col("__a")("__pos").as("__pa"),
+        col("__b")("__id").as("id_b"), col("__b")("__m").as("__mb"),
+        col("__b")("__pos").as("__pb"))
+      .filter(lit(100L) * col("__mb") >= lit(thresholdPct.toLong) * col("__ma") &&
+        lit(100L) * col("__ma") >= lit(thresholdPct.toLong) * col("__mb"))
+      .filter(least(col("__ma") - col("__pa"), col("__mb") - col("__pb")) +
+        lit(1) >=
+        expr(s"($thresholdPct * (__ma + __mb) + ${denom - 1}) div $denom"))
+      .select("id_a", "id_b")
       .distinct()
     cands
       .select(col("id_a"), col("id_b"),

@@ -44,8 +44,11 @@ object Graphs {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct must be in [0, 100]")
-    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .distinct()
+    // cut: the edge list feeds the degree table and EVERY iteration's
+    // contribution join — uncut, an expensive upstream (a kNN scoring
+    // pass, say) re-executes once per round
+    val e = checkpointer.cut(
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct())
     val nodes = e.select(col("__s").as("node"))
       .union(e.select(col("__d").as("node"))).distinct()
     val deg = e.groupBy("__s").agg(count(lit(1)).as("__deg"))
