@@ -440,6 +440,39 @@ object SystemQueries {
       s.read.parquet(table).orderBy("k")
     }),
 
+    // Type-2 SCD dimension maintenance (the WRITE side of q43's temporal-
+    // validity join): TWO merges — snapshot 1 changes segment for
+    // custkey%7, deletes %97, inserts shifted %101 ids; snapshot 2 is the
+    // original table again, so changed rows revert (close + reopen),
+    // deletions re-insert, and the %101 inserts close. Exercises every
+    // branch including history pass-through; pure column equality +
+    // literal timestamps — exact on any engine.
+    "q159_scd2_merge" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val attrs = Seq("c_nationkey", "c_mktsegment")
+      val dim0 = cust.select(col("c_custkey").as("id"), col("c_nationkey"),
+        col("c_mktsegment"),
+        lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val snap1 = cust.filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey").as("id"), col("c_nationkey"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 1000000L).as("id"),
+            lit(0).cast("int").as("c_nationkey"),
+            lit("NEW").as("c_mktsegment")))
+      val snap2 = cust.select(col("c_custkey").as("id"), col("c_nationkey"),
+        col("c_mktsegment"))
+      val d1 = graft.operators.Scd2.merge(dim0, snap1, "id", attrs,
+        "valid_from", "valid_to",
+        lit("2020-06-01 00:00:00").cast("timestamp"))
+      graft.operators.Scd2.merge(d1, snap2, "id", attrs,
+          "valid_from", "valid_to",
+          lit("2021-06-01 00:00:00").cast("timestamp"))
+        .orderBy("id", "valid_from")
+    }),
+
     // Z-ORDER layout cells: the Morton interleave that drives
     // `Layout.zorderBy` (multi-dimensional file skipping — Delta/Iceberg
     // ZORDER BY as a plain column), oracled as exact integer arithmetic:
@@ -693,6 +726,70 @@ object SystemQueries {
     "q113_idempotent_append" ->
       """SELECT CAST(k AS BIGINT) AS k, CAST(k * 3 + 1 AS BIGINT) AS v
        FROM generate_series(0, 499) t(k) ORDER BY k""",
+    // Both merges unrolled: j_k is the full-outer of step k's open rows
+    // against snapshot k; the three branches + history pass-through
+    // mirror Scd2.merge verbatim (IS NOT DISTINCT FROM = Spark's <=>).
+    "q159_scd2_merge" ->
+      """WITH dim0 AS (
+         SELECT c_custkey AS id, c_nationkey, c_mktsegment,
+           TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+         FROM customer),
+       snap1 AS (
+         SELECT c_custkey AS id, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+             ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE c_custkey % 97 <> 0
+         UNION ALL
+         SELECT c_custkey + 1000000, CAST(0 AS INTEGER), 'NEW'
+         FROM customer WHERE c_custkey % 101 = 0),
+       j1 AS (
+         SELECT coalesce(c.id, s.id) AS id,
+           c.id IS NOT NULL AS incur, s.id IS NOT NULL AS insnap,
+           c.c_nationkey AS a1, c.c_mktsegment AS a2,
+           s.c_nationkey AS n1, s.c_mktsegment AS n2, c.valid_from,
+           (c.c_nationkey IS NOT DISTINCT FROM s.c_nationkey)
+             AND (c.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment) AS same
+         FROM (SELECT * FROM dim0 WHERE valid_to IS NULL) c
+           FULL OUTER JOIN snap1 s ON c.id = s.id),
+       m1 AS (
+         SELECT id, c_nationkey, c_mktsegment, valid_from, valid_to
+         FROM dim0 WHERE valid_to IS NOT NULL
+         UNION ALL
+         SELECT id, a1, a2, valid_from, CAST(NULL AS TIMESTAMP)
+         FROM j1 WHERE incur AND insnap AND same
+         UNION ALL
+         SELECT id, a1, a2, valid_from, TIMESTAMP '2020-06-01 00:00:00'
+         FROM j1 WHERE incur AND (NOT insnap OR NOT same)
+         UNION ALL
+         SELECT id, n1, n2, TIMESTAMP '2020-06-01 00:00:00',
+           CAST(NULL AS TIMESTAMP)
+         FROM j1 WHERE insnap AND (NOT incur OR NOT same)),
+       snap2 AS (
+         SELECT c_custkey AS id, c_nationkey, c_mktsegment FROM customer),
+       j2 AS (
+         SELECT coalesce(c.id, s.id) AS id,
+           c.id IS NOT NULL AS incur, s.id IS NOT NULL AS insnap,
+           c.c_nationkey AS a1, c.c_mktsegment AS a2,
+           s.c_nationkey AS n1, s.c_mktsegment AS n2, c.valid_from,
+           (c.c_nationkey IS NOT DISTINCT FROM s.c_nationkey)
+             AND (c.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment) AS same
+         FROM (SELECT * FROM m1 WHERE valid_to IS NULL) c
+           FULL OUTER JOIN snap2 s ON c.id = s.id)
+       SELECT id, c_nationkey, c_mktsegment, valid_from, valid_to FROM (
+         SELECT id, c_nationkey, c_mktsegment, valid_from, valid_to
+         FROM m1 WHERE valid_to IS NOT NULL
+         UNION ALL
+         SELECT id, a1, a2, valid_from, CAST(NULL AS TIMESTAMP)
+         FROM j2 WHERE incur AND insnap AND same
+         UNION ALL
+         SELECT id, a1, a2, valid_from, TIMESTAMP '2021-06-01 00:00:00'
+         FROM j2 WHERE incur AND (NOT insnap OR NOT same)
+         UNION ALL
+         SELECT id, n1, n2, TIMESTAMP '2021-06-01 00:00:00',
+           CAST(NULL AS TIMESTAMP)
+         FROM j2 WHERE insnap AND (NOT incur OR NOT same))
+       ORDER BY id, valid_from""",
     "q123_compact_roundtrip" ->
       """SELECT 'p' || CAST(k % 3 AS VARCHAR) AS p,
          count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k,
