@@ -300,6 +300,74 @@ object Dedup {
         lit(thresholdPct.toLong) * col("union_size"))
   }
 
+  /** Asymmetric CONTAINMENT join: every (query, doc) pair with
+    * `|Q∩D| / |Q| ≥ thresholdPct/100` — "at least t of the benchmark's
+    * shingles appear in the document", the set-level decontamination
+    * detector between doc-level flags (q98/q120) and span excision
+    * (q130): containment is robust to the document being much larger than
+    * the leaked snippet, where Jaccard vanishes.
+    *
+    * Candidate rule (the [[prefixFilterJaccard]] prefix argument, query
+    * side only): overlap ≥ ⌈t·|Q|⌉ forces Q's rarest-first prefix of
+    * length `|Q| − ⌈t·|Q|⌉ + 1` to intersect D, so candidates = corpus
+    * postings of the queries' prefix tokens. Token rarity is measured on
+    * the CORPUS (query-only tokens have df 0 — rarest, maximally
+    * selective). Queries are catalog-scale (a benchmark suite), so the
+    * prefix-token set broadcasts and the corpus explode is pruned
+    * immediately — the BM25 posting-restriction shape.
+    *
+    * All-integer gate (`100·|Q∩D| ≥ pct·|Q|`); output
+    * `(query_id, doc_id, inter_size, q_size)`.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, thresholdPct: Int,
+                      n: Int = 3,
+                      checkpointer: Checkpointer = Checkpointer.Local)
+      : DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      "thresholdPct must be in [1, 100]")
+    require(n >= 1, "n must be >= 1")
+    def unitRows(df: DataFrame, id: String, text: String): DataFrame =
+      if (n == 1)
+        df.select(col(id).as("__id"),
+          explode(array_distinct(filter(
+            split(TextFunctions.normalizeForDedup(col(text)), " "),
+            w => length(w) > 0))).as("__t"))
+      else
+        shingleRows(df, id, text, n)
+          .select(col(id).as("__id"), col("__s").as("__t")).distinct()
+    val docSet = checkpointer.cut(unitRows(docs, idCol, textCol))
+    val qSet = unitRows(queries, queryIdCol, queryTextCol)
+    val dfc = docSet.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // corpus rarity for the query ordering; unseen tokens get df 0
+    val qs = qSet.join(dfc, Seq("__t"), "left")
+      .na.fill(0L, Seq("__df"))
+      .groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("__t"))))
+        .as("__o"))
+      .select(col("__id").as("query_id"),
+        expr("transform(__o, s -> s.__t)").as("__qtoks"),
+        size(col("__o")).as("__q"))
+    val prefixes = qs
+      .withColumn("__p",
+        col("__q") - expr(s"($thresholdPct * __q + 99) div 100") + lit(1))
+      .select(col("query_id"),
+        explode(slice(col("__qtoks"), lit(1), col("__p"))).as("__t"))
+    val cands = docSet.join(broadcast(prefixes), Seq("__t"))
+      .select(col("query_id"), col("__id").as("doc_id")).distinct()
+    cands
+      .join(broadcast(qs.select("query_id", "__qtoks", "__q")), Seq("query_id"))
+      .join(docSet.groupBy("__id").agg(collect_list(col("__t")).as("__dtoks"))
+        .select(col("__id").as("doc_id"), col("__dtoks")), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        size(array_intersect(col("__qtoks"), col("__dtoks"))).cast("long")
+          .as("inter_size"),
+        col("__q").cast("long").as("q_size"))
+      .filter(col("inter_size") * lit(100L) >=
+        lit(thresholdPct.toLong) * col("q_size"))
+  }
+
   /** Winnowing fingerprints `(idCol, fingerprints: array<long>)` — the
     * rolling-hash document fingerprinting of Schleimer et al. (MOSS), the
     * standard overlap-detection primitive in training-data pipelines: hash

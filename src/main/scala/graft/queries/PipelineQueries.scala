@@ -867,6 +867,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Asymmetric CONTAINMENT decontamination (|Q∩D|/|Q| >= 0.8 over
+    // 3-shingles): the set-level detector between q98/q120's doc flags
+    // and q130's span excision — containment survives the doc being much
+    // larger than the leaked snippet, where Jaccard vanishes. Bench set =
+    // the q130 planted leaked prefixes. Oracle independent of the prefix
+    // rule (any-shared-shingle candidates + the gate).
+    "q160_containment_join" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id").as("bench_id"),
+          array_join(slice(split(
+            TextFunctions.normalizeForDedup(col("text")), " "), 1, 12), " ")
+            .as("snippet"))
+      Dedup.containmentJoin(docs, "doc_id", "text", bench, "bench_id",
+          "snippet", thresholdPct = 80, n = 3)
+        .orderBy("query_id", "doc_id")
+    }),
+
     // EXACT all-pairs Jaccard join (Bayardo/PPJoin prefix filtering) over
     // 3-shingle sets at J >= 0.6 — the hard-contract counterpart of
     // q65's LSH. The oracle is an INDEPENDENT formulation (candidates =
@@ -2501,6 +2519,39 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
+    // Independent formulation: any-shared-shingle candidates + the
+    // containment gate; bench snippets rebuilt from the first 12
+    // normalized words of the planted docs.
+    "q160_containment_join" ->
+      s"""WITH norm AS (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(${normSql("text")}, ' '),
+           w -> len(w) > 0) AS ws
+         FROM documents),
+       dts AS MATERIALIZED (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+         FROM norm WHERE len(ws) >= 3),
+       bench AS (
+         SELECT doc_id AS query_id, ws[1:least(12, len(ws))] AS qws
+         FROM norm WHERE doc_id % 41 = 0),
+       qts AS MATERIALIZED (
+         SELECT query_id, list_distinct(list_transform(
+           generate_series(1, len(qws) - 2),
+           i -> qws[i] || ' ' || qws[i+1] || ' ' || qws[i+2])) AS s
+         FROM bench WHERE len(qws) >= 3),
+       sh AS (SELECT doc_id, unnest(s) AS t FROM dts),
+       qsh AS (SELECT query_id, unnest(s) AS t FROM qts),
+       cand AS (
+         SELECT DISTINCT q.query_id, d.doc_id
+         FROM qsh q JOIN sh d ON q.t = d.t)
+       SELECT c.query_id, c.doc_id,
+         CAST(len(list_intersect(q.s, x.s)) AS BIGINT) AS inter_size,
+         CAST(len(q.s) AS BIGINT) AS q_size
+       FROM cand c JOIN qts q USING (query_id) JOIN dts x USING (doc_id)
+       WHERE len(list_intersect(q.s, x.s)) * 100 >= 80 * len(q.s)
+       ORDER BY query_id, doc_id""",
     // Independent of the engine's prefix rule: candidates = pairs sharing
     // ANY shingle (complete for J > 0), then the same all-integer gate.
     "q158_allpairs_jaccard" ->

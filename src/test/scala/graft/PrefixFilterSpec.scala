@@ -78,6 +78,42 @@ class PrefixFilterSpec extends SparkSpec {
     assert(got.nonEmpty) // docs 0/1/2 share shingles — fixture has teeth
   }
 
+  test("containmentJoin: word units match brute containment; big docs still hit") {
+    // doc 10 CONTAINS all of query 0's words but is 4x larger: Jaccard is
+    // tiny, containment is 100%
+    val corpus = Seq(
+      10L -> "alpha beta gamma delta e1 e2 e3 e4 e5 e6 e7 e8",
+      11L -> "alpha beta other words here now",
+      12L -> "nothing relevant at all")
+    val qs = Seq(100L -> "alpha beta gamma delta", 101L -> "missing words")
+    val got = Dedup.containmentJoin(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", qs.toDF("qid", "qtext"), "qid", "qtext",
+        thresholdPct = 50, n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val want = (for {
+      (q, qt) <- qs; (d, dt) <- corpus
+      sq = norm(qt); sd = norm(dt)
+      inter = (sq & sd).size.toLong
+      if inter * 100L >= 50L * sq.size.toLong
+    } yield (q, d, inter, sq.size.toLong)).toSet
+    assert(got == want)
+    assert(got.contains((100L, 10L, 4L, 4L))) // full containment, low Jaccard
+    assert(got.contains((100L, 11L, 2L, 4L))) // exactly at the 50% boundary
+    assert(got.contains((101L, 11L, 1L, 2L))) // 'words' alone reaches 50%
+  }
+
+  test("containmentJoin shingle units: planted leaked prefix is found") {
+    val corpus = texts
+    val qs = Seq(200L -> "the quick brown fox jumps")
+    val got = Dedup.containmentJoin(corpus.toDF("doc_id", "text"), "doc_id",
+        "text", qs.toDF("qid", "qtext"), "qid", "qtext",
+        thresholdPct = 100, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every doc containing all 3 shingles of the query: docs 0, 1, 2
+    assert(got == Set((200L, 0L), (200L, 1L), (200L, 2L)))
+  }
+
   test("random corpora: pruning never loses a qualifying pair") {
     val rnd = new scala.util.Random(11)
     val vocab = ('a' to 't').map(_.toString)
