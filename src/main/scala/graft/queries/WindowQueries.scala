@@ -178,6 +178,25 @@ object WindowQueries {
           sum(when(col("ts") < col("lo"), 1L).otherwise(0L)).as("n_before"),
           sum(when(col("ts") > col("hi"), 1L).otherwise(0L)).as("n_after"))
         .orderBy("user_id")
+    }),
+
+    // Ordered-sequence FUNNEL (view → click → purchase within 24 h of the
+    // view): first-next pointer walk off ONE descending value-RANGE window
+    // per user — equivalent to exists-any-chain (the oracle IS the
+    // independent exists-any formulation), no self-join explosion.
+    "q32_funnel" -> ((s, d) => {
+      graft.operators.Behavior.funnel(Tables.events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSec = 24L * 3600L)
+        .orderBy("user_id")
+    }),
+
+    // Daily cohort retention: users cohorted by first-event date, one row
+    // per (cohort_date, day_offset) — all date/integer arithmetic.
+    "q33_cohort_retention" -> ((s, d) => {
+      graft.operators.Behavior.cohortRetention(Tables.events(s, d),
+          "user_id", "ts")
+        .orderBy("cohort_date", "day_offset")
     })
   )
 
@@ -189,6 +208,39 @@ object WindowQueries {
        event_type, value, props FROM events)"""
 
   val oracles: Map[String, String] = Map(
+    // INDEPENDENT exists-any-ordered-chain formulation — the engine's
+    // first-next pointer walk must land the identical completion set.
+    "q32_funnel" -> s"""$EV,
+       us AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM ev),
+       anchors AS (SELECT user_id, us FROM us WHERE event_type = 'view'),
+       done AS (
+         SELECT a.user_id, a.us,
+           EXISTS (SELECT 1 FROM us c, us p
+             WHERE c.user_id = a.user_id AND c.event_type = 'click'
+               AND c.us > a.us
+               AND p.user_id = a.user_id AND p.event_type = 'purchase'
+               AND p.us > c.us AND p.us - a.us <= 86400000000) AS ok
+         FROM anchors a)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_anchors,
+         CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+         CAST(100 * sum(CASE WHEN ok THEN 1 ELSE 0 END) // count(*)
+           AS BIGINT) AS conversion_pct
+       FROM done GROUP BY user_id ORDER BY user_id""",
+    "q33_cohort_retention" -> s"""$EV,
+       fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+              FROM ev GROUP BY user_id),
+       act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+       grid AS (
+         SELECT f.cohort_date,
+           CAST(date_diff('day', f.cohort_date, a.day) AS BIGINT)
+             AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+         FROM act a JOIN fd f USING (user_id) GROUP BY 1, 2),
+       sz AS (SELECT cohort_date, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM fd GROUP BY 1)
+       SELECT g.cohort_date, g.day_offset, g.active_users, s.cohort_size
+       FROM grid g JOIN sz s USING (cohort_date)
+       ORDER BY cohort_date, day_offset""",
     "q20_lag_delta" -> s"""$EV
        SELECT event_id, user_id, ts, value,
          epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS dt_micros,
