@@ -368,6 +368,62 @@ object Dedup {
         lit(thresholdPct.toLong) * col("q_size"))
   }
 
+  /** Fuzzy self-join on edit distance: every UNORDERED pair of distinct
+    * strings with `levenshtein ≤ maxDist` — entity resolution / catalog
+    * cleaning (near-identical names, typo variants). Exact: the q-gram
+    * stage only PRUNES; every surviving candidate is verified with the
+    * codegen'd Levenshtein expression, and the oracle can be an
+    * independent all-pairs scan.
+    *
+    * Candidate rule: strings within edit distance k differ in length by
+    * ≤ k, and when `max(|a|,|b|) ≥ q·(k+1)` they must share at least one
+    * q-gram (each edit destroys ≤ q grams; k edits leave
+    * `max−q+1−k·q ≥ 1` intact). Strings too short for that guarantee
+    * route through a bounded all-pairs block — the short pool is capped
+    * by the alphabet at ANY corpus scale (< q·(k+1) chars), so its
+    * broadcast nested loop never grows with the data.
+    *
+    * Scale shape: everything runs on the DISTINCT-string table
+    * (vocabulary-scale, not row-scale); q-gram postings group into one
+    * shuffle with in-place pair expansion; verification is one scalar
+    * expression per candidate. Output: `(str_a, str_b, dist)`,
+    * `str_a < str_b`.
+    */
+  def editDistanceJoin(df: DataFrame, strCol: String, maxDist: Int,
+                       q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 1, "q must be >= 1")
+    val minGuarded = q * (maxDist + 1)
+    val names = df.select(col(strCol).as("__s")).filter(col("__s").isNotNull)
+      .distinct()
+    val long = names.filter(length(col("__s")) >= minGuarded)
+    val short = names.filter(length(col("__s")) < minGuarded)
+    val grams = long.select(struct(col("__s")).as("__pay"),
+      explode(array_distinct(expr(
+        s"""transform(sequence(1, length(__s) - $q + 1),
+              p -> substring(__s, p, $q))"""))).as("__g"))
+    val longCands = pairsWithinGroups(grams, Seq("__g"), col("__pay"),
+        Int.MaxValue)
+      .select(col("__a")("__s").as("str_a"), col("__b")("__s").as("str_b"))
+      .distinct()
+    // short strings: length-filtered all-pairs against the (bounded)
+    // short pool plus the long strings within k of the guard boundary
+    val shortSide = broadcast(short.select(col("__s").as("__short")))
+    val shortCands = names
+      .filter(length(col("__s")) < minGuarded + maxDist)
+      .join(shortSide,
+        col("__s") =!= col("__short") &&
+          abs(length(col("__s")) - length(col("__short"))) <= maxDist)
+      .select(least(col("__s"), col("__short")).as("str_a"),
+        greatest(col("__s"), col("__short")).as("str_b"))
+      .distinct()
+    longCands.unionByName(shortCands).distinct()
+      .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Winnowing fingerprints `(idCol, fingerprints: array<long>)` — the
     * rolling-hash document fingerprinting of Schleimer et al. (MOSS), the
     * standard overlap-detection primitive in training-data pipelines: hash

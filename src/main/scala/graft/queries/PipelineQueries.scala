@@ -867,6 +867,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Fuzzy self-join on edit distance (entity resolution over the part
+    // catalog): q-gram prefilter + length filter + codegen'd Levenshtein
+    // verify, short strings through the bounded all-pairs pool. Oracle =
+    // the INDEPENDENT all-pairs scan over distinct names.
+    "q161_fuzzy_join" -> ((s, d) => {
+      Dedup.editDistanceJoin(Tables.part(s, d), "p_name", maxDist = 3)
+        .orderBy("str_a", "str_b")
+    }),
+
     // Asymmetric CONTAINMENT decontamination (|Q∩D|/|Q| >= 0.8 over
     // 3-shingles): the set-level detector between q98/q120's doc flags
     // and q130's span excision — containment survives the doc being much
@@ -2519,6 +2528,16 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
+    // Independent all-pairs scan — DuckDB's levenshtein is the same plain
+    // (non-transposition) DP as Spark's.
+    "q161_fuzzy_join" ->
+      """WITH names AS (
+         SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+       SELECT a.s AS str_a, b.s AS str_b,
+         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+       FROM names a JOIN names b ON a.s < b.s
+       WHERE levenshtein(a.s, b.s) <= 3
+       ORDER BY str_a, str_b""",
     // Independent formulation: any-shared-shingle candidates + the
     // containment gate; bench snippets rebuilt from the first 12
     // normalized words of the planted docs.

@@ -114,6 +114,34 @@ class PrefixFilterSpec extends SparkSpec {
     assert(got == Set((200L, 0L), (200L, 1L), (200L, 2L)))
   }
 
+  test("editDistanceJoin equals brute all-pairs Levenshtein, short pool included") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // mix of long strings and SHORT ones (< q*(k+1) = 6 chars) that the
+    // q-gram guarantee cannot cover — the short pool must catch them
+    val strs = Seq("cold rod", "cold rom", "blue rod", "cold widget",
+      "old widget", "bold widget", "cat", "bat", "rat", "cart", "ace",
+      "blue rodx", "xyz")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistanceJoin(df, "name", maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = (for {
+        a <- strs.distinct; b <- strs.distinct if a < b
+        d = lev(a, b) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("random corpora: pruning never loses a qualifying pair") {
     val rnd = new scala.util.Random(11)
     val vocab = ('a' to 't').map(_.toString)
