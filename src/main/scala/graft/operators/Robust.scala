@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group statistics on an INTEGER-valued column — median/MAD
+  * outlier detection (Hampel's rule) with EXACT arithmetic: interpolated
+  * medians differ across engines in the last ulp (`lo + 0.5·(hi−lo)` vs
+  * `0.5·lo + 0.5·hi`), so medians are carried DOUBLED (`med2 = lo + hi`
+  * over the order statistics — an integer, never a float), and the outlier
+  * gate `|x − med| > k·MAD` becomes the integer comparison
+  * `|2x − med2| > k·mad2`. Callers quantize floats to an integer grid
+  * first (cents, micros) — the same discipline as every micro-grid score
+  * in this repo.
+  *
+  * Scale shape: two rank passes, each ONE window shuffle keyed by the
+  * group (order statistics need a per-group sort; groups are
+  * key-cardinality sized, never corpus-sized), and the join back to rows
+  * reuses the group partitioning. No global sort, no collect.
+  */
+object Robust {
+
+  /** Per-group `(keyCols…, n, med2, mad2, n_outliers)`:
+    * `med2 = v₍⌈n/2⌉₎ + v₍⌊n/2⌋₊₁₎` (twice the median, exact),
+    * `mad2` the same construction over `|2v − med2|` (twice the MAD,
+    * doubled values already included), outliers are rows with
+    * `|2v − med2| > k·mad2`.
+    */
+  def madSummary(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                 k: Int = 3): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(k >= 1, "k must be >= 1")
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keys: _*)
+    def medTwice(in: DataFrame, v: String, out: String): DataFrame =
+      in.select(keys :+ col(v).as("__v"): _*)
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .withColumn("__lo", expr("(__n + 1) div 2"))
+        .withColumn("__hi", expr("__n div 2 + 1"))
+        .groupBy(keys: _*)
+        .agg((sum(when(col("__rn") === col("__lo"), col("__v"))
+            .otherwise(0L)) +
+          sum(when(col("__rn") === col("__hi"), col("__v")).otherwise(0L)))
+          .as(out),
+          max(col("__n")).as("__cnt"))
+    val vals = df.select(keys :+ col(valueCol).cast("long").as("__v"): _*)
+    val med = medTwice(vals, "__v", "med2")
+    val withDev = vals.join(med, keyCols)
+      .withColumn("__d2", abs(lit(2L) * col("__v") - col("med2")))
+    val mad = medTwice(withDev, "__d2", "mad2")
+      .withColumnRenamed("__cnt", "__cnt2")
+    withDev.join(mad.select(keys :+ col("mad2"): _*), keyCols)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), max(col("med2")).as("med2"),
+        max(col("mad2")).as("mad2"),
+        sum(when(col("__d2") > lit(k.toLong) * col("mad2"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+}

@@ -867,6 +867,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Robust per-supplier price outliers (Hampel's |x−med| > 3·MAD): all
+    // order-statistic arithmetic on DOUBLED integers (med2 = lo+hi over
+    // cents) — interpolated medians differ across engines in the last
+    // ulp, doubled medians never touch a float. Quantization to cents is
+    // floor(x·100 + 0.5), exact-input IEEE on both engines.
+    "q162_mad_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("price_cents",
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+      graft.operators.Robust.madSummary(li, Seq("l_suppkey"), "price_cents",
+          k = 3)
+        .orderBy("l_suppkey")
+    }),
+
     // Fuzzy self-join on edit distance (entity resolution over the part
     // catalog): q-gram prefilter + length filter + codegen'd Levenshtein
     // verify, short strings through the bounded all-pairs pool. Oracle =
@@ -2528,6 +2542,45 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
+    // Same doubled-order-statistic construction: row_number over value
+    // (tie order irrelevant — selection is by VALUE), lo/hi indexes,
+    // med2 = lo+hi, second pass over |2v − med2|.
+    "q162_mad_outliers" ->
+      """WITH vals AS (
+         SELECT l_suppkey, CAST(floor(l_extendedprice * (100.0::DOUBLE)
+           + (0.5::DOUBLE)) AS BIGINT) AS v
+         FROM lineitem),
+       r1 AS (
+         SELECT l_suppkey, v,
+           row_number() OVER (PARTITION BY l_suppkey ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY l_suppkey) AS n
+         FROM vals),
+       med AS (
+         SELECT l_suppkey,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END) +
+             sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS BIGINT)
+             AS med2
+         FROM r1 GROUP BY l_suppkey),
+       dev AS (
+         SELECT v.l_suppkey, v.v, abs(2 * v.v - m.med2) AS d2, m.med2
+         FROM vals v JOIN med m USING (l_suppkey)),
+       r2 AS (
+         SELECT l_suppkey, d2,
+           row_number() OVER (PARTITION BY l_suppkey ORDER BY d2) AS rn,
+           count(*) OVER (PARTITION BY l_suppkey) AS n
+         FROM dev),
+       mad AS (
+         SELECT l_suppkey,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN d2 ELSE 0 END) +
+             sum(CASE WHEN rn = n // 2 + 1 THEN d2 ELSE 0 END) AS BIGINT)
+             AS mad2
+         FROM r2 GROUP BY l_suppkey)
+       SELECT d.l_suppkey, CAST(count(*) AS BIGINT) AS n,
+         max(d.med2) AS med2, max(m.mad2) AS mad2,
+         CAST(sum(CASE WHEN d.d2 > 3 * m.mad2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+       FROM dev d JOIN mad m USING (l_suppkey)
+       GROUP BY d.l_suppkey ORDER BY d.l_suppkey""",
     // Independent all-pairs scan — DuckDB's levenshtein is the same plain
     // (non-transposition) DP as Spark's.
     "q161_fuzzy_join" ->

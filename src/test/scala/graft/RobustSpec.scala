@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Robust
+
+/** Exact median/MAD against a brute in-memory reference (doubled order
+  * statistics — no interpolation floats), odd/even group sizes, Hampel's
+  * rule, and constant groups (MAD 0 → every deviation is an outlier).
+  */
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(vals: Seq[Long], k: Int): (Long, Long, Long) = {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((xs.size + 1) / 2 - 1) + s(xs.size / 2)
+    }
+    val m = med2(vals)
+    val d2 = vals.map(v => math.abs(2 * v - m))
+    val mad = med2(d2)
+    (m, mad, d2.count(_ > k.toLong * mad).toLong)
+  }
+
+  test("madSummary matches brute order statistics, odd and even n") {
+    val groups = Map(
+      "odd" -> Seq(10L, 12L, 11L, 100L, 13L),
+      "even" -> Seq(5L, 7L, 9L, 11L),
+      "dups" -> Seq(4L, 4L, 4L, 4L, 50L),
+      "const" -> Seq(8L, 8L, 8L),
+      "two" -> Seq(1L, 1000L))
+    val df = groups.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "v")
+    val got = Robust.madSummary(df, Seq("g"), "v", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    groups.foreach { case (g, vs) =>
+      val (m, mad, out) = brute(vs, 3)
+      assert(got(g) == ((vs.size.toLong, m, mad, out)), s"group $g")
+    }
+    // the planted spike IS the outlier where MAD is positive
+    assert(got("odd")._4 == 1L)
+    // constant group: MAD 0, all deviations 0 → no outliers
+    assert(got("const")._4 == 0L)
+    // dups: MAD 0 but the 50 deviates → flagged even with zero MAD
+    assert(got("dups")._4 == 1L)
+  }
+}
