@@ -76,6 +76,32 @@ object Behavior {
         expr("100 * n_completed div n_anchors"))
   }
 
+  /** First-order Markov transition matrix of event types: consecutive
+    * event pairs per user in time order, counted globally —
+    * `(from_type, to_type, n, prob_micro)` with
+    * `prob_micro = 10⁶·n div Σ_to n` (integer, row-normalized). Ordering
+    * ties break on the type string, so equal-timestamp events cannot make
+    * the sequence engine-dependent.
+    *
+    * Scale shape: one user-keyed window pass (`lead`), one
+    * type-pair aggregate (|types|² rows); the row normalization is a
+    * window over the tiny aggregated matrix.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol)
+      .orderBy(unix_micros(col(tsCol)), col(typeCol))
+    events.select(col(userCol), col(tsCol), col(typeCol))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("prob_micro", expr("1000000 * n div __tot"))
+      .select("from_type", "to_type", "n", "prob_micro")
+  }
+
   /** Daily cohort retention: users cohorted by their FIRST event's date;
     * one row per (cohort_date, day_offset) with the distinct users active
     * that day — offset 0 is the cohort itself, so `active_users =

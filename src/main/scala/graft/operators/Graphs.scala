@@ -79,4 +79,50 @@ object Graphs {
     // (same contract as mergeComponents' last round)
     ranks
   }
+
+  /** Per-node triangle participation counts over the UNDIRECTED version of
+    * an edge list: `(node, n_triangles)` for nodes in ≥ 1 triangle —
+    * clustering structure of the similarity graph (a node's triangles =
+    * how much its neighborhood agrees with itself).
+    *
+    * Degree-ordered orientation (the standard distributed algorithm —
+    * Suri & Vassilvitskii 2011): each undirected edge points from the
+    * lower (degree, id) endpoint to the higher, which caps every
+    * out-degree at O(√E), so the wedge join (out ⋈ out on the apex) is
+    * Σ outdeg² — bounded — instead of Σ deg² (hub-quadratic). Triangles =
+    * wedges (v, w) closed by an oriented v→w edge: ONE self-join + one
+    * closing equi-join, all on compact keys; every triangle is found
+    * exactly once (its orientation-minimal apex).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient from lower (degree, id) to higher
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("__da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("__db")), Seq("b"))
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v"),
+            col("__db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            col("__da").as("dv"))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"),
+        col("__e.dv").as("dv"))
+    val wedges = oriented.select(col("u"), col("v"), col("dv"))
+      .join(oriented.select(col("u"), col("v").as("w"), col("dv").as("dw")),
+        Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w")).select("u", "v", "w")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

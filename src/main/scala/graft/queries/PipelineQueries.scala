@@ -919,6 +919,21 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Per-node TRIANGLE counts over the same kNN graph — neighborhood
+    // self-agreement. Degree-ordered orientation caps out-degrees at
+    // O(sqrt(E)) so the wedge join is bounded (Suri & Vassilvitskii);
+    // each triangle found exactly once at its orientation-minimal apex.
+    // Oracle = the independent canonical a<b<c triple join.
+    "q163_triangles" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.triangleCounts(knn.select(col("query_id").as("src"),
+          col("vec_id").as("dst")), "src", "dst")
+        .orderBy("node")
+    }),
+
     // Integer-arithmetic PageRank over the corpus's own kNN similarity
     // graph (top-3 rounded-cosine neighbors per embedding) — centrality
     // from similarity structure, 3 rounds of pure-BIGINT rank propagation
@@ -2650,6 +2665,33 @@ object PipelineQueries {
        WHERE len(list_intersect(x.s, y.s)) * 100 >=
          60 * len(list_distinct(x.s || y.s))
        ORDER BY id_a, id_b""",
+    // Same kNN edge construction as q157; triangles via the INDEPENDENT
+    // canonical triple join (a<b, b<c, a<c all present), nodes exploded.
+    "q163_triangles" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       scored AS (
+         SELECT q.vec_id AS src, e.vec_id AS dst,
+           round(list_dot_product(e.v, q.v)
+             / (sqrt(list_dot_product(e.v, e.v))
+              * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+         FROM corp e CROSS JOIN corp q WHERE e.vec_id <> q.vec_id),
+       edges AS MATERIALIZED (
+         SELECT src, dst FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+           FROM scored) WHERE rn <= 3),
+       und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+       tri AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM und e1
+           JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+       GROUP BY node ORDER BY node""",
     // q69's all-pairs rounded-cosine ranking builds the kNN edges; 3
     // PageRank rounds unrolled, every step BIGINT // division.
     "q157_pagerank_knn" ->

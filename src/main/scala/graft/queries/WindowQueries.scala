@@ -191,6 +191,15 @@ object WindowQueries {
         .orderBy("user_id")
     }),
 
+    // First-order Markov transition matrix of event types: one user-keyed
+    // lead pass (ties break on the type string), |types|² aggregate,
+    // integer row normalization (10⁶·n div row-total).
+    "q34_transitions" -> ((s, d) => {
+      graft.operators.Behavior.transitionMatrix(Tables.events(s, d),
+          "user_id", "ts", "event_type")
+        .orderBy("from_type", "to_type")
+    }),
+
     // Daily cohort retention: users cohorted by first-event date, one row
     // per (cohort_date, day_offset) — all date/integer arithmetic.
     "q33_cohort_retention" -> ((s, d) => {
@@ -226,6 +235,20 @@ object WindowQueries {
          CAST(100 * sum(CASE WHEN ok THEN 1 ELSE 0 END) // count(*)
            AS BIGINT) AS conversion_pct
        FROM done GROUP BY user_id ORDER BY user_id""",
+    "q34_transitions" -> s"""$EV,
+       seq AS (
+         SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_type) AS nxt
+         FROM ev),
+       cnt AS (
+         SELECT event_type AS from_type, nxt AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+         CAST(1000000 * n // sum(n) OVER (PARTITION BY from_type)
+           AS BIGINT) AS prob_micro
+       FROM cnt ORDER BY from_type, to_type""",
     "q33_cohort_retention" -> s"""$EV,
        fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
               FROM ev GROUP BY user_id),

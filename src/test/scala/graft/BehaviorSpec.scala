@@ -78,6 +78,29 @@ class BehaviorSpec extends SparkSpec {
     assert(got(5L) == ((1L, 0L, 0L)))
   }
 
+  test("transitionMatrix: counts, row normalization, and tie ordering") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, ts("2024-01-01 10:02:00"), "a"),
+      (1L, ts("2024-01-01 10:03:00"), "b"),
+      (2L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, ts("2024-01-01 10:01:00"), "c"),
+      // user 3: two events at the SAME timestamp — type order breaks the
+      // tie deterministically (a before b)
+      (3L, ts("2024-01-01 10:00:00"), "b"),
+      (3L, ts("2024-01-01 10:00:00"), "a"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Behavior.transitionMatrix(ev, "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from 'a': a→b x3 (users 1 twice, 3 once), a→c x1 → 750000 / 250000
+    assert(got(("a", "b")) == ((3L, 750000L)))
+    assert(got(("a", "c")) == ((1L, 250000L)))
+    assert(got(("b", "a")) == ((1L, 1000000L)))
+    assert(got.size == 3)
+  }
+
   test("cohortRetention: offsets, sizes, and day-0 identity") {
     val ev2 = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),

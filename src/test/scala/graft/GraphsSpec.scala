@@ -38,6 +38,33 @@ class GraphsSpec extends SparkSpec {
     (0 to 3).foreach(i => assert(run(i) == brute(i), s"iteration $i"))
   }
 
+  test("triangleCounts equals brute triple enumeration on random graphs") {
+    def brute(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .filter(e => e._1 != e._2).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val tris = for {
+        i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+        if und((i, j)) && und((j, k)) && und((i, k))
+      } yield (i, j, k)
+      tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 3) {
+      val es = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Graphs.triangleCounts(es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brute(es), s"trial $trial")
+    }
+    // a known 4-clique: every node sits in C(3,2)=3 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got4 = Graphs.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("hub structure ranks: node 3 (two in-edges incl. the hub) beats node 4 (none)") {
     val r = run(3)
     assert(r(3L) > r(4L) && r(1L) > r(4L))
