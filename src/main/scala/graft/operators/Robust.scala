@@ -46,7 +46,10 @@ object Robust {
           sum(when(col("__rn") === col("__hi"), col("__v")).otherwise(0L)))
           .as(out),
           max(col("__n")).as("__cnt"))
+    // null measurements carry no evidence — and unfiltered they'd sort
+    // ahead of every value and silently shift the selected order statistics
     val vals = df.select(keys :+ col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
     val med = medTwice(vals, "__v", "med2")
     val withDev = vals.join(med, keyCols)
       .withColumn("__d2", abs(lit(2L) * col("__v") - col("med2")))

@@ -43,4 +43,12 @@ class RobustSpec extends SparkSpec {
     // dups: MAD 0 but the 50 deviates → flagged even with zero MAD
     assert(got("dups")._4 == 1L)
   }
+
+  test("null values are dropped, not sorted into the order statistics") {
+    val df = Seq(("g", Some(10L)), ("g", None), ("g", Some(12L)),
+      ("g", Some(11L))).toDF("g", "v")
+    val r = Robust.madSummary(df, Seq("g"), "v").collect().head
+    assert(r.getLong(1) == 3L)        // n counts non-null only
+    assert(r.getLong(2) == 11L + 11L) // med2 of {10,11,12}
+  }
 }
