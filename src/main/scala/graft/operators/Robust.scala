@@ -21,6 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object Robust {
 
+  /** EXACT per-group nearest-rank quantiles: one output row per (group,
+    * percentile) with `value = v₍⌈p·n/100⌉₎` over the sorted group — the
+    * classic nearest-rank definition, pure integer index arithmetic
+    * (`(p·n + 99) div 100`, clamped to ≥ 1), so unlike interpolated
+    * percentiles there is no float to disagree on. The exact companion of
+    * the sample-based q121 path: ONE rank-window pass serves every
+    * requested percentile (rows matching any selected index survive a
+    * codegen'd filter; no per-percentile scan).
+    * Output: `(keyCols…, pct, n, value)`.
+    */
+  def nearestRankQuantiles(df: DataFrame, keyCols: Seq[String],
+                           valueCol: String, pcts: Seq[Int]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keys: _*)
+    val ranked = df.select(keys :+ col(valueCol).cast("long").as("__v"): _*)
+      .filter(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val pctArr = pcts.distinct.sorted
+    ranked
+      .select(keys ++ Seq(col("__v"), col("__rn"), col("__n"),
+        explode(typedlit(pctArr)).as("pct")): _*)
+      .filter(col("__rn") ===
+        greatest(lit(1L), expr("(pct * __n + 99) div 100")))
+      .select(keys ++ Seq(col("pct").cast("long").as("pct"),
+        col("__n").as("n"), col("__v").as("value")): _*)
+  }
+
   /** Per-group `(keyCols…, n, med2, mad2, n_outliers)`:
     * `med2 = v₍⌈n/2⌉₎ + v₍⌊n/2⌋₊₁₎` (twice the median, exact),
     * `mad2` the same construction over `|2v − med2|` (twice the MAD,

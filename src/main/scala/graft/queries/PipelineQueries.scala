@@ -867,6 +867,18 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // EXACT per-group nearest-rank quantiles (the exact companion of
+    // q121's sample-based path): pure integer index arithmetic
+    // ((p·n+99) div 100), one rank pass serving every percentile.
+    "q164_exact_quantiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("price_cents",
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+      graft.operators.Robust.nearestRankQuantiles(li, Seq("l_returnflag"),
+          "price_cents", Seq(10, 25, 50, 75, 90, 99))
+        .orderBy("l_returnflag", "pct")
+    }),
+
     // Robust per-supplier price outliers (Hampel's |x−med| > 3·MAD): all
     // order-statistic arithmetic on DOUBLED integers (med2 = lo+hi over
     // cents) — interpolated medians differ across engines in the last
@@ -2557,6 +2569,22 @@ object PipelineQueries {
     // associativity (decimal literals CAST to DOUBLE — DuckDB reads bare
     // decimals as exact DECIMAL); idf micro-snapped off the one ln();
     // per-(doc,term) floors then BIGINT sums.
+    // Same rank construction, one row per (group, pct).
+    "q164_exact_quantiles" ->
+      """WITH vals AS (
+         SELECT l_returnflag, CAST(floor(l_extendedprice * (100.0::DOUBLE)
+           + (0.5::DOUBLE)) AS BIGINT) AS v
+         FROM lineitem),
+       r AS (
+         SELECT l_returnflag, v,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY l_returnflag) AS n
+         FROM vals)
+       SELECT r.l_returnflag, CAST(p.pct AS BIGINT) AS pct,
+         CAST(r.n AS BIGINT) AS n, r.v AS value
+       FROM r, (SELECT unnest([10, 25, 50, 75, 90, 99]) AS pct) p
+       WHERE r.rn = greatest(1, (p.pct * r.n + 99) // 100)
+       ORDER BY l_returnflag, pct""",
     // Same doubled-order-statistic construction: row_number over value
     // (tie order irrelevant — selection is by VALUE), lo/hi indexes,
     // med2 = lo+hi, second pass over |2v − med2|.

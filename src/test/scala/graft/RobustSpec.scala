@@ -44,6 +44,26 @@ class RobustSpec extends SparkSpec {
     assert(got("dups")._4 == 1L)
   }
 
+  test("nearestRankQuantiles matches the brute nearest-rank definition") {
+    val groups = Map("a" -> (1L to 10L), "b" -> (1L to 7L), "c" -> Seq(42L))
+    val df = groups.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "v")
+    val pcts = Seq(1, 25, 50, 75, 90, 100)
+    val got = Robust.nearestRankQuantiles(df, Seq("g"), "v", pcts)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    groups.foreach { case (g, vs) =>
+      val s = vs.toSeq.sorted
+      pcts.foreach { p =>
+        val idx = math.max(1, (p * s.size + 99) / 100)
+        assert(got((g, p.toLong)) == ((s.size.toLong, s(idx - 1))),
+          s"group $g pct $p")
+      }
+    }
+    // every (group, pct) present exactly once
+    assert(got.size == groups.size * pcts.size)
+  }
+
   test("null values are dropped, not sorted into the order statistics") {
     val df = Seq(("g", Some(10L)), ("g", None), ("g", Some(12L)),
       ("g", Some(11L))).toDF("g", "v")
