@@ -85,6 +85,37 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("cosine"))
   }
 
+  /** HARD-NEGATIVE mining: for each query, the corpus vectors ranked
+    * `loRank..hiRank` by cosine — the contrastive-training draw that skips
+    * the near-duplicates (too easy to be informative as positives' clones)
+    * and the random tail (too easy as negatives): the standard
+    * "semi-hard" band (Schroff et al. 2015's intuition, applied corpus-
+    * side). Same ranking contract as [[bruteForceTopK]] (rounded-cosine +
+    * id ties ⇒ engine-reproducible band edges). Output: (queryIdCol,
+    * idCol, rank, cosine).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — query side broadcast,
+    * corpus scanned once, per-query rank window; the band filter rides the
+    * same WindowGroupLimit pre-filter at `hiRank`.
+    */
+  def rankBand(corpus: DataFrame, queries: DataFrame,
+               idCol: String, queryIdCol: String, vecCol: String,
+               loRank: Int, hiRank: Int,
+               scoreDigits: Option[Int] = None): DataFrame = {
+    require(loRank >= 1 && hiRank >= loRank, "need 1 <= loRank <= hiRank")
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qvec"))
+    val raw = VectorFunctions.cosine(col(vecCol), col("__qvec"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(q), col(idCol) =!= col(queryIdCol))
+      .withColumn("cosine", scoreDigits.fold(raw)(d => round(raw, d)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank").between(loRank, hiRank))
+      .select(col(queryIdCol), col(idCol), col("rank").cast("long").as("rank"),
+        col("cosine"))
+  }
+
   /** Top-k by cosine in a Johnson–Lindenstrauss-PROJECTED space
     * ([[VectorFunctions.randomProject]]): both sides are projected onto the
     * same `projDim` portable ±1 planes, then ranked exactly like

@@ -931,6 +931,20 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // HARD-NEGATIVE mining for contrastive training: per query the
+    // semi-hard cosine band (ranks 20..29) — skips near-dup clones AND
+    // the uninformative random tail; rounded-cosine + id ties keep the
+    // band edges engine-reproducible.
+    "q165_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.rankBand(emb,
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          "vec_id", "query_id", "embedding", loRank = 20, hiRank = 29,
+          scoreDigits = Some(6))
+        .orderBy("query_id", "rank")
+    }),
+
     // Per-node TRIANGLE counts over the same kNN graph — neighborhood
     // self-agreement. Degree-ordered orientation caps out-degrees at
     // O(sqrt(E)) so the wedge join is bounded (Suri & Vassilvitskii);
@@ -2693,6 +2707,28 @@ object PipelineQueries {
        WHERE len(list_intersect(x.s, y.s)) * 100 >=
          60 * len(list_distinct(x.s || y.s))
        ORDER BY id_a, id_b""",
+    // q69's ranking chain with a band filter instead of top-k.
+    "q165_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                  FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT q.query_id, e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qvec AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.qvec AS DOUBLE[]),
+                                      CAST(q.qvec AS DOUBLE[])))), 6)
+             AS cosine
+         FROM embeddings e CROSS JOIN q
+         WHERE e.vec_id <> q.query_id),
+       ranked AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored)
+       SELECT query_id, vec_id, CAST(rn AS BIGINT) AS "rank", cosine
+       FROM ranked WHERE rn BETWEEN 20 AND 29
+       ORDER BY query_id, "rank"""",
     // Same kNN edge construction as q157; triangles via the INDEPENDENT
     // canonical triple join (a<b, b<c, a<c all present), nodes exploded.
     "q163_triangles" ->

@@ -418,6 +418,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  test("rankBand slices exactly ranks lo..hi of the brute ranking") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val full = Similarity.bruteForceTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 30, scoreDigits = Some(6))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, c) => (-c, id) }).toMap
+    val band = Similarity.rankBand(emb, queries, "vec_id", "query_id",
+        "embedding", loRank = 11, hiRank = 20, scoreDigits = Some(6))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(2))
+        .map(r => (r.getLong(1), r.getDouble(3)))).toMap
+    full.foreach { case (q, ranked) =>
+      assert(band(q).toSeq == ranked.slice(10, 20).toSeq, s"query $q")
+    }
+    // ranks run 11..20, ten per query
+    assert(band.values.forall(_.size == 10))
+  }
+
   test("kmeansStep matches brute-force assignment + micro sums; counts partition the corpus") {
     val data = planted.collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
