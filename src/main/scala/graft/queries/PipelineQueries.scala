@@ -931,6 +931,29 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ANN EVALUATION harness: recall@10 of the IVF probe against exact
+    // brute force, per query — the measurement loop any production ANN
+    // deployment runs; both sides deterministic (rounded-cosine + id
+    // ties), recall as integer counts out of 10.
+    "q166_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "query_id", "embedding", k = 10, scoreDigits = Some(6))
+      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "query_id",
+        "embedding", k = 10, nCentroids = 16, nProbe = 4,
+        scoreDigits = Some(6))
+      exact.select(col("query_id"), col("vec_id"))
+        .join(approx.select(col("query_id"), col("vec_id"),
+          lit(1L).as("__hit")), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_recalled"))
+        .withColumn("recall_pct", expr("100 * n_recalled div k"))
+        .orderBy("query_id")
+    }),
+
     // HARD-NEGATIVE mining for contrastive training: per query the
     // semi-hard cosine band (ranks 20..29) — skips near-dup clones AND
     // the uninformative random tail; rounded-cosine + id ties keep the
@@ -2707,6 +2730,65 @@ object PipelineQueries {
        WHERE len(list_intersect(x.s, y.s)) * 100 >=
          60 * len(list_distinct(x.s || y.s))
        ORDER BY id_a, id_b""",
+    // Exact side = q69's ranking; approx side = q136's cents/assignment/
+    // probe chain without the SQ codes; recall joined per query.
+    "q166_ann_recall" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM corp ORDER BY hk, vec_id LIMIT 16)),
+       cdists AS (
+         SELECT c.vec_id, t.ci,
+           list_dot_product(t.cvec, t.cvec)
+             - 2.0 * list_dot_product(c.v, t.cvec) AS s
+         FROM corp c CROSS JOIN cents t),
+       assigned AS (
+         SELECT vec_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists) WHERE rn = 1),
+       probes AS (
+         SELECT vec_id AS query_id, ci AS cell FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY vec_id ORDER BY s, ci) AS rn
+           FROM cdists WHERE vec_id < 8) WHERE rn <= 4),
+       q AS (
+         SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 8),
+       exacts AS (
+         SELECT query_id, vec_id FROM (
+           SELECT q.query_id, e.vec_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+               e.vec_id) AS rn
+           FROM corp e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+         WHERE rn <= 10),
+       approx AS (
+         SELECT query_id, vec_id FROM (
+           SELECT p.query_id, a.vec_id,
+             row_number() OVER (PARTITION BY p.query_id ORDER BY
+               round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+               a.vec_id) AS rn
+           FROM probes p
+             JOIN assigned a ON p.cell = a.cell
+             JOIN corp e ON e.vec_id = a.vec_id
+             JOIN q ON q.query_id = p.query_id
+           WHERE a.vec_id <> p.query_id)
+         WHERE rn <= 10)
+       SELECT x.query_id, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_recalled,
+         CAST(100 * sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+           // count(*) AS BIGINT) AS recall_pct
+       FROM exacts x LEFT JOIN approx ap
+         ON ap.query_id = x.query_id AND ap.vec_id = x.vec_id
+       GROUP BY x.query_id ORDER BY x.query_id""",
     // q69's ranking chain with a band filter instead of top-k.
     "q165_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
