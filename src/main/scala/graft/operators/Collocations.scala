@@ -32,21 +32,27 @@ object Collocations {
     * spuriously high PMI), ties on the pair strings.
     */
   def pmiBigrams(docs: DataFrame, textCol: String,
-                 minCount: Long = 5L, topN: Int = 50): DataFrame = {
+                 minCount: Long = 5L, topN: Int = 50,
+                 checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     require(topN > 0, "topN must be positive")
     val ws = docs.select(filter(
       split(TextFunctions.normalizeForDedup(col(textCol)), " "),
       w => length(w) > 0).as("ws"))
-    val uni = ws.select(explode(col("ws")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val bi = ws.filter(size(col("ws")) >= 2)
+    // cut both count tables: uni feeds the total AND both score joins, bi
+    // the total AND the scored pairs — uncut, each consumer re-runs the
+    // corpus tokenize (the q149 exchange-reuse lesson); the cuts are
+    // vocabulary-scale
+    val uni = checkpointer.cut(ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    val bi = checkpointer.cut(ws.filter(size(col("ws")) >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(ws) - 1),
              i -> struct(element_at(ws, i) AS w1,
                          element_at(ws, i + 1) AS w2))""")).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("pair_count"))
+      .agg(count(lit(1)).as("pair_count")))
     val totals = uni.agg(sum("c").as("__u"))
       .crossJoin(bi.agg(sum("pair_count").as("__b")))
     bi.filter(col("pair_count") >= minCount)

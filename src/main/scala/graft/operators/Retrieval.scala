@@ -230,10 +230,15 @@ object Retrieval {
     * doc — millions of small groups, no concentration.
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
+                    n: Int,
+                    checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
     require(n > 0, "n must be positive")
     val toks = tokens(docs, idCol, textCol)
-    val tf = toks.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    // cut: tf feeds BOTH the vocabulary df aggregate and the score join —
+    // uncut, the corpus tokenize runs once per consumer
+    val tf = checkpointer.cut(
+      toks.groupBy("__doc", "__t").agg(count(lit(1)).as("__tf")))
     val df = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("__n"))
     val idf = df.crossJoin(broadcast(nDocs))
