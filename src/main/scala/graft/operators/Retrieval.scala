@@ -127,11 +127,18 @@ object Retrieval {
     * baked into the layout).
     */
   def writeBm25Index(docs: DataFrame, path: String, idCol: String,
-                     textCol: String, nBuckets: Int = 64): Unit = {
+                     textCol: String, nBuckets: Int = 64,
+                     checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val toks = tokens(docs, idCol, textCol)
-    val tfAll = toks.groupBy("__doc", "__t").agg(count(lit(1)).as("tf"))
-    val dl = tfAll.groupBy("__doc").agg(sum("tf").as("dl"))
+    // cut the shared intermediates even at build time: tfAll feeds the
+    // postings join AND df; dl feeds the join AND the stats total —
+    // uncut, the corpus tokenize runs once per consumer
+    val tfAll = checkpointer.cut(
+      toks.groupBy("__doc", "__t").agg(count(lit(1)).as("tf")))
+    val dl = checkpointer.cut(
+      tfAll.groupBy("__doc").agg(sum("tf").as("dl")))
     tfAll.join(dl, Seq("__doc"))
       .select(col("__t").as("term"), col("__doc").as("doc"), col("tf"),
         col("dl"),
