@@ -159,10 +159,49 @@ object RelationalQueries {
         .select(col("c_custkey").as("custkey"))
       val active = Tables.orders(s, d).select(col("o_custkey").as("custkey")).distinct()
       seg.intersect(active).orderBy("custkey")
+    }),
+
+    // §2.4 grouping sets: revenue CUBE over (segment, nation) — every
+    // subtotal level in ONE aggregate pass (Spark expands grouping sets
+    // map-side; the shuffle carries one partial per set per key).
+    // Measures are integers (counts + cents) so subtotals are exact, and
+    // the sort pins null placement explicitly (Spark defaults NULLS FIRST
+    // asc, DuckDB NULLS LAST — an unpinned sort hash-mismatches).
+    "q13_cube_revenue" -> ((s, d) => {
+      val joined = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("nationkey"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("__cents"))
+      joined.cube(col("c_mktsegment"), col("nationkey"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_items"),
+          sum("__cents").as("revenue_cents"))
+        .select(col("gid").cast("long").as("gid"), col("c_mktsegment"),
+          col("nationkey"), col("n_items"), col("revenue_cents"))
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("nationkey").asc_nulls_first)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // grouping id computed explicitly (2·grouping(seg) + grouping(nation))
+    // so the bit order cannot differ between engines; NULLS FIRST pinned.
+    "q13_cube_revenue" ->
+      """WITH j AS (
+         SELECT c.c_mktsegment, CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(floor(l.l_extendedprice * (100.0::DOUBLE) + (0.5::DOUBLE))
+             AS BIGINT) AS cents
+         FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey)
+       SELECT CAST(2 * GROUPING(c_mktsegment) + GROUPING(nationkey)
+           AS BIGINT) AS gid,
+         c_mktsegment, nationkey, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+       FROM j GROUP BY CUBE (c_mktsegment, nationkey)
+       ORDER BY gid, c_mktsegment NULLS FIRST, nationkey NULLS FIRST""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
