@@ -191,6 +191,21 @@ object WindowQueries {
         .orderBy("user_id")
     }),
 
+    // Running DISTINCT-user count by day via the first-seen trick:
+    // distinct-to-hour(h) = count of users whose FIRST event hour <= h —
+    // one user-keyed aggregate + a running sum over the CALENDAR-scale
+    // (hour, n_new) axis (the only global window, calendar-bounded at
+    // any SF; never over events). Hours with no new users are absent.
+    "q35_cumulative_distinct" -> ((s, d) => {
+      val firstHour = Tables.events(s, d).groupBy("user_id")
+        .agg(min(date_trunc("hour", col("ts"))).as("hour"))
+      firstHour.groupBy("hour").agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum("n_new").over(
+          Window.orderBy("hour")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("hour")
+    }),
+
     // First-order Markov transition matrix of event types: one user-keyed
     // lead pass (ties break on the type string), |types|² aggregate,
     // integer row normalization (10⁶·n div row-total).
@@ -235,6 +250,16 @@ object WindowQueries {
          CAST(100 * sum(CASE WHEN ok THEN 1 ELSE 0 END) // count(*)
            AS BIGINT) AS conversion_pct
        FROM done GROUP BY user_id ORDER BY user_id""",
+    "q35_cumulative_distinct" -> s"""$EV,
+       fd AS (SELECT user_id, min(date_trunc('hour', ts)) AS hour
+              FROM ev GROUP BY user_id),
+       pd AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_new
+              FROM fd GROUP BY hour)
+       SELECT hour, n_new,
+         CAST(sum(n_new) OVER (ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+       FROM pd ORDER BY hour""",
     "q34_transitions" -> s"""$EV,
        seq AS (
          SELECT user_id, event_type,
