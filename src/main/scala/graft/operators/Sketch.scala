@@ -93,6 +93,69 @@ object Sketch {
     * WindowGroupLimit — same data movement, but an avoidable global-window
     * operator). SketchSpec pins the physical plan.
     */
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al. 2007)
+    * — the canonical cardinality sketch beside the KMV one: `2^p`
+    * registers, each the max leading-zero rank of the portable 60-bit
+    * hash, merged with plain `max` (fully mergeable partial aggregates).
+    * Deterministic END TO END: the hash is the portable md5 family, the
+    * rank comes from the BINARY-STRING length (no float log), the
+    * harmonic sum is carried as the EXACT integer `Σ 2^(50−M)` (dyadic
+    * terms shifted onto a common 2⁵⁰ grid, BIGINT-summed —
+    * order-independent; registers past 50 truncate to 0 identically on
+    * both engines), and the one `ln` of the small-range linear-counting
+    * correction is micro-snapped. Output: `(keyCols…, m, zeros,
+    * est_micro)` with `est_micro = floor(10⁶·E)`:
+    * `E = α_m·m²·2⁵⁰/S`, corrected to `m·ln(m/zeros)` when
+    * `E ≤ 2.5·m` and zeros > 0.
+    *
+    * Scale shape: one hash-aggregate to `|groups|·2^p` register rows with
+    * map-side `max` partials (the sketch property: shuffle carries
+    * registers, not values), then a groups-scale finish.
+    */
+  def hllDistinct(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val m = 1 << p
+    val keys = keyCols.map(col)
+    val h = graft.functions.HashFunctions.portableHash60(
+      col(valueCol).cast("string"))
+    val wBits = 60 - p
+    val rows = df.select(keys :+ h.as("__h"): _*)
+      .withColumn("__bucket", pmod(col("__h"), lit(m.toLong)))
+      .withColumn("__w", expr(s"__h div $m"))
+      .withColumn("__rho",
+        when(col("__w") === 0L, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(expr("bin(__w)"))))
+    val regs = rows.groupBy(keys :+ col("__bucket"): _*)
+      .agg(max(col("__rho")).as("__M"))
+    // every group carries ALL m registers (empty ones are rank 0)
+    val full = df.select(keys: _*).distinct()
+      .select(keys :+ explode(expr(
+        s"sequence(CAST(0 AS BIGINT), CAST(${m - 1} AS BIGINT))"))
+        .as("__bucket"): _*)
+      .join(regs, keyCols :+ "__bucket", "left")
+      .withColumn("__M", coalesce(col("__M"), lit(0)))
+    val alpha = s"(CAST(0.7213 AS DOUBLE) / " +
+      s"(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST($m AS DOUBLE)))"
+    full.groupBy(keys: _*)
+      .agg(
+        sum(when(col("__M") <= 50, expr("shiftleft(1L, 50 - __M)"))
+          .otherwise(0L)).as("__S"),
+        sum(when(col("__M") === 0, 1L).otherwise(0L)).as("zeros"))
+      .withColumn("__raw", expr(
+        s"$alpha * CAST($m AS DOUBLE) * CAST($m AS DOUBLE) * " +
+          s"CAST(${1L << 50} AS DOUBLE) / CAST(__S AS DOUBLE)"))
+      .withColumn("est_micro",
+        floor(lit(1e6) * when(
+          col("__raw") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            col("zeros").cast("double")))
+          .otherwise(col("__raw"))).cast("long"))
+      .select(keys ++ Seq(lit(m.toLong).as("m"), col("zeros"),
+        col("est_micro")): _*)
+  }
+
   def bottomKSample(df: DataFrame, idCol: String, k: Int,
                     tag: String = "bottomk"): DataFrame = {
     require(k > 0, "k must be positive")

@@ -931,6 +931,23 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // HyperLogLog distinct-count sketch (Flajolet 2007) beside the KMV
+    // path: portable-hash ranks from the BINARY-STRING length (no float
+    // log), registers merged with plain max, harmonic sum carried as the
+    // exact integer sum of 2^(50-M) — engine-identical end to end; the
+    // one ln (small-range linear counting) micro-snapped. Exact distinct
+    // joined alongside so the oracle also pins the error visibly.
+    "q167_hll_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val hll = Sketch.hllDistinct(li, Seq("l_returnflag"), "l_orderkey",
+        p = 8)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("n_exact"))
+      hll.join(exact, Seq("l_returnflag"))
+        .select("l_returnflag", "m", "zeros", "est_micro", "n_exact")
+        .orderBy("l_returnflag")
+    }),
+
     // ANN EVALUATION harness: recall@10 of the IVF probe against exact
     // brute force, per query — the measurement loop any production ANN
     // deployment runs; both sides deterministic (rounded-cosine + id
@@ -2730,6 +2747,57 @@ object PipelineQueries {
        WHERE len(list_intersect(x.s, y.s)) * 100 >=
          60 * len(list_distinct(x.s || y.s))
        ORDER BY id_a, id_b""",
+    // Construction replayed: bucket/rank from the portable hash, max
+    // registers, exact dyadic sum, same double literals, ln snapped once.
+    "q167_hll_distinct" ->
+      s"""WITH r0 AS (
+         SELECT l_returnflag,
+           ${pHash60("CAST(l_orderkey AS VARCHAR)")} AS h
+         FROM lineitem),
+       r1 AS (
+         SELECT l_returnflag, h % 256 AS bucket, h // 256 AS w FROM r0),
+       r2 AS (
+         SELECT l_returnflag, bucket,
+           CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+         FROM r1),
+       regs AS (
+         SELECT l_returnflag, bucket, max(rho) AS mr
+         FROM r2 GROUP BY 1, 2),
+       allregs AS (
+         SELECT f.l_returnflag, b.bucket, coalesce(r.mr, 0) AS mr
+         FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+           CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) b
+           LEFT JOIN regs r ON r.l_returnflag = f.l_returnflag
+             AND r.bucket = b.bucket),
+       agg AS (
+         SELECT l_returnflag,
+           CAST(sum(CASE WHEN mr <= 50
+             THEN CAST(1 AS BIGINT) << (50 - mr) ELSE 0 END) AS BIGINT)
+             AS s,
+           CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+         FROM allregs GROUP BY 1),
+       est AS (
+         SELECT l_returnflag, zeros,
+           (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+             CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)))
+             * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+             * CAST(1125899906842624 AS DOUBLE) / CAST(s AS DOUBLE) AS raw
+         FROM agg),
+       fin AS (
+         SELECT l_returnflag, CAST(256 AS BIGINT) AS m, zeros,
+           CAST(floor(CAST(1000000.0 AS DOUBLE) *
+             CASE WHEN raw <= (640.0::DOUBLE) AND zeros > 0
+               THEN CAST(256 AS DOUBLE) *
+                 ln(CAST(256 AS DOUBLE) / CAST(zeros AS DOUBLE))
+               ELSE raw END) AS BIGINT) AS est_micro
+         FROM est),
+       ex AS (
+         SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+         FROM lineitem GROUP BY 1)
+       SELECT f.l_returnflag, f.m, f.zeros, f.est_micro, ex.n_exact
+       FROM fin f JOIN ex USING (l_returnflag)
+       ORDER BY l_returnflag""",
     // Exact side = q69's ranking; approx side = q136's cents/assignment/
     // probe chain without the SQ codes; recall joined per query.
     "q166_ann_recall" ->

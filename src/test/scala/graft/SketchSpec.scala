@@ -20,6 +20,37 @@ class SketchSpec extends SparkSpec {
     spark.range(n).select(
       HashFunctions.portableHash60(concat(lit(tag), col("id"))).as("h"))
 
+  test("hllDistinct: ~6.5% standard error at m=256, duplicate-blind, small-range exact-ish") {
+    import graft.operators.Sketch
+    // 5000 distinct values, every row duplicated, shuffled across 7
+    // partitions — the estimate must be duplicate-blind and inside 4
+    // standard errors (1.04/sqrt(256) ≈ 6.5% → bound 26%; actual is far
+    // tighter, but the bound must never flake)
+    val vals = spark.range(5000).select(lit("g").as("g"),
+      concat(lit("v"), col("id")).as("v"))
+    val once = Sketch.hllDistinct(vals.repartition(7), Seq("g"), "v")
+      .select("est_micro").head().getLong(0)
+    val twice = Sketch.hllDistinct(vals.union(vals).repartition(7),
+      Seq("g"), "v").select("est_micro").head().getLong(0)
+    assert(once == twice, "duplicates must not move the estimate")
+    val est = once.toDouble / 1e6
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.26, s"estimate $est")
+    // small range: 12 distinct -> linear counting, within one count
+    val tiny = spark.range(12).select(lit("g").as("g"),
+      concat(lit("t"), col("id")).as("v"))
+    val estTiny = Sketch.hllDistinct(tiny, Seq("g"), "v")
+      .select("est_micro").head().getLong(0).toDouble / 1e6
+    assert(math.abs(estTiny - 12.0) < 1.0, s"tiny estimate $estTiny")
+    // grouped: two groups with different cardinalities, keyed output
+    val grouped = spark.range(3000).select(
+      when(col("id") < 1000, "small").otherwise("big").as("g"),
+      concat(lit("x"), col("id")).as("v"))
+    val byG = Sketch.hllDistinct(grouped, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(3) / 1e6).toMap
+    assert(math.abs(byG("small") - 1000) / 1000.0 < 0.26)
+    assert(math.abs(byG("big") - 2000) / 2000.0 < 0.26)
+  }
+
   test("kmv agg == sort-distinct-limit-k, through a distributed merge path") {
     val k = 32
     // repartition(7) forces partial buffers + serialize/merge on every path;
