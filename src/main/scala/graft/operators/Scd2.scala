@@ -23,6 +23,39 @@ import org.apache.spark.sql.functions._
   */
 object Scd2 {
 
+  /** Snapshot DIFF report — the data-drift summary behind [[merge]]: one
+    * row per metric comparing two keyed snapshots:
+    * `('added', n)`, `('removed', n)`, `('changed', n)` (rows present in
+    * both with ANY attribute differing), and `('changed:<attr>', n)` per
+    * attribute — null-safe comparisons throughout. ONE full-outer hash
+    * join + one aggregate; the per-metric explosion happens on the
+    * aggregated counts, not the rows.
+    */
+  def diffSnapshots(before: DataFrame, after: DataFrame, idCol: String,
+                    attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute column")
+    val joined = before.alias("__a")
+      .join(after.alias("__b"),
+        col("__a." + idCol) === col("__b." + idCol), "full_outer")
+    val anyChanged = attrCols
+      .map(a => !(col("__a." + a) <=> col("__b." + a))).reduce(_ || _)
+    val inBoth = col("__a." + idCol).isNotNull && col("__b." + idCol).isNotNull
+    val aggs =
+      sum(when(col("__a." + idCol).isNull, 1L).otherwise(0L)).as("added") +:
+      sum(when(col("__b." + idCol).isNull, 1L).otherwise(0L)).as("removed") +:
+      sum(when(inBoth && anyChanged, 1L).otherwise(0L)).as("changed") +:
+      attrCols.map(a =>
+        sum(when(inBoth && !(col("__a." + a) <=> col("__b." + a)), 1L)
+          .otherwise(0L)).as("changed:" + a))
+    val row = joined.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("added", "removed", "changed") ++
+      attrCols.map("changed:" + _)
+    row.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col("`" + m + "`").as("n"))): _*))
+        .as("__e"))
+      .select(col("__e.metric").as("metric"), col("__e.n").as("n"))
+  }
+
   /** Merge `snapshot` (the dimension's full state AT `asOf`) into the SCD2
     * history `dim`. Contract:
     *  - `dim` columns: `idCol`, `attrCols…`, `validFromCol`, `validToCol`

@@ -473,6 +473,26 @@ object SystemQueries {
         .orderBy("id", "valid_from")
     }),
 
+    // Snapshot DIFF report (the drift summary behind q159's merge): one
+    // full-outer join + one aggregate; per-metric rows exploded from the
+    // aggregated counts, never from the rows. Null-safe comparisons.
+    "q168_snapshot_diff" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val before = cust.select(col("c_custkey").as("id"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val after = cust.filter(col("c_custkey") % 97 =!= 0)
+        .select(col("c_custkey").as("id"), col("c_nationkey"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+          .select((col("c_custkey") + 1000000L).as("id"),
+            lit(0).cast("int").as("c_nationkey"),
+            lit("NEW").as("c_mktsegment")))
+      graft.operators.Scd2.diffSnapshots(before, after, "id",
+          Seq("c_nationkey", "c_mktsegment"))
+        .orderBy("metric")
+    }),
+
     // Z-ORDER layout cells: the Morton interleave that drives
     // `Layout.zorderBy` (multi-dimensional file skipping — Delta/Iceberg
     // ZORDER BY as a plain column), oracled as exact integer arithmetic:
@@ -726,6 +746,42 @@ object SystemQueries {
     "q113_idempotent_append" ->
       """SELECT CAST(k AS BIGINT) AS k, CAST(k * 3 + 1 AS BIGINT) AS v
        FROM generate_series(0, 499) t(k) ORDER BY k""",
+    "q168_snapshot_diff" ->
+      """WITH a AS (
+         SELECT c_custkey AS id, c_nationkey, c_mktsegment FROM customer),
+       b AS (
+         SELECT c_custkey AS id, c_nationkey,
+           CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+             ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE c_custkey % 97 <> 0
+         UNION ALL
+         SELECT c_custkey + 1000000, CAST(0 AS INTEGER), 'NEW'
+         FROM customer WHERE c_custkey % 101 = 0),
+       j AS (
+         SELECT a.id AS aid, b.id AS bid,
+           a.c_nationkey AS a1, a.c_mktsegment AS a2,
+           b.c_nationkey AS n1, b.c_mktsegment AS n2
+         FROM a FULL OUTER JOIN b ON a.id = b.id)
+       SELECT metric, n FROM (
+         SELECT 'added' AS metric, CAST(sum(CASE WHEN aid IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n FROM j
+         UNION ALL
+         SELECT 'removed', CAST(sum(CASE WHEN bid IS NULL
+           THEN 1 ELSE 0 END) AS BIGINT) FROM j
+         UNION ALL
+         SELECT 'changed', CAST(sum(CASE WHEN aid IS NOT NULL
+           AND bid IS NOT NULL AND (a1 IS DISTINCT FROM n1
+             OR a2 IS DISTINCT FROM n2) THEN 1 ELSE 0 END) AS BIGINT)
+           FROM j
+         UNION ALL
+         SELECT 'changed:c_nationkey', CAST(sum(CASE WHEN aid IS NOT NULL
+           AND bid IS NOT NULL AND a1 IS DISTINCT FROM n1
+           THEN 1 ELSE 0 END) AS BIGINT) FROM j
+         UNION ALL
+         SELECT 'changed:c_mktsegment', CAST(sum(CASE WHEN aid IS NOT NULL
+           AND bid IS NOT NULL AND a2 IS DISTINCT FROM n2
+           THEN 1 ELSE 0 END) AS BIGINT) FROM j)
+       ORDER BY metric""",
     // Both merges unrolled: j_k is the full-outer of step k's open rows
     // against snapshot k; the three branches + history pass-through
     // mirror Scd2.merge verbatim (IS NOT DISTINCT FROM = Spark's <=>).

@@ -61,6 +61,22 @@ class Scd2Spec extends SparkSpec {
     assert(rows(once) == rows(twice))
   }
 
+  test("diffSnapshots: added/removed/changed and per-attribute counts") {
+    val a = Seq((1L, Some("x"), 10), (2L, Some("y"), 20),
+      (3L, Some("z"), 30), (5L, None: Option[String], 50))
+      .toDF("id", "s", "v")
+    val b = Seq((1L, Some("x"), 10),          // unchanged
+      (2L, Some("y2"), 20),                   // s changed
+      (3L, Some("z"), 31),                    // v changed
+      (4L, Some("new"), 40),                  // added
+      (5L, None: Option[String], 50))         // null <=> null unchanged
+      .toDF("id", "s", "v")
+    val got = graft.operators.Scd2.diffSnapshots(a, b, "id", Seq("s", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 0L, "changed" -> 2L,
+      "changed:s" -> 1L, "changed:v" -> 1L))
+  }
+
   test("re-insert after deletion opens a fresh version") {
     val afterDelete = Scd2.merge(dim, snap, "id", Seq("attr"), "valid_from",
       "valid_to", lit(t2))
