@@ -931,6 +931,29 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Quantile DISCRETIZATION (feature binning): docs bucketed into
+    // length deciles by the exact nearest-rank boundaries — boundaries
+    // are catalog-scale (collected, broadcast as literals); bucket = 1 +
+    // count of boundaries <= value, pure integer. The corpus-global rank
+    // pass is the one global window (documented: the sampled-quantile
+    // path q121 is the 100 TB boundary source; exact boundaries here pin
+    // the semantics).
+    "q169_decile_binning" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("__g", lit(1))
+      val bounds = graft.operators.Robust.nearestRankQuantiles(
+          docs, Seq("__g"), "n_chars", (10 to 90 by 10))
+        .orderBy("pct").collect().map(_.getLong(3))
+      val arr = typedlit(bounds.toSeq)
+      docs
+        .withColumn("decile",
+          (lit(1) + size(filter(arr, b => b <= col("n_chars"))))
+            .cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("decile")
+    }),
+
     // HyperLogLog distinct-count sketch (Flajolet 2007) beside the KMV
     // path: portable-hash ranks from the BINARY-STRING length (no float
     // log), registers merged with plain max, harmonic sum carried as the
@@ -2747,6 +2770,27 @@ object PipelineQueries {
        WHERE len(list_intersect(x.s, y.s)) * 100 >=
          60 * len(list_distinct(x.s || y.s))
        ORDER BY id_a, id_b""",
+    // Same nearest-rank boundaries + the same integer counting rule
+    // (duplicate boundaries collapse buckets identically on both sides).
+    "q169_decile_binning" ->
+      """WITH v AS (SELECT doc_id, n_chars FROM documents),
+       r AS (
+         SELECT n_chars AS bv,
+           row_number() OVER (ORDER BY n_chars) AS rn,
+           count(*) OVER () AS n
+         FROM v),
+       b AS (
+         SELECT p.pct, r.bv
+         FROM r, (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS pct) p
+         WHERE r.rn = greatest(1, (p.pct * r.n + 99) // 100)),
+       assign AS (
+         SELECT v.doc_id, v.n_chars,
+           CAST(1 + sum(CASE WHEN b.bv <= v.n_chars THEN 1 ELSE 0 END)
+             AS BIGINT) AS decile
+         FROM v CROSS JOIN b GROUP BY 1, 2)
+       SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       FROM assign GROUP BY decile ORDER BY decile""",
     // Construction replayed: bucket/rank from the portable hash, max
     // registers, exact dyadic sum, same double literals, ln snapped once.
     "q167_hll_distinct" ->
