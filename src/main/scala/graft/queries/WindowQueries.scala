@@ -191,6 +191,25 @@ object WindowQueries {
         .orderBy("user_id")
     }),
 
+    // Shannon entropy of each user's event-type mix (behavioral
+    // diversity), order-proof: H = ln N − (Σ n·ln n)/N with EVERY term
+    // snapped to the micro grid BEFORE the sum — Σ floor(10⁶·n·ln n) is
+    // an integer sum (order-independent), the division is integer `div`,
+    // and ln is called once per (user, type) count plus once per user.
+    "q36_user_entropy" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .withColumn("__term",
+          floor(lit(1e6) * col("n").cast("double") *
+            log(col("n").cast("double"))).cast("long"))
+        .groupBy("user_id")
+        .agg(sum("n").as("n_events"), sum("__term").as("__s"))
+        .select(col("user_id"), col("n_events"),
+          (floor(lit(1e6) * log(col("n_events").cast("double")))
+            .cast("long") - expr("__s div n_events")).as("entropy_micro"))
+        .orderBy("user_id")
+    }),
+
     // Running DISTINCT-user count by day via the first-seen trick:
     // distinct-to-hour(h) = count of users whose FIRST event hour <= h —
     // one user-keyed aggregate + a running sum over the CALENDAR-scale
@@ -250,6 +269,21 @@ object WindowQueries {
          CAST(100 * sum(CASE WHEN ok THEN 1 ELSE 0 END) // count(*)
            AS BIGINT) AS conversion_pct
        FROM done GROUP BY user_id ORDER BY user_id""",
+    "q36_user_entropy" -> s"""$EV,
+       c AS (
+         SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         FROM ev GROUP BY 1, 2),
+       t AS (
+         SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(CAST(1000000.0 AS DOUBLE) *
+             CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS BIGINT))
+             AS BIGINT) AS s
+         FROM c GROUP BY 1)
+       SELECT user_id, n_events,
+         CAST(floor(CAST(1000000.0 AS DOUBLE) *
+           ln(CAST(n_events AS DOUBLE))) AS BIGINT) - s // n_events
+           AS entropy_micro
+       FROM t ORDER BY user_id""",
     "q35_cumulative_distinct" -> s"""$EV,
        fd AS (SELECT user_id, min(date_trunc('hour', ts)) AS hour
               FROM ev GROUP BY user_id),
