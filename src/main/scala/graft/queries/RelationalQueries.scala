@@ -161,6 +161,37 @@ object RelationalQueries {
       seg.intersect(active).orderBy("custkey")
     }),
 
+    // §2.4 PIVOT: per-user event-type counts as columns — Spark's pivot
+    // with an EXPLICIT value list (never the discovery scan; the list is
+    // part of the query contract), which plans as one aggregate of
+    // conditional counts. Integer measures, exact.
+    "q14_pivot" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // §2.4 UNPIVOT: melt the q14 matrix back to (user_id, event_type, n)
+    // rows via the stack expression — the lossless inverse (round-trip
+    // sanity lives in the oracle equality itself).
+    "q15_unpivot" -> ((s, d) => {
+      val wide = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+      wide.select(col("user_id"),
+        expr("""stack(5, 'click', click, 'error', error,
+                 'purchase', purchase, 'signup', signup, 'view', view)
+                 AS (event_type, n)"""))
+        .orderBy("user_id", "event_type")
+    }),
+
     // §2.4 grouping sets: revenue CUBE over (segment, nation) — every
     // subtotal level in ONE aggregate pass (Spark expands grouping sets
     // map-side; the shuffle carries one partial per set per key).
@@ -186,6 +217,35 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // conditional-count columns — the engine-independent spelling of PIVOT
+    "q14_pivot" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events)
+       SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS click,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS error,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           AS BIGINT) AS signup,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS "view"
+       FROM ev GROUP BY user_id ORDER BY user_id""",
+    // melt of the q14 matrix: one row per (user, type) incl. zero counts
+    "q15_unpivot" ->
+      """WITH ev AS (SELECT user_id, event_type FROM events),
+       types AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+         'view']) AS event_type),
+       users AS (SELECT DISTINCT user_id FROM ev),
+       c AS (
+         SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+         FROM ev GROUP BY 1, 2)
+       SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+       FROM users u CROSS JOIN types t
+         LEFT JOIN c ON c.user_id = u.user_id
+           AND c.event_type = t.event_type
+       ORDER BY u.user_id, t.event_type""",
     // grouping id computed explicitly (2·grouping(seg) + grouping(nation))
     // so the bit order cannot differ between engines; NULLS FIRST pinned.
     "q13_cube_revenue" ->
