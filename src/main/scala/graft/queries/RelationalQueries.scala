@@ -192,6 +192,39 @@ object RelationalQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Hierarchy closure (org-chart / BOM shape): every node walked to its
+    // root through the PARENT TABLE — one keyed join per level through
+    // the Checkpointer (the generic iterative-closure loop the CC and
+    // PageRank rounds share; rounds = hierarchy DEPTH, not size), rolled
+    // up per root. Fixture hierarchy: parent(k) = k div 10, roots k < 10.
+    // The oracle is DuckDB's native WITH RECURSIVE walk.
+    "q16_hierarchy_rollup" -> ((s, d) => {
+      val nodes = Tables.customer(s, d).select(col("c_custkey").as("id"))
+      val parents = nodes.select(col("id"),
+        when(col("id") >= 10, expr("id div 10")).otherwise(col("id"))
+          .as("parent"))
+      // rounds cut with localCheckpoint (the Checkpointer.Local behavior;
+      // superseded rounds are freed by the ContextCleaner)
+      var cur = nodes.select(col("id"), col("id").as("anc"),
+        lit(0L).as("depth")).localCheckpoint(true)
+      var remaining = cur.filter(col("anc") >= 10).limit(1).count()
+      while (remaining > 0) {
+        cur = cur
+          .join(parents.select(col("id").as("anc"),
+            col("parent").as("__p")), Seq("anc"), "left")
+          .select(col("id"),
+            when(col("anc") >= 10, col("__p")).otherwise(col("anc"))
+              .as("anc"),
+            when(col("anc") >= 10, col("depth") + 1).otherwise(col("depth"))
+              .as("depth"))
+          .localCheckpoint(true)
+        remaining = cur.filter(col("anc") >= 10).limit(1).count()
+      }
+      cur.groupBy(col("anc").as("root"))
+        .agg(count(lit(1)).as("n_nodes"), max("depth").as("max_depth"))
+        .orderBy("root")
+    }),
+
     // §2.4 grouping sets: revenue CUBE over (segment, nation) — every
     // subtotal level in ONE aggregate pass (Spark expands grouping sets
     // map-side; the shuffle carries one partial per set per key).
@@ -217,6 +250,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // native recursive walk to the root; roll-up per root
+    "q16_hierarchy_rollup" ->
+      """WITH RECURSIVE nodes AS (
+         SELECT c_custkey AS id FROM customer),
+       walk(id, anc, depth) AS (
+         SELECT id, id, CAST(0 AS BIGINT) FROM nodes
+         UNION ALL
+         SELECT id, anc // 10, depth + 1 FROM walk WHERE anc >= 10),
+       fin AS (
+         SELECT id, anc, depth FROM walk WHERE anc < 10)
+       SELECT anc AS root, CAST(count(*) AS BIGINT) AS n_nodes,
+         max(depth) AS max_depth
+       FROM fin GROUP BY anc ORDER BY root""",
     // conditional-count columns — the engine-independent spelling of PIVOT
     "q14_pivot" ->
       """WITH ev AS (SELECT user_id, event_type FROM events)
