@@ -161,6 +161,24 @@ object RelationalQueries {
       seg.intersect(active).orderBy("custkey")
     }),
 
+    // RELATIONAL DIVISION: customers whose orders cover EVERY priority
+    // class — the universal-quantifier join. Engine shape: distinct
+    // (cust, priority) pairs, grouped coverage count compared to the
+    // (broadcast scalar) class count — one aggregate, no quantifier
+    // nesting. The oracle is the textbook DOUBLE NOT EXISTS — an
+    // independent formulation of ∀.
+    "q17_relational_division" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val nClasses = o.select(countDistinct("o_orderpriority").as("__n"))
+      o.select("o_custkey", "o_orderpriority").distinct()
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("__covered"))
+        .crossJoin(broadcast(nClasses))
+        .filter(col("__covered") === col("__n"))
+        .select(col("o_custkey").as("custkey"))
+        .orderBy("custkey")
+    }),
+
     // §2.4 PIVOT: per-user event-type counts as columns — Spark's pivot
     // with an EXPLICIT value list (never the discovery scan; the list is
     // part of the query contract), which plans as one aggregate of
@@ -250,6 +268,18 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the textbook double NOT EXISTS: no priority class lacks an order
+    // from this customer
+    "q17_relational_division" ->
+      """SELECT DISTINCT o.o_custkey AS custkey
+       FROM orders o
+       WHERE NOT EXISTS (
+         SELECT 1 FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey
+             AND o2.o_orderpriority = p.o_orderpriority))
+       ORDER BY custkey""",
     // native recursive walk to the root; roll-up per root
     "q16_hierarchy_rollup" ->
       """WITH RECURSIVE nodes AS (
