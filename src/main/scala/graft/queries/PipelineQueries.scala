@@ -1098,10 +1098,18 @@ object PipelineQueries {
     // trainCenters: hash-sampled seed centers (the IVF default), the
     // shared quantizer argmin, then per-cell counts + per-dimension
     // micro-integer coordinate sums (BIGINT — order-independent totals).
+    // Output is the FLAT (cell, n, d, sum_micro) shape — scalar columns
+    // only, the driver-gate contract (GateContractSpec) — rather than the
+    // operator's array-assembled form; callers rebuilding centroids use
+    // kmeansStep directly.
     "q153_kmeans_step" -> ((s, d) => {
       Similarity.kmeansStep(Tables.embeddings(s, d), "vec_id", "embedding",
           nCentroids = 16)
-        .orderBy("cell")
+        .select(col("cell"), col("n"),
+          posexplode(col("sums_micro")).as(Seq("__d0", "sum_micro")))
+        .select(col("cell"), col("n"),
+          (col("__d0") + 1).cast("long").as("d"), col("sum_micro"))
+        .orderBy("cell", "d")
     }),
 
     // WordPiece merge-rule TRAINING (Schuster & Nakajima 2012): 8 rounds of
@@ -3171,7 +3179,8 @@ object PipelineQueries {
          AND d.ws[pp : pp + len(p.pws) - 1] = p.pws
        GROUP BY 1, 2 ORDER BY 1, 2""",
     // q136's cents/assignment chain + the Lloyd update: per-cell count and
-    // per-dim floor(1e6*x) BIGINT sums, list-assembled in dim order.
+    // per-dim floor(1e6*x) BIGINT sums, emitted as flat (cell, n, d,
+    // sum_micro) rows — the scalar-only driver-gate shape.
     "q153_kmeans_step" ->
       s"""WITH corp AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3197,9 +3206,9 @@ object PipelineQueries {
          FROM assigned a JOIN corp c USING (vec_id),
            unnest(generate_series(1, len(c.v))) i(i)
          GROUP BY 1, 2)
-       SELECT CAST(cell AS BIGINT) AS cell, max(n) AS n,
-         list(s ORDER BY d) AS sums_micro
-       FROM dsums GROUP BY cell ORDER BY cell""",
+       SELECT CAST(cell AS BIGINT) AS cell, n, CAST(d AS BIGINT) AS d,
+         s AS sum_micro
+       FROM dsums ORDER BY cell, d""",
     "q147_wordpiece_merges" ->
       s"""WITH ${wpCtes(8)}
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count,
