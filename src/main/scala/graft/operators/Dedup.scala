@@ -210,7 +210,11 @@ object Dedup {
     * in-group `sort_array` (never a global sort); prefix postings group
     * into ONE shuffle with in-place pair expansion ([[pairsWithinGroups]],
     * `maxPosting` bounds the m²/2 blow-up of boilerplate tokens — the cap
-    * is part of the semantics and mirrored in the oracle); verification
+    * is a SCALE GUARD, not part of the exact semantics: a posting longer
+    * than the cap is dropped whole, losing any qualifying pair whose only
+    * shared prefix token sits in it. Callers needing the exact PPJoin
+    * contract pass `maxPosting = Int.MaxValue`, as the oracled q158
+    * does); verification
     * explodes pairs to (pair, side) and joins the token-set table ONCE
     * (the q65 exchange-reuse discipline — two differently-consumed joins
     * would re-derive the corpus-wide array table per side).

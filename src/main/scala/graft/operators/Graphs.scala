@@ -57,27 +57,40 @@ object Graphs {
     val teleport = (100L - dampingPct) * Scale / (100L * n)
     var ranks = checkpointer.cut(
       nodes.withColumn("rank_fx", lit(Scale / n)))
-    var it = 0
-    while (it < iterations) {
-      val contribs = e
-        .join(ranks.select(col("node").as("__s"), col("rank_fx")), Seq("__s"))
-        .join(deg, Seq("__s"))
-        .select(col("__d").as("node"),
-          expr("rank_fx div __deg").as("__c"))
-        .groupBy("node").agg(sum("__c").as("__in"))
-      val next = checkpointer.cut(
-        nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            (lit(teleport) +
-              expr(s"$dampingPct * coalesce(__in, 0L) div 100"))
-              .as("rank_fx")))
-      checkpointer.release(ranks)
-      ranks = next
-      it += 1
+    try {
+      var it = 0
+      while (it < iterations) {
+        val contribs = e
+          .join(ranks.select(col("node").as("__s"), col("rank_fx")), Seq("__s"))
+          .join(deg, Seq("__s"))
+          .select(col("__d").as("node"),
+            expr("rank_fx div __deg").as("__c"))
+          .groupBy("node").agg(sum("__c").as("__in"))
+        val next = checkpointer.cut(
+          nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(teleport) +
+                expr(s"$dampingPct * coalesce(__in, 0L) div 100"))
+                .as("rank_fx")))
+        checkpointer.release(ranks)
+        ranks = next
+        it += 1
+      }
+      // the result depends only on the final (eager) ranks cut — release
+      // the edge cut here so Reliable stores don't accrete one edges
+      // subdir per pageRank call (connectedComponents' discipline)
+      checkpointer.release(e)
+      // the final cut is intentionally NOT released — the caller consumes
+      // it (same contract as mergeComponents' last round)
+      ranks
+    } catch {
+      case t: Throwable =>
+        // failure path (lost executor, cancel): drop both live cuts, same
+        // as connectedComponents — don't leave them on the store
+        checkpointer.release(ranks)
+        checkpointer.release(e)
+        throw t
     }
-    // the final cut is intentionally NOT released — the caller consumes it
-    // (same contract as mergeComponents' last round)
-    ranks
   }
 
   /** Per-node triangle participation counts over the UNDIRECTED version of

@@ -59,15 +59,26 @@ object Populate {
     * path maps to None; any other read failure (transient FS error,
     * permissions, corrupt footer) rethrows — treating those as "empty
     * table" would silently break skip_duplicates for every caller.
+    *
+    * Existence is probed through the Hadoop FS FIRST (not try/catch on the
+    * read): `spark.read.parquet` on a missing path logs a
+    * FileNotFoundException WARN stack through FileStreamSink's metadata
+    * probe before throwing, which buries real warnings in every
+    * first-drain streaming log (q155). The catch stays only for the
+    * probe-then-deleted race.
     */
   def readIfExists(spark: org.apache.spark.sql.SparkSession,
-                   tablePath: String): Option[DataFrame] =
-    try Some(spark.read.parquet(tablePath)) catch {
+                   tablePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else try Some(spark.read.parquet(tablePath)) catch {
       case _: java.io.FileNotFoundException => None
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition != null &&
             e.getCondition.startsWith("PATH_NOT_FOUND") => None
     }
+  }
 
   def appendIdempotent(result: DataFrame, tablePath: String, pk: Seq[String]): Long = {
     val spark = result.sparkSession

@@ -925,9 +925,12 @@ object PipelineQueries {
     // q65's LSH. The oracle is an INDEPENDENT formulation (candidates =
     // any shared shingle, then the exact integer gate, no prefix logic),
     // so it checks the pruning lost nothing, not a mirror.
+    // maxPosting = MaxValue: the oracle has NO posting cap, so the query
+    // must run the exact (uncapped) PPJoin contract — the default cap is a
+    // scale guard that would silently drop pairs at boilerplate scale.
     "q158_allpairs_jaccard" -> ((s, d) => {
       Dedup.prefixFilterJaccard(Tables.documents(s, d), "doc_id", "text",
-          thresholdPct = 60, n = 3)
+          thresholdPct = 60, n = 3, maxPosting = Int.MaxValue)
         .orderBy("id_a", "id_b")
     }),
 

@@ -43,14 +43,21 @@ object StreamingBehavior {
     val stepIdx = steps.zipWithIndex.toMap
     val nSteps = steps.size
     val windowUs = windowSec * 1000000L
-    val rows = events.select(col(userCol).cast("long"),
+    // Key the state on the RAW value rendered as string — NOT cast("long"):
+    // a long cast turns non-integral ids (strings, UUIDs) into null and
+    // silently collapses all such users into one shared funnel state. The
+    // string form is a faithful group identity for any key type; the output
+    // column is cast back to the input's type below, so integral callers
+    // see an unchanged schema.
+    val userType = events.schema(events.schema.fieldIndex(userCol)).dataType
+    val rows = events.select(col(userCol).cast("string"),
       unix_micros(col(tsCol).cast("timestamp")), col(typeCol).cast("string"))
-      .as[(Long, Long, String)]
+      .as[(String, Long, String)]
     val out = rows.groupByKey(_._1)
       .flatMapGroupsWithState[(Seq[(Long, Long, Int)], Long, Long),
-        (Long, Long, Long)](
+        (String, Long, Long)](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long, String)],
+        (user: String, it: Iterator[(String, Long, String)],
          state: GroupState[(Seq[(Long, Long, Int)], Long, Long)]) =>
           var (pending, anchors, completed) =
             if (state.exists) state.get
@@ -80,6 +87,7 @@ object StreamingBehavior {
     // a user can surface before its first anchor (a batch of non-anchor
     // events) — conversion is 0 there, not a division error
     out.toDF(userCol, "n_anchors", "n_completed")
+      .withColumn(userCol, col(userCol).cast(userType))
       .withColumn("conversion_pct",
         when(col("n_anchors") > 0,
           expr("100 * n_completed div n_anchors")).otherwise(0L))

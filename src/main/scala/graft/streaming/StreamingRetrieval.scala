@@ -10,19 +10,31 @@ import graft.operators.Populate
 /** Incremental BM25 index maintenance — the [[StreamingVocab.trainDrain]]
   * discipline applied to [[graft.operators.Retrieval.writeBm25Index]]'s
   * input state: newly-landed document files drain into a STAGING store of
-  * per-doc posting rows plus per-file corpus stats, idempotently keyed on
+  * per-doc posting rows plus per-doc length rows, idempotently keyed on
   * the source file (a lost checkpoint replaying re-batched files can never
   * double-count); [[publish]] then rebuilds the bucket-partitioned probe
-  * layout from the aggregate WITHOUT re-tokenizing the backlog. Posting
-  * rows and stats are per-document/per-file quantities, so the staged
-  * aggregate equals the one-shot index regardless of how the corpus
-  * arrived (spec-pinned: drain in waves + publish ≡ writeBm25Index, probe
-  * results identical).
+  * layout from the aggregate WITHOUT re-tokenizing the backlog.
+  *
+  * CONTRACT — each document arrives in exactly ONE source file. Posting
+  * and length rows are per-(src_file, doc) quantities, so idempotency
+  * holds for replays of the SAME file (checkpoint loss, re-batching);
+  * it does NOT extend to a document re-landing in a DIFFERENT file (a
+  * doc update, or an at-least-once upstream that rewrites batches).
+  * There is no well-defined "latest version" to prefer — landed file
+  * names carry no arrival order (parquet part names are UUIDs) — so
+  * rather than silently double-counting, [[indexDrain]] REJECTS a batch
+  * containing a staged doc id under a different src_file, loudly (the
+  * [[graft.operators.Dedup.requireIntegralIds]] discipline). Upstreams
+  * with genuine doc updates must version their ids (doc_id, rev) or
+  * rebuild via [[graft.operators.Retrieval.writeBm25Index]].
   *
   * Staging layout: `<staging>/postings` = `(src_file, term, doc, tf, dl)`
-  * keyed `(src_file, doc, term)`; `<staging>/stats` = `(src_file, n, tot)`
-  * keyed `(src_file)` — stats ride separately because token-less docs
-  * leave no posting rows but still count toward N and avgdl.
+  * keyed `(src_file, doc, term)`; `<staging>/docs` = `(src_file, doc,
+  * dl)` keyed `(src_file, doc)` — one row per document, dl = 0 for
+  * token-less docs, so N and avgdl count every document. (The per-doc
+  * store replaces the earlier per-file `stats` aggregate: same derivable
+  * numbers, plus it is what makes the one-doc-one-file guard a cheap
+  * doc-keyed anti-probe instead of a postings-scale scan.)
   */
 object StreamingRetrieval {
 
@@ -46,18 +58,46 @@ object StreamingRetrieval {
         val tf = toks.groupBy("src_file", "doc", "term")
           .agg(count(lit(1)).as("tf"))
         val dl = tf.groupBy("src_file", "doc").agg(sum("tf").as("dl"))
+        val docRows = batch
+          .select(col("__src").as("src_file"), col(idCol).as("doc"))
+          .join(dl, Seq("src_file", "doc"), "left")
+          .select(col("src_file"), col("doc"),
+            coalesce(col("dl"), lit(0L)).as("dl"))
+        // the one-doc-one-file guard: a staged doc id arriving under a
+        // DIFFERENT src_file would double-count postings, df, N and avgdl
+        // — fail loudly instead (see the header contract). Replays of the
+        // same file pass through and land nothing (idempotent keys).
+        // Two files in ONE trigger can clash too — check intra-batch first.
+        val dupIn = docRows.groupBy("doc")
+          .agg(countDistinct("src_file").as("__n"))
+          .filter(col("__n") > 1).limit(5).collect()
+        require(dupIn.isEmpty,
+          "indexDrain: document id(s) re-arrived in a different source " +
+            "file within one batch — version the doc ids or rebuild with " +
+            "writeBm25Index. First clashing doc ids: " +
+            dupIn.map(_.get(0)).mkString(", "))
+        Populate.readIfExists(spark, stagingDir + "/docs").foreach { staged =>
+          val clash = docRows.join(
+              staged.select(col("doc"), col("src_file").as("__staged_src"))
+                .distinct(),
+              Seq("doc"))
+            .filter(col("src_file") =!= col("__staged_src"))
+          val sample = clash.select("doc", "src_file", "__staged_src")
+            .limit(5).collect()
+          require(sample.isEmpty,
+            "indexDrain: document id(s) re-arrived in a different source " +
+              "file — the staging store is per-(src_file, doc) idempotent " +
+              "and cannot represent doc updates; version the doc ids or " +
+              "rebuild with writeBm25Index. First clashes: " +
+              sample.map(r => s"doc=${r.get(0)} new=${r.get(1)} " +
+                s"staged=${r.get(2)}").mkString("; "))
+        }
         Populate.appendIdempotent(
           tf.join(dl, Seq("src_file", "doc"))
             .select("src_file", "term", "doc", "tf", "dl"),
           stagingDir + "/postings", Seq("src_file", "doc", "term"))
-        Populate.appendIdempotent(
-          batch.groupBy(col("__src").as("src_file"))
-            .agg(count(lit(1)).as("n"))
-            .join(dl.groupBy("src_file").agg(sum("dl").as("__t")),
-              Seq("src_file"), "left")
-            .select(col("src_file"), col("n"),
-              coalesce(col("__t"), lit(0L)).as("tot")),
-          stagingDir + "/stats", Seq("src_file"))
+        Populate.appendIdempotent(docRows,
+          stagingDir + "/docs", Seq("src_file", "doc"))
         ()
       }
       .start()
@@ -82,8 +122,8 @@ object StreamingRetrieval {
       .parquet(indexDir + "/postings")
     staged.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(indexDir + "/df")
-    spark.read.parquet(stagingDir + "/stats")
-      .agg(sum("n").as("n"), sum("tot").as("tot"))
+    spark.read.parquet(stagingDir + "/docs")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("tot"))
       .withColumn("nbuckets", lit(nBuckets))
       .write.mode("overwrite").parquet(indexDir + "/stats")
   }

@@ -38,6 +38,21 @@ class GraphsSpec extends SparkSpec {
     (0 to 3).foreach(i => assert(run(i) == brute(i), s"iteration $i"))
   }
 
+  test("pageRank with a reliable checkpoint dir releases all but the final cut") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val got = Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 3,
+        checkpointer = graft.operators.Dedup.Checkpointer.Reliable(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute(3))
+    // the run cuts edges + initial ranks + 3 rounds; every superseded cut
+    // AND the edge list must be released — only the final ranks' subdir
+    // may survive, or each pageRank call leaks an edges copy on the store
+    val uuidDirs = new java.io.File(dir).listFiles().count(_.isDirectory)
+    assert(uuidDirs == 1,
+      s"expected only the final ranks' checkpoint dir to survive, got $uuidDirs")
+  }
+
   test("triangleCounts equals brute triple enumeration on random graphs") {
     def brute(es: Seq[(Long, Long)]): Map[Long, Long] = {
       val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))

@@ -168,6 +168,36 @@ class RetrievalSpec extends SparkSpec {
     assert(probeSet(idx) == probeSet(idx1))
   }
 
+  test("indexDrain rejects a doc id re-arriving in a different source file") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.StreamingRetrieval
+    val root = java.nio.file.Files.createTempDirectory("bm25clash").toString
+    val (src, staging) = (root + "/src", root + "/staging")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    Seq(1L -> "quick fox", 2L -> "lazy dog").toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    StreamingRetrieval.indexDrain(spark, src, staging, root + "/ckpt1",
+      "doc_id", "text", schema)
+    // doc 1 re-lands in a NEW file (an update): the staging store cannot
+    // represent it — the drain must fail loudly, not double-count
+    Seq(1L -> "quick fox revised").toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val e = intercept[Exception] {
+      StreamingRetrieval.indexDrain(spark, src, staging, root + "/ckpt2",
+        "doc_id", "text", schema)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("re-arrived")),
+      chain(e).mkString(" | "))
+    // the staged store is untouched by the rejected batch: doc 1 still has
+    // exactly one src_file
+    val nSrc = spark.read.parquet(staging + "/docs")
+      .filter($"doc" === 1L).select("src_file").distinct().count()
+    assert(nSrc == 1L)
+  }
+
   test("hybridRrf: integer reciprocal sum, missing list contributes zero") {
     val a = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("qid", "did", "rank")
     val b = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("qid", "did", "rank")

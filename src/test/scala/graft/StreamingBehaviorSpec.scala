@@ -83,6 +83,34 @@ class StreamingBehaviorSpec extends SparkSpec {
     }
   }
 
+  test("string user ids keep distinct states (no long-cast collapse)") {
+    // two non-integral ids with identical event shapes: a long-cast key
+    // would null both into ONE shared state and double-count
+    val evs = Seq(
+      ("u-a", ts("2024-01-01 10:00:00"), "view"),
+      ("u-a", ts("2024-01-01 10:10:00"), "click"),
+      ("u-a", ts("2024-01-01 10:20:00"), "purchase"),
+      ("u-b", ts("2024-01-01 10:00:00"), "view"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val q = StreamingBehavior.funnelCounts(
+        mem.toDF().toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        3600L)
+      .writeStream.format("memory").queryName("funnel_test_string_ids")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs: _*); q.processAllAvailable()
+      val got = spark.table("funnel_test_string_ids")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == Map("u-a" -> ((1L, 1L)), "u-b" -> ((1L, 0L))), got)
+      // output schema preserves the input key type
+      assert(spark.table("funnel_test_string_ids").schema("user_id")
+        .dataType.typeName == "string")
+    } finally q.stop()
+  }
+
   test("equal-timestamp click does not advance the chain (tie rule)") {
     val batch = batchCounts(3600L)
     // user 6: the same-ts click is ignored; the 07:10 click + 07:30
