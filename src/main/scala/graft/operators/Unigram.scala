@@ -63,11 +63,27 @@ object Unigram {
     */
   def seedModel(docs: DataFrame, textCol: String,
                 minLen: Int = 2, maxLen: Int = 5,
-                topN: Int = 200): UnigramModel = {
+                topN: Int = 200): UnigramModel =
+    seedModelFromCounts(Vocab.wordCounts(docs, textCol), "word", "freq",
+      minLen, maxLen, topN)
+
+  /** [[seedModel]] from a persisted/merged word-count table — the
+    * restartable path shared with BPE/WordPiece ([[emRound]] already takes
+    * counts, so with this the WHOLE unigram training loop runs off a
+    * `graft.streaming.StreamingVocab` drained store without re-tokenizing
+    * the corpus). Identical to [[seedModel]] by construction (substring
+    * occurrences = word-type occurrences weighted by frequency).
+    */
+  def seedModelFromCounts(wordCounts: DataFrame, wordCol: String,
+                          freqCol: String,
+                          minLen: Int = 2, maxLen: Int = 5,
+                          topN: Int = 200): UnigramModel = {
     require(minLen >= 2, "seed minLen below 2 would duplicate the char layer")
-    val seeds = Vocab.topSubstrings(docs, textCol, minLen, maxLen, topN)
+    val seeds = Vocab.topSubstringsFromCounts(wordCounts, wordCol, freqCol,
+        minLen, maxLen, topN)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val chars = Vocab.topSubstrings(docs, textCol, 1, 1, Int.MaxValue)
+    val chars = Vocab.topSubstringsFromCounts(wordCounts, wordCol, freqCol,
+        1, 1, Int.MaxValue)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     gridLogProbs((seeds ++ chars).toSeq)
   }

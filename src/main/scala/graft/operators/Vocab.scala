@@ -28,26 +28,43 @@ object Vocab {
   /** `(token, count)` for the `topN` most frequent substrings (ties break
     * on the token string, so the table is deterministic and
     * engine-replayable). Words shorter than `minLen` contribute nothing.
+    *
+    * Delegates to [[topSubstringsFromCounts]] over [[wordCounts]] — a
+    * substring occurs once per word INSTANCE, so counting word types
+    * weighted by frequency is the same number by construction, and the
+    * drained-store path cannot drift from this one.
     */
   def topSubstrings(docs: DataFrame, textCol: String,
                     minLen: Int = 2, maxLen: Int = 6,
-                    topN: Int = 1000): DataFrame = {
+                    topN: Int = 1000): DataFrame =
+    topSubstringsFromCounts(wordCounts(docs, textCol), "word", "freq",
+      minLen, maxLen, topN)
+
+  /** [[topSubstrings]] from a persisted/merged word-count table — the
+    * restartable path shared with BPE/WordPiece training (accumulate with
+    * `graft.streaming.StreamingVocab`, seed from the aggregate). Each word
+    * type contributes its substring multiset `freq` times.
+    */
+  def topSubstringsFromCounts(wordCounts: DataFrame, wordCol: String,
+                              freqCol: String,
+                              minLen: Int = 2, maxLen: Int = 6,
+                              topN: Int = 1000): DataFrame = {
     require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
     require(topN > 0, "topN must be positive")
-    docs
-      .select(explode(filter(
-        split(TextFunctions.normalizeForDedup(col(textCol)), " "),
-        w => length(w) > 0)).as("__w"))
+    wordCounts
+      .select(col(wordCol).cast("string").as("__w"),
+        col(freqCol).cast("long").as("__f"))
+      .filter(length(col("__w")) > 0)
       // NB sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — words
       // shorter than l must be guarded explicitly
-      .select(explode(expr(
+      .select(col("__f"), explode(expr(
         s"""flatten(transform(sequence($minLen, $maxLen), l ->
               CASE WHEN length(__w) >= l THEN
                 transform(sequence(1, length(__w) - l + 1), p ->
                   substring(__w, p, l))
               ELSE array() END))""")).as("token"))
       .groupBy("token")
-      .agg(count(lit(1)).as("count"))
+      .agg(sum(col("__f")).as("count"))
       .orderBy(col("count").desc, col("token"))
       .limit(topN)
   }

@@ -788,6 +788,62 @@ object PipelineQueries {
       Vocab.mergesDf(s, merges).orderBy("step")
     }),
 
+    // WordPiece training from a DRAINED word-count table — q142's
+    // incremental discipline applied to the likelihood-scored merges: the
+    // corpus lands in two waves, each drained into the persisted
+    // (src_file, word, freq) store, and training runs off the aggregate
+    // without re-tokenizing. Oracle = q147's verbatim — incremental ≡
+    // one-shot.
+    "q170_wordpiece_from_drain" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val root = tempIndexDir("graft-wpdrain-q170")
+      val (src, counts, ckpt) =
+        (root + "/src", root + "/counts", root + "/ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      graft.streaming.StreamingVocab.trainDrain(s, src, counts, ckpt,
+        "text", schema)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      graft.streaming.StreamingVocab.trainDrain(s, src, counts, ckpt,
+        "text", schema)
+      val merges = Wordpiece.trainFromCounts(
+        graft.streaming.StreamingVocab.loadWordCounts(s, counts),
+        "word", "freq", nMerges = 8)
+      Wordpiece.mergesDf(s, merges).orderBy("step")
+    }),
+
+    // Unigram hard-EM from a DRAINED word-count table: the seed substring
+    // model AND the EM round both run off the drained aggregate
+    // (seedModelFromCounts — substring occurrences are word-type counts
+    // weighted by freq, identical by construction), so the whole training
+    // loop never re-reads the corpus. Oracle = q145's verbatim.
+    "q171_unigram_from_drain" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val root = tempIndexDir("graft-ugdrain-q171")
+      val (src, counts, ckpt) =
+        (root + "/src", root + "/counts", root + "/ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      graft.streaming.StreamingVocab.trainDrain(s, src, counts, ckpt,
+        "text", schema)
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      graft.streaming.StreamingVocab.trainDrain(s, src, counts, ckpt,
+        "text", schema)
+      val wc = graft.streaming.StreamingVocab.loadWordCounts(s, counts)
+      val m0 = Unigram.seedModelFromCounts(wc, "word", "freq", minLen = 2,
+        maxLen = 5, topN = 200)
+      val m1 = Unigram.emRound(wc, "word", "freq", m0)
+      Unigram.viterbiCounts(wc, "word", "freq", m1).orderBy("token")
+    }),
+
     // BPE ENCODING with the merge table trained in-query: symbolize each
     // word to chars, apply the 8 learned merges in order, aggregate like
     // q132. Oracle = the q137 training chain + 8 unrolled apply steps over
@@ -3379,6 +3435,35 @@ object PipelineQueries {
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
        FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
        ORDER BY step""",
+    // incremental accumulate -> train must equal one-shot training: the
+    // oracle is q147's verbatim
+    "q170_wordpiece_from_drain" ->
+      s"""WITH ${wpCtes(8)}
+       SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count,
+         cl AS left_count, cr AS right_count
+       FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
+       ORDER BY step""",
+    // incremental accumulate -> seed + EM round must equal one-shot: the
+    // oracle is q145's verbatim
+    "q171_unigram_from_drain" ->
+      s"""WITH RECURSIVE ${unigramCtes(12)},
+       counts1 AS MATERIALIZED (
+         SELECT k.tok AS t, CAST(sum(t2.freq) AS BIGINT) AS c
+         FROM walk k JOIN wt t2 USING (w)
+         GROUP BY k.tok),
+       v2raw AS (
+         SELECT v.t AS token,
+           CASE WHEN coalesce(c1.c, 0) > 0 THEN c1.c ELSE 1 END AS c
+         FROM vocab v LEFT JOIN counts1 c1 ON v.t = c1.t
+         WHERE coalesce(c1.c, 0) > 0 OR len(v.t) = 1),
+       tot2 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM v2raw),
+       vocab2 AS MATERIALIZED (
+         SELECT v.token AS t,
+           CAST(floor(1000000.0 * ln(v.c / tot2.t)) AS BIGINT) AS wt
+         FROM v2raw v, tot2)${unigramDpCtes("vocab2", "r", 12)}
+       SELECT k.tok AS token, CAST(sum(t2.freq) AS BIGINT) AS count
+       FROM rwalk k JOIN wt t2 USING (w)
+       GROUP BY k.tok ORDER BY token""",
     // Training chain + 8 unrolled apply steps over per-doc words; tokens
     // rebuilt from the final symbol strings in (word, position) order.
     "q138_bpe_encode" ->

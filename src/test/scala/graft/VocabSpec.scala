@@ -37,6 +37,28 @@ class VocabSpec extends SparkSpec {
     assert(!got.contains("x") && !got.contains("b")) // nothing below minLen
   }
 
+  test("topSubstringsFromCounts over sharded counts equals the one-shot scan") {
+    // the drained-store path: word counts accumulated across waves (plain
+    // sums) must seed the identical substring table — freq weighting, not
+    // per-instance explosion
+    val texts = Seq("banana bandana ab", "banana x ab", "Ban!ana")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val oneShot = Vocab.topSubstrings(docs, "text", minLen = 2, maxLen = 4,
+        topN = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shard the word-count table in two waves and re-merge by summing
+    val wc = Vocab.wordCounts(docs, "text")
+    val merged = wc.filter($"freq" % 2 === 0)
+      .union(wc.filter($"freq" % 2 =!= 0))
+      .groupBy("word").agg(org.apache.spark.sql.functions.sum("freq").as("freq"))
+    val fromCounts = Vocab.topSubstringsFromCounts(merged, "word", "freq",
+        minLen = 2, maxLen = 4, topN = 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromCounts == oneShot)
+    assert(fromCounts == brute(texts, 2, 4))
+  }
+
   test("encodeGreedy: longest match wins, unknown falls back to chars, round-trips") {
     val docs = Seq(
       (1L, "banana band"),
