@@ -844,6 +844,62 @@ object PipelineQueries {
       Unigram.viterbiCounts(wc, "word", "freq", m1).orderBy("token")
     }),
 
+    // TOKENIZER-FAMILY COMPOSITE (the q93/q128 discipline applied to the
+    // tokenizer, packing, and export layers, whose interfaces were
+    // previously tested only pairwise): train BPE on the corpus → encode
+    // every document → hash subwords into a u16 vocab → sequence-pack per
+    // source → export one flat u16 .bin shard per source → read the
+    // binary back through `graft-clock` and aggregate. The final row
+    // joins the PACK interface (n_docs, n_seqs from sequencePack output)
+    // to the BINARY read-back (token count/sum/min/max from the .bin
+    // files), so a drift in ANY layer — merge table, encode, id hashing,
+    // pack arithmetic, byte layout, reader — breaks the oracle.
+    "q172_tokenizer_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val merges = Vocab.trainBpe(docs, "text", nMerges = 8)
+      // source → dense shard index: catalog-scale (a handful of corpus
+      // sources), collected sorted so both engines agree
+      val srcIdx = s.createDataFrame(
+        docs.select("source").distinct().orderBy("source")
+          .collect().map(_.getString(0)).zipWithIndex
+          .map { case (v, i) => (v, i + 1L) }.toSeq)
+        .toDF("source", "src_idx")
+      val toks = Vocab.encodeBpe(docs.select("doc_id", "text"), "doc_id",
+          "text", merges)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(broadcast(srcIdx), "source")
+        .withColumn("__tids", transform(col("subwords"),
+          w => pmod(HashFunctions.portableHash60(w), lit(65536L))))
+        .withColumn("n_tokens", size(col("subwords")).cast("long"))
+        .filter(col("n_tokens") > 0)
+        .select("doc_id", "src_idx", "__tids", "n_tokens")
+        // three consumers below (pack, export, nothing else re-tokenizes)
+        .cache()
+      val packed = Sampling.sequencePack(toks, "src_idx", "doc_id",
+        "n_tokens", seqLen = 512)
+      val dir = tempIndexDir("graft-tokens-q172")
+      Sampling.exportTokenShards(packed, "src_idx", "doc_id", "__tids", dir)
+      val packStats = packed.groupBy("src_idx")
+        .agg(count(lit(1)).as("n_docs"),
+          // contiguous chunking: the stream's last doc ends at
+          // ceil(total/512) — max over docs of (seq_id + n_seqs)
+          max(col("seq_id") + col("n_seqs")).as("n_seqs"))
+      val binStats = s.read.format("graft-clock")
+        .option("format", "u16").option("channels", "1")
+        .load(dir + "/*.bin")
+        .select(regexp_extract(col("file"), "shard-(\\d+)\\.bin$", 1)
+            .cast("long").as("src_idx"),
+          col("samples")(0).cast("long").as("__tid"))
+        .groupBy("src_idx")
+        .agg(count(lit(1)).as("n_tokens"), sum("__tid").as("token_sum"),
+          min("__tid").as("token_min"), max("__tid").as("token_max"))
+      packStats.join(binStats, "src_idx")
+        .join(broadcast(srcIdx), "src_idx")
+        .select("src_idx", "source", "n_docs", "n_seqs", "n_tokens",
+          "token_sum", "token_min", "token_max")
+        .orderBy("src_idx")
+    }),
+
     // BPE ENCODING with the merge table trained in-query: symbolize each
     // word to chars, apply the 8 learned merges in order, aggregate like
     // q132. Oracle = the q137 training chain + 8 unrolled apply steps over
@@ -3443,6 +3499,60 @@ object PipelineQueries {
          cl AS left_count, cr AS right_count
        FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
        ORDER BY step""",
+    // The full chain replayed: q137's training CTEs + q138's encode apply
+    // steps give the per-doc subword stream; token ids are the portable
+    // 60-bit hash mod 65536; the pack count is exact integer
+    // (sum + 511) // 512 per source; the binary read-back aggregates are
+    // the same id stream re-aggregated (the .bin layout adds nothing the
+    // id multiset doesn't have — that's exactly what the Spark side must
+    // prove by round-tripping the bytes).
+    "q172_tokenizer_pipeline" ->
+      s"""WITH ${bpeCtes(8)},
+       dwords AS (
+         SELECT doc_id, i AS wi, ws[i] AS w
+         FROM norm, unnest(generate_series(1, len(ws))) u(i)
+         WHERE len(ws[i]) > 0),
+       a0 AS (
+         SELECT doc_id, wi, '|' || array_to_string(list_transform(
+             generate_series(1, len(w)), i -> substr(w, i, 1)), '||')
+           || '|' AS s
+         FROM dwords),
+       ${(1 to 8).map(r =>
+        s"""a$r AS (
+         SELECT doc_id, wi, replace(s, '|' || m.l || '||' || m.r2 || '|',
+             '|' || m.l || m.r2 || '|') AS s
+         FROM a${r - 1}, m$r m)""").mkString(",\n")},
+       toks AS (
+         SELECT doc_id, CAST(${pHash60("t[j]")} % 65536 AS BIGINT) AS tid
+         FROM (SELECT doc_id, string_split(trim(s, '|'), '||') AS t
+               FROM a8),
+           unnest(generate_series(1, len(t))) u(j)),
+       src AS (
+         SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+           AS src_idx
+         FROM (SELECT DISTINCT source FROM documents)),
+       dstats AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM toks GROUP BY doc_id),
+       packagg AS (
+         SELECT s.src_idx, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST((sum(ds.n_tokens) + 511) // 512 AS BIGINT) AS n_seqs
+         FROM dstats ds JOIN documents d USING (doc_id)
+           JOIN src s USING (source)
+         GROUP BY 1),
+       tokagg AS (
+         SELECT s.src_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(t.tid) AS BIGINT) AS token_sum,
+           CAST(min(t.tid) AS BIGINT) AS token_min,
+           CAST(max(t.tid) AS BIGINT) AS token_max
+         FROM toks t JOIN documents d USING (doc_id)
+           JOIN src s USING (source)
+         GROUP BY 1)
+       SELECT p.src_idx, s2.source, p.n_docs, p.n_seqs,
+         t.n_tokens, t.token_sum, t.token_min, t.token_max
+       FROM packagg p JOIN tokagg t USING (src_idx)
+         JOIN src s2 USING (src_idx)
+       ORDER BY src_idx""",
     // incremental accumulate -> seed + EM round must equal one-shot: the
     // oracle is q145's verbatim
     "q171_unigram_from_drain" ->
