@@ -170,6 +170,168 @@ object Unigram {
     gridLogProbs(next)
   }
 
+  // ---------------------------------------------------------------- soft EM
+
+  /** Forward-backward over one word's segmentation lattice: the posterior-
+    * EXPECTED count of every model token across ALL segmentations (weighted
+    * by their probability), plus the word's marginal log-likelihood
+    * `log Z` in nats. The soft-EM E-step kernel (Kudo 2018 §3.2 — the
+    * reference algorithm [[emRound]]'s Viterbi pass approximates).
+    *
+    * ENGINE-PRIVATE FLOAT PATH (the [[Similarity.trainCenters]] discipline):
+    * log-sum-exp is IEEE double arithmetic, so results are property-pinned
+    * (UnigramSpec: brute enumeration parity, monotone marginal likelihood,
+    * hard-EM agreement in the confident limit), not DuckDB-oracled — the
+    * oracled training path remains [[emRound]].
+    *
+    * Same lattice as [[viterbiSegment]]: arcs are model tokens up to
+    * `maxLen`; a word that cannot be covered is a loud error.
+    */
+  def forwardBackward(w: String, model: UnigramModel)
+      : (collection.Map[String, Double], Double) = {
+    val n = w.length
+    val neg = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == neg) b else if (b == neg) a
+      else {
+        val hi = math.max(a, b)
+        hi + math.log1p(math.exp(math.min(a, b) - hi))
+      }
+    val alpha = Array.fill(n + 1)(neg)
+    alpha(0) = 0.0
+    var i = 0
+    while (i < n) {
+      if (alpha(i) != neg) {
+        var l = 1
+        val lMax = math.min(model.maxLen, n - i)
+        while (l <= lMax) {
+          model.tokens.get(w.substring(i, i + l)) match {
+            case Some(wt) =>
+              alpha(i + l) = lse(alpha(i + l), alpha(i) + wt.toDouble / LogScale)
+            case None => ()
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    val z = alpha(n)
+    require(z != neg,
+      s"lattice dead end in '$w' — model lost character coverage")
+    val beta = Array.fill(n + 1)(neg)
+    beta(n) = 0.0
+    var j = n - 1
+    while (j >= 0) {
+      var l = 1
+      val lMax = math.min(model.maxLen, n - j)
+      while (l <= lMax) {
+        model.tokens.get(w.substring(j, j + l)) match {
+          case Some(wt) if beta(j + l) != neg =>
+            beta(j) = lse(beta(j), wt.toDouble / LogScale + beta(j + l))
+          case _ => ()
+        }
+        l += 1
+      }
+      j -= 1
+    }
+    val ec = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 0
+    while (i < n) {
+      if (alpha(i) != neg) {
+        var l = 1
+        val lMax = math.min(model.maxLen, n - i)
+        while (l <= lMax) {
+          val t = w.substring(i, i + l)
+          model.tokens.get(t) match {
+            case Some(wt) if beta(i + l) != neg =>
+              val p = math.exp(alpha(i) + wt.toDouble / LogScale +
+                beta(i + l) - z)
+              if (p > 0.0) ec.update(t, ec.getOrElse(t, 0.0) + p)
+            case _ => ()
+          }
+          l += 1
+        }
+      }
+      i += 1
+    }
+    (ec, z)
+  }
+
+  private def gridLogProbsDouble(counts: Seq[(String, Double)]): UnigramModel = {
+    val total = counts.iterator.map(_._2).sum
+    val toks = counts.map { case (t, c) =>
+      t -> math.floor(LogScale.toDouble * StrictMath.log(c / total)).toLong
+    }.toMap
+    UnigramModel(toks, toks.keys.map(_.length).max)
+  }
+
+  /** One SOFT-EM round — the full Kudo 2018 §3 update: forward-backward
+    * expected counts over every word type (weighted by frequency) →
+    * renormalized model. Tokens with negligible expected mass are pruned;
+    * single characters survive at a count-1 floor, as in [[emRound]].
+    *
+    * Scale shape is [[emRound]]'s exactly: one `mapPartitions` pass over
+    * the word-type table with the broadcast model (the kernel is
+    * O(len·maxLen) per word like Viterbi, twice), one `reduceByKey` on
+    * token, a vocabulary-sized driver collect for the catalog-scale
+    * M-step. Property-pinned, not oracled (float E-step; see
+    * [[forwardBackward]]).
+    */
+  def emRoundSoft(wordCounts: DataFrame, wordCol: String, freqCol: String,
+                  model: UnigramModel,
+                  pruneBelow: Double = 1e-9): UnigramModel = {
+    val spark = wordCounts.sparkSession
+    val bm = spark.sparkContext.broadcast(model)
+    val won = wordCounts
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .filter(length(col(wordCol)) > 0)
+      .rdd.mapPartitions { rows =>
+        val m = bm.value
+        rows.flatMap { r =>
+          val f = r.getLong(1).toDouble
+          forwardBackward(r.getString(0), m)._1.iterator
+            .map { case (t, c) => (t, c * f) }
+        }
+      }
+      .reduceByKey(_ + _).collect().toMap
+    val next = model.tokens.keys.flatMap { t =>
+      val c = won.getOrElse(t, 0.0)
+      if (c > pruneBelow) Some(t -> c)
+      else if (t.length == 1) Some(t -> 1.0) // char floor: coverage
+      else None
+    }.toSeq
+    gridLogProbsDouble(next)
+  }
+
+  /** Corpus MARGINAL log-likelihood in nats under `model` — `Σ freq·log Z`
+    * over word types, the quantity soft EM coordinate-ascends (the Viterbi
+    * [[corpusLikelihood]] is the hard-EM counterpart). Float path,
+    * property-pinned. */
+  def marginalLikelihood(wordCounts: DataFrame, wordCol: String,
+                         freqCol: String, model: UnigramModel): Double = {
+    val spark = wordCounts.sparkSession
+    val bm = spark.sparkContext.broadcast(model)
+    wordCounts
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .filter(length(col(wordCol)) > 0)
+      .rdd.map { r =>
+        forwardBackward(r.getString(0), bm.value)._2 * r.getLong(1)
+      }.fold(0.0)(_ + _)
+  }
+
+  /** Seed + `rounds` SOFT-EM rounds — [[train]]'s forward-backward twin. */
+  def trainSoft(docs: DataFrame, textCol: String, rounds: Int,
+                minLen: Int = 2, maxLen: Int = 5,
+                topN: Int = 200): UnigramModel = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val wc = Vocab.wordCounts(docs, textCol).cache()
+    try {
+      var m = seedModelFromCounts(wc, "word", "freq", minLen, maxLen, topN)
+      (1 to rounds).foreach(_ => m = emRoundSoft(wc, "word", "freq", m))
+      m
+    } finally { wc.unpersist(); () }
+  }
+
   /** Seed + `rounds` hard-EM rounds over the corpus's word-type table. */
   def train(docs: DataFrame, textCol: String, rounds: Int,
             minLen: Int = 2, maxLen: Int = 5, topN: Int = 200): UnigramModel = {
