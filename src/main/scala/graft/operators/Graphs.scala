@@ -93,6 +93,152 @@ object Graphs {
     }
   }
 
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007,
+    * arXiv:0709.2938) over the UNDIRECTED version of an edge list —
+    * community detection for the similarity graph, the diversity-aware
+    * sampler's grouping signal next to [[pageRank]]'s centrality.
+    *
+    * Classic LPA breaks ties randomly and updates asynchronously; both are
+    * non-replayable, so this variant pins BOTH choices (and the round count)
+    * into the operator's semantics, which an oracle replays verbatim:
+    *  - edges are undirected + deduped, self-loops dropped;
+    *  - `l₀(v) = v` (the node id — ids must be orderable);
+    *  - each SYNCHRONOUS round, every node adopts the most frequent label
+    *    among its neighbors' previous-round labels, ties broken by the
+    *    SMALLEST label; nodes keep their label only if isolated (impossible
+    *    here — nodes are defined by edges);
+    *  - exactly `rounds` rounds (fixed — sync LPA has no guaranteed
+    *    fixpoint; bipartite structures can 2-cycle, and a bounded round
+    *    count is what makes the semantics deterministic AND finite).
+    *
+    * Returns `(node, community)`.
+    *
+    * Scale shape: each round is one hash join (neighbor list ⋈ labels, both
+    * |2E| compact rows) + a two-level aggregation — partial map-side combine
+    * into `(node, label)` counts, then the per-node argmax as a
+    * `max(struct(count, -label))` single-pass aggregate, NO window. Rounds
+    * materialize through the [[Dedup.Checkpointer]] exactly like
+    * [[pageRank]]; O(rounds) rounds, each a fixed two-shuffle cost,
+    * independent of graph diameter.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int,
+                       checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    // labels are node ids negated for the tie-break aggregate; a silent
+    // cast("long") of string/UUID ids would null every edge (the
+    // Dedup.requireIntegralIds discipline) — reject loudly instead
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = edges.schema(edges.schema.fieldIndex(c)).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"labelPropagation requires integral id columns; '$c' is $dt — " +
+          "hash non-numeric ids to longs first (e.g. xxhash64(id))")
+    }
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // symmetric neighbor list: every undirected edge twice — the join side
+    // each round; cut once so an expensive upstream runs once, not per round
+    val nbrs = checkpointer.cut(
+      und.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(und.select(col("b").as("node"), col("a").as("nbr"))))
+    var labels = checkpointer.cut(
+      nbrs.select(col("node")).distinct()
+        .withColumn("community", col("node")))
+    try {
+      var it = 0
+      while (it < rounds) {
+        val counts = nbrs
+          .join(labels.select(col("node").as("nbr"), col("community")),
+            Seq("nbr"))
+          .groupBy(col("node"), col("community"))
+          .agg(count(lit(1)).as("__c"))
+        // argmax by (count desc, label asc): max(struct(c, -label)) — a
+        // plain aggregate, no per-node window sort
+        val next = checkpointer.cut(
+          counts
+            .groupBy("node")
+            .agg(max(struct(col("__c"),
+              (-col("community")).as("__nl"))).as("__m"))
+            .select(col("node"), (-col("__m.__nl")).as("community")))
+        checkpointer.release(labels)
+        labels = next
+        it += 1
+      }
+      checkpointer.release(nbrs)
+      // final cut intentionally not released — the caller consumes it
+      labels
+    } catch {
+      case t: Throwable =>
+        checkpointer.release(labels)
+        checkpointer.release(nbrs)
+        throw t
+    }
+  }
+
+  /** Newman modularity of a partition, per community, on the 10⁻⁶ micro
+    * grid with floor division — exact integer arithmetic end to end, so the
+    * score is bit-identical on any engine (the [[pageRank]] discipline).
+    *
+    * For undirected-deduped edge count `m`, community internal-edge count
+    * `e_c`, and community degree sum `d_c`:
+    * `q_micro(c) = (10⁶·e_c) div m − (10⁶·d_c²) div (4m²)`
+    * (the per-community term of Q = Σ_c [e_c/m − (d_c/2m)²], floored on the
+    * micro grid per community; `Σ q_micro` is the partition's score).
+    *
+    * `labels` must be `(node, community)` covering every edge endpoint
+    * (extra rows are ignored). Returns
+    * `(community, n_nodes, internal_edges, degree_sum, q_micro)`.
+    *
+    * Scale shape: two broadcast-free hash joins of the edge list against the
+    * label table (|E| rows each) + per-community aggregates; the square term
+    * runs in DECIMAL(38,0) so `d_c² ≤ (2m)²` cannot overflow BIGINT even at
+    * 10¹²-edge graphs, then floors back onto the micro grid (quotient
+    * ≤ 10⁶ by construction).
+    */
+  def modularityByCommunity(edges: DataFrame, srcCol: String, dstCol: String,
+                            labels: DataFrame, nodeCol: String,
+                            communityCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("__n"),
+      col(communityCol).as("__comm"))
+    val m = und.count()
+    require(m > 0, "modularity needs at least one edge")
+    val tagged = und
+      .join(lab.select(col("__n").as("a"), col("__comm").as("__ca")), Seq("a"))
+      .join(lab.select(col("__n").as("b"), col("__comm").as("__cb")), Seq("b"))
+    val internal = tagged.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val degrees = tagged
+      .select(explode(array(col("__ca"), col("__cb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val sizes = lab
+      .join(und.select(explode(array(col("a"), col("b"))).as("__n")).distinct(),
+        Seq("__n"))
+      .groupBy(col("__comm").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    sizes
+      .join(degrees, Seq("community"), "left")
+      .join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+      .withColumn("q_micro",
+        expr(s"(1000000L * internal_edges) div ${m}L") -
+          expr(s"(CAST(1000000 AS DECIMAL(38,0)) * degree_sum * degree_sum)" +
+            s" div (CAST(4 AS DECIMAL(38,0)) * ${m}L * ${m}L)").cast("long"))
+  }
+
   /** Per-node triangle participation counts over the UNDIRECTED version of
     * an edge list: `(node, n_triangles)` for nodes in ≥ 1 triangle —
     * clustering structure of the similarity graph (a node's triangles =

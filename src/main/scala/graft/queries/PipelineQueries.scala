@@ -1152,6 +1152,39 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    // Deterministic synchronous label propagation (4 rounds, neighbor-mode
+    // labels, ties to the smallest) over the same kNN similarity graph —
+    // community detection as the grouping signal beside q157's centrality.
+    // Sync rounds + pinned tie-break make the trajectory engine-exact; the
+    // oracle unrolls the 4 rounds.
+    "q173_label_prop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.labelPropagation(knn.select(col("query_id").as("src"),
+          col("vec_id").as("dst")), "src", "dst", rounds = 4)
+        .orderBy("node")
+    }),
+
+    // Newman modularity of the q173 partition, per community, on the micro
+    // grid with pure-integer arithmetic — the quality score for the LPA
+    // communities (positive Σ q_micro = better than random). The kNN edge
+    // list is cached: LPA's rounds AND the three modularity passes all
+    // consume it.
+    "q176_lpa_modularity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      val edges = knn.select(col("query_id").as("src"),
+        col("vec_id").as("dst")).cache()
+      val labels = Graphs.labelPropagation(edges, "src", "dst", rounds = 4)
+      Graphs.modularityByCommunity(edges, "src", "dst", labels, "node",
+          "community")
+        .orderBy("community")
+    }),
+
     // PMI bigram collocations (Church & Hanks 1990): adjacent pairs straight
     // off each doc's word array (no per-doc window shuffle), vocabulary-
     // scale count joins, micro-snapped ln, min-count gate, top-50 as
@@ -1505,6 +1538,50 @@ object PipelineQueries {
     * intermediate fits checked 64-bit integers (mirror of
     * `HashFunctions.portableSeededHash`).
     */
+  /** DuckDB fragment: the corpus kNN similarity graph — top-3
+    * rounded-cosine neighbors per embedding — as an `edges(src, dst)` CTE
+    * chain (identical text to the q157/q163 oracles' inlined form). */
+  private lazy val knnEdgesCtesSql: String =
+    s"""corp AS (
+       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     scored AS (
+       SELECT q.vec_id AS src, e.vec_id AS dst,
+         round(list_dot_product(e.v, q.v)
+           / (sqrt(list_dot_product(e.v, e.v))
+            * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+       FROM corp e CROSS JOIN corp q WHERE e.vec_id <> q.vec_id),
+     edges AS MATERIALIZED (
+       SELECT src, dst FROM (
+         SELECT *, row_number() OVER (
+           PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+         FROM scored) WHERE rn <= 3)"""
+
+  /** DuckDB fragment: 4 unrolled synchronous label-propagation rounds over
+    * the undirected `edges` CTE — [[graft.operators.Graphs.labelPropagation]]'s
+    * pinned semantics (neighbor-mode labels, ties to the smallest label).
+    * Exposes `und(a, b)` and the final labels as `r4(node, community)`. */
+  private lazy val lpaRoundsCtesSql: String =
+    s"""und AS MATERIALIZED (
+       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM edges WHERE src <> dst),
+     sym AS MATERIALIZED (
+       SELECT a AS node, b AS nbr FROM und
+       UNION ALL SELECT b, a FROM und),
+     l0 AS MATERIALIZED (
+       SELECT DISTINCT node, node AS community FROM sym),
+     ${(1 to 4).map { k =>
+      s"""r$k AS MATERIALIZED (
+       SELECT node, community FROM (
+         SELECT node, community, row_number() OVER (
+           PARTITION BY node ORDER BY c DESC, community) AS rn
+         FROM (
+           SELECT s.node, l.community, CAST(count(*) AS BIGINT) AS c
+           FROM sym s JOIN ${if (k == 1) "l0" else s"r${k - 1}"} l
+             ON l.node = s.nbr
+           GROUP BY s.node, l.community))
+       WHERE rn = 1)"""
+    }.mkString(",\n")}"""
+
   private lazy val minhashPairCtesSql: String =
     s"""norm AS (
          SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
@@ -3114,6 +3191,47 @@ object PipelineQueries {
              GROUP BY e.dst) s ON s.node = nd.node)"""
       }.mkString(",\n")}
        SELECT node, r AS rank_fx FROM i3 ORDER BY node""",
+    // q157's kNN edges; 4 sync LPA rounds unrolled (neighbor-mode labels,
+    // ties to the smallest) — the engine's pinned trajectory replayed.
+    "q173_label_prop" ->
+      s"""WITH $knnEdgesCtesSql,
+       $lpaRoundsCtesSql
+       SELECT node, community FROM r4 ORDER BY node""",
+    // Same LPA partition, then Newman modularity per community in exact
+    // integer arithmetic on the micro grid (HUGEINT for the square term —
+    // the oracle twin of the engine's DECIMAL(38,0) path).
+    "q176_lpa_modularity" ->
+      s"""WITH $knnEdgesCtesSql,
+       $lpaRoundsCtesSql,
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       tagged AS MATERIALIZED (
+         SELECT la.community AS ca, lb.community AS cb
+         FROM und e
+           JOIN r4 la ON la.node = e.a
+           JOIN r4 lb ON lb.node = e.b),
+       internal AS (
+         SELECT ca AS community, CAST(count(*) AS BIGINT) AS internal_edges
+         FROM tagged WHERE ca = cb GROUP BY 1),
+       degc AS (
+         SELECT community, CAST(count(*) AS BIGINT) AS degree_sum FROM (
+           SELECT ca AS community FROM tagged
+           UNION ALL SELECT cb FROM tagged)
+         GROUP BY community),
+       sizes AS (
+         SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM r4 GROUP BY community)
+       SELECT s.community, s.n_nodes,
+         coalesce(i.internal_edges, 0) AS internal_edges,
+         coalesce(d.degree_sum, 0) AS degree_sum,
+         CAST((1000000 * coalesce(i.internal_edges, 0)) // mm.m
+           - CAST((CAST(1000000 AS HUGEINT) * coalesce(d.degree_sum, 0)
+               * coalesce(d.degree_sum, 0))
+             // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT)
+           AS BIGINT) AS q_micro
+       FROM sizes s CROSS JOIN mm
+         LEFT JOIN degc d ON d.community = s.community
+         LEFT JOIN internal i ON i.community = s.community
+       ORDER BY s.community""",
     "q156_pmi_collocations" ->
       s"""WITH norm AS (
          SELECT doc_id, list_filter(

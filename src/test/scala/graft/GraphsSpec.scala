@@ -80,6 +80,90 @@ class GraphsSpec extends SparkSpec {
     assert(got4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  // ---- label propagation ----
+
+  /** Driver replay of the pinned LPA semantics: sync rounds, neighbor-mode
+    * labels, ties to the smallest label. */
+  private def bruteLpa(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    (1 to rounds).foreach { _ =>
+      lab = nbrs.map { case (v, ns) =>
+        val counts = ns.map(lab).groupBy(identity).view.mapValues(_.size)
+        v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    lab
+  }
+
+  private def runLpa(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graphs.labelPropagation(es.toDF("src", "dst"), "src", "dst", rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation equals the driver replay on random graphs, any round count") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val es = Seq.fill(80)((rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+        .filter(e => e._1 != e._2)
+      (0 to 4).foreach { r =>
+        assert(runLpa(es, r) == bruteLpa(es, r), s"trial $trial rounds $r")
+      }
+    }
+  }
+
+  test("labelPropagation finds two cliques joined by one bridge edge") {
+    val c1 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val c2 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j)
+    val es = c1 ++ c2 :+ (3L, 10L)
+    val got = runLpa(es, 4)
+    // each clique converges to its own min label; the bridge does not merge
+    assert(got.filterKeys(_ <= 3L).values.toSet == Set(0L))
+    assert(got.filterKeys(_ >= 10L).values.toSet == Set(10L))
+  }
+
+  test("labelPropagation rejects non-integral id columns loudly") {
+    val df = Seq(("a", "b")).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.labelPropagation(df, "src", "dst", 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  // ---- modularity ----
+
+  test("modularityByCommunity replays the integer formula exactly") {
+    // two triangles joined by one edge; perfect 2-community partition
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (2L, 1L) /* dup must not double-count */)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "community")
+    val got = Graphs.modularityByCommunity(es.toDF("src", "dst"), "src",
+        "dst", labels, "node", "community")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // m = 7 undirected edges; each community: e_c = 3, d_c = 7
+    // q_micro = (1e6*3) div 7 - (1e6*49) div (4*49) = 428571 - 250000
+    val expected = (3L, (1000000L * 3 / 7) - (1000000L * 49 / (4 * 49)))
+    assert(got == Map(
+      1L -> (3L, 3L, 7L, expected._2),
+      4L -> (3L, 3L, 7L, expected._2)))
+    // sanity: the partition's total Q is positive (better than random)
+    assert(got.values.map(_._4).sum > 0)
+  }
+
+  test("modularity of the all-in-one partition is ~0 by construction") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val labels = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("node", "community")
+    val got = Graphs.modularityByCommunity(es.toDF("src", "dst"), "src",
+        "dst", labels, "node", "community").collect()
+    assert(got.length == 1)
+    // e_c = m, d_c = 2m → q = 1e6 - 1e6 = 0 exactly
+    assert(got.head.getLong(4) == 0L)
+  }
+
   test("hub structure ranks: node 3 (two in-edges incl. the hub) beats node 4 (none)") {
     val r = run(3)
     assert(r(3L) > r(4L) && r(1L) > r(4L))
