@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-rate resampling of an irregular time series — the interpolating
+  * generalization of [[AsOfJoin]]'s pad alignment (reference semantics:
+  * `reindex(method="pad")` onto a target index,
+  * `aeon/dj_pipeline/tracking.py:319-320`; the acquisition streams are
+  * nominally regular-rate, so downstream analysis aligns them to a fixed
+  * grid before comparing across devices).
+  *
+  * Exact-arithmetic contract (so DuckDB replays the result bit-for-bit):
+  * values snap to the 10⁻⁶ micro grid up front
+  * (`CAST(floor(value·10⁶) AS BIGINT)` — double multiply + floor, identical
+  * IEEE-754 on any engine), and every later step is integer arithmetic.
+  */
+object Resample {
+
+  /** Linearly interpolate `(key, ts, value)` samples onto the absolute
+    * epoch-aligned grid `t ≡ 0 (mod stepMicros)`, per key, covering each
+    * key's observed span:
+    *
+    *  - duplicate samples at one `(key, ts)` collapse to their micro-mean
+    *    (`sum div count` — integral part, so the collapse is order-free);
+    *  - grid points are `ceil(tmin/step)·step … floor(tmax/step)·step`
+    *    (absolute alignment — grids JOIN across keys, unlike min-anchored
+    *    grids; keys whose span contains no grid point vanish);
+    *  - each grid point `t` takes the weighted form
+    *    `(v₀·(t₁−t) + v₁·(t−t₀)) div (t₁−t₀)` over its bracketing samples
+    *    `t₀ ≤ t ≤ t₁` (integral part, exact in DECIMAL(38,0) — the products
+    *    overflow BIGINT at day-long gaps); an exact hit or the span's last
+    *    point degenerates to `v₀`.
+    *
+    * Returns `(key, grid_ts, value_micro)`.
+    *
+    * Scale shape: one `(key, ts)` pre-aggregation, one tiny per-key
+    * min/max aggregate (|keys| rows) that explodes into grid rows, then ONE
+    * keyed window sort over samples ∪ grid — the [[AsOfJoin]] union-timeline
+    * trick run in both directions at once (`last` back, `first` forward,
+    * same sort), so bracketing needs no range join and no second shuffle.
+    * State per partition is one key's timeline; skew is the data's own.
+    */
+  def linearGrid(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, "stepMicros must be > 0")
+    val samples = df
+      .select(col(keyCol).as("key"),
+        unix_micros(col(tsCol)).as("t"),
+        expr(s"CAST(floor($valueCol * 1000000) AS BIGINT)").as("__vm"))
+      .groupBy("key", "t")
+      .agg(expr("sum(__vm) div count(1)").as("v"))
+    val grid = samples
+      .groupBy("key").agg(min("t").as("__tmin"), max("t").as("__tmax"))
+      .select(col("key"),
+        expr(s"((__tmin + $stepMicros - 1) div $stepMicros) * $stepMicros")
+          .as("__g0"),
+        expr(s"(__tmax div $stepMicros) * $stepMicros").as("__g1"))
+      .filter(col("__g0") <= col("__g1"))
+      .select(col("key"),
+        explode(sequence(col("__g0"), col("__g1"), lit(stepMicros))).as("t"))
+
+    // union timeline: samples sort BEFORE grid points at equal t, so an
+    // exact hit is the grid point's predecessor (t0 = t → weight 0 on v1)
+    val union = samples.select(col("key"), col("t"), col("v"),
+        lit(0).as("__g"))
+      .unionAll(grid.select(col("key"), col("t"),
+        lit(null).cast("long").as("v"), lit(1).as("__g")))
+    val ord = Window.partitionBy("key").orderBy(col("t").asc, col("__g").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sampleT = when(col("__g") === 0, col("t"))
+    val sampleV = when(col("__g") === 0, col("v"))
+    union
+      .withColumn("__t0", last(sampleT, ignoreNulls = true).over(back))
+      .withColumn("__v0", last(sampleV, ignoreNulls = true).over(back))
+      // the span's last grid point can land past the final following sample
+      // (t == tmax): degenerate to the backward bracket
+      .withColumn("__t1",
+        coalesce(first(sampleT, ignoreNulls = true).over(fwd), col("__t0")))
+      .withColumn("__v1",
+        coalesce(first(sampleV, ignoreNulls = true).over(fwd), col("__v0")))
+      .filter(col("__g") === 1)
+      .select(col("key"), timestamp_micros(col("t")).as("grid_ts"),
+        when(col("__t1") === col("__t0"), col("__v0"))
+          .otherwise(expr(
+            """CAST((CAST(__v0 AS DECIMAL(38,0)) * (__t1 - t)
+              |  + CAST(__v1 AS DECIMAL(38,0)) * (t - __t0))
+              | div (__t1 - __t0) AS BIGINT)""".stripMargin))
+          .as("value_micro"))
+  }
+}

@@ -240,6 +240,17 @@ object WindowQueries {
       graft.operators.Behavior.cohortRetention(Tables.events(s, d),
           "user_id", "ts")
         .orderBy("cohort_date", "day_offset")
+    }),
+
+    // Regular-rate resampling (the interpolating cousin of q26's as-of
+    // pad): each event_type's irregular value series lands on the absolute
+    // 1-hour grid by micro-integer linear interpolation — one keyed window
+    // sort brackets every grid point in both directions at once.
+    "q174_resample_interp" -> ((s, d) => {
+      graft.operators.Resample.linearGrid(Tables.events(s, d), "event_type",
+          "ts", "value", stepMicros = 3600L * 1000000L)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "grid_ts")
     })
   )
 
@@ -308,6 +319,43 @@ object WindowQueries {
          CAST(1000000 * n // sum(n) OVER (PARTITION BY from_type)
            AS BIGINT) AS prob_micro
        FROM cnt ORDER BY from_type, to_type""",
+    // Independent bracketing: DuckDB's native ASOF joins (backward for t0,
+    // forward for t1) against the engine's single union-timeline window —
+    // different mechanics, identical pinned arithmetic. At an exact grid
+    // hit the two sides pick DIFFERENT t1 (engine: next later sample;
+    // oracle: the tied sample) yet both degenerate to v0.
+    "q174_resample_interp" -> s"""$EV,
+       samp AS (
+         SELECT event_type AS key, epoch_us(ts) AS t,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) // count(*)
+             AS BIGINT) AS v
+         FROM ev GROUP BY 1, 2),
+       rng AS (SELECT key, min(t) AS tmin, max(t) AS tmax
+               FROM samp GROUP BY key),
+       grid AS (
+         SELECT key, unnest(generate_series(
+           ((tmin + 3599999999) // 3600000000) * 3600000000,
+           (tmax // 3600000000) * 3600000000,
+           3600000000)) AS t
+         FROM rng
+         WHERE ((tmin + 3599999999) // 3600000000) * 3600000000
+             <= (tmax // 3600000000) * 3600000000),
+       prev AS (
+         SELECT g.key, g.t, s.t AS t0, s.v AS v0
+         FROM grid g ASOF JOIN samp s
+           ON g.key = s.key AND g.t >= s.t),
+       nxt AS (
+         SELECT g.key, g.t, s.t AS t1, s.v AS v1
+         FROM grid g ASOF LEFT JOIN samp s
+           ON g.key = s.key AND g.t <= s.t)
+       SELECT p.key AS event_type, make_timestamp(p.t) AS grid_ts,
+         CASE WHEN coalesce(n.t1, p.t0) = p.t0 THEN p.v0
+           ELSE CAST((CAST(p.v0 AS HUGEINT) * (n.t1 - p.t)
+             + CAST(n.v1 AS HUGEINT) * (p.t - p.t0))
+             // (n.t1 - p.t0) AS BIGINT)
+         END AS value_micro
+       FROM prev p JOIN nxt n ON n.key = p.key AND n.t = p.t
+       ORDER BY event_type, grid_ts""",
     "q33_cohort_retention" -> s"""$EV,
        fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
               FROM ev GROUP BY user_id),
