@@ -1046,6 +1046,43 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // MinHash-LSH candidate-quality evaluation — the lexical twin of q166's
+    // ANN recall harness: ground truth = the EXACT PPJoin pair set
+    // (Jaccard ≥ 50% on 3-shingles, uncapped), candidates = the q65
+    // MinHash→LSH chain. Recall per truth-similarity decade band (LSH
+    // recall rises with Jaccard — banding theory made measurable) plus the
+    // global candidate precision; all ratios integer micros. The two
+    // 1-row global aggregates ride a broadcast nest-loop join, bounded by
+    // construction.
+    "q175_minhash_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val sigs = Dedup.minhashSignaturesFused(docs, "doc_id", "text",
+        numHashes = 32, shingleN = 3)
+      // two consumers (truth flagging + the precision denominator)
+      val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8,
+        rowsPerBand = 4).select("id_a", "id_b").cache()
+      val truth = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+          thresholdPct = 50, n = 3, maxPosting = Int.MaxValue)
+        .withColumn("bucket_pct",
+          expr("(((100L * inter_size) div union_size) div 10) * 10"))
+      val flagged = truth
+        .join(cands.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+        .withColumn("__hit", coalesce(col("__hit"), lit(0)))
+      val byBucket = flagged.groupBy("bucket_pct")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(col("__hit")).cast("long").as("n_hit"))
+      val candTotal = cands.agg(count(lit(1)).as("total_cand"))
+      val hitTotal = flagged
+        .agg(sum(col("__hit")).cast("long").as("total_hit"))
+      byBucket.crossJoin(broadcast(candTotal)).crossJoin(broadcast(hitTotal))
+        .select(col("bucket_pct"), col("n_truth"), col("n_hit"),
+          expr("(1000000L * n_hit) div n_truth").as("recall_micro"),
+          col("total_cand"), col("total_hit"),
+          expr("(1000000L * total_hit) div total_cand")
+            .as("precision_micro"))
+        .orderBy("bucket_pct")
+    }),
+
     // Quantile DISCRETIZATION (feature binning): docs bucketed into
     // length deciles by the exact nearest-rank boundaries — boundaries
     // are catalog-scale (collected, broadcast as literals); bucket = 1 +
@@ -2970,6 +3007,57 @@ object PipelineQueries {
        WHERE len(list_intersect(x.s, y.s)) * 100 >=
          60 * len(list_distinct(x.s || y.s))
        ORDER BY id_a, id_b""",
+    // Candidates = the q65 LSH chain's `cand` CTE; truth = the q158 exact
+    // PPJoin formulation at 50% (renamed CTEs — both chains share `norm`/
+    // `cand` names). Engine and oracle compose the SAME two independently-
+    // oracled constructions, so this pins only the eval arithmetic.
+    "q175_minhash_eval" ->
+      s"""WITH $minhashPairCtesSql,
+       lshc AS MATERIALIZED (SELECT id_a, id_b FROM cand),
+       tset AS MATERIALIZED (
+         SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(tws) - 2),
+           i -> tws[i] || ' ' || tws[i+1] || ' ' || tws[i+2])) AS s
+         FROM (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(${normSql("text")}, ' '),
+             w -> len(w) > 0) AS tws
+           FROM documents)
+         WHERE len(tws) >= 3),
+       tsh AS (SELECT doc_id, unnest(s) AS t FROM tset),
+       tcand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM tsh a JOIN tsh b ON a.t = b.t AND a.doc_id < b.doc_id),
+       truth AS MATERIALIZED (
+         SELECT c.id_a, c.id_b,
+           CAST((((100 * len(list_intersect(x.s, y.s))
+             // len(list_distinct(x.s || y.s))) // 10) * 10) AS BIGINT)
+             AS bucket_pct
+         FROM tcand c
+           JOIN tset x ON x.doc_id = c.id_a
+           JOIN tset y ON y.doc_id = c.id_b
+         WHERE len(list_intersect(x.s, y.s)) * 100 >=
+           50 * len(list_distinct(x.s || y.s))),
+       flagged AS MATERIALIZED (
+         SELECT t.bucket_pct,
+           CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         FROM truth t
+           LEFT JOIN lshc l ON l.id_a = t.id_a AND l.id_b = t.id_b),
+       byb AS (
+         SELECT bucket_pct, CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(hit) AS BIGINT) AS n_hit
+         FROM flagged GROUP BY bucket_pct),
+       tot AS (
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM lshc) AS total_cand,
+           CAST((SELECT coalesce(sum(hit), 0) FROM flagged) AS BIGINT)
+             AS total_hit)
+       SELECT b.bucket_pct, b.n_truth, b.n_hit,
+         CAST((1000000 * b.n_hit) // b.n_truth AS BIGINT) AS recall_micro,
+         t.total_cand, t.total_hit,
+         CASE WHEN t.total_cand = 0 THEN NULL
+           ELSE CAST((1000000 * t.total_hit) // t.total_cand AS BIGINT)
+         END AS precision_micro
+       FROM byb b CROSS JOIN tot t ORDER BY b.bucket_pct""",
     // Same nearest-rank boundaries + the same integer counting rule
     // (duplicate boundaries collapse buckets identically on both sides).
     "q169_decile_binning" ->
