@@ -116,6 +116,83 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) —
+    * the DIVERSE top-k: greedily pick `k` items maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked`, the coreset /
+    * diverse-few-shot draw a training-data pipeline runs after retrieval
+    * (pure relevance top-k returns near-duplicates; MMR trades relevance
+    * for coverage).
+    *
+    * Engine-exact integer contract: relevance arrives pre-snapped
+    * (`relMicroCol`, micro grid); pairwise similarity snaps as
+    * `floor(round(cosine, simDigits)·10⁶)` (identical IEEE double sequence
+    * on any engine, explicit floor — never a bare long cast, which rounds
+    * on some engines); and the greedy objective is kept UNDIVIDED —
+    * `score = λpct·rel − (100−λpct)·maxsim` (the ×100 scale changes no
+    * argmax and avoids any floor-vs-truncate hazard). Ties break on the
+    * smallest id. Round 1 has no picked set: maxsim = 0, so the first pick
+    * is pure-relevance argmax; after it, maxsim OVERWRITES (not `greatest`
+    * against the round-1 zero — a negative-cosine corpus must keep its
+    * negative maxima).
+    *
+    * Returns `(rank, id, score_micro100)` in selection order (≤ k rows).
+    *
+    * Scale shape: k rounds; each is one map-only rescore of the remaining
+    * candidates against the SINGLE newest pick (a broadcast literal — the
+    * running `maxsim` column carries all earlier picks, so no join against
+    * the growing set) + a 1-row `TakeOrderedAndProject` argmax. The only
+    * driver state is k (rank, id, score) triples — the BPE-loop collect
+    * discipline. Rounds cut lineage through the [[Dedup.Checkpointer]].
+    */
+  def mmrSelect(cands: DataFrame, idCol: String, vecCol: String,
+                relMicroCol: String, k: Int, lambdaPct: Int,
+                simDigits: Int = 6,
+                checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct must be in [0,100]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    var rem = checkpointer.cut(
+      cands.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"),
+          col(relMicroCol).cast("long").as("__rel"))
+        .withColumn("__ms", lit(0L)))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    try {
+      var r = 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        val top = rem
+          .withColumn("__sc", lit(lambdaPct.toLong) * col("__rel") -
+            lit((100 - lambdaPct).toLong) * col("__ms"))
+          .orderBy(col("__sc").desc, col("id").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val row = top(0)
+          val pid = row.getLong(row.fieldIndex("id"))
+          picks += ((r, pid, row.getLong(row.fieldIndex("__sc"))))
+          val pv = typedlit(row.getSeq[Float](row.fieldIndex("__v")).toSeq)
+          val sim = floor(round(VectorFunctions.cosine(col("__v"), pv),
+            simDigits) * lit(1000000.0)).cast("long")
+          val next = checkpointer.cut(
+            rem.filter(col("id") =!= pid)
+              .withColumn("__ms",
+                if (r == 1) sim else greatest(col("__ms"), sim)))
+          checkpointer.release(rem)
+          rem = next
+          r += 1
+        }
+      }
+      checkpointer.release(rem)
+    } catch {
+      case t: Throwable =>
+        checkpointer.release(rem)
+        throw t
+    }
+    picks.toSeq.toDF("rank", "id", "score_micro100")
+  }
+
   /** Top-k by cosine in a Johnson–Lindenstrauss-PROJECTED space
     * ([[VectorFunctions.randomProject]]): both sides are projected onto the
     * same `projDim` portable ±1 planes, then ranked exactly like

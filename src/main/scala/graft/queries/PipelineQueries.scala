@@ -1222,6 +1222,26 @@ object PipelineQueries {
         .orderBy("community")
     }),
 
+    // Maximal-marginal-relevance selection: the 10-item DIVERSE draw from
+    // the 40 embeddings most similar to vec 0 (λ = 70) — coreset picking
+    // after retrieval. Greedy rounds are engine-exact (undivided integer
+    // objective, floor-snapped cosine micro, smallest-id ties); the oracle
+    // unrolls all 10 picks.
+    "q177_mmr_select" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val rel = Similarity.bruteForceTopK(emb, qvec, "vec_id", "query_id",
+          "embedding", k = 40, scoreDigits = Some(6))
+        .select(col("vec_id"),
+          floor(col("cosine") * lit(1000000.0)).cast("long").as("rel_micro"))
+      val pool = rel.join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      Similarity.mmrSelect(pool, "vec_id", "embedding", "rel_micro",
+          k = 10, lambdaPct = 70)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("rank")
+    }),
+
     // PMI bigram collocations (Church & Hanks 1990): adjacent pairs straight
     // off each doc's word array (no per-doc window shuffle), vocabulary-
     // scale count joins, micro-snapped ln, min-count gate, top-50 as
@@ -3320,6 +3340,52 @@ object PipelineQueries {
          LEFT JOIN degc d ON d.community = s.community
          LEFT JOIN internal i ON i.community = s.community
        ORDER BY s.community""",
+    // 10 greedy MMR rounds unrolled: pick = argmax(70·rel − 30·maxsim,
+    // ties to smallest id); maxsim OVERWRITES after round 1, `greatest`
+    // thereafter — the engine's exact trajectory.
+    "q177_mmr_select" -> {
+      def simSql(a: String, b: String): String =
+        s"""CAST(floor(round(list_dot_product($a, $b)
+           / (sqrt(list_dot_product($a, $a))
+            * sqrt(list_dot_product($b, $b))), 6) * 1000000) AS BIGINT)"""
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       qv AS (SELECT v FROM corp WHERE vec_id = 0),
+       scored AS (
+         SELECT c.vec_id,
+           round(list_dot_product(c.v, q.v)
+             / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine, c.v
+         FROM corp c CROSS JOIN qv q WHERE c.vec_id <> 0),
+       pool AS MATERIALIZED (
+         SELECT vec_id AS id,
+           CAST(floor(cosine * 1000000) AS BIGINT) AS rel, v
+         FROM (SELECT *, row_number() OVER (
+             ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+         WHERE rn <= 40),
+       ms0 AS MATERIALIZED (
+         SELECT id, rel, v, CAST(0 AS BIGINT) AS ms FROM pool),
+       ${(1 to 10).map { r =>
+        val prev = s"ms${r - 1}"
+        val pick =
+          s"""p$r AS MATERIALIZED (
+         SELECT id, v, 70 * rel - 30 * ms AS sc FROM $prev
+         ORDER BY sc DESC, id LIMIT 1)"""
+        val nextMs = if (r == 10) "" else {
+          val simExpr = simSql("m.v", "p.v")
+          val msExpr = if (r == 1) simExpr else s"greatest(m.ms, $simExpr)"
+          s""",
+       ms$r AS MATERIALIZED (
+         SELECT m.id, m.rel, m.v, $msExpr AS ms
+         FROM $prev m CROSS JOIN p$r p WHERE m.id <> p.id)"""
+        }
+        pick + nextMs
+      }.mkString(",\n")}
+       SELECT rank, id AS vec_id, sc AS score_micro100 FROM (
+         ${(1 to 10).map(r =>
+          s"SELECT $r AS rank, id, sc FROM p$r").mkString("\n UNION ALL ")})
+       ORDER BY rank"""
+    },
     "q156_pmi_collocations" ->
       s"""WITH norm AS (
          SELECT doc_id, list_filter(
