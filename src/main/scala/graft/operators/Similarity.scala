@@ -584,6 +584,53 @@ object Similarity {
         col("sums_micro"))
   }
 
+  /** Per-cell clustering quality under the shared quantizer — the
+    * evaluation companion of [[kmeansStep]] (FAISS's imbalance/quantization
+    * diagnostics, computed engine-exactly): for each cell,
+    *
+    *  - `n` — captured points (imbalance shows directly);
+    *  - `inertia_micro` — Σ floor(10⁶·‖x−c‖²) over its points: compactness,
+    *    the k-means objective itself. The full distance is restored as
+    *    `x·x + (c·c − 2·x·c)` — the parenthesized term IS the quantizer's
+    *    score, so assignment and evaluation cannot diverge;
+    *  - `margin_micro` — Σ floor(10⁶·(s₂ − s₁)) over its points, where
+    *    s₁, s₂ are the best and second-best quantizer scores: separation.
+    *    The `x·x` term cancels in the difference, so the margin equals
+    *    `‖x−c₂‖² − ‖x−c₁‖²` EXACTLY with no extra arithmetic.
+    *
+    * Per-point terms floor-snap to the micro grid BEFORE the sum (integer
+    * totals are order-free — the [[kmeansStep]] discipline). Requires ≥ 2
+    * centers (the margin needs a runner-up).
+    *
+    * Scale shape: one map-only corpus pass (centers are broadcast
+    * literals; the sorted score array is the same codegen'd [[cellScores]]
+    * expression every IVF path compiles) into ONE nCentroids-row hash
+    * aggregate with map-side partials.
+    */
+  def clusterQuality(corpus: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int = 16,
+                     centers: Option[Array[Array[Float]]] = None)
+      : DataFrame = {
+    val cents: Array[Array[Float]] =
+      centers.getOrElse(sampledCenters(corpus, idCol, vecCol, nCentroids))
+    require(cents.length >= 2, "clusterQuality needs >= 2 centers")
+    val sorted = sort_array(cellScores(cents, vecCol))
+    corpus
+      .select(col(idCol), col(vecCol),
+        sorted.getItem(0).getField("i").as("cell"),
+        sorted.getItem(0).getField("s").as("__a"),
+        sorted.getItem(1).getField("s").as("__b"))
+      .withColumn("__xx", VectorFunctions.dot(col(vecCol), col(vecCol)))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(lit(1e6) * (col("__xx") + col("__a"))).cast("long"))
+          .as("inertia_micro"),
+        sum(floor(lit(1e6) * (col("__b") - col("__a"))).cast("long"))
+          .as("margin_micro"))
+      .select(col("cell").cast("long").as("cell"), col("n"),
+        col("inertia_micro"), col("margin_micro"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the second scale path beside
     * LSH: a coarse quantizer partitions the corpus into cells; each query
     * probes its `nProbe` nearest cells and re-ranks exactly within them. At

@@ -1242,6 +1242,17 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // Clustering-quality diagnostics per quantizer cell (q153's seed
+    // centers): capture count (imbalance), inertia = Σ floor(10⁶·‖x−c‖²)
+    // (compactness — the k-means objective), margin = Σ of the
+    // best-vs-runner-up quantizer-score gap (separation; the x·x term
+    // cancels, so it is exact ‖x−c₂‖²−‖x−c₁‖² with no new arithmetic).
+    "q178_cluster_quality" -> ((s, d) => {
+      Similarity.clusterQuality(Tables.embeddings(s, d), "vec_id",
+          "embedding", nCentroids = 16)
+        .orderBy("cell")
+    }),
+
     // PMI bigram collocations (Church & Hanks 1990): adjacent pairs straight
     // off each doc's word array (no per-doc window shuffle), vocabulary-
     // scale count joins, micro-snapped ln, min-count gate, top-50 as
@@ -3596,6 +3607,42 @@ object PipelineQueries {
        SELECT CAST(cell AS BIGINT) AS cell, n, CAST(d AS BIGINT) AS d,
          s AS sum_micro
        FROM dsums ORDER BY cell, d""",
+    // q153's seed centers + quantizer scores; best and runner-up per point
+    // by (score, index), inertia restores ‖x−c‖² as x·x + score, margin is
+    // the raw score gap — every per-point term floor-snapped before the sum.
+    "q178_cluster_quality" ->
+      s"""WITH corp AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cents AS (
+         SELECT cvec, row_number() OVER (ORDER BY hk, vec_id) - 1 AS ci
+         FROM (SELECT vec_id, v AS cvec,
+                 ${pHash60("CAST(vec_id AS VARCHAR)")} AS hk
+               FROM corp ORDER BY hk, vec_id LIMIT 16)),
+       cdists AS (
+         SELECT c.vec_id, t.ci,
+           list_dot_product(t.cvec, t.cvec)
+             - 2.0 * list_dot_product(c.v, t.cvec) AS s
+         FROM corp c CROSS JOIN cents t),
+       ranked AS (
+         SELECT vec_id, ci, s, row_number() OVER (
+           PARTITION BY vec_id ORDER BY s, ci) AS rn
+         FROM cdists),
+       ab AS (
+         SELECT r1.vec_id, r1.ci AS cell, r1.s AS a, r2.s AS b
+         FROM ranked r1 JOIN ranked r2
+           ON r2.vec_id = r1.vec_id AND r2.rn = 2
+         WHERE r1.rn = 1),
+       pts AS (
+         SELECT ab.cell,
+           CAST(floor(1000000 * (list_dot_product(c.v, c.v) + ab.a))
+             AS BIGINT) AS im,
+           CAST(floor(1000000 * (ab.b - ab.a)) AS BIGINT) AS mm
+         FROM ab JOIN corp c USING (vec_id))
+       SELECT CAST(cell AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(im) AS BIGINT) AS inertia_micro,
+         CAST(sum(mm) AS BIGINT) AS margin_micro
+       FROM pts GROUP BY cell ORDER BY cell""",
     "q147_wordpiece_merges" ->
       s"""WITH ${wpCtes(8)}
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count,

