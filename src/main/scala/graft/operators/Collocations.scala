@@ -69,4 +69,53 @@ object Collocations {
       .limit(topN)
       .select("w1", "w2", "pair_count", "pmi_micro")
   }
+
+  /** Windowed (skip-gram) PMI — [[pmiBigrams]] generalized to ORDERED
+    * pairs `(ws[i], ws[j])` with `i < j ≤ i+window` (the word2vec-style
+    * co-occurrence statistic; window=1 degenerates to adjacent bigrams).
+    * Long-range collocations ("either … or", split phrasal verbs) that
+    * adjacency misses score here.
+    *
+    * Scale shape: identical to [[pmiBigrams]] — pairs come off each doc's
+    * word array IN PLACE via a nested transform+flatten (window·|tokens|
+    * rows, linear, no per-doc window shuffle), then the same
+    * vocabulary-scale count joins and single micro-snapped ln. The pair
+    * TABLE is larger by ≤ window× — the only cost of the generalization.
+    */
+  def pmiSkipgrams(docs: DataFrame, textCol: String, window: Int,
+                   minCount: Long = 5L, topN: Int = 50,
+                   checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topN > 0, "topN must be positive")
+    val ws = docs.select(filter(
+      split(TextFunctions.normalizeForDedup(col(textCol)), " "),
+      w => length(w) > 0).as("ws"))
+    val uni = checkpointer.cut(ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    val bi = checkpointer.cut(ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(ws) - 1),
+              i -> transform(sequence(i + 1, least(i + $window, size(ws))),
+                j -> struct(element_at(ws, i) AS w1,
+                            element_at(ws, j) AS w2))))""")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("pair_count")))
+    val totals = uni.agg(sum("c").as("__u"))
+      .crossJoin(bi.agg(sum("pair_count").as("__b")))
+    bi.filter(col("pair_count") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("__ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("__cb")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        floor(lit(1e6) * log(
+          (col("pair_count").cast("double") * col("__u").cast("double") *
+            col("__u").cast("double")) /
+          (col("__b").cast("double") * col("__ca").cast("double") *
+            col("__cb").cast("double")))).cast("long"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topN)
+      .select("w1", "w2", "pair_count", "pmi_micro")
+  }
 }

@@ -1263,6 +1263,16 @@ object PipelineQueries {
         .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
     }),
 
+    // Windowed skip-gram PMI (window 3): ordered co-occurrence pairs up to
+    // 3 apart — the long-range collocations adjacency misses. Same in-place
+    // pair expansion (nested transform+flatten, no per-doc shuffle),
+    // vocabulary-scale joins, one micro-snapped ln.
+    "q179_pmi_skipgrams" -> ((s, d) => {
+      Collocations.pmiSkipgrams(Tables.documents(s, d), "text", window = 3,
+          minCount = 5L, topN = 50)
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·idf_micro
     // (ties on the term), idf = ln(N/df) on the micro grid.
     "q150_tfidf_keywords" -> ((s, d) => {
@@ -3410,6 +3420,43 @@ object PipelineQueries {
          SELECT ws[i] AS w1, ws[i+1] AS w2,
            CAST(count(*) AS BIGINT) AS pair_count
          FROM norm, unnest(generate_series(1, len(ws) - 1)) g(i)
+         WHERE len(ws) >= 2
+         GROUP BY 1, 2),
+       tot AS (
+         SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS u,
+           (SELECT CAST(sum(pair_count) AS BIGINT) FROM bi) AS b),
+       scored AS (
+         SELECT b2.w1, b2.w2, b2.pair_count,
+           CAST(floor(CAST(1000000.0 AS DOUBLE) * ln(
+             (CAST(b2.pair_count AS DOUBLE) * CAST(t.u AS DOUBLE) *
+               CAST(t.u AS DOUBLE)) /
+             (CAST(t.b AS DOUBLE) * CAST(ca.c AS DOUBLE) *
+               CAST(cb.c AS DOUBLE)))) AS BIGINT) AS pmi_micro
+         FROM bi b2
+           JOIN uni ca ON ca.w = b2.w1
+           JOIN uni cb ON cb.w = b2.w2
+           CROSS JOIN tot t
+         WHERE b2.pair_count >= 5)
+       SELECT w1, w2, pair_count, pmi_micro FROM scored
+       ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""",
+    // q156's chain with the pair CTE widened to the window-3 lateral
+    // (j correlated on i — ordered skip-grams), denominator = total
+    // skip-gram pairs.
+    "q179_pmi_skipgrams" ->
+      s"""WITH norm AS (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(${normSql("text")}, ' '),
+           w -> len(w) > 0) AS ws
+         FROM documents),
+       uni AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS c
+         FROM (SELECT unnest(ws) AS w FROM norm) GROUP BY w),
+       bi AS (
+         SELECT ws[i] AS w1, ws[j] AS w2,
+           CAST(count(*) AS BIGINT) AS pair_count
+         FROM norm,
+           unnest(generate_series(1, len(ws) - 1)) g(i),
+           unnest(generate_series(i + 1, least(i + 3, len(ws)))) h(j)
          WHERE len(ws) >= 2
          GROUP BY 1, 2),
        tot AS (
