@@ -45,37 +45,47 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
 
-    // Each query is timed SPARK_GRAFT_BENCH_REPEAT times (default 2): the
-    // first pass is the COLD number (`queries`, round-over-round
-    // comparable with earlier rounds' single-pass runs), the min across
-    // passes the STEADY-STATE number (`queries_warm`, plan/codegen caches
-    // warm) — reporting both per round keeps host variance from
-    // dominating cross-round reads. REPEAT=1 skips the warm pass.
+    // Each query is timed across SPARK_GRAFT_BENCH_REPEAT whole-battery
+    // passes (default 2). The battery order is SHUFFLED per pass with a
+    // seeded RNG (seed = 42 + pass) so no query inherits a fixed heavyweight
+    // neighbor: twice (r8 q60–q74, r9 q84–q92) a fixed-order battery
+    // manufactured 3–6× phantom regressions on untouched clusters because
+    // GC/cache pressure from whoever ran before bled into whoever ran next.
+    // `queries` reports the FIRST pass (cold, round-over-round comparable);
+    // `queries_warm` the per-query MIN across the differently-ordered
+    // passes — a min over distinct neighbor sets is immune to any single
+    // pass's contagion. REPEAT=1 skips the warm passes.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt.max(1)
 
-    var failures = List.empty[String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        run(fn)
-        val cold = (System.nanoTime() - t0) / 1e9
-        val warm = (2 to repeat).foldLeft(cold) { (acc, _) =>
-          val t = System.nanoTime(); run(fn)
-          math.min(acc, (System.nanoTime() - t) / 1e9)
+    var failures = Set.empty[String]
+    val names = selected.keys.toSeq.sorted
+    // timings(pass)(name) = seconds, -1 on failure
+    val timings = (0 until repeat).map { pass =>
+      val order = new scala.util.Random(42L + pass).shuffle(names)
+      order.map { name =>
+        val t0 = System.nanoTime()
+        try {
+          run(selected(name))
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name (pass $pass): ${e.getClass.getName}: ${e.getMessage}")
+            failures += name
+            name -> -1.0
         }
-        name -> (cold, warm)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-          failures ::= name
-          name -> (-1.0, -1.0)
-      }
+      }.toMap
+    }
+    val results = names.map { name =>
+      val cold = timings.head(name)
+      val ok = timings.map(_(name)).filter(_ >= 0)
+      val warm = if (ok.isEmpty) -1.0 else ok.min
+      name -> (cold, warm)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsWarm = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    val errs = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalWarm = results.map(_._2._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
