@@ -211,11 +211,25 @@ object Graphs {
       .distinct()
     val lab = labels.select(col(nodeCol).as("__n"),
       col(communityCol).as("__comm"))
-    val m = und.count()
-    require(m > 0, "modularity needs at least one edge")
+    // LEFT joins + a fused (m, unlabeled) aggregate: an edge endpoint missing
+    // from the label table must fail loudly — inner joins would drop the edge
+    // from e_c/degree_sum while m still counted it, silently skewing every
+    // q_micro. One action, same as the previous bare und.count().
     val tagged = und
-      .join(lab.select(col("__n").as("a"), col("__comm").as("__ca")), Seq("a"))
-      .join(lab.select(col("__n").as("b"), col("__comm").as("__cb")), Seq("b"))
+      .join(lab.select(col("__n").as("a"), col("__comm").as("__ca")), Seq("a"),
+        "left")
+      .join(lab.select(col("__n").as("b"), col("__comm").as("__cb")), Seq("b"),
+        "left")
+    val head = tagged.agg(count(lit(1)).as("m"),
+      sum(when(col("__ca").isNull || col("__cb").isNull, 1L).otherwise(0L))
+        .as("unlabeled")).head()
+    val m = head.getLong(0)
+    require(m > 0, "modularity needs at least one edge")
+    val unlabeled = if (head.isNullAt(1)) 0L else head.getLong(1)
+    require(unlabeled == 0L,
+      s"modularityByCommunity: $unlabeled of $m edges have an endpoint " +
+        s"absent from the label table — label every graph node (labels may " +
+        s"carry extra nodes, never miss one)")
     val internal = tagged.filter(col("__ca") === col("__cb"))
       .groupBy(col("__ca").as("community"))
       .agg(count(lit(1)).as("internal_edges"))

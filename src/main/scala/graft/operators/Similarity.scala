@@ -151,6 +151,18 @@ object Similarity {
       : DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct must be in [0,100]")
+    // ids ride through cast("long") + row.getLong + an `id =!= pid` filter: a
+    // string/UUID id would null out and either NPE at getLong or silently
+    // drop rows through the null-propagating filter. Same loud rejection as
+    // Graphs.labelPropagation.
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = cands.schema(cands.schema.fieldIndex(idCol)).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"mmrSelect requires an integral id column; '$idCol' is $dt — " +
+          "hash non-numeric ids to longs first (e.g. xxhash64(id))")
+    }
     val spark = cands.sparkSession
     import spark.implicits._
     var rem = checkpointer.cut(

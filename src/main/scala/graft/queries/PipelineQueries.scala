@@ -1048,21 +1048,42 @@ object PipelineQueries {
 
     // MinHash-LSH candidate-quality evaluation — the lexical twin of q166's
     // ANN recall harness: ground truth = the EXACT PPJoin pair set
-    // (Jaccard ≥ 50% on 3-shingles, uncapped), candidates = the q65
+    // (Jaccard ≥ 30% on 3-shingles, uncapped), candidates = the q65
     // MinHash→LSH chain. Recall per truth-similarity decade band (LSH
     // recall rises with Jaccard — banding theory made measurable) plus the
     // global candidate precision; all ratios integer micros. The two
     // 1-row global aggregates ride a broadcast nest-loop join, bounded by
     // construction.
+    //
+    // The corpus is augmented with deterministic word-PREFIX probes (30/50/
+    // 70/90% of the normalized words) of every 20th doc: J(prefix_a,
+    // prefix_b) on 3-shingles ≈ min(pct)/max(pct), so the truth set
+    // populates bands 30..100 at every scale. The base corpus alone is
+    // bimodal (≥90% planted clones or <10% background), which left the
+    // per-band arithmetic unexercised at the gate scale (ADVICE r9).
+    // Probe count is corpus-linear; negative ids can't collide with real
+    // doc ids.
     "q175_minhash_eval" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val probes = base.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          filter(split(TextFunctions.normalizeForDedup(col("text")), " "),
+            w => length(w) > 0).as("__w"))
+        .filter(size(col("__w")) >= 10)
+        .select(col("doc_id"), col("__w"),
+          explode(typedlit(Seq((30, 1), (50, 2), (70, 3), (90, 4))))
+            .as("__p"))
+        .select((-(col("doc_id") * 4 + col("__p._2"))).as("doc_id"),
+          array_join(slice(col("__w"), lit(1),
+            expr("(__p._1 * size(__w)) div 100")), " ").as("text"))
+      val docs = base.unionByName(probes)
       val sigs = Dedup.minhashSignaturesFused(docs, "doc_id", "text",
         numHashes = 32, shingleN = 3)
       // two consumers (truth flagging + the precision denominator)
       val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8,
         rowsPerBand = 4).select("id_a", "id_b").cache()
       val truth = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
-          thresholdPct = 50, n = 3, maxPosting = Int.MaxValue)
+          thresholdPct = 30, n = 3, maxPosting = Int.MaxValue)
         .withColumn("bucket_pct",
           expr("(((100L * inter_size) div union_size) div 10) * 10"))
       val flagged = truth
@@ -1660,10 +1681,14 @@ object PipelineQueries {
        WHERE rn = 1)"""
     }.mkString(",\n")}"""
 
-  private lazy val minhashPairCtesSql: String =
+  private lazy val minhashPairCtesSql: String = minhashPairCtes("documents")
+
+  /** The q65 MinHash→LSH CTE chain over an arbitrary `(doc_id, text)`
+    * source relation (q175 feeds it the probe-augmented corpus). */
+  private def minhashPairCtes(src: String): String =
     s"""norm AS (
          SELECT doc_id, regexp_split_to_array(${normSql("text")}, ' ') AS words
-         FROM documents),
+         FROM $src),
        grams AS (
          SELECT doc_id, array_to_string(words[i:i+2], ' ') AS s
          FROM norm, unnest(generate_series(1, len(words) - 2)) u(i)),
@@ -3049,11 +3074,28 @@ object PipelineQueries {
          60 * len(list_distinct(x.s || y.s))
        ORDER BY id_a, id_b""",
     // Candidates = the q65 LSH chain's `cand` CTE; truth = the q158 exact
-    // PPJoin formulation at 50% (renamed CTEs — both chains share `norm`/
+    // PPJoin formulation at 30% (renamed CTEs — both chains share `norm`/
     // `cand` names). Engine and oracle compose the SAME two independently-
-    // oracled constructions, so this pins only the eval arithmetic.
+    // oracled constructions over the probe-augmented corpus (word-prefix
+    // variants of every 20th doc, graded 30..90% Jaccard by construction),
+    // so this pins only the eval arithmetic.
     "q175_minhash_eval" ->
-      s"""WITH $minhashPairCtesSql,
+      s"""WITH docs175 AS MATERIALIZED (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT -(d.doc_id * 4 + v.k) AS doc_id,
+           array_to_string(d.words[1:(v.pct * len(d.words)) // 100], ' ')
+             AS text
+         FROM (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(${normSql("text")}, ' '),
+             w -> len(w) > 0) AS words
+           FROM documents WHERE doc_id % 20 = 0) d
+         CROSS JOIN (
+           SELECT 30 AS pct, 1 AS k UNION ALL SELECT 50, 2
+           UNION ALL SELECT 70, 3 UNION ALL SELECT 90, 4) v
+         WHERE len(d.words) >= 10),
+       ${minhashPairCtes("docs175")},
        lshc AS MATERIALIZED (SELECT id_a, id_b FROM cand),
        tset AS MATERIALIZED (
          SELECT doc_id, list_distinct(list_transform(
@@ -3063,7 +3105,7 @@ object PipelineQueries {
            SELECT doc_id, list_filter(
              regexp_split_to_array(${normSql("text")}, ' '),
              w -> len(w) > 0) AS tws
-           FROM documents)
+           FROM docs175)
          WHERE len(tws) >= 3),
        tsh AS (SELECT doc_id, unnest(s) AS t FROM tset),
        tcand AS (
@@ -3078,7 +3120,7 @@ object PipelineQueries {
            JOIN tset x ON x.doc_id = c.id_a
            JOIN tset y ON y.doc_id = c.id_b
          WHERE len(list_intersect(x.s, y.s)) * 100 >=
-           50 * len(list_distinct(x.s || y.s))),
+           30 * len(list_distinct(x.s || y.s))),
        flagged AS MATERIALIZED (
          SELECT t.bucket_pct,
            CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit

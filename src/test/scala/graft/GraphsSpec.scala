@@ -154,6 +154,25 @@ class GraphsSpec extends SparkSpec {
     assert(got.values.map(_._4).sum > 0)
   }
 
+  test("modularity rejects a label table missing a graph node") {
+    // node 6 unlabeled: inner joins would silently drop edges (4,6)/(5,6)
+    // from e_c/degree_sum while m still counted them — must fail loudly
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("node", "community")
+    val e = intercept[IllegalArgumentException] {
+      Graphs.modularityByCommunity(es, "src", "dst", labels, "node",
+        "community").collect()
+    }
+    assert(e.getMessage.contains("absent from the label table"), e.getMessage)
+    // extra labeled nodes not in the graph stay fine
+    val extra = labels.union(Seq((6L, 4L), (99L, 9L)).toDF("node", "community"))
+    val ok = Graphs.modularityByCommunity(es, "src", "dst", extra, "node",
+      "community").collect()
+    assert(ok.map(_.getLong(0)).toSet == Set(1L, 4L))
+  }
+
   test("modularity of the all-in-one partition is ~0 by construction") {
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L))
     val labels = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("node", "community")

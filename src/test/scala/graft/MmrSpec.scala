@@ -104,4 +104,16 @@ class MmrSpec extends SparkSpec {
     assert(got.map(_._1) == (1 to 5))
     assert(got.map(_._2).toSet == pool.map(_._1).toSet)
   }
+
+  test("mmrSelect rejects a non-integral id column loudly") {
+    // a string id would null through cast("long") and silently drop rows
+    // via the null-propagating id =!= pid filter — same guard as
+    // labelPropagation
+    val df = Seq(("a", 10L, Seq(1f, 0f)), ("b", 5L, Seq(0f, 1f)))
+      .toDF("id", "rel_micro", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(df, "id", "vec", "rel_micro", 2, 50)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }
