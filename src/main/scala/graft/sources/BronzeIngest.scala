@@ -93,7 +93,7 @@ object BronzeIngest {
 
   private def decodeBinary(spark: SparkSession, pathGlob: String, schema: StructType)
                           (decode: (Array[Byte], String) => Iterator[Row]): DataFrame =
-    decodeBinaryPaths(spark, Seq(pathGlob), schema)(decode)
+    decodeBinaryPaths(spark, Globs.expand(spark, pathGlob), schema)(decode)
 
   private def decodeBinaryPaths(spark: SparkSession, paths: Seq[String], schema: StructType)
                                (decode: (Array[Byte], String) => Iterator[Row]): DataFrame = {
@@ -120,7 +120,8 @@ object BronzeIngest {
     * next to the data and pruning becomes a catalog lookup.
     */
   def clockFileStats(spark: SparkSession, pathGlob: String): DataFrame = {
-    val listing = spark.read.format("binaryFile").load(pathGlob)
+    val listing = spark.read.format("binaryFile")
+      .load(Globs.expand(spark, pathGlob): _*)
       .select(col("path"), col("length"))
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val schema = StructType(Seq(
@@ -173,7 +174,8 @@ object BronzeIngest {
     val schema = StructType(Seq(
       StructField("aeon_time", DoubleType), StructField("clock", LongType),
       StructField("hub_clock", LongType), StructField("harp_time", DoubleType)))
-    spark.read.schema(schema).option("header", "true").csv(pathGlob)
+    spark.read.schema(schema).option("header", "true")
+      .csv(Globs.expand(spark, pathGlob): _*)
       .withColumn("file", input_file_name())
       .withColumn("time", TimeFunctions.harpToTimestamp(col("aeon_time")))
   }
@@ -232,7 +234,7 @@ object BronzeIngest {
   def discoverChunkFiles(spark: SparkSession, rootGlob: String): DataFrame = {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.*")
-      .load(rootGlob)
+      .load(Globs.expand(spark, rootGlob): _*)
       .select(col("path"), col("length"), col("modificationTime"))
     files
       .withColumn("file_name", element_at(split(col("path"), "/"), -1))

@@ -21,7 +21,8 @@ object MetadataSource {
   /** Read one-or-many multiline JSON metadata files; one row per file with
     * `file` + the inferred nested struct. */
   def readJson(spark: SparkSession, pathGlob: String): DataFrame =
-    spark.read.option("multiLine", "true").json(pathGlob)
+    spark.read.option("multiLine", "true")
+      .json(Globs.expand(spark, pathGlob): _*)
       .withColumn("file", input_file_name())
 
   /** Flatten a nested metadata document into (file, path, value) rows —
