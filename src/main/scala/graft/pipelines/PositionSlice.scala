@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Position time-range slice — the reference's `_get_position` read path
@@ -33,6 +34,33 @@ object PositionSlice {
       .orderBy(col("chunk_end").asc).limit(1)
     overlapping.unionByName(nearestBefore).unionByName(nearestAfter)
       .dropDuplicates("chunk_start")
+  }
+
+  /** Keyed [[restrictChunks]]: the same widening restriction applied
+    * independently per stream key (camera/device/subject) — the multi-stream
+    * rig shape, where each stream has its own acquisition gaps. Nearest
+    * before/after come from one `row_number` window per key instead of the
+    * single-stream global `limit(1)`, so the fallback shuffles on the key
+    * and never collapses the catalog to one partition.
+    */
+  def restrictChunksPerKey(chunks: DataFrame, start: String, end: String,
+                           keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty,
+      "restrictChunksPerKey needs stream keys; for a single-stream catalog " +
+        "call restrictChunks")
+    val s = lit(start).cast("timestamp")
+    val e = lit(end).cast("timestamp")
+    val overlapping = chunks.filter(col("chunk_end") > s && col("chunk_start") < e)
+    val nearestBefore = chunks.filter(col("chunk_start") <= s)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("chunk_start").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val nearestAfter = chunks.filter(col("chunk_end") >= e)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col("chunk_end").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    overlapping.unionByName(nearestBefore).unionByName(nearestAfter)
+      .dropDuplicates(keys :+ "chunk_start")
   }
 
   /** Explode per-chunk position arrays into one row per sample, scale, and

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.Multimodal
+import graft.functions.{GeometryFunctions, TimeFunctions}
+import graft.operators.{IntervalJoin, Multimodal, Sessionize}
 import graft.pipelines.{CameraQC, Ephys, PositionSlice}
 import graft.sources.{AviMjpeg, BronzeIngest, MetadataSource, Tables, ZarrSource}
 import graft.streaming.StreamOps
@@ -91,6 +92,92 @@ object SystemQueries {
       PositionSlice.explodeSlice(silver,
         "2024-01-05 00:00:00", "2024-01-25 00:00:00",
         scaleFactor = 1.0, keyCols = Seq("user_id"))
+    }),
+
+    // Behavior-rig COMPOSITE (the q100/q172 discipline for the acquisition
+    // chain): epoch closure (q24) → temporal-validity gate (J3,
+    // IntervalJoin.pointInInterval) → hourly chunk catalog (q41) → camera
+    // QC deltas (q85, hw_counter = event_id) → KEYED widening chunk
+    // restriction (§7.5.5, restrictChunksPerKey — the window [06:30,
+    // 06:30+1d) starts mid-gap for most subjects, so the nearest-before
+    // fallback fires per key) → silver array fetch of ONLY the restricted
+    // chunks → exact-masked explodeSlice (q86) → region membership (q45's
+    // diamond) → gap sessionization (q25) → per-visit stats joined with the
+    // chunk-level QC of the RESTRICTED set (the reference's two uses of the
+    // widened restriction: chunk-level fetch keeps the widened chunks,
+    // sample-level output is exact-masked — acquisition.py:642-661 vs
+    // tracking.py:394-396). ORACLED end-to-end; every inter-stage contract
+    // (epoch↔event, chunk↔QC, restriction↔fetch, slice↔session) breaks the
+    // hash if violated. Sums are exact (value has 2 decimals → centi-units).
+    "q180_behavior_composite" -> ((s, d) => {
+      val winS = "2024-01-15 06:30:00"; val winE = "2024-01-16 06:30:00"
+      val ev = Tables.events(s, d)
+      val epochs = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("ep_user"), col("ts").as("epoch_start"),
+          least(
+            lead(col("ts"), 1).over(
+              Window.partitionBy(col("user_id")).orderBy(col("ts"))),
+            col("ts") + expr("INTERVAL 7 DAYS")).as("epoch_end"))
+      val valid = IntervalJoin.pointInInterval(
+          ev.select("user_id", "event_id", "ts", "value"), epochs,
+          point = col("ts"), start = col("epoch_start"),
+          end = col("epoch_end"),
+          extraCond = col("user_id") === col("ep_user"))
+        .select("user_id", "event_id", "ts", "value")
+      val catalog = valid
+        .groupBy(col("user_id"),
+          TimeFunctions.chunkStart(col("ts")).as("chunk_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("chunk_end", col("chunk_start") + expr("INTERVAL 1 HOUR"))
+      val meta = valid.select(col("user_id"), col("ts").as("time"),
+        col("event_id").as("hw_counter"),
+        (unix_micros(col("ts")) * 1000L).as("hw_timestamp"),
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts")))
+          .cast("long").as("frame"))
+      val qcByChunk = CameraQC.frameDeltas(meta, Seq("user_id"))
+        .groupBy(col("user_id"),
+          TimeFunctions.chunkStart(col("time")).as("chunk_start"))
+        .agg(sum(col("drops")).as("drop_count"))
+      val restricted = PositionSlice.restrictChunksPerKey(
+        catalog, winS, winE, keys = Seq("user_id"))
+      val qcUser = restricted.select("user_id", "chunk_start")
+        .join(qcByChunk, Seq("user_id", "chunk_start"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("qc_chunks"), sum(col("drop_count")).as("qc_drops"))
+      val silver = valid
+        .withColumn("chunk_start", TimeFunctions.chunkStart(col("ts")))
+        .join(restricted.select("user_id", "chunk_start", "chunk_end"),
+          Seq("user_id", "chunk_start"))
+        .groupBy(col("user_id"), col("chunk_start"), col("chunk_end"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("value"),
+          (col("event_id") % 23).cast("double").as("yv")))).as("__p"))
+        .select(col("user_id"), col("chunk_start"), col("chunk_end"),
+          transform(col("__p"), p => p.getField("ts")).as("timestamps"),
+          transform(col("__p"), p => p.getField("value")).as("x"),
+          transform(col("__p"), p => p.getField("yv")).as("y"))
+      val sliced = PositionSlice.explodeSlice(silver, winS, winE,
+        scaleFactor = 1.0, arrayCols = Seq("timestamps", "x", "y"),
+        keyCols = Seq("user_id"))
+      val verts = array(
+        struct(lit(100.0).as("x"), lit(2.0).as("y")),
+        struct(lit(150.0).as("x"), lit(7.0).as("y")),
+        struct(lit(100.0).as("x"), lit(12.0).as("y")),
+        struct(lit(50.0).as("x"), lit(7.0).as("y")))
+      val flagged = sliced.withColumn("in_nest",
+        GeometryFunctions.pointInPolygon(col("x"), col("y"), verts))
+      Sessionize.byGap(flagged, "time", Seq("user_id"), gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          min(col("time")).as("session_start"),
+          max(col("time")).as("session_end"),
+          sum(when(col("in_nest"), 1L).otherwise(0L)).as("n_in_nest"),
+          sum(expr("CAST(round(x * 100) AS BIGINT)")).as("sum_x_centi"))
+        .join(qcUser, Seq("user_id"))
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_samples"), col("n_in_nest"),
+          col("sum_x_centi"), col("qc_chunks"), col("qc_drops"))
+        .orderBy("user_id", "session_id")
     }),
 
     // Multimodal: deterministic frame sampling (posexplode plumbing).
@@ -618,6 +705,89 @@ object SystemQueries {
        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
          AND ts <  TIMESTAMP '2024-01-25 00:00:00'
        ORDER BY user_id, time""",
+    // Every stage replayed: epoch closure, half-open validity gate, hourly
+    // catalog, counter-delta QC, the keyed widening restriction (three-arm
+    // union mirroring restrictChunksPerKey), restricted fetch + exact mask,
+    // the q45 diamond closed form, and 1800 s gaps-and-islands.
+    "q180_behavior_composite" -> s"""$EV,
+       ep AS (
+         SELECT user_id, ts AS es,
+           least(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+             ts + INTERVAL 7 DAY) AS ee
+         FROM ev WHERE event_type = 'signup'),
+       v AS MATERIALIZED (
+         SELECT e.user_id, e.event_id, e.ts, e.value
+         FROM ev e JOIN ep
+           ON e.user_id = ep.user_id AND e.ts >= ep.es AND e.ts < ep.ee),
+       cat AS MATERIALIZED (
+         SELECT user_id, date_trunc('hour', ts) AS cs,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS ce
+         FROM v GROUP BY 1, 2),
+       qc AS (
+         SELECT user_id, date_trunc('hour', ts) AS cs,
+           sum(CASE WHEN d IS NULL THEN 0 ELSE greatest(d - 1, 0) END)
+             AS drop_count
+         FROM (
+           SELECT user_id, ts,
+             event_id - lag(event_id)
+               OVER (PARTITION BY user_id ORDER BY ts) AS d
+           FROM v)
+         GROUP BY 1, 2),
+       r AS MATERIALIZED (
+         SELECT DISTINCT user_id, cs, ce FROM (
+           SELECT user_id, cs, ce FROM cat
+           WHERE ce > TIMESTAMP '2024-01-15 06:30:00'
+             AND cs < TIMESTAMP '2024-01-16 06:30:00'
+           UNION ALL
+           SELECT user_id, cs, ce FROM (
+             SELECT user_id, cs, ce, row_number()
+               OVER (PARTITION BY user_id ORDER BY cs DESC) AS rn
+             FROM cat WHERE cs <= TIMESTAMP '2024-01-15 06:30:00')
+           WHERE rn = 1
+           UNION ALL
+           SELECT user_id, cs, ce FROM (
+             SELECT user_id, cs, ce, row_number()
+               OVER (PARTITION BY user_id ORDER BY ce ASC) AS rn
+             FROM cat WHERE ce >= TIMESTAMP '2024-01-16 06:30:00')
+           WHERE rn = 1)),
+       qcu AS (
+         SELECT r.user_id, CAST(count(*) AS BIGINT) AS qc_chunks,
+           CAST(sum(qc.drop_count) AS BIGINT) AS qc_drops
+         FROM r JOIN qc ON qc.user_id = r.user_id AND qc.cs = r.cs
+         GROUP BY 1),
+       samp AS (
+         SELECT v.user_id, v.ts, v.value,
+           CAST(v.event_id % 23 AS DOUBLE) AS y
+         FROM v JOIN r
+           ON v.user_id = r.user_id AND date_trunc('hour', v.ts) = r.cs
+         WHERE v.ts >= TIMESTAMP '2024-01-15 06:30:00'
+           AND v.ts < TIMESTAMP '2024-01-16 06:30:00'),
+       sess AS (
+         SELECT user_id, ts, value, y,
+           sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             AS session_id
+         FROM (
+           SELECT *, CASE WHEN prev IS NULL
+               OR epoch_us(ts) - epoch_us(prev) > 1800000000
+             THEN 1 ELSE 0 END AS newf
+           FROM (
+             SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev
+             FROM samp)))
+       SELECT s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+         min(s.ts) AS session_start, max(s.ts) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(CASE WHEN (abs(s.value - 100.0) / 50.0
+             + abs(s.y - 7.0) / 5.0) < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_nest,
+         CAST(sum(CAST(round(s.value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_x_centi,
+         any_value(q.qc_chunks) AS qc_chunks,
+         any_value(q.qc_drops) AS qc_drops
+       FROM sess s JOIN qcu q ON q.user_id = s.user_id
+       GROUP BY s.user_id, s.session_id
+       ORDER BY s.user_id, s.session_id""",
     "q83_multimodal_features" ->
       """SELECT doc_id,
          CAST(64 * octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -50,6 +50,34 @@ class PipelinesSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("y") == 40.0)
   }
 
+  test("restrictChunksPerKey widens independently per stream key") {
+    // camA: gap 09:00-12:00 around the query start; camB: continuous
+    // coverage (no fallback needed); camC: ALL chunks before the window
+    // (only the nearest-before fallback row survives).
+    val chunks = Seq(
+      ("camA", "2024-01-01 08:00:00", "2024-01-01 09:00:00"),
+      ("camA", "2024-01-01 12:00:00", "2024-01-01 13:00:00"),
+      ("camB", "2024-01-01 09:00:00", "2024-01-01 10:00:00"),
+      ("camB", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+      ("camB", "2024-01-01 11:00:00", "2024-01-01 12:00:00"),
+      ("camC", "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+      ("camC", "2024-01-01 03:00:00", "2024-01-01 04:00:00")
+    ).map { case (k, s, e) => (k, ts(s), ts(e)) }
+      .toDF("cam", "chunk_start", "chunk_end")
+    val got = PositionSlice.restrictChunksPerKey(chunks,
+        "2024-01-01 10:00:00", "2024-01-01 12:30:00", keys = Seq("cam"))
+      .select("cam", "chunk_start").as[(String, Timestamp)].collect().toSet
+    assert(got == Set(
+      ("camA", ts("2024-01-01 08:00:00")), // nearest-before fallback
+      ("camA", ts("2024-01-01 12:00:00")),
+      // camB: nearest-before IS the 10:00 chunk (already overlapping —
+      // dedup'd), so 09:00 stays excluded
+      ("camB", ts("2024-01-01 10:00:00")),
+      ("camB", ts("2024-01-01 11:00:00")),
+      ("camC", ts("2024-01-01 03:00:00")) // only the fallback row
+    ), got)
+  }
+
   test("PositionSlice.restrictChunks widens to nearest chunk when endpoint is in a gap") {
     val chunks = Seq(
       ("2024-01-01 08:00:00", "2024-01-01 09:00:00"),
