@@ -237,7 +237,18 @@ object Vocab {
                          checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
       : Seq[BpeMerge] = {
     require(nMerges > 0, "nMerges must be positive")
-    var cut = checkpointer.cut(symbolized(wordCounts, wordCol, freqCol))
+    trainMerges(symbolized(wordCounts, wordCol, freqCol), nMerges,
+      checkpointer)
+  }
+
+  /** The shared merge-training loop over an already-symbolized
+    * `(s, __freq)` table — char symbols ([[trainBpeFromCounts]]) and
+    * hex-byte symbols ([[trainBpeBytesFromCounts]]) train identically
+    * because the `|a||b|` framing is representation-agnostic.
+    */
+  private def trainMerges(initial: DataFrame, nMerges: Int,
+                          checkpointer: Dedup.Checkpointer): Seq[BpeMerge] = {
+    var cut = checkpointer.cut(initial)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     try {
       var r = 1
@@ -313,6 +324,120 @@ object Vocab {
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           words.foreach { w =>
             var syms = Array.tabulate(w.length)(i => w.substring(i, i + 1))
+            var k = 0
+            while (k < rules.length && syms.length > 1) {
+              val (a, b) = rules(k)
+              val next = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                  next += a + b; i += 2
+                } else { next += syms(i); i += 1 }
+              }
+              syms = next.toArray
+              k += 1
+            }
+            out ++= syms
+          }
+          Row(r.get(0), r.getString(1), out.toSeq)
+        }
+      }, outSchema)
+    docs.join(enc.drop(textCol), Seq(idCol))
+  }
+
+  // ---- byte-level BPE (GPT-2/tiktoken byte-fallback family) ----
+
+  /** Whitespace-only word counts over the RAW text — byte-level BPE's
+    * pre-tokenization (Radford 2019 §2.2 discipline): case, digits, and
+    * punctuation are carried as bytes; nothing is normalized away. The
+    * char-level family's [[wordCounts]] lower-cases and strips — this one
+    * must not, or the byte vocabulary could never learn cased/punctuated
+    * merges.
+    */
+  def wordCountsRaw(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(filter(split(col(textCol), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** UTF-8 BYTE symbolization: each word becomes its bytes as 2-hex-digit
+    * symbols in the same `|AA||BB|` framing [[symbolized]] uses, so the
+    * whole merge machinery (pair counts, literal replace, retirement)
+    * applies verbatim — a merged symbol is the concatenated hex of its
+    * byte span, and decoding any token is one `unhex`. Hex keeps symbols
+    * printable and the training SQL-replayable (`hex()` is uppercase
+    * 2-digits-per-byte in both engines). Words of one byte never form
+    * pairs and are dropped, mirroring [[symbolized]]'s length filter.
+    */
+  private def symbolizedHexBytes(wordCounts: DataFrame, wordCol: String,
+                                 freqCol: String): DataFrame =
+    wordCounts
+      .select(col(wordCol).as("__w"), col(freqCol).cast("long").as("__freq"))
+      .filter(expr("octet_length(__w)") >= 2)
+      .select(
+        concat(lit("|"),
+          array_join(expr(
+            """transform(sequence(1, octet_length(__w)),
+                 i -> substring(hex(__w), 2*i-1, 2))"""), "||"),
+          lit("|")).as("s"),
+        col("__freq"))
+
+  /** BYTE-LEVEL BPE training (Radford 2019 "Language Models are
+    * Unsupervised Multitask Learners" §2.2; the GPT-2/tiktoken family):
+    * UTF-8 bytes are the base symbols, so the 256-entry base vocabulary
+    * covers EVERY input and no `[UNK]` can ever appear — the byte-fallback
+    * property the char-level [[trainBpe]] lacks. Merges are learned over
+    * byte pairs with the identical round shape (one pair-count shuffle +
+    * a 1-row argmax + an in-plan literal replace per round; word-type
+    * table state, Checkpointer-cut).
+    */
+  def trainBpeBytes(docs: DataFrame, textCol: String, nMerges: Int,
+                    checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : Seq[BpeMerge] =
+    trainBpeBytesFromCounts(wordCountsRaw(docs, textCol), "word", "freq",
+      nMerges, checkpointer)
+
+  /** [[trainBpeBytes]] from a persisted/merged RAW word-count table — the
+    * same restartable discipline as [[trainBpeFromCounts]].
+    */
+  def trainBpeBytesFromCounts(wordCounts: DataFrame, wordCol: String,
+                              freqCol: String, nMerges: Int,
+                              checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : Seq[BpeMerge] = {
+    require(nMerges > 0, "nMerges must be positive")
+    trainMerges(symbolizedHexBytes(wordCounts, wordCol, freqCol), nMerges,
+      checkpointer)
+  }
+
+  /** Byte-level BPE ENCODING: whitespace pre-tokenize the RAW text, map
+    * each word to its UTF-8 bytes as hex symbols, apply the learned merges
+    * sequentially (identical pass semantics to [[encodeBpe]] — see the
+    * rank-map caveat there). Output subwords are hex strings over the
+    * token's byte span (`unhex` decodes); total coverage by construction —
+    * any byte of any script falls back to its base symbol, never `[UNK]`.
+    */
+  def encodeBpeBytes(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[BpeMerge]): DataFrame = {
+    val spark = docs.sparkSession
+    val ordered = merges.sortBy(_.step).map(m => (m.left, m.right)).toArray
+    val bm = spark.sparkContext.broadcast(ordered)
+    val inSchema = docs.select(col(idCol), col(textCol)).schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("subwords", ArrayType(StringType, containsNull = false)))
+    val enc = spark.createDataFrame(
+      docs.select(col(idCol), col(textCol)).rdd.mapPartitions { rows =>
+        val rules = bm.value
+        val hexDigits = "0123456789ABCDEF"
+        rows.map { r =>
+          val text = Option(r.getString(1)).getOrElse("")
+          val words = text.split("\\s+").filter(_.nonEmpty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          words.foreach { w =>
+            val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var syms = Array.tabulate(bytes.length) { i =>
+              val b = bytes(i) & 0xff
+              s"${hexDigits(b >> 4)}${hexDigits(b & 0xf)}"
+            }
             var k = 0
             while (k < rules.length && syms.length > 1) {
               val (a, b) = rules(k)

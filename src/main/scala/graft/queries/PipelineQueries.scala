@@ -900,6 +900,33 @@ object PipelineQueries {
         .orderBy("src_idx")
     }),
 
+    // BYTE-LEVEL BPE TRAINING (q137's industry-default twin — the
+    // GPT-2/tiktoken byte-fallback family): RAW whitespace pre-tokenize,
+    // UTF-8 bytes as base symbols (2-hex-digit representation both
+    // engines), 8 merge rounds of pair-count argmax + literal replace.
+    // The oracle unrolls all 8 rounds over the hex symbolization.
+    "q181_byte_bpe_merges" -> ((s, d) => {
+      val merges = Vocab.trainBpeBytes(Tables.documents(s, d), "text",
+        nMerges = 8)
+      Vocab.mergesDf(s, merges).orderBy("step")
+    }),
+
+    // BYTE-LEVEL BPE ENCODING with the merge table trained in-query: hex
+    // byte symbols + the 8 learned merges in order; subword hex strings
+    // aggregate like q138. No [UNK] can appear by construction — every
+    // byte falls back to its base symbol (spec-pinned on multi-byte UTF-8
+    // and punctuation, which this ASCII corpus cannot exercise).
+    "q182_byte_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Vocab.trainBpeBytes(docs, "text", nMerges = 8)
+      Vocab.encodeBpeBytes(docs.select("doc_id", "text"), "doc_id", "text",
+          merges)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          array_join(slice(col("subwords"), 1, 20), " ").as("head_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // BPE ENCODING with the merge table trained in-query: symbolize each
     // word to chars, apply the 8 learned merges in order, aggregate like
     // q132. Oracle = the q137 training chain + 8 unrolled apply steps over
@@ -1847,6 +1874,47 @@ object PipelineQueries {
          SELECT replace(s, '|' || m.l || '||' || m.r2 || '|',
              '|' || m.l || m.r2 || '|') AS s, freq
          FROM w${r - 1}, m$r m)"""
+    }.mkString(",\n", ",\n", "")
+    base + rounds
+  }
+
+  /** DuckDB CTE chain replaying `nRounds` of BYTE-LEVEL BPE training
+    * (q181/q182): same round machinery as [[bpeCtes]], but `bw0`
+    * symbolizes each RAW whitespace-split word type as its UTF-8 bytes in
+    * 2-hex-digit symbols (`hex()` is uppercase 2-digits-per-byte in both
+    * engines, so `Vocab.symbolizedHexBytes` and this chain agree
+    * bit-for-bit; a merged symbol is the concatenated hex of its byte
+    * span). Tables are `b`-prefixed so the chain composes beside the
+    * char-level one.
+    */
+  private def byteBpeCtes(nRounds: Int): String = {
+    val base = s"""bnorm AS (
+         SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+         FROM documents),
+       bwt AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(ws) AS w FROM bnorm)
+         WHERE octet_length(encode(w)) >= 2 GROUP BY w),
+       bw0 AS (
+         SELECT '|' || array_to_string(list_transform(
+             generate_series(1, octet_length(encode(w))),
+             i -> substr(hex(w), 2*i-1, 2)), '||')
+           || '|' AS s, freq
+         FROM bwt)"""
+    val rounds = (1 to nRounds).map { r =>
+      s"""bp$r AS (
+         SELECT t[i] AS l, t[i+1] AS r2, CAST(sum(freq) AS BIGINT) AS c
+         FROM (SELECT string_split(trim(s, '|'), '||') AS t, freq
+               FROM bw${r - 1}),
+           unnest(generate_series(1, len(t) - 1)) u(i)
+         GROUP BY 1, 2),
+       bm$r AS (
+         SELECT $r AS step, l, r2, c FROM bp$r
+         ORDER BY c DESC, l, r2 LIMIT 1),
+       bw$r AS (
+         SELECT replace(s, '|' || m.l || '||' || m.r2 || '|',
+             '|' || m.l || m.r2 || '|') AS s, freq
+         FROM bw${r - 1}, bm$r m)"""
     }.mkString(",\n", ",\n", "")
     base + rounds
   }
@@ -3811,6 +3879,49 @@ object PipelineQueries {
        SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
        FROM (${(1 to 8).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})
        ORDER BY step""",
+    "q181_byte_bpe_merges" ->
+      s"""WITH ${byteBpeCtes(8)}
+       SELECT step, l AS merge_left, r2 AS merge_right, c AS pair_count
+       FROM (${(1 to 8).map(r => s"SELECT * FROM bm$r").mkString(" UNION ALL ")})
+       ORDER BY step""",
+    // Byte training chain + 8 unrolled apply steps over per-doc raw words;
+    // tokens rebuilt from the final hex symbol strings in (word, position)
+    // order — the q138 shape over the byte symbolization.
+    "q182_byte_bpe_encode" ->
+      s"""WITH ${byteBpeCtes(8)},
+       bdwords AS (
+         SELECT doc_id, i AS wi, ws[i] AS w
+         FROM bnorm, unnest(generate_series(1, len(ws))) u(i)
+         WHERE octet_length(encode(ws[i])) > 0),
+       ba0 AS (
+         SELECT doc_id, wi, '|' || array_to_string(list_transform(
+             generate_series(1, octet_length(encode(w))),
+             i -> substr(hex(w), 2*i-1, 2)), '||')
+           || '|' AS s
+         FROM bdwords),
+       ${(1 to 8).map(r =>
+        s"""ba$r AS (
+         SELECT doc_id, wi, replace(s, '|' || m.l || '||' || m.r2 || '|',
+             '|' || m.l || m.r2 || '|') AS s
+         FROM ba${r - 1}, bm$r m)""").mkString(",\n")},
+       btoks AS (
+         SELECT doc_id, wi, j, t[j] AS tok
+         FROM (SELECT doc_id, wi, string_split(trim(s, '|'), '||') AS t
+               FROM ba8),
+           unnest(generate_series(1, len(t))) u(j)),
+       bord AS (
+         SELECT doc_id, tok, row_number() OVER (
+           PARTITION BY doc_id ORDER BY wi, j) AS rn
+         FROM btoks),
+       bagg AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_subwords,
+           string_agg(tok, ' ' ORDER BY rn) FILTER (WHERE rn <= 20)
+             AS head_subwords
+         FROM bord GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.n_subwords, 0) AS n_subwords,
+         coalesce(a.head_subwords, '') AS head_subwords
+       FROM documents d LEFT JOIN bagg a USING (doc_id)
+       ORDER BY d.doc_id""",
     // seed DP (walk) -> counts1 -> renormalized vocab2 (prune + char
     // floor) -> second DP (r-prefixed tables) -> final counts
     "q145_unigram_em_round" ->
