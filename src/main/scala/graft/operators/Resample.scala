@@ -43,14 +43,28 @@ object Resample {
     * State per partition is one key's timeline; skew is the data's own.
     */
   def linearGrid(df: DataFrame, keyCol: String, tsCol: String,
-                 valueCol: String, stepMicros: Long): DataFrame = {
-    require(stepMicros > 0, "stepMicros must be > 0")
-    val samples = df
-      .select(col(keyCol).as("key"),
+                 valueCol: String, stepMicros: Long): DataFrame =
+    linearGridMicro(collapseMicro(df, keyCol, tsCol, valueCol), stepMicros)
+
+  /** The `(key, t, v)` micro-sample normal form: timestamps to epoch
+    * micros, values snapped to the micro grid, duplicates at one
+    * `(key, t)` collapsed to their integral micro-mean (order-free). This
+    * is [[linearGrid]]'s first step and the unit the streaming twin
+    * persists as per-key bracket state — already-collapsed rows MUST NOT
+    * be re-floored (micro → double → micro is lossy past 2⁵³), hence the
+    * split entry points.
+    */
+  def collapseMicro(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame =
+    df.select(col(keyCol).as("key"),
         unix_micros(col(tsCol)).as("t"),
         expr(s"CAST(floor($valueCol * 1000000) AS BIGINT)").as("__vm"))
       .groupBy("key", "t")
       .agg(expr("sum(__vm) div count(1)").as("v"))
+
+  /** [[linearGrid]] over already-collapsed [[collapseMicro]] rows. */
+  def linearGridMicro(samples: DataFrame, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, "stepMicros must be > 0")
     val grid = samples
       .groupBy("key").agg(min("t").as("__tmin"), max("t").as("__tmax"))
       .select(col("key"),

@@ -251,6 +251,37 @@ object WindowQueries {
           "ts", "value", stepMicros = 3600L * 1000000L)
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "grid_ts")
+    }),
+
+    // Resampling from a STREAMING DRAIN (q174's incremental twin, the
+    // q142 discipline): the event stream lands in two chronological
+    // waves, each drained against the persisted per-key last-sample state
+    // (grid points close as their forward bracket arrives; the corpus is
+    // never re-read). Oracle = q174's verbatim — drained ≡ one-shot is
+    // the contract; the cross-wave brackets (state sample ↔ first wave-2
+    // sample) are exactly the rows that break if the state plumbing is
+    // wrong.
+    "q183_resample_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d).select("event_type", "ts", "value")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-resample-q183").toString
+      val (src, grid, state, ckpt) =
+        (root + "/src", root + "/grid", root + "/state", root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("ts", TimestampType), StructField("value", DoubleType)))
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      val step = 3600L * 1000000L
+      ev.filter(col("ts") < pivot).write.mode("append").parquet(src)
+      graft.streaming.StreamingResample.drain(s, src, grid, state, ckpt,
+        "event_type", "ts", "value", schema, step)
+      ev.filter(col("ts") >= pivot).write.mode("append").parquet(src)
+      graft.streaming.StreamingResample.drain(s, src, grid, state, ckpt,
+        "event_type", "ts", "value", schema, step)
+      graft.streaming.StreamingResample.loadGrid(s, grid)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "grid_ts")
     })
   )
 
@@ -325,6 +356,39 @@ object WindowQueries {
     // hit the two sides pick DIFFERENT t1 (engine: next later sample;
     // oracle: the tied sample) yet both degenerate to v0.
     "q174_resample_interp" -> s"""$EV,
+       samp AS (
+         SELECT event_type AS key, epoch_us(ts) AS t,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) // count(*)
+             AS BIGINT) AS v
+         FROM ev GROUP BY 1, 2),
+       rng AS (SELECT key, min(t) AS tmin, max(t) AS tmax
+               FROM samp GROUP BY key),
+       grid AS (
+         SELECT key, unnest(generate_series(
+           ((tmin + 3599999999) // 3600000000) * 3600000000,
+           (tmax // 3600000000) * 3600000000,
+           3600000000)) AS t
+         FROM rng
+         WHERE ((tmin + 3599999999) // 3600000000) * 3600000000
+             <= (tmax // 3600000000) * 3600000000),
+       prev AS (
+         SELECT g.key, g.t, s.t AS t0, s.v AS v0
+         FROM grid g ASOF JOIN samp s
+           ON g.key = s.key AND g.t >= s.t),
+       nxt AS (
+         SELECT g.key, g.t, s.t AS t1, s.v AS v1
+         FROM grid g ASOF LEFT JOIN samp s
+           ON g.key = s.key AND g.t <= s.t)
+       SELECT p.key AS event_type, make_timestamp(p.t) AS grid_ts,
+         CASE WHEN coalesce(n.t1, p.t0) = p.t0 THEN p.v0
+           ELSE CAST((CAST(p.v0 AS HUGEINT) * (n.t1 - p.t)
+             + CAST(n.v1 AS HUGEINT) * (p.t - p.t0))
+             // (n.t1 - p.t0) AS BIGINT)
+         END AS value_micro
+       FROM prev p JOIN nxt n ON n.key = p.key AND n.t = p.t
+       ORDER BY event_type, grid_ts""",
+    // drained ≡ one-shot: the oracle is q174's replay verbatim
+    "q183_resample_from_drain" -> s"""$EV,
        samp AS (
          SELECT event_type AS key, epoch_us(ts) AS t,
            CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) // count(*)
