@@ -298,4 +298,86 @@ object Graphs {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Leiden-quality refinement pass (Traag 2019, arXiv:1810.08473 §3's
+    * modularity-improving node moves, run as ONE simultaneous distributed
+    * round): every node scores moving to each NEIGHBOR community by the
+    * exact integer gain
+    * `2m²·ΔQ = 2m·(k_iB − k_iA) − d_i·(Σ_B − Σ_A + d_i)` (DECIMAL(38,0) —
+    * the d_i·Σ product overflows BIGINT at 10¹²-edge graphs), takes the
+    * best strictly-positive move (ties on the smallest target community),
+    * and the moved partition is ACCEPTED only if
+    * [[modularityByCommunity]]'s summed integer score does not decrease —
+    * simultaneous moves can oscillate on symmetric graphs, and the
+    * acceptance test (the verdict's "reuse the integer scoring") makes
+    * `Σq_micro` non-decreasing BY CONSTRUCTION (spec-pinned on random
+    * graphs). Returns the refined (or, on rejection/no-moves, the input)
+    * partition as `(node, community)` for every labeled node.
+    *
+    * Scale shape: three |E|-row hash joins (degree tag, neighbor-community
+    * counts, gain terms) + community-scale aggregates; the acceptance is
+    * two modularity scorings (each two |E|-row joins) and two 1-row driver
+    * sums. Labels must cover every edge endpoint — same loud contract as
+    * [[modularityByCommunity]], which the scoring enforces.
+    */
+  def refinePartition(edges: DataFrame, srcCol: String, dstCol: String,
+                      labels: DataFrame, nodeCol: String,
+                      communityCol: String): DataFrame = {
+    val lab = labels.select(col(nodeCol).as("node"),
+      col(communityCol).as("community"))
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val m = und.count()
+    if (m == 0) return lab
+    val sym = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("d"))
+    // score the INPUT partition first: doubles as the label-coverage guard
+    val qOld = modularityByCommunity(edges, srcCol, dstCol, lab, "node",
+      "community").agg(sum("q_micro")).head().getLong(0)
+    val sigma = lab.join(deg, Seq("node"))
+      .groupBy(col("community")).agg(sum("d").as("sigma"))
+    // k_iC: node i's edge count into each neighbor community C
+    val kTo = sym
+      .join(lab.select(col("node").as("nbr"), col("community").as("__c")),
+        Seq("nbr"))
+      .groupBy(col("node"), col("__c")).agg(count(lit(1)).as("k"))
+    // node's own-community view: degree, Σ_A, and k_iA (0 when the node
+    // has no edge into its own community)
+    val ownClean = lab.join(deg, Seq("node"))
+      .join(sigma.select(col("community"), col("sigma").as("__sa")),
+        Seq("community"))
+      .join(kTo.select(col("node").as("__n2"), col("__c"),
+          col("k").as("__ka")),
+        col("node") === col("__n2") && col("community") === col("__c"),
+        "left")
+      .select(col("node"), col("community").as("__ca"), col("d"),
+        col("__sa"), coalesce(col("__ka"), lit(0L)).as("__ka"))
+    val moves = ownClean
+      .join(kTo, Seq("node"))
+      .filter(col("__c") =!= col("__ca"))
+      .join(sigma.select(col("community").as("__c"),
+        col("sigma").as("__sb")), Seq("__c"))
+      .withColumn("__gain",
+        lit(2L) * lit(m) *
+          (col("k") - col("__ka")).cast("decimal(38,0)") -
+        col("d").cast("decimal(38,0)") *
+          (col("__sb") - col("__sa") + col("d")).cast("decimal(38,0)"))
+      .filter(col("__gain") > 0)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+          .orderBy(col("__gain").desc, col("__c").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("node"), col("__c").as("__new"))
+    if (moves.isEmpty) return lab
+    val refined = lab.join(moves, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__new"), col("community")).as("community"))
+    val qNew = modularityByCommunity(edges, srcCol, dstCol, refined, "node",
+      "community").agg(sum("q_micro")).head().getLong(0)
+    if (qNew >= qOld) refined else lab
+  }
 }

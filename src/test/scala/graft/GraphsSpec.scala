@@ -183,6 +183,60 @@ class GraphsSpec extends SparkSpec {
     assert(got.head.getLong(4) == 0L)
   }
 
+  // ---- refinement ----
+
+  private def qSum(es: Seq[(Long, Long)],
+                   labels: Seq[(Long, Long)]): Long =
+    Graphs.modularityByCommunity(es.toDF("src", "dst"), "src", "dst",
+        labels.toDF("node", "community"), "node", "community")
+      .agg(org.apache.spark.sql.functions.sum("q_micro")).head().getLong(0)
+
+  test("refinePartition moves a mislabeled clique node home and lifts Q") {
+    // two triangles + bridge; node 3 planted in the WRONG community
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 4L),
+      (6L, 4L))
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L))
+    val refined = Graphs.refinePartition(es.toDF("src", "dst"), "src", "dst",
+        bad.toDF("node", "community"), "node", "community")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(refined == good.sorted, refined)
+    assert(qSum(es, refined) > qSum(es, bad))
+  }
+
+  test("refinePartition is a no-op on an already-optimal two-clique partition") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L))
+    val refined = Graphs.refinePartition(es.toDF("src", "dst"), "src", "dst",
+        good.toDF("node", "community"), "node", "community")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(refined == good.sorted)
+  }
+
+  test("refinePartition never decreases Σq_micro on random graphs/partitions") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 101)
+      val n = 8 + rnd.nextInt(8)
+      val es = (for (a <- 0L until n; b <- (a + 1) until n
+                     if rnd.nextInt(100) < 25) yield (a, b)).toSeq
+      if (es.nonEmpty) {
+        val nComm = 2 + rnd.nextInt(3)
+        val labels = (0L until n).map(v => (v, rnd.nextInt(nComm).toLong))
+        val refined = Graphs.refinePartition(es.toDF("src", "dst"), "src",
+            "dst", labels.toDF("node", "community"), "node", "community")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // valid partition: every input node labeled exactly once
+        assert(refined.map(_._1).sorted == labels.map(_._1).sorted)
+        assert(qSum(es, refined) >= qSum(es, labels),
+          s"seed=$seed: refinement decreased Q")
+      }
+    }
+  }
+
   test("hub structure ranks: node 3 (two in-edges incl. the hub) beats node 4 (none)") {
     val r = run(3)
     assert(r(3L) > r(4L) && r(1L) > r(4L))
