@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** The incremental derivation ("populate") engine — SURVEY.md §3.1 as a small
   * library.
@@ -130,6 +130,42 @@ object Populate {
     fs.delete(table, true)
     if (!fs.rename(staged, table))
       throw new java.io.IOException(s"failed to publish $staged over $table")
+  }
+
+  /** Compact an append-only keyed STATE table — the drain-state shape
+    * ([[graft.streaming.StreamingResample]] and friends: one row appended
+    * per `(keys…, orderCol)` per wave, always READ as the newest row per
+    * key) — down to exactly that newest row, published through
+    * [[replaceAtomic]]'s crash-safe staged swap. The read-side argmax is
+    * unchanged before and after, so compaction is a pure size bound:
+    * state tables stop growing by |keys| rows per wave. Single-writer
+    * discipline: run BETWEEN drains, like the drains themselves.
+    * Returns the number of superseded rows removed (0 = nothing to do,
+    * including a missing table).
+    */
+  def compactLatest(spark: org.apache.spark.sql.SparkSession,
+                    tablePath: String, keys: Seq[String],
+                    orderCol: String): Long = {
+    require(keys.nonEmpty, "compactLatest needs key columns")
+    readIfExists(spark, tablePath) match {
+      case None => 0L
+      case Some(t) =>
+        import org.apache.spark.sql.expressions.Window
+        val cached = t.cache()
+        try {
+          val total = cached.count()
+          val latest = cached.withColumn("__rn", row_number().over(
+              Window.partitionBy(keys.map(col): _*)
+                .orderBy(col(orderCol).desc)))
+            .filter(col("__rn") === 1).drop("__rn")
+          val keep = latest.cache()
+          try {
+            val kept = keep.count()
+            if (kept < total) replaceAtomic(keep, tablePath)
+            total - kept
+          } finally keep.unpersist()
+        } finally cached.unpersist()
+    }
   }
 
   /** Written into a staged snapshot after its parquet job completes;

@@ -104,6 +104,37 @@ class StreamingResampleSpec extends SparkSpec {
       spark.read.parquet(state).dropDuplicates("key", "t").count())
   }
 
+  test("state compaction between waves changes nothing downstream") {
+    val root = Files.createTempDirectory("stream_resample_compact")
+    val (src, grid, state, ckpt) = (root.resolve("src").toString,
+      root.resolve("grid").toString, root.resolve("state").toString,
+      root.resolve("ckpt").toString)
+    val waves = Seq(
+      Seq(("a", ts(10), 1.0), ("b", ts(20), 2.0)),
+      Seq(("a", ts(100), 3.0), ("b", ts(130), 4.0)),
+      Seq(("a", ts(200), 5.0), ("b", ts(250), 6.0)))
+    // drain wave 1 and 2, compact, drain wave 3
+    waves(0).toDF("key", "ts", "value").write.mode("append").parquet(src)
+    StreamingResample.drain(spark, src, grid, state, ckpt,
+      "key", "ts", "value", schema, Step)
+    waves(1).toDF("key", "ts", "value").write.mode("append").parquet(src)
+    StreamingResample.drain(spark, src, grid, state, ckpt,
+      "key", "ts", "value", schema, Step)
+    assert(spark.read.parquet(state).count() == 4) // 2 keys × 2 waves
+    val removed = graft.operators.Populate.compactLatest(spark, state,
+      Seq("key"), "t")
+    assert(removed == 2 && spark.read.parquet(state).count() == 2)
+    // compaction is idempotent
+    assert(graft.operators.Populate.compactLatest(spark, state,
+      Seq("key"), "t") == 0L)
+    waves(2).toDF("key", "ts", "value").write.mode("append").parquet(src)
+    StreamingResample.drain(spark, src, grid, state, ckpt,
+      "key", "ts", "value", schema, Step)
+    val all = waves.flatten.toDF("key", "ts", "value")
+    assert(gridSet(grid) == oneShotSet(all),
+      "compacted state must bracket wave 3 exactly like the full table")
+  }
+
   test("late rows drop; grid equals one-shot over the kept rows") {
     val root = Files.createTempDirectory("stream_resample_late")
     val (src, grid, state, ckpt) = (root.resolve("src").toString,
