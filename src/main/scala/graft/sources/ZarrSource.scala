@@ -17,9 +17,11 @@ import org.apache.spark.sql.types._
   * per chunk, named by grid coordinates (`"0.0"`, `"1.0"`, …) — so a reader
   * needs nothing beyond JSON (Spark's shaded Jackson) and the JDK's zlib.
   * Supported here: C-order 1-D/2-D arrays, little-endian integer/float
-  * dtypes, and `null` / `zlib` / `gzip` compressors — the subset the ephys
-  * twin uses. Blosc-compressed stores (native lib) are rejected with a clear
-  * error.
+  * dtypes, and `null` / `zlib` / `gzip` / `blosc` compressors — blosc
+  * (zarr-python's DEFAULT, what real processed ephys stores use) via
+  * [[Blosc]], the pure-Scala container codec over Spark's own bundled
+  * lz4/zstd/snappy libraries. Only blosc's `blosclz` cname and bit-shuffle
+  * filter are rejected (with a re-encode hint).
   *
   * Scale shape: ONE task per chunk file. A zarr chunk is the store's own
   * memory bound (the writer sized it to fit in RAM); each task reads and
@@ -76,8 +78,18 @@ object ZarrSource {
     val compId =
       if (comp.isNull || comp.isMissingNode) None
       else Some(comp.path("id").asText())
-    compId.foreach(id => require(id == "zlib" || id == "gzip",
-      s"unsupported compressor '$id' (zlib/gzip/null only — blosc needs a native lib)"))
+    compId.foreach(id => require(id == "zlib" || id == "gzip" || id == "blosc",
+      s"unsupported compressor '$id' (zlib/gzip/blosc/null)"))
+    if (compId.contains("blosc")) {
+      // fail fast at the header on the two blosc variants the chunk decoder
+      // would reject anyway (decode itself trusts each chunk's OWN header,
+      // not these advisory fields)
+      val cname = comp.path("cname").asText("lz4")
+      require(cname != "blosclz",
+        "blosc cname 'blosclz' unsupported — re-encode with lz4/zstd/zlib")
+      require(comp.path("shuffle").asInt(1) != 2,
+        "blosc bit-shuffle (shuffle=2) unsupported — re-encode with shuffle=1")
+    }
     ZarrMeta(
       shape = root.path("shape").elements().asScala.map(_.asLong()).toSeq,
       chunks = root.path("chunks").elements().asScala.map(_.asInt()).toSeq,
@@ -122,6 +134,11 @@ object ZarrSource {
         require(off == rawLen, s"gzip chunk inflated to $off of $rawLen bytes")
         out
       } finally in.close()
+    case Some("blosc") =>
+      val out = Blosc.decompress(bytes)
+      require(out.length == rawLen,
+        s"blosc chunk inflated to ${out.length} of $rawLen bytes")
+      out
     case Some(other) => throw new IllegalArgumentException(s"compressor $other")
   }
 
@@ -295,7 +312,7 @@ object ZarrSource {
       val buf = ByteBuffer.allocate(cr * nCols * elemBytesOf(dtype))
         .order(ByteOrder.LITTLE_ENDIAN)
       chunk.foreach(row => row.foreach(v => putElem(buf, v, dtype)))
-      val payload = compressChunk(buf.array(), compressor)
+      val payload = compressChunk(buf.array(), compressor, elemBytesOf(dtype))
       val cOut = fs.create(
         new org.apache.hadoop.fs.Path(storePath, s"$ci.0"), true)
       try cOut.write(payload) finally cOut.close()
@@ -323,6 +340,9 @@ object ZarrSource {
     }
     val cr = math.min(chunkRows.toLong, nRows).toInt
     val compJson = compressor match {
+      case Some(b) if b.startsWith("blosc") =>
+        s"""{"id": "blosc", "cname": "${bloscCname(b)}", "clevel": 5,
+           | "shuffle": 1, "blocksize": 0}""".stripMargin.replace("\n", "")
       case Some(id) => s"""{"id": "$id", "level": 1}"""
       case None => "null"
     }
@@ -336,15 +356,29 @@ object ZarrSource {
     cr
   }
 
-  /** Deflate one raw C-order chunk buffer. Fixed settings (level 1, matching
-    * the reference companion's speed-over-ratio choice) keep the output a
-    * pure function of the input bytes — what makes distributed task retries
-    * and the driver/distributed byte-identity spec possible.
+  /** Writer compressor ids: `zlib`, `gzip`, `blosc` (= lz4 + byte-shuffle,
+    * zarr-python's default), or `blosc:<cname>` for lz4hc/zstd/zlib/snappy
+    * inner codecs.
     */
-  private def compressChunk(raw: Array[Byte],
-                            compressor: Option[String]): Array[Byte] =
+  private def bloscCname(id: String): String = id.split(':') match {
+    case Array(_) => "lz4"
+    case Array(_, c) => c
+    case _ => throw new IllegalArgumentException(s"compressor id '$id'")
+  }
+
+  /** Deflate one raw C-order chunk buffer. Fixed settings (zlib level 1
+    * matching the reference companion's speed-over-ratio choice; blosc
+    * clevel 5 + byte-shuffle over the store's element width, zarr-python's
+    * defaults) keep the output a pure function of the input bytes — what
+    * makes distributed task retries and the driver/distributed
+    * byte-identity spec possible.
+    */
+  private def compressChunk(raw: Array[Byte], compressor: Option[String],
+                            typesize: Int): Array[Byte] =
     compressor match {
       case None => raw
+      case Some(b) if b.startsWith("blosc") =>
+        Blosc.compress(raw, typesize, cname = bloscCname(b))
       case Some("zlib") =>
         val d = new java.util.zip.Deflater(1)
         try {
@@ -437,7 +471,7 @@ object ZarrSource {
           val tmp = new org.apache.hadoop.fs.Path(storePath,
             s".chunk-$curChunk-${java.util.UUID.randomUUID()}.tmp")
           val out = fsT.create(tmp, true)
-          try out.write(compressChunk(buf.array(), compressor))
+          try out.write(compressChunk(buf.array(), compressor, elemBytes))
           finally out.close()
           val dest = new org.apache.hadoop.fs.Path(storePath, s"$curChunk.0")
           // publish by RENAME ONLY — no pre-delete. `dest` can only exist

@@ -103,14 +103,21 @@ class ZarrSourceSpec extends SparkSpec {
     assert(v2.select("row_index").count() == 20)
   }
 
-  test("header validation: blosc, filters, channel-split layouts fail fast") {
-    val blosc = intercept[IllegalArgumentException] {
+  test("header validation: blosclz, filters, channel-split layouts fail fast") {
+    // plain blosc headers PARSE since round 10 (sources/Blosc.scala); only
+    // the blosclz cname — the one inner codec without a JVM implementation —
+    // still fails fast at the header
+    assert(ZarrSource.parseMeta(
+      """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2],
+         "dtype": "<u2", "compressor": {"id": "blosc"}, "order": "C",
+         "fill_value": 0, "filters": null}""").compressor.contains("blosc"))
+    val bloscLz = intercept[IllegalArgumentException] {
       ZarrSource.parseMeta(
         """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2],
-           "dtype": "<u2", "compressor": {"id": "blosc"}, "order": "C",
-           "fill_value": 0, "filters": null}""")
+           "dtype": "<u2", "order": "C", "fill_value": 0, "filters": null,
+           "compressor": {"id": "blosc", "cname": "blosclz"}}""")
     }
-    assert(blosc.getMessage.contains("blosc"))
+    assert(bloscLz.getMessage.contains("blosclz"))
 
     // channel-split chunking: samples span files → rejected at read
     val store = tmpStore("split")
