@@ -340,21 +340,35 @@ object SystemQueries {
     // 64-row chunks), dtype decode, and scaling all participate in the hash.
     // gain 0.25 is a power of two: u16/f4 payloads and the scaling are both
     // exact in doubles, so Spark and DuckDB cannot disagree on an ulp.
+    // Two more slices pin the OTHER real-world store variants (round 10):
+    // numcodecs' raw lz4 codec (size-prefix + block, not a blosc frame), and
+    // a SPARSE raw-zstd store whose chunk file 2 is deleted after writing —
+    // its rows 128..191 must come back as fill_value (0) scaled to −1000,
+    // putting the absent-chunk fill contract itself into the oracle hash.
     "q180_zarr_blosc" -> ((s, _) => {
       val data = Array.tabulate(300, 4)((r, c) => ((r * 37 + c * 17) % 4096).toDouble)
       val base = java.nio.file.Files.createTempDirectory("graft-zarr-q180")
-      val lz4Store = base.toString + "/lz4.zarr"
-      val zstdStore = base.toString + "/zstd.zarr"
-      ZarrSource.write(s, lz4Store, data, dtype = "<u2", chunkRows = 64,
-        compressor = Some("blosc"))
-      ZarrSource.write(s, zstdStore, data, dtype = "<f4", chunkRows = 128,
-        compressor = Some("blosc:zstd"))
+      def store(name: String, dtype: String, chunkRows: Int, comp: String) = {
+        val path = base.toString + s"/$name.zarr"
+        ZarrSource.write(s, path, data, dtype = dtype, chunkRows = chunkRows,
+          compressor = Some(comp))
+        path
+      }
+      val lz4Store = store("lz4", "<u2", 64, "blosc")
+      val zstdStore = store("zstd", "<f4", 128, "blosc:zstd")
+      val ncLz4Store = store("nclz4", "<u2", 64, "lz4")
+      val ncZstdStore = store("nczstd", "<u2", 64, "zstd")
+      for (f <- Seq("2.0", ".2.0.crc")) // sparse: drop chunk 2 (+ sidecar)
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(ncZstdStore, f))
       def slice(store: String, codec: String) =
         ZarrSource.read(s, store, gain = 0.25, offset = -1000.0)
           .select(lit(codec).as("codec"), col("row_index"),
             col("channels")(0).as("ch0"), col("channels")(1).as("ch1"),
             col("channels")(2).as("ch2"), col("channels")(3).as("ch3"))
       slice(lz4Store, "lz4").unionAll(slice(zstdStore, "zstd"))
+        .unionAll(slice(ncLz4Store, "nclz4"))
+        .unionAll(slice(ncZstdStore, "nczstd"))
         .orderBy("codec", "row_index")
     }),
 
@@ -877,12 +891,16 @@ object SystemQueries {
        FROM generate_series(0, 199) AS t(r) ORDER BY row_index""",
     "q180_zarr_blosc" ->
       """SELECT codec, CAST(r AS BIGINT) AS row_index,
-         ((r * 37 +  0) % 4096) * (0.25::DOUBLE) - 1000.0 AS ch0,
-         ((r * 37 + 17) % 4096) * (0.25::DOUBLE) - 1000.0 AS ch1,
-         ((r * 37 + 34) % 4096) * (0.25::DOUBLE) - 1000.0 AS ch2,
-         ((r * 37 + 51) % 4096) * (0.25::DOUBLE) - 1000.0 AS ch3
+         CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
+           ELSE ((r * 37 +  0) % 4096) * (0.25::DOUBLE) - 1000.0 END AS ch0,
+         CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
+           ELSE ((r * 37 + 17) % 4096) * (0.25::DOUBLE) - 1000.0 END AS ch1,
+         CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
+           ELSE ((r * 37 + 34) % 4096) * (0.25::DOUBLE) - 1000.0 END AS ch2,
+         CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
+           ELSE ((r * 37 + 51) % 4096) * (0.25::DOUBLE) - 1000.0 END AS ch3
        FROM generate_series(0, 299) AS t(r),
-         (VALUES ('lz4'), ('zstd')) AS c(codec)
+         (VALUES ('lz4'), ('zstd'), ('nclz4'), ('nczstd')) AS c(codec)
        ORDER BY codec, row_index""",
     "q108_clock_roundtrip" ->
       """WITH src AS (

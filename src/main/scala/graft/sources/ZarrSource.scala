@@ -31,10 +31,15 @@ import org.apache.spark.sql.types._
   */
 object ZarrSource {
 
-  /** Parsed `.zarray` header. `chunks`/`shape` are row-major (C order). */
+  /** Parsed `.zarray` header. `chunks`/`shape` are row-major (C order).
+    * `fillValue = None` means the store declares `fill_value: null` (no
+    * defined fill) — readers then REQUIRE every chunk file to exist, since
+    * there is no value an absent chunk could legally materialize as.
+    */
   final case class ZarrMeta(shape: Seq[Long], chunks: Seq[Int], dtype: String,
                             compressor: Option[String], order: String,
-                            dimSeparator: String) {
+                            dimSeparator: String,
+                            fillValue: Option[Double] = Some(0.0)) {
     require(order == "C", s"only C-order zarr supported, got '$order'")
     require(shape.nonEmpty && shape.length <= 2,
       s"only 1-D/2-D zarr arrays supported, got shape $shape")
@@ -78,8 +83,9 @@ object ZarrSource {
     val compId =
       if (comp.isNull || comp.isMissingNode) None
       else Some(comp.path("id").asText())
-    compId.foreach(id => require(id == "zlib" || id == "gzip" || id == "blosc",
-      s"unsupported compressor '$id' (zlib/gzip/blosc/null)"))
+    compId.foreach(id => require(id == "zlib" || id == "gzip" ||
+      id == "blosc" || id == "zstd" || id == "lz4",
+      s"unsupported compressor '$id' (zlib/gzip/blosc/zstd/lz4/null)"))
     if (compId.contains("blosc")) {
       // fail fast at the header on the two blosc variants the chunk decoder
       // would reject anyway (decode itself trusts each chunk's OWN header,
@@ -96,7 +102,11 @@ object ZarrSource {
       dtype = dtype,
       compressor = compId,
       order = root.path("order").asText("C"),
-      dimSeparator = root.path("dimension_separator").asText("."))
+      dimSeparator = root.path("dimension_separator").asText("."),
+      fillValue = {
+        val f = root.path("fill_value")
+        if (f.isNull || f.isMissingNode) None else Some(f.asDouble())
+      })
   }
 
   /** Inflate one chunk payload to its raw C-order buffer. */
@@ -138,6 +148,25 @@ object ZarrSource {
       val out = Blosc.decompress(bytes)
       require(out.length == rawLen,
         s"blosc chunk inflated to ${out.length} of $rawLen bytes")
+      out
+    // numcodecs' RAW codec ids (stores written with Zstd()/LZ4() instead of
+    // Blosc(...)): zstd = a bare zstd frame; lz4 = int32-LE original-size
+    // prefix + one lz4 block
+    case Some("zstd") =>
+      val out = com.github.luben.zstd.Zstd.decompress(bytes, rawLen)
+      require(out.length == rawLen,
+        s"zstd chunk inflated to ${out.length} of $rawLen bytes")
+      out
+    case Some("lz4") =>
+      require(bytes.length >= 4, "numcodecs-lz4 chunk shorter than its prefix")
+      val declared = ByteBuffer.wrap(bytes, 0, 4)
+        .order(ByteOrder.LITTLE_ENDIAN).getInt
+      require(declared == rawLen,
+        s"numcodecs-lz4 chunk declares $declared bytes, expected $rawLen")
+      val out = new Array[Byte](rawLen)
+      val n = net.jpountz.lz4.LZ4Factory.fastestInstance().safeDecompressor()
+        .decompress(bytes, 4, bytes.length - 4, out, 0)
+      require(n == rawLen, s"lz4 chunk inflated to $n of $rawLen bytes")
       out
     case Some(other) => throw new IllegalArgumentException(s"compressor $other")
   }
@@ -240,7 +269,20 @@ object ZarrSource {
           val p = new org.apache.hadoop.fs.Path(r.getString(0))
           val chunkRow = r.getLong(1)
           val fs = p.getFileSystem(conf.value)
-          if (!fs.exists(p)) Iterator.empty // absent chunk = all fill_value; ephys stores are dense
+          if (!fs.exists(p)) {
+            // absent chunk file = every element is fill_value (the zarr
+            // sparse-store contract) — materialize it instead of silently
+            // dropping rows; a null fill_value leaves nothing an absent
+            // chunk could legally decode to, so fail loudly
+            val fill = meta.fillValue.getOrElse(throw new
+              IllegalArgumentException(s"chunk $p absent and fill_value is " +
+                "null: the store defines no value for missing chunks"))
+            val base = chunkRow * chunkRows
+            val validRows = math.min(chunkRows.toLong, nRows - base).toInt
+            val vals = Array.fill(nCols)(fill * gain + offset)
+            (0 until validRows).iterator.map(lr => Row(storeName, base + lr,
+              vals.clone()))
+          }
           else {
             val in = fs.open(p)
             val raw =
@@ -343,6 +385,10 @@ object ZarrSource {
       case Some(b) if b.startsWith("blosc") =>
         s"""{"id": "blosc", "cname": "${bloscCname(b)}", "clevel": 5,
            | "shuffle": 1, "blocksize": 0}""".stripMargin.replace("\n", "")
+      // per-id configs match each numcodecs codec's actual kwargs, so
+      // zarr-python can open our stores without a config TypeError
+      case Some("zstd") => """{"id": "zstd", "level": 3}"""
+      case Some("lz4") => """{"id": "lz4", "acceleration": 1}"""
       case Some(id) => s"""{"id": "$id", "level": 1}"""
       case None => "null"
     }
@@ -379,6 +425,14 @@ object ZarrSource {
       case None => raw
       case Some(b) if b.startsWith("blosc") =>
         Blosc.compress(raw, typesize, cname = bloscCname(b))
+      case Some("zstd") => com.github.luben.zstd.Zstd.compress(raw, 3)
+      case Some("lz4") =>
+        val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        val dst = new Array[Byte](4 + c.maxCompressedLength(raw.length))
+        ByteBuffer.wrap(dst, 0, 4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(raw.length)
+        val n = c.compress(raw, 0, raw.length, dst, 4, dst.length - 4)
+        java.util.Arrays.copyOf(dst, 4 + n)
       case Some("zlib") =>
         val d = new java.util.zip.Deflater(1)
         try {

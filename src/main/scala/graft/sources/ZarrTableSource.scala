@@ -203,7 +203,7 @@ private[sources] class ZarrScan(opts: ZarrTableOptions, required: StructType,
             (Seq(i) ++ Seq.fill(meta.grid.length - 1)(0L)).mkString(meta.dimSeparator)
           ).toString,
           i, meta.chunks.head, nCols, meta.shape.head, meta.dtype,
-          meta.compressor)
+          meta.compressor, meta.fillValue)
         // weight = the chunk's RAW size — the decompressed buffer is the
         // task's actual memory bound, and no file listing is needed
         (c, meta.chunks.head.toLong * nCols * meta.elemBytes)
@@ -223,7 +223,7 @@ private[sources] class ZarrScan(opts: ZarrTableOptions, required: StructType,
 
 private[sources] case class ZarrChunkPartition(
     path: String, chunkRow: Long, chunkRows: Int, nCols: Int, nRows: Long,
-    dtype: String, compressor: Option[String])
+    dtype: String, compressor: Option[String], fill: Option[Double])
 
 /** A byte-budgeted pack of chunk files ([[Packing]], weighed by raw chunk
   * size); decoded one at a time.
@@ -281,6 +281,7 @@ private[sources] class ZarrPartitionReader(
   private val validRows = math.min(part.chunkRows.toLong, part.nRows - base)
 
   private var buf: java.nio.ByteBuffer = _
+  private var fillStored: Option[Double] = None
   private var lr = -1
   private var loaded = false
 
@@ -290,15 +291,23 @@ private[sources] class ZarrPartitionReader(
     if (needsChannels && !loaded) {
       val p = new org.apache.hadoop.fs.Path(part.path)
       val fs = p.getFileSystem(conf.value)
-      val in = fs.open(p)
-      val raw =
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
-          out.toByteArray
-        } finally in.close()
-      buf = ZarrSource.inflateChunk(raw, part.compressor,
-        part.chunkRows * part.nCols * ZarrSource.elemBytesOf(part.dtype))
+      if (!fs.exists(p)) {
+        // absent chunk file = every element is fill_value (the zarr
+        // sparse-store contract); buf stays null and get() emits the fill
+        fillStored = Some(part.fill.getOrElse(throw new
+          IllegalArgumentException(s"chunk $p absent and fill_value is " +
+            "null: the store defines no value for missing chunks")))
+      } else {
+        val in = fs.open(p)
+        val raw =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+            out.toByteArray
+          } finally in.close()
+        buf = ZarrSource.inflateChunk(raw, part.compressor,
+          part.chunkRows * part.nCols * ZarrSource.elemBytesOf(part.dtype))
+      }
       loaded = true
     }
     true
@@ -312,8 +321,11 @@ private[sources] class ZarrPartitionReader(
         val vals = new Array[Double](part.nCols)
         var c = 0
         while (c < part.nCols) {
-          vals(c) = ZarrSource.readElemAt(buf, lr * part.nCols + c, part.dtype) *
-            opts.gain + opts.offset
+          vals(c) = (fillStored match {
+            case Some(f) => f
+            case None =>
+              ZarrSource.readElemAt(buf, lr * part.nCols + c, part.dtype)
+          }) * opts.gain + opts.offset
           c += 1
         }
         new GenericArrayData(vals)

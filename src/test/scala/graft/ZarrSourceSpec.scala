@@ -329,4 +329,50 @@ class ZarrSourceSpec extends SparkSpec {
       bc.zip(zc).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
     }
   }
+
+  test("numcodecs raw zstd/lz4 codecs round-trip; absent chunks " +
+    "materialize fill_value in both readers; null fill fails loudly") {
+    val data = Array.tabulate(20, 2)((r, c) => (r * 10 + c).toDouble)
+    for (comp <- Seq("zstd", "lz4")) {
+      val store = tmpStore(s"nc-$comp")
+      ZarrSource.write(spark, store, data, dtype = "<f8", chunkRows = 8,
+        compressor = Some(comp))
+      val back = ZarrSource.read(spark, store).orderBy("row_index").collect()
+      assert(back.length == 20 &&
+        back.zipWithIndex.forall { case (row, r) =>
+          row.getSeq[Double](2) == data(r).toSeq }, comp)
+    }
+
+    // sparse store: drop chunk 1 (rows 8..15) -> fill_value (0) rows
+    val sparse = tmpStore("sparse")
+    ZarrSource.write(spark, sparse, data, dtype = "<f8", chunkRows = 8,
+      compressor = Some("zstd"))
+    for (f <- Seq("1.0", ".1.0.crc"))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sparse, f))
+    val viaFn = ZarrSource.read(spark, sparse, gain = 2.0, offset = 5.0)
+      .orderBy("row_index").collect()
+    assert(viaFn.length == 20, "absent chunk must not drop rows")
+    assert((8 until 16).forall(r => viaFn(r).getSeq[Double](2) == Seq(5.0, 5.0)),
+      "absent-chunk rows carry fill*gain+offset")
+    assert(viaFn(7).getSeq[Double](2) == Seq(2.0 * 70 + 5, 2.0 * 71 + 5))
+    val viaV2 = spark.read.format("graft-zarr").option("gain", "2.0")
+      .option("offset", "5.0").load(sparse)
+      .orderBy("row_index").collect()
+    assert(viaV2.map(_.getSeq[Double](2)).toSeq ==
+      viaFn.map(_.getSeq[Double](2)).toSeq, "V2 reader fill parity")
+    // count/extent still never open chunk files, sparse or not
+    assert(spark.read.format("graft-zarr").load(sparse).count() == 20)
+
+    // fill_value: null + an absent chunk = a loud error, not invented zeros
+    val p = java.nio.file.Paths.get(sparse, ".zarray")
+    val doc = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replace("\"fill_value\": 0", "\"fill_value\": null")
+    java.nio.file.Files.write(p, doc.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(p.resolveSibling("..zarray.crc"))
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrSource.read(spark, sparse).collect()
+    }
+    assert(e.getMessage.contains("fill_value") ||
+      Option(e.getCause).exists(_.getMessage.contains("fill_value")))
+  }
 }
