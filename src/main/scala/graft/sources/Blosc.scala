@@ -324,6 +324,16 @@ object Blosc {
 
   @transient private lazy val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
 
+  /** COMPRESSION pins the pure-Java implementation: lz4-java's JNI and Java
+    * compressors are not guaranteed byte-identical, and the zarr writers'
+    * retry/speculative-twin contract ("a re-executed task publishes the
+    * identical bytes") must hold across heterogeneous executors where JNI
+    * availability differs. Decompression output is fully determined by the
+    * stream, so [[lz4]] stays `fastestInstance`.
+    */
+  @transient private lazy val lz4Write =
+    net.jpountz.lz4.LZ4Factory.fastestJavaInstance()
+
   private def codecDecompress(codec: Int, src: Array[Byte], off: Int,
                               len: Int, dst: Array[Byte], dstOff: Int,
                               expect: Int): Unit = codec match {
@@ -359,8 +369,8 @@ object Blosc {
                             src: Array[Byte], off: Int,
                             len: Int): Array[Byte] = codec match {
     case CodecLz4 =>
-      val c = if (cname == "lz4hc") lz4.highCompressor()
-      else lz4.fastCompressor()
+      val c = if (cname == "lz4hc") lz4Write.highCompressor()
+      else lz4Write.fastCompressor()
       val max = c.maxCompressedLength(len)
       val dst = new Array[Byte](max)
       val n = c.compress(src, off, len, dst, 0, max)

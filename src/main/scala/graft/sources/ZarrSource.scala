@@ -427,7 +427,8 @@ object ZarrSource {
         Blosc.compress(raw, typesize, cname = bloscCname(b))
       case Some("zstd") => com.github.luben.zstd.Zstd.compress(raw, 3)
       case Some("lz4") =>
-        val c = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+        // Java impl pinned for cross-executor byte-identity (see Blosc)
+        val c = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
         val dst = new Array[Byte](4 + c.maxCompressedLength(raw.length))
         ByteBuffer.wrap(dst, 0, 4).order(ByteOrder.LITTLE_ENDIAN)
           .putInt(raw.length)
