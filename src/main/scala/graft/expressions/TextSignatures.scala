@@ -138,6 +138,62 @@ case class WinnowFingerprints(child: Expression, shingleN: Int, windowSize: Int)
     copy(child = newChild)
 }
 
+/** Fused per-document DISTINCT word n-gram set — the set-similarity unit of
+  * [[graft.operators.Dedup.prefixFilterJaccard]] / `containmentJoin` as ONE
+  * codegen pass per row. The composed shape (posexplode words → window lead
+  * → concat → distinct) pays a doc-keyed window shuffle plus a corpus-wide
+  * distinct for values each document can compute alone; this expression
+  * makes the token-set table a MAP-ONLY projection, so the whole shingle
+  * stream reaches its first real aggregate without a shuffle. Gram
+  * construction is [[TextSignatures.foreachGram]] — the same kernel the
+  * signature family hangs its fused-equals-composed contract on.
+  *
+  * Input must already be normalized ([[graft.functions.TextFunctions.normalizeForDedup]]).
+  * Null when the document has no complete gram (fewer than `n` words, or
+  * empty text at n = 1 — the normalized empty string splits to one empty
+  * word, which is not a gram). Element order is first occurrence; consumers
+  * are set-algebraic (explode → aggregate, array_intersect), never
+  * positional.
+  */
+case class DistinctShingles(child: Expression, shingleN: Int)
+    extends UnaryExpression {
+  require(shingleN > 0, "shingleN must be positive")
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val set = TextSignatures.distinctGrams(
+      input.asInstanceOf[UTF8String].toString, shingleN)
+    if (set == null) null else new GenericArrayData(set)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val set = ctx.freshName("set")
+      s"""
+         |Object[] $set = graft.expressions.TextSignatures.distinctGrams(
+         |  $c.toString(), $shingleN);
+         |if ($set == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($set);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextSignatures {
 
   /** Visit each complete word `n`-gram of `words`, in position order —
@@ -217,6 +273,26 @@ object TextSignatures {
     val it = mins.iterator()
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Distinct word `n`-grams of a NORMALIZED document in first-occurrence
+    * order (as UTF8String for zero-copy handoff to the array), or null when
+    * no complete gram exists. The n = 1 case is the distinct-words set: the
+    * normalized empty string splits to one empty word, which is excluded
+    * (mirrors the composed `filter(length > 0)` path).
+    */
+  def distinctGrams(normalized: String, n: Int): Array[AnyRef] = {
+    val words = normalized.split(' ')
+    val set = new java.util.LinkedHashSet[String]()
+    foreachGram(words, n) { gram => if (gram.nonEmpty) { set.add(gram); () } }
+    if (set.isEmpty) return null
+    val out = new Array[AnyRef](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) {
+      out(i) = UTF8String.fromString(it.next()); i += 1
+    }
     out
   }
 

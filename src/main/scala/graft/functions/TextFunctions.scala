@@ -126,6 +126,17 @@ object TextFunctions {
       regexp_replace(text, UrlPattern, "<URL>"),
       EmailPattern, "<EMAIL>")
 
+  /** Fused distinct word n-gram set over an ALREADY-NORMALIZED text column
+    * (one codegen pass per row; null when no complete gram) — see
+    * graft.expressions.DistinctShingles. The map-only form of
+    * [[shingles]]∘[[normalizeForDedup]]: use it wherever the token-set
+    * table feeds a shuffle, so shingling itself never pays one.
+    */
+  def distinctShinglesFused(normalized: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DistinctShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(normalized), n))
+
   /** Word n-gram shingles of the normalized text (for MinHash / Jaccard). */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = split(normalizeForDedup(text), " ")

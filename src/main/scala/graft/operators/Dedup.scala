@@ -206,18 +206,22 @@ object Dedup {
     * sharing no prefix token are pruned WITHOUT being scored. Rare-first
     * ordering makes prefix postings the SHORTEST lists in the corpus.
     *
-    * Scale shape: df is one vocabulary aggregate; per-doc ordering is an
-    * in-group `sort_array` (never a global sort); prefix postings group
-    * into ONE shuffle with in-place pair expansion ([[pairsWithinGroups]],
-    * `maxPosting` bounds the m²/2 blow-up of boilerplate tokens — the cap
-    * is a SCALE GUARD, not part of the exact semantics: a posting longer
-    * than the cap is dropped whole, losing any qualifying pair whose only
-    * shared prefix token sits in it. Callers needing the exact PPJoin
-    * contract pass `maxPosting = Int.MaxValue`, as the oracled q158
-    * does); verification
-    * explodes pairs to (pair, side) and joins the token-set table ONCE
-    * (the q65 exchange-reuse discipline — two differently-consumed joins
-    * would re-derive the corpus-wide array table per side).
+    * Scale shape: the token-set table is a MAP-ONLY projection (fused
+    * [[graft.expressions.DistinctShingles]] — no doc-keyed window, no
+    * corpus-wide distinct); df is one vocabulary aggregate; per-doc
+    * ordering is an in-group `sort_array` (never a global sort); prefix
+    * postings group into ONE shuffle with in-place pair expansion
+    * ([[pairsWithinGroups]], `maxPosting` bounds the m²/2 blow-up of
+    * boilerplate tokens — the cap is a SCALE GUARD, not part of the exact
+    * semantics: a posting longer than the cap is dropped whole, losing any
+    * qualifying pair whose only shared prefix token sits in it. Callers
+    * needing the exact PPJoin contract pass `maxPosting = Int.MaxValue`,
+    * as the oracled q158 does); candidates collapse through ONE pair-keyed
+    * aggregate carrying the exact positional bound (see inline proof);
+    * verification explodes pairs to (pair, side) and joins the map-only
+    * doc-array table ONCE (the q65 exchange-reuse discipline — two
+    * differently-consumed joins would re-derive the corpus-wide array
+    * table per side).
     *
     * All-integer semantics: the gate is `100·|A∩B| ≥ pct·|A∪B|` and the
     * prefix length uses `⌈pct·m/100⌉ = (pct·m + 99) div 100` — no float
@@ -236,27 +240,26 @@ object Dedup {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       "thresholdPct must be in [1, 100]")
     require(n >= 1, "n must be >= 1")
-    // shingle units come from the codegen'd lead-window shape
-    // ([[shingleRows]]) — the array-lambda form is O(words²) interpreted
+    // per-doc distinct shingle ARRAYS in one codegen pass (n = 1 is the
+    // distinct-words set) — the token-set table is a MAP-ONLY projection,
+    // so tokenization reaches its first aggregate without the doc-keyed
+    // window shuffle + corpus-wide distinct the exploded shape paid
+    val docArrays = docs.select(col(idCol).as("__id"),
+        TextFunctions.distinctShinglesFused(
+          TextFunctions.normalizeForDedup(col(textCol)), n).as("__toks"))
+      .filter(col("__toks").isNotNull)
+    // cut: the exploded set feeds BOTH the df aggregate and the ordered-set
+    // build — uncut, tokenization runs once per consumer (cheap here, but
+    // the cut also caps the plan for the two joins below)
     val tokset = checkpointer.cut(
-      if (n == 1)
-        docs.select(col(idCol).as("__id"),
-          explode(array_distinct(filter(
-            split(TextFunctions.normalizeForDedup(col(textCol)), " "),
-            w => length(w) > 0))).as("__t"))
-      else
-        shingleRows(docs, idCol, textCol, n)
-          .select(col(idCol).as("__id"), col("__s").as("__t")).distinct())
+      docArrays.select(col("__id"), explode(col("__toks")).as("__t")))
     val dfc = tokset.groupBy("__t").agg(count(lit(1)).as("__df"))
-    // cut: the ordered-set table feeds BOTH the prefix index and the pair
-    // verification — uncut, the whole tokenize⋈df⋈collect pipeline runs
-    // once per consumer (the q149 exchange-reuse lesson)
-    val ts = checkpointer.cut(tokset.join(dfc, Seq("__t"))
+    val ts = tokset.join(dfc, Seq("__t"))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__t"))))
         .as("__o"))
       .select(col("__id"), expr("transform(__o, s -> s.__t)").as("__toks"),
-        size(col("__o")).as("__m")))
+        size(col("__o")).as("__m"))
     val prefixes = ts
       .withColumn("__p",
         col("__m") - expr(s"($thresholdPct * __m + 99) div 100") + lit(1))
@@ -265,16 +268,23 @@ object Dedup {
           .as(Seq("__i0", "__t")))
       .select(struct(col("__id"), col("__m"),
         (col("__i0") + lit(1)).as("__pos")).as("__pay"), col("__t"))
-    // PPJoin's cheap pair filters BEFORE the distinct + verification join
-    // (measured: the prefix rule alone left 300k candidates for 256 real
-    // pairs on the repetitive synthetic corpus):
-    //  - length: J ≥ t forces 100·min(m) ≥ pct·max(m);
-    //  - positional: at the FIRST shared prefix token (positions pa, pb in
-    //    the global order) overlap ≤ 1 + min(mA−pa, mB−pb), which must
-    //    reach α = ⌈pct·(mA+mB)/(100+pct)⌉ (J ≥ t ⟺ |A∩B| ≥ α). A pair is
-    //    kept if ANY of its shared-token occurrences passes — the first
-    //    occurrence's bound is valid and loosest, so pruning stays
-    //    complete (spec-pinned by brute equality on random corpora).
+    // PPJoin's cheap pair filters BEFORE the verification join (measured:
+    // the prefix rule alone left 300k candidates for 256 real pairs on the
+    // repetitive synthetic corpus):
+    //  - length (row-level): J ≥ t forces 100·min(m) ≥ pct·max(m);
+    //  - positional (Xiao et al. 2008, §3.2 — the exact aggregate form):
+    //    over a pair's shared-prefix-token occurrences, let c = their
+    //    count and (w, v) = the LAST one's positions in the global
+    //    (df, token) order. Every shared token ordered before that
+    //    occurrence is provably in both prefixes (positions only grow
+    //    along the shared sort order), so it is counted in c; every one
+    //    after it contributes at most min(mA−w, mB−v). Hence
+    //    |A∩B| ≤ c + min(mA−w, mB−v), which must reach
+    //    α = ⌈pct·(mA+mB)/(100+pct)⌉ (J ≥ t ⟺ |A∩B| ≥ α). The aggregate
+    //    replaces the pair-distinct at the SAME shuffle and is strictly
+    //    tighter than any per-occurrence rule (measured 371k → far fewer
+    //    verification pairs at t=0.3 on the q175 corpus); completeness is
+    //    spec-pinned by brute equality on random corpora.
     val denom = 100 + thresholdPct
     val cands = pairsWithinGroups(prefixes, Seq("__t"), col("__pay"),
         maxPosting)
@@ -284,15 +294,21 @@ object Dedup {
         col("__b")("__pos").as("__pb"))
       .filter(lit(100L) * col("__mb") >= lit(thresholdPct.toLong) * col("__ma") &&
         lit(100L) * col("__ma") >= lit(thresholdPct.toLong) * col("__mb"))
-      .filter(least(col("__ma") - col("__pa"), col("__mb") - col("__pb")) +
-        lit(1) >=
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__c"), max(col("__pa")).as("__w"),
+        max(col("__pb")).as("__v"), max(col("__ma")).as("__ma"),
+        max(col("__mb")).as("__mb"))
+      .filter(col("__c") +
+        least(col("__ma") - col("__w"), col("__mb") - col("__v")) >=
         expr(s"($thresholdPct * (__ma + __mb) + ${denom - 1}) div $denom"))
       .select("id_a", "id_b")
-      .distinct()
+    // verification joins the MAP-ONLY doc-array table (set algebra doesn't
+    // need the df ordering), so the ordered-set build is consumed exactly
+    // once by the prefix index and needs no cut
     cands
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("__id"))
-      .join(ts.select("__id", "__toks"), Seq("__id"))
+      .join(docArrays, Seq("__id"))
       .groupBy("id_a", "id_b")
       .agg(collect_list(col("__toks")).as("__two"))
       .select(col("id_a"), col("id_b"),
@@ -332,17 +348,18 @@ object Dedup {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       "thresholdPct must be in [1, 100]")
     require(n >= 1, "n must be >= 1")
-    def unitRows(df: DataFrame, id: String, text: String): DataFrame =
-      if (n == 1)
-        df.select(col(id).as("__id"),
-          explode(array_distinct(filter(
-            split(TextFunctions.normalizeForDedup(col(text)), " "),
-            w => length(w) > 0))).as("__t"))
-      else
-        shingleRows(df, id, text, n)
-          .select(col(id).as("__id"), col("__s").as("__t")).distinct()
-    val docSet = checkpointer.cut(unitRows(docs, idCol, textCol))
-    val qSet = unitRows(queries, queryIdCol, queryTextCol)
+    // map-only token-set tables (fused DistinctShingles; n = 1 is the
+    // distinct-words set) — same rationale as [[prefixFilterJaccard]]
+    def unitArrays(df: DataFrame, id: String, text: String): DataFrame =
+      df.select(col(id).as("__id"),
+          TextFunctions.distinctShinglesFused(
+            TextFunctions.normalizeForDedup(col(text)), n).as("__toks"))
+        .filter(col("__toks").isNotNull)
+    val docArrays = unitArrays(docs, idCol, textCol)
+    val docSet = checkpointer.cut(
+      docArrays.select(col("__id"), explode(col("__toks")).as("__t")))
+    val qSet = unitArrays(queries, queryIdCol, queryTextCol)
+      .select(col("__id"), explode(col("__toks")).as("__t"))
     val dfc = docSet.groupBy("__t").agg(count(lit(1)).as("__df"))
     // corpus rarity for the query ordering; unseen tokens get df 0
     val qs = qSet.join(dfc, Seq("__t"), "left")
@@ -362,8 +379,10 @@ object Dedup {
       .select(col("query_id"), col("__id").as("doc_id")).distinct()
     cands
       .join(broadcast(qs.select("query_id", "__qtoks", "__q")), Seq("query_id"))
-      .join(docSet.groupBy("__id").agg(collect_list(col("__t")).as("__dtoks"))
-        .select(col("__id").as("doc_id"), col("__dtoks")), Seq("doc_id"))
+      // doc arrays come from the map-only projection — intersection doesn't
+      // need the df ordering, so no collect_list re-aggregation
+      .join(docArrays.select(col("__id").as("doc_id"),
+        col("__toks").as("__dtoks")), Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
         size(array_intersect(col("__qtoks"), col("__dtoks"))).cast("long")
           .as("inter_size"),

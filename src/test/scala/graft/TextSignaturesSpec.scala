@@ -149,6 +149,39 @@ class TextSignaturesSpec extends SparkSpec {
     assert(joined.filter(col("a") =!= col("b")).count() == 0)
   }
 
+  test("fused distinct-shingle SET == composed explode/window/distinct shape") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .unionByName(edgeDocs)
+    for (n <- Seq(1, 3)) {
+      // composed executable specification: the pre-fusion token-set shape
+      val composed =
+        (if (n == 1)
+          docs.select(col("doc_id"),
+            explode(array_distinct(filter(
+              split(graft.functions.TextFunctions.normalizeForDedup(col("text")), " "),
+              w => length(w) > 0))).as("t"))
+        else {
+          val words = docs.select(col("doc_id"),
+            posexplode(split(
+              graft.functions.TextFunctions.normalizeForDedup(col("text")), " "))
+              .as(Seq("pos", "w")))
+          val wdw = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy("pos")
+          val parts = col("w") +: (1 until n).map(k => lead(col("w"), k).over(wdw))
+          words.select(col("doc_id"), concat_ws(" ", parts: _*).as("t"),
+              parts.last.isNotNull.as("c"))
+            .filter(col("c")).select("doc_id", "t").distinct()
+        }).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val fused = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.distinctShinglesFused(
+            graft.functions.TextFunctions.normalizeForDedup(col("text")), n))
+            .as("t"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fused == composed, s"n=$n")
+      assert(fused.nonEmpty)
+    }
+  }
+
   test("fused winnowing == composed on corpus + edges") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .unionByName(edgeDocs)
