@@ -1629,8 +1629,30 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_tokens"), sum("__tid").as("token_sum"),
           min("__tid").as("token_min"), max("__tid").as("token_max"))
         .orderBy("shard")
+    }),
+
+    // BLOCKLIST phrase matching (Aho–Corasick, graft.expressions
+    // .BlocklistHits): whole-word multi-phrase hits over the normalized
+    // corpus in ONE map-only scan per document, O(len + hits) regardless
+    // of dictionary size — the curation stage between the q88 regex scrub
+    // (a handful of patterns) and q98/q120 corpus decontamination. All
+    // occurrences count, overlapping included ("batch batch batch" holds
+    // two "batch batch"); the oracle is an independent padded position
+    // scan (generate_series + substr), which is exactly the O(len·terms)
+    // shape the automaton exists to beat.
+    "q184_blocklist_hits" -> ((s, d) => {
+      graft.operators.Blocklist.phraseHits(
+          Tables.documents(s, d), "doc_id", "text", BlocklistTerms)
+        .orderBy("doc_id", "term")
     })
   )
+
+  /** q184's dictionary: phrases present in the synthetic corpus (including
+    * self-overlapping ones and a single word) plus one guaranteed absent.
+    */
+  private val BlocklistTerms = Seq(
+    "batch batch", "slow join", "window window", "fast key order",
+    "customer data", "the", "quantum flux capacitor")
 
   /** The q65 MinHash→LSH→verified-pairs pipeline (shared by q65 and the
     * q99 cluster-resolution chain). Fused signature kernel — zero shuffles;
@@ -4583,6 +4605,24 @@ object PipelineQueries {
            PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
          FROM ex)
        SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= 10
-       ORDER BY query_id, cosine DESC, vec_id"""
+       ORDER BY query_id, cosine DESC, vec_id""",
+
+    // Independent mechanics: a padded position scan (every start offset ×
+    // every term) instead of an automaton — overlap-inclusive by
+    // construction, and the O(len·terms) cost is the exact shape the
+    // engine's one-pass Aho–Corasick replaces.
+    "q184_blocklist_hits" -> s"""WITH
+       t AS (SELECT unnest(['batch batch', 'slow join', 'window window',
+         'fast key order', 'customer data', 'the',
+         'quantum flux capacitor']) AS term),
+       d AS (SELECT doc_id, ' ' || ${normSql("text")} || ' ' AS x
+         FROM documents)
+       SELECT d.doc_id, t.term, CAST(count(*) AS BIGINT) AS n_hits
+       FROM d, t,
+         LATERAL (SELECT unnest(range(1, len(d.x) + 1)) AS p) AS gs
+       WHERE substr(d.x, CAST(gs.p AS INTEGER),
+           len(' ' || t.term || ' ')) = ' ' || t.term || ' '
+       GROUP BY d.doc_id, t.term
+       ORDER BY d.doc_id, t.term"""
   )
 }
