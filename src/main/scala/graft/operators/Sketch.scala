@@ -219,4 +219,49 @@ object Sketch {
     }: _*)).as("__qv"))
       .select(col("__qv.q").as("q"), col("__qv.value").as("value"))
   }
+
+  /** Pairwise multiset-operation estimates ACROSS KMV sketches (Beyer et
+    * al. 2007, "On synopses for distinct-value estimation under multiset
+    * operations", SIGMOD §5): given per-group k-min sketches
+    * (`SketchFunctions.kmvMinHashes` arrays), estimate every pair's union
+    * and intersection cardinality and Jaccard WITHOUT touching raw data —
+    * the shard-overlap diagnostic ("how much does crawl snapshot A overlap
+    * snapshot B") that at 100 TB must run on sketches, because the exact
+    * answer re-scans both shards per pair.
+    *
+    * Estimators, all deterministic given the hash arrays: the pair's union
+    * sketch `L = trimK(K_A ∪ K_B)` (the aggregator's own merge rule, so
+    * union_est is EXACTLY what the one-shot union sketch would estimate);
+    * `n_both = |L ∩ K_A ∩ K_B|`; `inter_est = n_both · union_est / |L|`;
+    * `jaccard_micro = (10⁶·n_both) div |L|`. When `|K_A ∪ K_B| < k` both
+    * sketches kept everything and the formulas degenerate to exact values.
+    *
+    * Scale shape: the sketch table is groups-scale (one k-long array per
+    * group); the inequality self-join is an intentional broadcast
+    * nest-loop over it — the corpus is never touched. Output:
+    * `(key_a, key_b, n_a, n_b, n_both, union_est, inter_est,
+    * jaccard_micro)`, key_a < key_b.
+    */
+  def kmvOverlap(sketches: DataFrame, keyCol: String, sketchCol: String,
+                 k: Int): DataFrame = {
+    require(k > 1, "k must be > 1")
+    val a = sketches.select(col(keyCol).as("key_a"), col(sketchCol).as("__ska"))
+    val b = sketches.select(col(keyCol).as("key_b"), col(sketchCol).as("__skb"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .withColumn("__u",
+        slice(array_sort(array_union(col("__ska"), col("__skb"))), 1, k))
+      .withColumn("__usz", size(col("__u")))
+      .withColumn("__nboth", size(array_intersect(col("__u"),
+        array_intersect(col("__ska"), col("__skb")))))
+      .withColumn("union_est",
+        graft.functions.SketchFunctions.kmvEstimate(col("__u"), k))
+      .select(col("key_a"), col("key_b"),
+        size(col("__ska")).cast("long").as("n_a"),
+        size(col("__skb")).cast("long").as("n_b"),
+        col("__nboth").cast("long").as("n_both"),
+        col("union_est"),
+        (col("__nboth").cast("double") * col("union_est") /
+          col("__usz").cast("double")).as("inter_est"),
+        expr("(1000000L * __nboth) div __usz").as("jaccard_micro"))
+  }
 }

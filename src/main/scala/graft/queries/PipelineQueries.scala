@@ -1644,6 +1644,40 @@ object PipelineQueries {
       graft.operators.Blocklist.phraseHits(
           Tables.documents(s, d), "doc_id", "text", BlocklistTerms)
         .orderBy("doc_id", "term")
+    }),
+
+    // KMV sketch SET ALGEBRA (Beyer 2007, Sketch.kmvOverlap): pairwise
+    // source-overlap estimates from per-source k-min sketches of the
+    // 3-shingle vocabulary — union/intersection cardinality and Jaccard
+    // WITHOUT touching raw data, the shard-overlap diagnostic that at
+    // 100 TB runs on sketches alone (the exact answer re-scans both shards
+    // per pair). The shingle universe makes every estimator branch live at
+    // the gate scale (per-source vocabularies exceed k, sources genuinely
+    // overlap); exact_inter rides along to show the error (the q117
+    // discipline — dropped at production scale). All arithmetic is integer
+    // or single-expression IEEE doubles, so the oracle replays it exactly.
+    "q185_kmv_overlap" -> ((s, d) => {
+      val k = 64
+      val hs = Tables.documents(s, d)
+        .select(col("source"),
+          explode(TextFunctions.distinctShinglesFused(
+            TextFunctions.normalizeForDedup(col("text")), 3)).as("__t"))
+        .select(col("source"), HashFunctions.portableHash60(col("__t")).as("__h"))
+        .distinct()
+        .cache() // feeds the sketch build AND the exact-error column
+      val sketches = hs.groupBy("source")
+        .agg(SketchFunctions.kmvMinHashes(col("__h"), k).as("sk"))
+      val exact = hs.select(col("source").as("key_a"), col("__h"))
+        .join(hs.select(col("source").as("key_b"), col("__h")), Seq("__h"))
+        .filter(col("key_a") < col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(count(lit(1)).as("exact_inter"))
+      graft.operators.Sketch.kmvOverlap(sketches, "source", "sk", k)
+        .join(exact, Seq("key_a", "key_b"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .withColumnRenamed("key_a", "source_a")
+        .withColumnRenamed("key_b", "source_b")
+        .orderBy("source_a", "source_b")
     })
   )
 
@@ -4623,6 +4657,64 @@ object PipelineQueries {
        WHERE substr(d.x, CAST(gs.p AS INTEGER),
            len(' ' || t.term || ' ')) = ' ' || t.term || ' '
        GROUP BY d.doc_id, t.term
-       ORDER BY d.doc_id, t.term"""
+       ORDER BY d.doc_id, t.term""",
+
+    // Replays the sketch algebra over the same portable hashes: k-min
+    // arrays via a per-source rank window, trimK(union) by list algebra,
+    // and the estimator CASE in the exact IEEE expression order the
+    // engine uses (63.0 · 2⁶⁰ is exactly representable, so the one
+    // division is bit-reproducible).
+    "q185_kmv_overlap" -> s"""WITH norm AS (
+         SELECT source, list_filter(
+           regexp_split_to_array(${normSql("text")}, ' '),
+           w -> len(w) > 0) AS ws
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT source, t FROM (
+           SELECT source, unnest(list_transform(
+             generate_series(1, len(ws) - 2),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t
+           FROM norm WHERE len(ws) >= 3)),
+       h AS (SELECT DISTINCT source, ${pHash60("t")} AS h FROM sh),
+       ranked AS (
+         SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM h),
+       sk AS (
+         SELECT source, list_sort(list(h)) AS sk
+         FROM ranked WHERE rn <= 64 GROUP BY source),
+       pairs AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+           a.sk AS ska, b.sk AS skb,
+           list_sort(list_distinct(a.sk || b.sk))[1:64] AS L
+         FROM sk a JOIN sk b ON a.source < b.source),
+       calc AS (
+         SELECT source_a, source_b,
+           CAST(len(ska) AS BIGINT) AS n_a,
+           CAST(len(skb) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(L, list_intersect(ska, skb)))
+             AS BIGINT) AS n_both,
+           CAST(len(L) AS BIGINT) AS l,
+           CASE WHEN len(L) < 64 THEN CAST(len(L) AS DOUBLE)
+                ELSE 63.0 * 1152921504606846976.0 / CAST(L[64] AS DOUBLE)
+           END AS union_est
+         FROM pairs),
+       est AS (
+         SELECT source_a, source_b, n_a, n_b, n_both, union_est,
+           CAST(n_both AS DOUBLE) * union_est / CAST(l AS DOUBLE)
+             AS inter_est,
+           (1000000 * n_both) // l AS jaccard_micro
+         FROM calc),
+       exact AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS exact_inter
+         FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT e.source_a, e.source_b, e.n_a, e.n_b, e.n_both, e.union_est,
+         e.inter_est, e.jaccard_micro,
+         coalesce(x.exact_inter, 0) AS exact_inter
+       FROM est e LEFT JOIN exact x
+         ON e.source_a = x.source_a AND e.source_b = x.source_b
+       ORDER BY e.source_a, e.source_b"""
   )
 }

@@ -212,6 +212,63 @@ class SketchSpec extends SparkSpec {
       s"expected a partial window group limit:\n$plan")
   }
 
+  test("kmvOverlap: exact regime degenerates to true set algebra") {
+    import graft.operators.Sketch
+    val k = 64
+    // universes below k: sketches keep everything, estimates must be exact
+    def tagged(tag: String, ids: Seq[Int]) =
+      ids.toDF("id").select(lit(tag).as("g"),
+        HashFunctions.portableHash60(concat(lit("u"), col("id"))).as("h"))
+    val a = tagged("a", 1 to 30)
+    val b = tagged("b", 21 to 45) // overlap 21..30 (10), union 45
+    val sketches = a.union(b).groupBy("g")
+      .agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"))
+    val row = Sketch.kmvOverlap(sketches, "g", "sk", k).head
+    assert(row.getLong(2) == 30 && row.getLong(3) == 25) // n_a, n_b
+    assert(row.getLong(4) == 10)                         // n_both exact
+    assert(row.getDouble(5) == 45.0)                     // union exact
+    assert(row.getDouble(6) == 10.0)                     // inter exact
+    assert(row.getLong(7) == (1000000L * 10) / 45)       // floor(1e6·J)
+  }
+
+  test("kmvOverlap: union_est equals the one-shot union sketch's estimate") {
+    import graft.operators.Sketch
+    val k = 32
+    val a = hashedIds(4000, "p").withColumn("g", lit("a"))
+    val b = hashedIds(6000, "q").withColumn("g", lit("b"))
+    val sketches = a.union(b).groupBy("g")
+      .agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"))
+    val pairUnionEst = Sketch.kmvOverlap(sketches, "g", "sk", k)
+      .head.getDouble(5)
+    val oneShot = a.union(b)
+      .agg(SketchFunctions.kmvEstimate(
+        SketchFunctions.kmvMinHashes(col("h"), k), k))
+      .head.getDouble(0)
+    assert(pairUnionEst == oneShot) // trimK(K_A ∪ K_B) IS the union sketch
+  }
+
+  test("kmvOverlap: estimator regime tracks true overlap on random universes") {
+    import graft.operators.Sketch
+    val k = 512
+    // shared core of 5000 ids + disjoint tails of 5000 each:
+    // |A| = |B| = 10000, inter = 5000, union = 15000, J = 1/3
+    def part(tag: String, shared: Boolean) = {
+      val own = hashedIds(5000, tag)
+      val core = hashedIds(5000, "core")
+      (if (shared) own.union(core) else own).withColumn("g", lit(tag))
+    }
+    val sketches = part("aa", shared = true).union(part("bb", shared = true))
+      .groupBy("g").agg(SketchFunctions.kmvMinHashes(col("h"), k).as("sk"))
+    val row = Sketch.kmvOverlap(sketches, "g", "sk", k).head
+    val (unionEst, interEst, jMicro) =
+      (row.getDouble(5), row.getDouble(6), row.getLong(7))
+    // KMV σ ≈ n/√k ≈ 4.4%; assert within ~4σ
+    assert(math.abs(unionEst - 15000) < 4 * 15000 / math.sqrt(k.toDouble),
+      s"union $unionEst")
+    assert(math.abs(interEst - 5000) < 5000 * 0.35, s"inter $interEst")
+    assert(math.abs(jMicro - 333333L) < 110000L, s"jaccard $jMicro")
+  }
+
   test("sampleQuantiles: exact lower order statistics of the driver-replayed sample") {
     val df = (1 to 300).map(i => (i.toLong, (i * 7919L) % 997)).toDF("id", "v")
     val got = Sketch.sampleQuantiles(df, "id", "v", k = 50,
