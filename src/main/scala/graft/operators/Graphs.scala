@@ -380,4 +380,67 @@ object Graphs {
       "community").agg(sum("q_micro")).head().getLong(0)
     if (qNew >= qOld) refined else lab
   }
+
+  /** k-core peeling, `rounds` SYNCHRONOUS removal rounds (Seidman 1983;
+    * the distributed formulation of Montresor et al. 2013): round r drops
+    * every node whose degree in the current induced subgraph is < k, then
+    * restricts the edges to survivors. Output: `(node, deg)` for nodes
+    * alive after the final round, with their degree in the final induced
+    * subgraph — the dense-substructure filter of the similarity-graph
+    * family (bot rings, boilerplate clusters, citation cores survive;
+    * tendrils peel away).
+    *
+    * Round count is part of the SEMANTICS (the q173 LPA discipline): a
+    * run-to-fixpoint contract cannot be replayed by a bounded oracle, and
+    * peel rounds needed for convergence are data-dependent (a path graph
+    * peels two nodes per round). Callers wanting the true k-core pass
+    * generous rounds and check `kCoreConverged` (one extra round costs one
+    * aggregate). Cost per round: one degree aggregate + two semi joins on
+    * the shrinking edge set, lineage cut per round — O(rounds · |E|), the
+    * LPA cost class.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int,
+            checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    var sym = checkpointer.cut(
+      und.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(und.select(col("b").as("node"), col("a").as("nbr"))))
+    try {
+      var it = 0
+      while (it < rounds) {
+        val alive = sym.groupBy("node").agg(count(lit(1)).as("__d"))
+          .filter(col("__d") >= k).select("node")
+        val next = checkpointer.cut(
+          sym.join(alive, Seq("node"), "left_semi")
+            .join(alive.select(col("node").as("nbr")), Seq("nbr"), "left_semi"))
+        checkpointer.release(sym)
+        sym = next
+        it += 1
+      }
+      val out = sym.groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+      // the caller consumes `out`, which reads the final cut — not released
+      out
+    } catch {
+      case t: Throwable =>
+        checkpointer.release(sym)
+        throw t
+    }
+  }
+
+  /** True iff one more peel round would remove nothing — i.e. [[kCore]]'s
+    * output at these `rounds` IS the k-core fixpoint. One aggregate over
+    * the final subgraph.
+    */
+  def kCoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, rounds: Int): Boolean =
+    kCore(edges, srcCol, dstCol, k, rounds)
+      .filter(col("deg") < k).isEmpty
 }

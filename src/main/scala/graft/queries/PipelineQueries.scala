@@ -1678,6 +1678,24 @@ object PipelineQueries {
         .withColumnRenamed("key_a", "source_a")
         .withColumnRenamed("key_b", "source_b")
         .orderBy("source_a", "source_b")
+    }),
+
+    // k-CORE of the kNN similarity graph (Graphs.kCore, Seidman 1983):
+    // 2 synchronous peel rounds at k = 4 — the dense-substructure filter
+    // (every node has undirected degree ≥ 3 in a k=3 kNN graph, so k = 4
+    // keeps exactly the nodes that are ALSO other nodes' neighbors, and
+    // peeling cascades: ~500 → ~265 → ~46 nodes at the gate scale, live at
+    // all three SFs — more rounds empty this graph, measured). Round count
+    // is part of the semantics (the q173 LPA discipline); the oracle
+    // unrolls the same two rounds.
+    "q186_kcore" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.kCore(knn.select(col("query_id").as("src"),
+          col("vec_id").as("dst")), "src", "dst", k = 4, rounds = 2)
+        .orderBy("node")
     })
   )
 
@@ -4715,6 +4733,30 @@ object PipelineQueries {
          coalesce(x.exact_inter, 0) AS exact_inter
        FROM est e LEFT JOIN exact x
          ON e.source_a = x.source_a AND e.source_b = x.source_b
-       ORDER BY e.source_a, e.source_b"""
+       ORDER BY e.source_a, e.source_b""",
+
+    // Two peel rounds unrolled over the same kNN edge CTEs as q173/q176:
+    // round r = degrees over the round-(r−1) symmetric edge set, survivors
+    // with degree >= 4, edges restricted to survivors on BOTH endpoints.
+    "q186_kcore" -> s"""WITH $knnEdgesCtesSql,
+       kund AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+       ks0 AS MATERIALIZED (
+         SELECT a AS node, b AS nbr FROM kund
+         UNION ALL SELECT b, a FROM kund),
+       ${(1 to 2).map { r =>
+        val prev = if (r == 1) "ks0" else s"ks${r - 1}"
+        s"""ka$r AS (
+         SELECT node FROM (
+           SELECT node, count(*) AS c FROM $prev GROUP BY node)
+         WHERE c >= 4),
+       ks$r AS MATERIALIZED (
+         SELECT s.node, s.nbr FROM $prev s
+           JOIN ka$r x ON s.node = x.node
+           JOIN ka$r y ON s.nbr = y.node)"""
+      }.mkString(",\n       ")}
+       SELECT node, CAST(count(*) AS BIGINT) AS deg
+       FROM ks2 GROUP BY node ORDER BY node"""
   )
 }

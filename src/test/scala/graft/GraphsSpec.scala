@@ -134,6 +134,56 @@ class GraphsSpec extends SparkSpec {
 
   // ---- modularity ----
 
+  // ---- k-core ----
+
+  /** Driver replay of the pinned k-core semantics: sync peel rounds over
+    * the undirected simple graph, final degrees in the induced subgraph. */
+  private def bruteKCore(es: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Map[Long, Long] = {
+    val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct
+    var edges = und
+    (1 to rounds).foreach { _ =>
+      val deg = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.size).toMap
+      val alive = deg.filter(_._2 >= k).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+    }
+    (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+  }
+
+  private def runKCore(es: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Map[Long, Long] =
+    Graphs.kCore(es.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore equals the driver replay on random graphs, any round count") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3; k <- Seq(2, 3); rounds <- Seq(0, 1, 3)) {
+      val es = Seq.fill(70)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter(e => e._1 != e._2)
+      assert(runKCore(es, k, rounds) == bruteKCore(es, k, rounds),
+        s"trial=$trial k=$k rounds=$rounds")
+    }
+  }
+
+  test("kCore: a clique survives with full degree; tendrils peel round by round") {
+    // K4 with a 3-node tail hanging off node 4: 4-5, 5-6, 6-7
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val es = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    // k=2: each round peels only the current 1-degree tail END — degree-1
+    // nodes at round start: r1 drops 7, r2 drops 6, r3 drops 5
+    assert(runKCore(es, 2, 1).keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(runKCore(es, 2, 2).keySet == Set(1L, 2L, 3L, 4L, 5L))
+    val fix = runKCore(es, 2, 3)
+    assert(fix == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(Graphs.kCoreConverged(es.toDF("src", "dst"), "src", "dst", 2, 3))
+    assert(!Graphs.kCoreConverged(es.toDF("src", "dst"), "src", "dst", 2, 1))
+    // k=4: even the clique dies (max degree 3 < 4 once the tail is gone)
+    assert(runKCore(es, 4, 3) == Map.empty)
+  }
+
   test("modularityByCommunity replays the integer formula exactly") {
     // two triangles joined by one edge; perfect 2-community partition
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
