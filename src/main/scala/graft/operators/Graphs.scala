@@ -93,6 +93,79 @@ object Graphs {
     }
   }
 
+  /** PERSONALIZED PageRank (Haveliwala 2002 / Jeh & Widom 2003): the
+    * [[pageRank]] iteration with the teleport mass restricted to a SEED
+    * set — "relevance to these nodes" instead of global centrality, the
+    * graph-expansion signal (retrieval expansion from known-good seeds,
+    * topic-conditioned selection, influence from a trusted whitelist).
+    * Same all-BIGINT discipline, so the trajectory is engine-exact:
+    *  - `r₀ = Scale div |seeds|` on seeds, 0 elsewhere;
+    *  - each round:
+    *    `r'(i) = [i ∈ seeds]·(dcPct·Scale) div (100·|seeds|) + (dPct·S(i)) div 100`
+    *    with `S` the same out-degree-normalized contribution sum.
+    *
+    * Seeds are catalog-scale by definition (a query/whitelist, not a
+    * corpus) and ship as a literal predicate; every seed must be a graph
+    * node — a silently absent seed would skew the teleport mass, so it
+    * fails loudly (the modularity label-coverage discipline). Scale shape
+    * identical to [[pageRank]]: two |E|-row hash shuffles per round,
+    * rounds cut and released through the checkpointer.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iterations: Int,
+                           dampingPct: Int = 85,
+                           checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      "dampingPct must be in [0, 100]")
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(seeds.distinct.size == seeds.size, "seeds must be distinct")
+    val e = checkpointer.cut(
+      edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d")).distinct())
+    val nodes = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+    val deg = e.groupBy("__s").agg(count(lit(1)).as("__deg"))
+    val seedCount = nodes.filter(col("node").isin(seeds: _*)).count()
+    require(seedCount == seeds.size,
+      s"personalizedPageRank: ${seeds.size - seedCount} seed(s) are not " +
+        "graph nodes — teleport mass would silently skew")
+    val ns = seeds.size.toLong
+    val isSeed = col("node").isin(seeds: _*)
+    val teleport = (100L - dampingPct) * Scale / (100L * ns)
+    var ranks = checkpointer.cut(
+      nodes.withColumn("rank_fx",
+        when(isSeed, lit(Scale / ns)).otherwise(lit(0L))))
+    try {
+      var it = 0
+      while (it < iterations) {
+        val contribs = e
+          .join(ranks.select(col("node").as("__s"), col("rank_fx")), Seq("__s"))
+          .join(deg, Seq("__s"))
+          .select(col("__d").as("node"),
+            expr("rank_fx div __deg").as("__c"))
+          .groupBy("node").agg(sum("__c").as("__in"))
+        val next = checkpointer.cut(
+          nodes.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
+                expr(s"$dampingPct * coalesce(__in, 0L) div 100"))
+                .as("rank_fx")))
+        checkpointer.release(ranks)
+        ranks = next
+        it += 1
+      }
+      checkpointer.release(e)
+      ranks
+    } catch {
+      case t: Throwable =>
+        checkpointer.release(ranks)
+        checkpointer.release(e)
+        throw t
+    }
+  }
+
   /** Deterministic synchronous label propagation (Raghavan et al. 2007,
     * arXiv:0709.2938) over the UNDIRECTED version of an edge list —
     * community detection for the similarity graph, the diversity-aware

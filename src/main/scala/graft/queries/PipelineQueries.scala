@@ -1696,6 +1696,22 @@ object PipelineQueries {
       Graphs.kCore(knn.select(col("query_id").as("src"),
           col("vec_id").as("dst")), "src", "dst", k = 4, rounds = 2)
         .orderBy("node")
+    }),
+
+    // PERSONALIZED PageRank (Graphs.personalizedPageRank, Haveliwala
+    // 2002): 3 rounds from seeds {0, 1} over the kNN graph — graph
+    // expansion from known-good examples, all-BIGINT trajectory (the
+    // q157 discipline with the teleport restricted to seeds). Top 25 by
+    // (rank desc, node) keeps the output assertive about the ordering.
+    "q187_ppr_expansion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.personalizedPageRank(knn.select(col("query_id").as("src"),
+          col("vec_id").as("dst")), "src", "dst",
+          seeds = Seq(0L, 1L), iterations = 3)
+        .orderBy(col("rank_fx").desc, col("node")).limit(25)
     })
   )
 
@@ -4757,6 +4773,41 @@ object PipelineQueries {
            JOIN ka$r y ON s.nbr = y.node)"""
       }.mkString(",\n       ")}
        SELECT node, CAST(count(*) AS BIGINT) AS deg
-       FROM ks2 GROUP BY node ORDER BY node"""
+       FROM ks2 GROUP BY node ORDER BY node""",
+
+    // The q157 PageRank round replay with the teleport restricted to
+    // seeds {0, 1}: r0 = Scale // 2 on seeds and 0 elsewhere; each round
+    // adds the seed-only teleport to the damped contribution sum.
+    "q187_ppr_expansion" -> s"""WITH $knnEdgesCtesSql,
+       nodes AS MATERIALIZED (
+         SELECT DISTINCT node FROM (
+           SELECT src AS node FROM edges
+           UNION ALL SELECT dst AS node FROM edges)),
+       deg AS MATERIALIZED (
+         SELECT src, CAST(count(*) AS BIGINT) AS d
+         FROM edges GROUP BY src),
+       p0 AS MATERIALIZED (
+         SELECT node,
+           CASE WHEN node IN (0, 1)
+             THEN CAST(1000000000000 AS BIGINT) // 2
+             ELSE CAST(0 AS BIGINT) END AS r
+         FROM nodes),
+       ${(1 to 3).map { r =>
+        s"""p$r AS MATERIALIZED (
+         SELECT nd.node,
+           CASE WHEN nd.node IN (0, 1)
+             THEN (15 * CAST(1000000000000 AS BIGINT)) // (100 * 2)
+             ELSE CAST(0 AS BIGINT) END
+             + (85 * coalesce(s.s, 0)) // 100 AS r
+         FROM nodes nd
+           LEFT JOIN (
+             SELECT e.dst AS node, CAST(sum(pr.r // g.d) AS BIGINT) AS s
+             FROM edges e
+               JOIN ${if (r == 1) "p0" else s"p${r - 1}"} pr ON pr.node = e.src
+               JOIN deg g ON g.src = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)"""
+      }.mkString(",\n")}
+       SELECT node, r AS rank_fx FROM p3
+       ORDER BY rank_fx DESC, node LIMIT 25"""
   )
 }

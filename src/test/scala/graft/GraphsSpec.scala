@@ -53,6 +53,63 @@ class GraphsSpec extends SparkSpec {
       s"expected only the final ranks' checkpoint dir to survive, got $uuidDirs")
   }
 
+  // ---- personalized PageRank ----
+
+  private def brutePpr(es: Seq[(Long, Long)], seeds: Seq[Long], iters: Int)
+      : Map[Long, Long] = {
+    val e = es.distinct
+    val nodes = e.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ns = seeds.size.toLong
+    val seedSet = seeds.toSet
+    val teleport = 15L * Graphs.Scale / (100L * ns)
+    var r = nodes.map(v =>
+      v -> (if (seedSet(v)) Graphs.Scale / ns else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map(t => r(t._1) / deg(t._1)).sum).toMap
+      r = nodes.map(v => v ->
+        ((if (seedSet(v)) teleport else 0L) +
+          85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank replays the integer arithmetic on random graphs") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3; iters <- Seq(0, 1, 3)) {
+      val es = Seq.fill(70)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter(e => e._1 != e._2)
+      val seeds = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted.take(2)
+      val got = Graphs.personalizedPageRank(es.toDF("src", "dst"),
+          "src", "dst", seeds, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brutePpr(es, seeds, iters), s"trial=$trial iters=$iters")
+    }
+  }
+
+  test("personalizedPageRank: mass stays near the seed, far nodes get none") {
+    // two 3-cycles joined by one directed bridge: 1→2→3→1 →(3→4) 4→5→6→4
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 4L))
+    val r = Graphs.personalizedPageRank(es.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(1L), iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(4L) && r(2L) > r(5L), s"mass didn't stay near seed: $r")
+    // global pageRank would give node 4's cycle plenty of teleport mass;
+    // PPR gives the far cycle ONLY what flows over the bridge
+    assert(r(1L) + r(2L) + r(3L) > r(4L) + r(5L) + r(6L))
+  }
+
+  test("personalizedPageRank rejects a seed that is not a graph node") {
+    val es = Seq((1L, 2L), (2L, 1L))
+    val ex = intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(es.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(1L, 99L), iterations = 1)
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
+
   test("triangleCounts equals brute triple enumeration on random graphs") {
     def brute(es: Seq[(Long, Long)]): Map[Long, Long] = {
       val und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
