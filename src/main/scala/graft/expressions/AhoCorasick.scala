@@ -57,6 +57,62 @@ final class AhoCorasick private (
     }
     counts
   }
+
+  /** Replace every matched TERM span (pad spaces excluded) with `mask`,
+    * overlapping/abutting spans merged first — the excision twin of
+    * [[hitCounts]] (the q115 span-removal discipline applied to
+    * dictionary matches). Text must be normalized; a normalized-alphabet
+    * mask keeps the output normalized, so scrubbing is idempotent.
+    */
+  def scrub(text: String, mask: String): String = {
+    val n = text.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]() // exclusive, text coords
+    var s = 0
+    var i = -1
+    while (i <= n) {
+      val c: Character = if (i < 0 || i == n) ' ' else text.charAt(i)
+      while (s != 0 && !trans(s).containsKey(c)) s = fail(s)
+      val nx = trans(s).get(c)
+      s = if (nx == null) 0 else nx.intValue()
+      // a padded pattern " t " of length P ending at step i covers term
+      // chars at steps i-P+2 .. i-1 == text coords (step j reads text[j]);
+      // the span end (exclusive) is therefore i
+      if (out(s) >= 0) {
+        val p = terms(out(s)).length + 2
+        starts.add(i - p + 2); ends.add(i)
+      }
+      var d = dict(s)
+      while (d != 0) {
+        val p = terms(out(d)).length + 2
+        starts.add(i - p + 2); ends.add(i)
+        d = dict(d)
+      }
+      i += 1
+    }
+    if (starts.isEmpty) return text
+    // sort by start (ends arrive ordered, starts may not for mixed lengths)
+    val m = starts.size()
+    val idxs = (0 until m).sortBy(starts.get(_).intValue()).toArray
+    val sb = new java.lang.StringBuilder(n)
+    var pos = 0
+    var k = 0
+    while (k < m) {
+      var st = starts.get(idxs(k)).intValue()
+      var en = ends.get(idxs(k)).intValue()
+      // merge overlapping/abutting spans
+      while (k + 1 < m && starts.get(idxs(k + 1)).intValue() <= en) {
+        en = math.max(en, ends.get(idxs(k + 1)).intValue())
+        k += 1
+      }
+      if (st > pos) sb.append(text, pos, st)
+      sb.append(mask)
+      pos = math.max(pos, en)
+      k += 1
+    }
+    if (pos < n) sb.append(text, pos, n)
+    sb.toString
+  }
 }
 
 object AhoCorasick {
@@ -180,6 +236,47 @@ case class BlocklistHits(child: Expression, terms: Seq[String])
     nullSafeCodeGen(ctx, ev, c => s"""
        |${ev.value} = graft.expressions.AhoCorasick.hitsArray(
        |  $acField, $c, $idxRef);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** NORMALIZED text with every blocklist-term span replaced by `mask`
+  * (overlapping/abutting matches merged first) — see [[AhoCorasick.scrub]].
+  * Null on null input; a clean document passes through unchanged.
+  */
+case class BlocklistScrub(child: Expression, terms: Seq[String], mask: String)
+    extends UnaryExpression {
+  require(terms.nonEmpty, "blocklist must be non-empty")
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "blocklist_scrub"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+
+  private def termsArray: Array[String] = terms.toArray
+  @transient private lazy val ac = AhoCorasick.forTerms(termsArray)
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      ac.scrub(input.asInstanceOf[UTF8String].toString, mask))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val termsRef = ctx.addReferenceObj("terms", termsArray, "java.lang.String[]")
+    val maskRef = ctx.addReferenceObj("mask", mask, "java.lang.String")
+    val acField = ctx.addMutableState("graft.expressions.AhoCorasick", "scrubAc",
+      v => s"$v = graft.expressions.AhoCorasick.forTerms($termsRef);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+       |  $acField.scrub($c.toString(), $maskRef));
      """.stripMargin)
   }
 

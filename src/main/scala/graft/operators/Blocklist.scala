@@ -54,6 +54,21 @@ object Blocklist {
       .select(col(idCol), col("__h.term").as("term"),
         col("__h.n_hits").cast("long").as("n_hits"))
 
+  /** NORMALIZED text with every blocklist span replaced by `mask`
+    * (overlapping/abutting matches merged) — the excision stage after
+    * [[flag]] decides a document is worth keeping. A normalized-alphabet
+    * mask (lowercase alphanumeric) keeps the output normalized, so the
+    * scrub is idempotent and downstream dedup/tokenization see a
+    * well-formed document. Map-only, like everything in this family.
+    */
+  def scrubbed(text: Column, terms: Seq[String],
+               mask: String = "xxx"): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.BlocklistScrub(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          TextFunctions.normalizeForDedup(text)),
+        normalizeTerms(terms), mask))
+
   /** Gate features, map-only: every input row plus `n_blocked_terms`
     * (distinct terms hit) and `n_blocked_hits` (total occurrences) —
     * the columns a quality gate thresholds on.

@@ -1712,6 +1712,24 @@ object PipelineQueries {
           col("vec_id").as("dst")), "src", "dst",
           seeds = Seq(0L, 1L), iterations = 3)
         .orderBy(col("rank_fx").desc, col("node")).limit(25)
+    }),
+
+    // BLOCKLIST span EXCISION (Blocklist.scrubbed): every matched term
+    // span replaced by a normalized-alphabet mask, overlapping matches
+    // merged — the q115 span-removal discipline applied to dictionary
+    // matches (excise the phrase, keep the document). Output = only the
+    // docs the scrub CHANGED; the oracle rebuilds each document
+    // character-by-character from coverage islands — independent
+    // mechanics (position scan + lag window), not an automaton replay.
+    "q188_blocklist_scrub" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.normalizeForDedup(col("text")).as("__x"),
+          graft.operators.Blocklist.scrubbed(col("text"), BlocklistTerms,
+            "xxx").as("scrubbed"))
+        .filter(col("scrubbed") =!= col("__x"))
+        .select("doc_id", "scrubbed")
+        .orderBy("doc_id")
     })
   )
 
@@ -4808,6 +4826,44 @@ object PipelineQueries {
              GROUP BY e.dst) s ON s.node = nd.node)"""
       }.mkString(",\n")}
        SELECT node, r AS rank_fx FROM p3
-       ORDER BY rank_fx DESC, node LIMIT 25"""
+       ORDER BY rank_fx DESC, node LIMIT 25""",
+
+    // Character-level rebuild from coverage islands: a match at padded
+    // position p covers x chars [p, p+len(term)-1]; a char emits itself
+    // when uncovered, the mask when it STARTS a covered island, nothing
+    // otherwise — string_agg in char order reassembles the document.
+    "q188_blocklist_scrub" -> s"""WITH
+       t AS (SELECT unnest(['batch batch', 'slow join', 'window window',
+         'fast key order', 'customer data', 'the',
+         'quantum flux capacitor']) AS term),
+       d AS (SELECT doc_id, ${normSql("text")} AS x FROM documents),
+       mt AS (
+         SELECT d.doc_id, gs.p AS s0, gs.p + len(t.term) - 1 AS e0
+         FROM d, t,
+           LATERAL (SELECT unnest(range(1, len(' ' || d.x || ' ') + 1))
+             AS p) AS gs
+         WHERE substr(' ' || d.x || ' ', CAST(gs.p AS INTEGER),
+             len(' ' || t.term || ' ')) = ' ' || t.term || ' '),
+       chars AS (
+         SELECT doc_id, x, unnest(range(1, len(x) + 1)) AS i FROM d),
+       cv AS (
+         SELECT c.doc_id, c.x, c.i, count(m.s0) > 0 AS cov
+         FROM chars c LEFT JOIN mt m
+           ON m.doc_id = c.doc_id AND c.i BETWEEN m.s0 AND m.e0
+         GROUP BY c.doc_id, c.x, c.i),
+       rb AS (
+         SELECT doc_id, i,
+           CASE WHEN NOT cov THEN substr(x, CAST(i AS INTEGER), 1)
+                WHEN NOT coalesce(lag(cov) OVER (
+                  PARTITION BY doc_id ORDER BY i), FALSE) THEN 'xxx'
+                ELSE '' END AS piece
+         FROM cv),
+       res AS (
+         SELECT doc_id, string_agg(piece, '' ORDER BY i) AS scrubbed
+         FROM rb GROUP BY doc_id)
+       SELECT r.doc_id, r.scrubbed
+       FROM res r JOIN d ON d.doc_id = r.doc_id
+       WHERE r.scrubbed <> d.x
+       ORDER BY r.doc_id"""
   )
 }

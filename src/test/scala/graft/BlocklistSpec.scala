@@ -94,6 +94,67 @@ class BlocklistSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Blocklist.normalizeTerms(Seq("!!!")) }
   }
 
+  /** Independent scrub reference: position-scan intervals, merge, rebuild. */
+  private def bruteScrub(text: String, terms: Seq[String], mask: String)
+      : String = {
+    val x = norm(text)
+    val px = " " + x + " "
+    val spans = (for {
+      t <- terms.map(norm).filter(_.nonEmpty).distinct
+      p = " " + t + " "
+      i <- 0 to px.length - p.length if px.regionMatches(i, p, 0, p.length)
+    } yield (i, i + p.length - 2)).sortBy(_._1) // term chars in x coords
+    if (spans.isEmpty) return x
+    val merged = spans.tail.foldLeft(List(spans.head)) {
+      case (acc @ ((s0, e0) :: rest), (s, e)) =>
+        if (s <= e0) (s0, math.max(e0, e)) :: rest else (s, e) :: acc
+      case (acc, se) => se :: acc
+    }.reverse
+    val sb = new StringBuilder
+    var pos = 0
+    merged.foreach { case (s, e) =>
+      sb.append(x.substring(pos, s)).append(mask); pos = e
+    }
+    sb.append(x.substring(pos)).toString
+  }
+
+  test("scrub equals the brute interval rebuild; zero hits remain; idempotent") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Blocklist.scrubbed(col("text"), terms, "xxx").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val raw = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    raw.foreach { case (id, t) =>
+      assert(got(id) == bruteScrub(t, terms, "xxx"), s"doc $id")
+    }
+    // the scrub output is normalized (mask is normalized-alphabet), so it
+    // can feed phraseHits directly: nothing may remain, and re-scrubbing
+    // must be a no-op
+    val scrubbedDf = docs.select(col("doc_id"),
+      Blocklist.scrubbed(col("text"), terms, "xxx").as("text"))
+    assert(Blocklist.phraseHits(scrubbedDf, "doc_id", "text", terms).isEmpty)
+    val twice = scrubbedDf.select(col("doc_id"),
+        Blocklist.scrubbed(col("text"), terms, "xxx").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got)
+  }
+
+  test("scrub merges overlapping and abutting spans; clean docs unchanged") {
+    val docs = Seq(
+      (1L, "batch batch batch"),        // two overlapping matches -> ONE span
+      (2L, "slow join the end"),        // adjacent matches: separate spans
+      (3L, "clean document here"),
+      (4L, "the")                       // whole text is one span
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Blocklist.scrubbed(col("text"), terms, "X").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "X")
+    assert(got(2L) == "X X end") // the separating space survives
+    assert(got(3L) == "clean document here")
+    assert(got(4L) == "X")
+  }
+
   test("randomized parity: automaton == brute scan on generated corpora") {
     val rng = new scala.util.Random(4242)
     val vocab = Vector("aa", "ab", "b", "ba", "c")
