@@ -394,4 +394,44 @@ object Sampling {
           1L) / seqLen) - col("seq_id") + 1L)
       .drop("__start")
   }
+
+  /** Overlapping token-window CHUNKS of each document — the long-document
+    * splitting stage (RAG retrieval units, context-window-bounded training
+    * examples), the inverse direction of [[sequencePack]] (packing
+    * concatenates short docs into fixed windows; chunking splits long docs
+    * into them). Tokens are the [[graft.functions.TextFunctions.tokenCount]]
+    * whitespace universe; chunk i starts at token `i·(maxTokens−overlap)`
+    * and takes up to `maxTokens` tokens; a tail window whose tokens are all
+    * covered by the previous chunk is NOT emitted (it would add no new
+    * content). Output: `(idCol, chunk_id, chunk_text, n_tokens)` —
+    * `chunk_id` dense from 0 per document; empty/whitespace docs emit
+    * nothing.
+    *
+    * Scale shape: pure map-only Column algebra (split → start-sequence →
+    * posexplode → slice) — chunking a 100 TB corpus is ZERO shuffles; the
+    * per-doc start list is `⌈n/step⌉` elements, never materialized beyond
+    * the row.
+    */
+  def chunkByTokens(docs: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val step = maxTokens - overlap
+    docs
+      .select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
+          .as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__ws"), col("__n"),
+        posexplode(filter(sequence(lit(0), col("__n") - 1, lit(step)),
+          s => s === 0 || s - lit(step) + lit(maxTokens) < col("__n")))
+          .as(Seq("chunk_id", "__s")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__ws"), col("__s") + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("__s")).cast("long")
+          .as("n_tokens"))
+  }
 }

@@ -1730,6 +1730,19 @@ object PipelineQueries {
         .filter(col("scrubbed") =!= col("__x"))
         .select("doc_id", "scrubbed")
         .orderBy("doc_id")
+    }),
+
+    // Token-window CHUNKING (Sampling.chunkByTokens): overlapping
+    // maxTokens=32/overlap=8 windows per document — the long-document
+    // splitting stage (RAG retrieval units, context-bounded examples),
+    // the inverse of q91's packing. Pure map-only Column algebra: at
+    // 100 TB chunking is ZERO shuffles. The corpus median of 56 words
+    // exercises multi-chunk docs AND the covered-tail suppression rule
+    // at every scale.
+    "q189_chunk_by_tokens" -> ((s, d) => {
+      Sampling.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -4864,6 +4877,23 @@ object PipelineQueries {
        SELECT r.doc_id, r.scrubbed
        FROM res r JOIN d ON d.doc_id = r.doc_id
        WHERE r.scrubbed <> d.x
-       ORDER BY r.doc_id"""
+       ORDER BY r.doc_id""",
+
+    // Chunk starts = multiples of step (24) kept while the window adds
+    // uncovered tokens; chunk_id = start // step (kept starts are always
+    // a prefix of the sequence, so the index stays dense).
+    "q189_chunk_by_tokens" -> s"""WITH
+       d AS (SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+         FROM documents),
+       nn AS (SELECT doc_id, ws, len(ws) AS n FROM d WHERE len(ws) > 0),
+       ch AS (SELECT doc_id, ws, n,
+           unnest(list_filter(range(0, n, 24),
+             s -> s = 0 OR s - 24 + 32 < n)) AS s
+         FROM nn)
+       SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+         array_to_string(ws[s+1 : least(s + 32, n)], ' ') AS chunk_text,
+         CAST(least(32, n - s) AS BIGINT) AS n_tokens
+       FROM ch ORDER BY doc_id, chunk_id"""
   )
 }

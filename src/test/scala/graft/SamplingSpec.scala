@@ -311,4 +311,62 @@ class SamplingSpec extends SparkSpec {
 
   private def bytesAt(dir: String, f: String) =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+
+  // ---- token-window chunking ----
+
+  /** Driver replay of the pinned chunking semantics. */
+  private def bruteChunks(text: String, maxT: Int, ov: Int)
+      : Seq[(Long, String, Long)] = {
+    val ws = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val step = maxT - ov
+    if (ws.isEmpty) return Nil
+    Iterator.from(0).map(_ * step)
+      .takeWhile(s => s < ws.size && (s == 0 || s - step + maxT < ws.size))
+      .zipWithIndex
+      .map { case (s, i) =>
+        (i.toLong, ws.slice(s, s + maxT).mkString(" "),
+          math.min(maxT, ws.size - s).toLong)
+      }.toSeq
+  }
+
+  test("chunkByTokens equals the driver replay on the real corpus; map-only plan") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val chunked = Sampling.chunkByTokens(docs, "doc_id", "text",
+      maxTokens = 32, overlap = 8)
+    val got = chunked.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    val want = docs.collect().flatMap { r =>
+      bruteChunks(r.getString(1), 32, 8).map { case (cid, t, n) =>
+        (r.getLong(0), cid) -> (t, n)
+      }
+    }.toMap
+    assert(got == want)
+    assert(got.keys.exists(_._2 >= 2), "no doc produced 3+ chunks — fixture toothless")
+    // chunking must never shuffle
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
+  test("chunkByTokens: reconstruction, tail suppression, degenerate docs") {
+    import spark.implicits._
+    val words56 = (1 to 56).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words56), (2L, "a b c"), (3L, "   "), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Sampling.chunkByTokens(docs, "doc_id", "text", 32, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // doc 1: starts 0, 24; start 48 suppressed (prev chunk reaches 56)
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L))
+    assert(d1(0)._4 == 32 && d1(1)._4 == 32)
+    // overlap-dropped concatenation reconstructs the document exactly
+    val rebuilt = (d1(0)._3.split(" ") ++ d1(1)._3.split(" ").drop(8)).toSeq
+    assert(rebuilt == (1 to 56).map(i => s"w$i"))
+    // short doc: one chunk, whole text; empty/whitespace docs: nothing
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b c", 3L)))
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+  }
 }
