@@ -1743,6 +1743,29 @@ object PipelineQueries {
       Sampling.chunkByTokens(Tables.documents(s, d), "doc_id", "text",
           maxTokens = 32, overlap = 8)
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // DATA-QUALITY constraint suite (operators.Checks — the Deequ
+    // component): row-level checks fuse into ONE lineitem scan (not-null
+    // pass, range/accepted with real violations), uniqueness one hash
+    // aggregate each (orders PK passes, lineitem FK fails by design),
+    // referential integrity one counted anti-join (passes). The report
+    // shape (check, column, n_rows, n_violations, pass) is what ingestion
+    // gates threshold on.
+    "q190_quality_checks" -> ((s, d) => {
+      import graft.operators.Checks
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      Checks.suite(
+          Checks.report(li, Seq(
+            Checks.NotNull("l_orderkey"),
+            Checks.InRange("l_quantity", 1, 45),
+            Checks.Accepted("l_returnflag", Seq("A", "N")))),
+          Checks.unique(li, "l_orderkey"),
+          Checks.unique(ord, "o_orderkey"),
+          Checks.refIntegrity(li, "l_orderkey", ord, "o_orderkey"))
+        .withColumn("pass", col("pass").cast("long"))
+        .orderBy("check", "column")
     })
   )
 
@@ -4894,6 +4917,44 @@ object PipelineQueries {
        SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
          array_to_string(ws[s+1 : least(s + 32, n)], ' ') AS chunk_text,
          CAST(least(32, n - s) AS BIGINT) AS n_tokens
-       FROM ch ORDER BY doc_id, chunk_id"""
+       FROM ch ORDER BY doc_id, chunk_id""",
+
+    "q190_quality_checks" -> s"""WITH rep AS (
+         SELECT 'not_null' AS chk, 'l_orderkey' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS n_violations
+         FROM lineitem
+         UNION ALL
+         SELECT 'in_range', 'l_quantity', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN l_quantity IS NULL
+             OR l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END), 0)
+             AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_values', 'l_returnflag', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL
+             OR l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END), 0)
+             AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'unique', 'l_orderkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT l_orderkey) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'unique', 'o_orderkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+         FROM orders
+         UNION ALL
+         SELECT 'ref_integrity', 'l_orderkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL))
+       SELECT chk AS "check", col AS "column", n_rows, n_violations,
+         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS pass
+       FROM rep ORDER BY chk, col"""
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Checks
+import graft.operators.Checks.{Accepted, InRange, NotNull}
+
+/** Data-quality constraint suite: counts against driver-computed truth,
+  * null semantics, the one-scan fusion guarantee, and empty-table edges.
+  */
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some(10L), Some("A")),
+    (2L, Some(60L), Some("N")),
+    (3L, None, Some("R")),
+    (4L, Some(5L), None),
+    (4L, Some(50L), Some("X")) // duplicate id
+  ).toDF("id", "qty", "flag")
+
+  test("row-level checks count violations exactly; nulls violate range/accepted") {
+    val rep = Checks.report(df, Seq(
+        NotNull("qty"), InRange("qty", 1, 50), Accepted("flag", Seq("A", "N", "R"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(rep(("not_null", "qty")) == ((5L, 1L, false)))
+    assert(rep(("in_range", "qty")) == ((5L, 2L, false))) // 60 out, null out
+    assert(rep(("accepted_values", "flag")) == ((5L, 2L, false))) // X, null
+  }
+
+  test("the row-level suite is ONE scan regardless of check count") {
+    val rep = Checks.report(df, Seq(
+      NotNull("id"), NotNull("qty"), NotNull("flag"),
+      InRange("qty", 1, 50), InRange("id", 0, 100),
+      Accepted("flag", Seq("A", "N", "R"))))
+    val plan = rep.queryExecution.executedPlan.toString
+    val scans = "LocalTableScan|Scan ".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one scan for six checks:\n$plan")
+  }
+
+  test("unique counts rows beyond the first per key; passes on distinct keys") {
+    val u = Checks.unique(df, "id").head
+    assert((u.getLong(2), u.getLong(3), u.getBoolean(4)) == ((5L, 1L, false)))
+    val ok = Checks.unique(df.select("qty").distinct(), "qty").head
+    assert(ok.getBoolean(4))
+  }
+
+  test("refIntegrity counts orphans; null children are not orphans") {
+    val parent = Seq(1L, 2L, 3L).toDF("pid")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None).toDF("cid")
+    val r = Checks.refIntegrity(child, "cid", parent, "pid").head
+    assert((r.getLong(2), r.getLong(3), r.getBoolean(4)) == ((5L, 2L, false)))
+  }
+
+  test("suite unions share one schema; empty table reports zero rows, passing") {
+    val empty = spark.emptyDataFrame.select(lit(1L).as("id")).filter(lit(false))
+    val s = Checks.suite(
+      Checks.report(empty, Seq(NotNull("id"))),
+      Checks.unique(empty, "id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(s("not_null") == ((0L, 0L, true)))
+    assert(s("unique") == ((0L, 0L, true)))
+  }
+}
