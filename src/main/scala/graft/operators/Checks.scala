@@ -70,6 +70,30 @@ object Checks {
         (col("__r.n_violations") === 0L).as("pass"))
   }
 
+  /** [[report]] grouped by `groupCol` — the same single fused scan, one
+    * report row per (group, check). The incremental-drain building block:
+    * row-level check counts are plain sums, so per-file rows accumulate
+    * into exactly the one-shot report
+    * ([[graft.streaming.StreamingChecks]]).
+    */
+  def reportBy(df: DataFrame, groupCol: String, checks: Seq[RowCheck])
+      : DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    val aggs = count(lit(1)).cast("long").as("__n") +:
+      checks.zipWithIndex.map { case (c, i) =>
+        sum(when(c.violation, 1L).otherwise(0L)).cast("long").as(s"__v$i")
+      }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), explode(array(checks.zipWithIndex.map {
+        case (c, i) =>
+          struct(lit(c.name).as("check"), lit(c.column).as("column"),
+            col("__n").as("n_rows"),
+            coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+      }: _*)).as("__r"))
+      .select(col(groupCol), col("__r.check"), col("__r.column"),
+        col("__r.n_rows"), col("__r.n_violations"))
+  }
+
   /** Uniqueness of `column`: violations = rows beyond the first of each
     * key (`n_rows − n_distinct`) — one hash aggregate, the shuffle the
     * semantics force. Nulls count as a key like any other.

@@ -1766,6 +1766,41 @@ object PipelineQueries {
           Checks.refIntegrity(li, "l_orderkey", ord, "o_orderkey"))
         .withColumn("pass", col("pass").cast("long"))
         .orderBy("check", "column")
+    }),
+
+    // INCREMENTAL data-quality monitoring (streaming/StreamingChecks):
+    // lineitem lands in two parquet waves, each drained into a per-file
+    // count state keyed (src_file, check, column); the rolled-up report
+    // must equal q190's one-shot row-level subset — the oracle IS that
+    // SQL verbatim. Row-level checks only, honestly: uniqueness and
+    // referential integrity are not per-file-decomposable (a duplicate
+    // spanning two files is invisible to either file alone).
+    "q191_checks_incremental" -> ((s, d) => {
+      import graft.operators.Checks
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val root = tempIndexDir("graft-checks-q191")
+      val (src, state, ckpt) =
+        (root + "/src", root + "/state", root + "/ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("l_quantity",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType)))
+      val checks = Seq(Checks.NotNull("l_orderkey"),
+        Checks.InRange("l_quantity", 1, 45),
+        Checks.Accepted("l_returnflag", Seq("A", "N")))
+      li.filter(col("l_orderkey") % 2 === 0).write.mode("append").parquet(src)
+      graft.streaming.StreamingChecks.reportDrain(s, src, state, ckpt,
+        checks, schema)
+      li.filter(col("l_orderkey") % 2 === 1).write.mode("append").parquet(src)
+      graft.streaming.StreamingChecks.reportDrain(s, src, state, ckpt,
+        checks, schema)
+      graft.streaming.StreamingChecks.loadReport(s, state)
+        .withColumn("pass", col("pass").cast("long"))
+        .orderBy("check", "column")
     })
   )
 
@@ -4952,6 +4987,31 @@ object PipelineQueries {
               LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
                 ON l.l_orderkey = o.o_orderkey
               WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL))
+       SELECT chk AS "check", col AS "column", n_rows, n_violations,
+         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS pass
+       FROM rep ORDER BY chk, col""",
+
+    // q190's row-level subset verbatim: incremental ≡ one-shot is the
+    // drain contract.
+    "q191_checks_incremental" -> s"""WITH rep AS (
+         SELECT 'not_null' AS chk, 'l_orderkey' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+             0) AS BIGINT) AS n_violations
+         FROM lineitem
+         UNION ALL
+         SELECT 'in_range', 'l_quantity', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN l_quantity IS NULL
+             OR l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END), 0)
+             AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'accepted_values', 'l_returnflag', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN l_returnflag IS NULL
+             OR l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END), 0)
+             AS BIGINT)
+         FROM lineitem)
        SELECT chk AS "check", col AS "column", n_rows, n_violations,
          CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
            AS pass

@@ -53,6 +53,49 @@ class ChecksSpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3), r.getBoolean(4)) == ((5L, 2L, false)))
   }
 
+  test("StreamingChecks drain rolls up to the one-shot report; replay lands nothing") {
+    import org.apache.spark.sql.types._
+    val rows = (1 to 60).map(i =>
+      (i.toLong, if (i % 7 == 0) None else Some(i.toLong % 55),
+        if (i % 11 == 0) "X" else "A"))
+    val data = rows.toDF("id", "qty", "flag")
+    val checks = Seq(NotNull("qty"), InRange("qty", 1, 50),
+      Accepted("flag", Seq("A", "N")))
+    val root = java.nio.file.Files.createTempDirectory("stream_checks")
+    val src = root.resolve("incoming").toString
+    val state = root.resolve("state").toString
+    val ckpt = root.resolve("ckpt").toString
+    java.nio.file.Files.createDirectories(root.resolve("incoming"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("qty", LongType), StructField("flag", StringType)))
+
+    data.filter(col("id") <= 30).write.mode("append").parquet(src)
+    graft.streaming.StreamingChecks.reportDrain(spark, src, state, ckpt,
+      checks, schema)
+    data.filter(col("id") > 30).write.mode("append").parquet(src)
+    graft.streaming.StreamingChecks.reportDrain(spark, src, state, ckpt,
+      checks, schema)
+
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    val drained = asMap(
+      graft.streaming.StreamingChecks.loadReport(spark, state))
+    val oneShot = asMap(Checks.report(data, checks))
+    assert(drained == oneShot)
+    assert(oneShot.values.exists(!_._3), "no failing check — fixture toothless")
+
+    // checkpoint loss: full replay keyed on (src_file, check, column)
+    // lands nothing new
+    graft.streaming.StreamingChecks.reportDrain(spark, src, state,
+      root.resolve("ckpt2").toString, checks, schema)
+    assert(asMap(
+      graft.streaming.StreamingChecks.loadReport(spark, state)) == oneShot)
+    // empty state reads as an empty report
+    assert(graft.streaming.StreamingChecks.loadReport(spark,
+      root.resolve("nowhere").toString).isEmpty)
+  }
+
   test("suite unions share one schema; empty table reports zero rows, passing") {
     val empty = spark.emptyDataFrame.select(lit(1L).as("id")).filter(lit(false))
     val s = Checks.suite(
