@@ -130,4 +130,35 @@ object Checks {
     require(reports.nonEmpty, "need at least one report")
     reports.reduce(_ unionByName _)
   }
+
+  /** Schema-driven COLUMN PROFILE — the catalog/discovery companion of
+    * the constraint suite: for every column, `(column, dtype, n_rows,
+    * n_nulls, n_distinct)` in ONE aggregation pass (the multi-
+    * `countDistinct` plans as Spark's expand + partial-aggregate shape —
+    * one scan, k-way expand; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct`/KMV per column if the expand dominates —
+    * the profile's consumers tolerate estimates, its CONTRACT here is
+    * exact so the oracle can replay it). Null counts as a distinct value
+    * of its column in `n_distinct` (mirrors `count(DISTINCT x)` + null
+    * presence: we report value-distincts and nulls separately).
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "profile needs at least one column")
+    val dtypes = cols.map(c => c -> df.schema(c).dataType.simpleString).toMap
+    val aggs = count(lit(1)).cast("long").as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"__z$i"),
+        countDistinct(col(c)).cast("long").as(s"__d$i"))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column"), lit(dtypes(c)).as("dtype"),
+          col("__n").as("n_rows"),
+          coalesce(col(s"__z$i"), lit(0L)).as("n_nulls"),
+          coalesce(col(s"__d$i"), lit(0L)).as("n_distinct"))
+      }: _*)).as("__r"))
+      .select(col("__r.column"), col("__r.dtype"), col("__r.n_rows"),
+        col("__r.n_nulls"), col("__r.n_distinct"))
+  }
 }

@@ -1801,6 +1801,16 @@ object PipelineQueries {
       graft.streaming.StreamingChecks.loadReport(s, state)
         .withColumn("pass", col("pass").cast("long"))
         .orderBy("check", "column")
+    }),
+
+    // COLUMN PROFILE (Checks.profile — the catalog/discovery companion):
+    // per-column nulls + exact distinct cardinality for every lineitem
+    // column in one aggregation pass (multi-countDistinct plans as one
+    // scan + k-way expand; the 100 TB variant swaps in
+    // approx_count_distinct/KMV per column, documented on the operator).
+    "q192_column_profile" -> ((s, d) => {
+      graft.operators.Checks.profile(Tables.lineitem(s, d))
+        .orderBy("column")
     })
   )
 
@@ -5015,6 +5025,25 @@ object PipelineQueries {
        SELECT chk AS "check", col AS "column", n_rows, n_violations,
          CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
            AS pass
-       FROM rep ORDER BY chk, col"""
+       FROM rep ORDER BY chk, col""",
+
+    // One UNION branch per column; dtype literals mirror Spark's
+    // simpleString for the parquet-read schema.
+    "q192_column_profile" -> {
+      val cols = Seq(
+        "l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp_ntz")
+      cols.map { case (c, t) =>
+        s"""SELECT '$c' AS "column", '$t' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           FROM lineitem"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    }
   )
 }

@@ -96,6 +96,18 @@ class ChecksSpec extends SparkSpec {
       root.resolve("nowhere").toString).isEmpty)
   }
 
+  test("profile reports per-column nulls and distincts in one pass") {
+    val p = Checks.profile(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(p("id") == (("bigint", 5L, 0L, 4L)))    // 1,2,3,4,4
+    assert(p("qty") == (("bigint", 5L, 1L, 4L)))   // 10,60,5,50; one null
+    assert(p("flag") == (("string", 5L, 1L, 4L)))  // A,N,R,X; one null
+    // column subset honors order and selection
+    assert(Checks.profile(df, Seq("qty")).collect().map(_.getString(0))
+      .toSeq == Seq("qty"))
+  }
+
   test("suite unions share one schema; empty table reports zero rows, passing") {
     val empty = spark.emptyDataFrame.select(lit(1L).as("id")).filter(lit(false))
     val s = Checks.suite(
