@@ -102,4 +102,15 @@ object Scd2 {
         col(validFromCol) :+ col(validToCol): _*)
       .unionByName(stillOpen).unionByName(closed).unionByName(opened)
   }
+
+  /** Point-in-time READ of a type-2 dimension — the query side of
+    * [[merge]]: rows whose validity interval contains `ts`
+    * (`valid_from <= ts < valid_to`, null `valid_to` = open). A plain
+    * filter, so partition/file pruning on the validity columns applies
+    * untouched; at most one row per id by the [[merge]] invariant.
+    */
+  def asOf(dim: DataFrame, validFromCol: String, validToCol: String,
+           ts: Column): DataFrame =
+    dim.filter(col(validFromCol) <= ts &&
+      (col(validToCol).isNull || col(validToCol) > ts))
 }

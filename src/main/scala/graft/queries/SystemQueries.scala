@@ -576,30 +576,20 @@ object SystemQueries {
     // deletions re-insert, and the %101 inserts close. Exercises every
     // branch including history pass-through; pure column equality +
     // literal timestamps — exact on any engine.
-    "q159_scd2_merge" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val attrs = Seq("c_nationkey", "c_mktsegment")
-      val dim0 = cust.select(col("c_custkey").as("id"), col("c_nationkey"),
-        col("c_mktsegment"),
-        lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
-        lit(null).cast("timestamp").as("valid_to"))
-      val snap1 = cust.filter(col("c_custkey") % 97 =!= 0)
-        .select(col("c_custkey").as("id"), col("c_nationkey"),
-          when(col("c_custkey") % 7 === 0, lit("MOVED"))
-            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
-        .unionByName(cust.filter(col("c_custkey") % 101 === 0)
-          .select((col("c_custkey") + 1000000L).as("id"),
-            lit(0).cast("int").as("c_nationkey"),
-            lit("NEW").as("c_mktsegment")))
-      val snap2 = cust.select(col("c_custkey").as("id"), col("c_nationkey"),
-        col("c_mktsegment"))
-      val d1 = graft.operators.Scd2.merge(dim0, snap1, "id", attrs,
-        "valid_from", "valid_to",
-        lit("2020-06-01 00:00:00").cast("timestamp"))
-      graft.operators.Scd2.merge(d1, snap2, "id", attrs,
+    "q159_scd2_merge" -> ((s, d) =>
+      scd2MergedDim(s, d).orderBy("id", "valid_from")),
+
+    // Point-in-time READ of the q159 dimension (Scd2.asOf): the snapshot
+    // BETWEEN the two merges must reproduce snap1's content exactly —
+    // moved segments visible, %97 deletions absent, %101 inserts present
+    // — pinning that merge history actually supports time travel. A
+    // plain validity filter, so pruning on the validity columns applies.
+    "q193_scd2_asof" -> ((s, d) => {
+      graft.operators.Scd2.asOf(scd2MergedDim(s, d),
           "valid_from", "valid_to",
-          lit("2021-06-01 00:00:00").cast("timestamp"))
-        .orderBy("id", "valid_from")
+          lit("2020-12-01 00:00:00").cast("timestamp"))
+        .select("id", "c_nationkey", "c_mktsegment")
+        .orderBy("id")
     }),
 
     // Snapshot DIFF report (the drift summary behind q159's merge): one
@@ -1011,7 +1001,50 @@ object SystemQueries {
     // against snapshot k; the three branches + history pass-through
     // mirror Scd2.merge verbatim (IS NOT DISTINCT FROM = Spark's <=>).
     "q159_scd2_merge" ->
-      """WITH dim0 AS (
+      s"""WITH $scd2CtesSql
+       SELECT id, c_nationkey, c_mktsegment, valid_from, valid_to FROM m2
+       ORDER BY id, valid_from""",
+
+    // Validity-interval filter over the same merged dimension at a point
+    // BETWEEN the two merges.
+    "q193_scd2_asof" ->
+      s"""WITH $scd2CtesSql
+       SELECT id, c_nationkey, c_mktsegment FROM m2
+       WHERE valid_from <= TIMESTAMP '2020-12-01 00:00:00'
+         AND (valid_to IS NULL OR valid_to > TIMESTAMP '2020-12-01 00:00:00')
+       ORDER BY id""",
+
+    "q123_compact_roundtrip" ->
+      """SELECT 'p' || CAST(k % 3 AS VARCHAR) AS p,
+         count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k,
+         CAST(sum(k * 7 % 31) AS BIGINT) AS sum_v,
+         CAST(1 AS BIGINT) AS files_after
+       FROM generate_series(0, 599) t(k)
+       GROUP BY 1 ORDER BY p""",
+    "q119_zorder_cells" -> {
+      // the interleave replayed term-by-term: bit i of each dim lands at
+      // position 2i / 2i+1 — identical shift/mask arithmetic in any engine
+      val interleave = (0 until 8).flatMap(i => Seq(
+        s"(((bu >> $i) & 1) << ${2 * i})",
+        s"(((bt >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (
+         SELECT ((user_id % 256) + 256) % 256 AS bu, -- pmod, not %: sign-safe
+           ((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+             * 256) // 2592000000000 AS bt
+         FROM events),
+       zc AS (SELECT $interleave AS z FROM b)
+       SELECT z >> 8 AS cell, count(*) AS n_events,
+         min(z) AS z_min, max(z) AS z_max
+       FROM zc GROUP BY 1 ORDER BY 1"""
+    }
+  )
+
+  /** DuckDB CTE chain replaying [[scd2MergedDim]] — exposes the merged
+    * dimension as `m2(id, c_nationkey, c_mktsegment, valid_from,
+    * valid_to)`; shared by the q159 and q193 oracles.
+    */
+  private lazy val scd2CtesSql: String =
+    """dim0 AS (
          SELECT c_custkey AS id, c_nationkey, c_mktsegment,
            TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
            CAST(NULL AS TIMESTAMP) AS valid_to
@@ -1056,8 +1089,8 @@ object SystemQueries {
            (c.c_nationkey IS NOT DISTINCT FROM s.c_nationkey)
              AND (c.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment) AS same
          FROM (SELECT * FROM m1 WHERE valid_to IS NULL) c
-           FULL OUTER JOIN snap2 s ON c.id = s.id)
-       SELECT id, c_nationkey, c_mktsegment, valid_from, valid_to FROM (
+           FULL OUTER JOIN snap2 s ON c.id = s.id),
+       m2 AS (
          SELECT id, c_nationkey, c_mktsegment, valid_from, valid_to
          FROM m1 WHERE valid_to IS NOT NULL
          UNION ALL
@@ -1069,30 +1102,35 @@ object SystemQueries {
          UNION ALL
          SELECT id, n1, n2, TIMESTAMP '2021-06-01 00:00:00',
            CAST(NULL AS TIMESTAMP)
-         FROM j2 WHERE insnap AND (NOT incur OR NOT same))
-       ORDER BY id, valid_from""",
-    "q123_compact_roundtrip" ->
-      """SELECT 'p' || CAST(k % 3 AS VARCHAR) AS p,
-         count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k,
-         CAST(sum(k * 7 % 31) AS BIGINT) AS sum_v,
-         CAST(1 AS BIGINT) AS files_after
-       FROM generate_series(0, 599) t(k)
-       GROUP BY 1 ORDER BY p""",
-    "q119_zorder_cells" -> {
-      // the interleave replayed term-by-term: bit i of each dim lands at
-      // position 2i / 2i+1 — identical shift/mask arithmetic in any engine
-      val interleave = (0 until 8).flatMap(i => Seq(
-        s"(((bu >> $i) & 1) << ${2 * i})",
-        s"(((bt >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
-      s"""WITH b AS (
-         SELECT ((user_id % 256) + 256) % 256 AS bu, -- pmod, not %: sign-safe
-           ((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
-             * 256) // 2592000000000 AS bt
-         FROM events),
-       zc AS (SELECT $interleave AS z FROM b)
-       SELECT z >> 8 AS cell, count(*) AS n_events,
-         min(z) AS z_min, max(z) AS z_max
-       FROM zc GROUP BY 1 ORDER BY 1"""
-    }
-  )
+         FROM j2 WHERE insnap AND (NOT incur OR NOT same))"""
+
+  /** The q159 two-merge SCD2 chain (shared by q159 and q193's as-of
+    * read): dim0 = all customers open since 1995; merge 1 moves segment
+    * for %7, deletes %97, inserts shifted %101; merge 2 restores the
+    * original snapshot (revert + re-insert + close).
+    */
+  private def scd2MergedDim(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val attrs = Seq("c_nationkey", "c_mktsegment")
+    val dim0 = cust.select(col("c_custkey").as("id"), col("c_nationkey"),
+      col("c_mktsegment"),
+      lit("1995-01-01 00:00:00").cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    val snap1 = cust.filter(col("c_custkey") % 97 =!= 0)
+      .select(col("c_custkey").as("id"), col("c_nationkey"),
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          lit(0).cast("int").as("c_nationkey"),
+          lit("NEW").as("c_mktsegment")))
+    val snap2 = cust.select(col("c_custkey").as("id"), col("c_nationkey"),
+      col("c_mktsegment"))
+    val d1 = graft.operators.Scd2.merge(dim0, snap1, "id", attrs,
+      "valid_from", "valid_to",
+      lit("2020-06-01 00:00:00").cast("timestamp"))
+    graft.operators.Scd2.merge(d1, snap2, "id", attrs,
+      "valid_from", "valid_to",
+      lit("2021-06-01 00:00:00").cast("timestamp"))
+  }
 }

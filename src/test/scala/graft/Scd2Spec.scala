@@ -77,6 +77,31 @@ class Scd2Spec extends SparkSpec {
       "changed:s" -> 1L, "changed:v" -> 1L))
   }
 
+  test("asOf reads the point-in-time snapshot across versions") {
+    val merged = Scd2.merge(dim, snap, "id", Seq("attr"), "valid_from",
+      "valid_to", lit(t2))
+    def at(ts: Timestamp) =
+      Scd2.asOf(merged, "valid_from", "valid_to", lit(ts))
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // before the merge: the original open state (id 5 on its FIRST version
+    // at t0, since the second only opens at t1)
+    assert(at(t0) == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c"),
+      5L -> Some("old"), 6L -> None))
+    // between t1 and t2: id 5 on its second version
+    assert(at(t1) == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c"),
+      5L -> Some("e"), 6L -> None))
+    // at t2 (inclusive lower bound): post-merge state — 2 on b2, 3 gone,
+    // 4 present
+    assert(at(t2) == Map(1L -> Some("a"), 2L -> Some("b2"), 4L -> Some("d"),
+      5L -> Some("e"), 6L -> None))
+    // at most one row per id at every instant
+    Seq(t0, t1, t2).foreach { ts =>
+      val ids = Scd2.asOf(merged, "valid_from", "valid_to", lit(ts))
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.distinct == ids, s"duplicate id at $ts")
+    }
+  }
+
   test("re-insert after deletion opens a fresh version") {
     val afterDelete = Scd2.merge(dim, snap, "id", Seq("attr"), "valid_from",
       "valid_to", lit(t2))
