@@ -592,6 +592,19 @@ object SystemQueries {
         .orderBy("id")
     }),
 
+    // DENSE ID ASSIGNMENT without a global window (Layout.assignDenseIds):
+    // range-partition on the order key, rank within partitions, add
+    // driver-rolled offsets (numRanges longs) — the scalable row_number
+    // for vocabulary/token-id/export-ordinal assignment. No
+    // single-partition WindowExec anywhere (spec-asserted); the oracle is
+    // the global row_number the operator refuses to plan.
+    "q194_dense_ids" -> ((s, d) => {
+      graft.sources.Layout.assignDenseIds(
+          Tables.documents(s, d).select("doc_id", "n_chars"),
+          Seq("n_chars", "doc_id"), numRanges = 16)
+        .orderBy("row_id")
+    }),
+
     // Snapshot DIFF report (the drift summary behind q159's merge): one
     // full-outer join + one aggregate; per-metric rows exploded from the
     // aggregated counts, never from the rows. Null-safe comparisons.
@@ -1013,6 +1026,12 @@ object SystemQueries {
        WHERE valid_from <= TIMESTAMP '2020-12-01 00:00:00'
          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2020-12-01 00:00:00')
        ORDER BY id""",
+
+    "q194_dense_ids" ->
+      """SELECT doc_id, n_chars,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+           AS row_id
+       FROM documents ORDER BY row_id""",
 
     "q123_compact_roundtrip" ->
       """SELECT 'p' || CAST(k % 3 AS VARCHAR) AS p,

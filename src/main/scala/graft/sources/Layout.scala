@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical layout utilities — the bronze-layer partitioning discipline
@@ -241,5 +242,47 @@ object Layout {
       .filter(col("chunk_date") < ed ||
         (col("chunk_date") === ed && col("chunk_hour") <= eh))
       .filter(col(tsCol) >= s && col(tsCol) < e)
+  }
+
+  /** DENSE 0-based ids in `orderCols` order WITHOUT a global window — the
+    * scalable `row_number` (vocabulary/token-id assignment, stable export
+    * ordinals): range-partition on the order key, rank WITHIN each
+    * partition, then add each partition's start offset (row counts roll
+    * up driver-side — `numRanges` longs, O(1) state). Range partitions
+    * are order-contiguous, so offset + local rank IS the global rank; no
+    * single-partition `WindowExec` ever runs (spec-asserted).
+    *
+    * `orderCols` must be a UNIQUE key for a deterministic assignment
+    * (ties still get distinct dense ids, but their relative order follows
+    * partition placement); the oracle contract is
+    * `row_number() OVER (ORDER BY orderCols) - 1`.
+    */
+  def assignDenseIds(df: DataFrame, orderCols: Seq[String],
+                     idName: String = "row_id",
+                     numRanges: Int = 64): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    require(numRanges >= 1, "numRanges must be >= 1")
+    val keys = orderCols.map(col)
+    // CUT after the range shuffle: repartitionByRange SAMPLES its bounds
+    // with a per-evaluation seed, and the frame is consumed twice (offset
+    // counts + the ranked output) — uncut, the two evaluations can land
+    // different boundaries and the offsets lie. localCheckpoint(eager)
+    // pins ONE materialization (the Dedup.Checkpointer discipline).
+    val parted = df.repartitionByRange(numRanges, keys: _*)
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2).zip(counts.map(_._1))
+      .map { case (off, pid) => (pid, off) }
+    val offDf = org.apache.spark.sql.functions.broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq)
+        .toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(keys: _*)
+    parted.join(offDf, Seq("__pid"))
+      .withColumn(idName,
+        (col("__off") + row_number().over(w) - 1L).cast("long"))
+      .drop("__pid", "__off")
   }
 }

@@ -45,6 +45,28 @@ class LayoutExtensionsSpec extends SparkSpec {
     assert(partial.count() == 1)
   }
 
+  test("assignDenseIds equals global row_number without a global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 5000).map(i => (i.toLong, rnd.nextInt(1000)))
+    val df = rows.toDF("k", "v").repartition(13) // scrambled input layout
+    val out = graft.sources.Layout.assignDenseIds(df, Seq("v", "k"),
+      numRanges = 8)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val want = rows.sortBy { case (k, v) => (v, k) }.zipWithIndex
+      .map { case ((k, v), i) => (k, v) -> i.toLong }.toMap
+    assert(got == want)
+    // the plan must not contain a single-partition (empty-key) window —
+    // every WindowExec partitions on __pid
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      "windowspecdefinition\\(__pid".r.findFirstIn(plan.toLowerCase).isDefined ||
+      plan.contains("__pid"), s"global window suspected:\n$plan")
+    // ids are dense 0..n-1 by construction
+    assert(got.values.toSeq.sorted == (0L until 5000L))
+  }
+
   test("GraftExtensions registers vec_dot/vec_cosine for SQL") {
     // getOrCreate() returns the shared test session (no extensions) unless
     // the active/default session is cleared first; the new session reuses
