@@ -1803,6 +1803,34 @@ object PipelineQueries {
         .orderBy("check", "column")
     }),
 
+    // ROUND-10 CURATION COMPOSITE (the q100/q172/q180 discipline applied
+    // to this round's operators): blocklist gate (flag == 0 survivors) →
+    // token-window chunking → exact chunk dedup (portable fingerprint,
+    // keep-first by (doc_id, chunk_id)) → dense chunk ids — one oracled
+    // chain pinning the interfaces between Blocklist.flag,
+    // Sampling.chunkByTokens, keep-first dedup, and
+    // Layout.assignDenseIds as a UNIT, not pairwise.
+    "q195_curation_composite" -> ((s, d) => {
+      val gateTerms = Seq("batch batch", "slow join", "window window",
+        "customer data")
+      val survivors = graft.operators.Blocklist.flag(
+          Tables.documents(s, d).select("doc_id", "text"), "text", gateTerms)
+        .filter(col("n_blocked_hits") === 0L)
+        .select("doc_id", "text")
+      val chunks = Sampling.chunkByTokens(survivors, "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .withColumn("fp", TextFunctions.portableFingerprint(col("chunk_text")))
+      val kept = chunks
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")
+            .orderBy("doc_id", "chunk_id")))
+        .filter(col("__rk") === 1).drop("__rk")
+      graft.sources.Layout.assignDenseIds(
+          kept.select("doc_id", "chunk_id", "n_tokens", "fp"),
+          Seq("doc_id", "chunk_id"), numRanges = 16)
+        .orderBy("row_id")
+    }),
+
     // COLUMN PROFILE (Checks.profile — the catalog/discovery companion):
     // per-column nulls + exact distinct cardinality for every lineitem
     // column in one aggregation pass (multi-countDistinct plans as one
@@ -5026,6 +5054,49 @@ object PipelineQueries {
          CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
            AS pass
        FROM rep ORDER BY chk, col""",
+
+    // Every stage is a previously-oracled construction composed: the
+    // blocklist position scan (q184), the chunk slicing (q189), the
+    // portable fingerprint (q64), keep-first (q60), and the global
+    // row_number the engine's dense-id operator refuses to plan (q194).
+    "q195_curation_composite" -> s"""WITH
+       t AS (SELECT unnest(['batch batch', 'slow join', 'window window',
+         'customer data']) AS term),
+       d AS (SELECT doc_id, text,
+           ' ' || ${normSql("text")} || ' ' AS px
+         FROM documents),
+       flagged AS (
+         SELECT DISTINCT d.doc_id
+         FROM d, t,
+           LATERAL (SELECT unnest(range(1, len(d.px) + 1)) AS p) AS gs
+         WHERE substr(d.px, CAST(gs.p AS INTEGER),
+             len(' ' || t.term || ' ')) = ' ' || t.term || ' '),
+       surv AS (
+         SELECT doc_id, text FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       ws AS (SELECT doc_id, list_filter(
+           regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0) AS ws
+         FROM surv),
+       nn AS (SELECT doc_id, ws, len(ws) AS n FROM ws WHERE len(ws) > 0),
+       ch AS (SELECT doc_id, ws, n,
+           unnest(list_filter(range(0, n, 24),
+             s -> s = 0 OR s - 24 + 32 < n)) AS s
+         FROM nn),
+       fp AS (
+         SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+           CAST(least(32, n - s) AS BIGINT) AS n_tokens,
+           ${pHash60("array_to_string(ws[s+1 : least(s + 32, n)], ' ')")}
+             AS fp
+         FROM ch),
+       kept AS (
+         SELECT doc_id, chunk_id, n_tokens, fp FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY fp ORDER BY doc_id, chunk_id) AS rk
+           FROM fp) WHERE rk = 1)
+       SELECT doc_id, chunk_id, n_tokens, fp,
+         CAST(row_number() OVER (ORDER BY doc_id, chunk_id) - 1 AS BIGINT)
+           AS row_id
+       FROM kept ORDER BY row_id""",
 
     // One UNION branch per column; dtype literals mirror Spark's
     // simpleString for the parquet-read schema.
