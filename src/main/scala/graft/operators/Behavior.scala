@@ -102,6 +102,119 @@ object Behavior {
       .select("from_type", "to_type", "n", "prob_micro")
   }
 
+  /** Ordered-sequence EPISODE extraction (the MATCH_RECOGNIZE / CEP
+    * analogue of [[funnel]]): one output row per final-stage event whose
+    * backward last-occurrence chain completes — the most recent
+    * `stages(k-2)` row before it THAT ITSELF COMPLETES a prefix chain, the
+    * most recent qualifying `stages(k-3)` row before that, …, down to
+    * `stages.head`, all within `windowSec` of the anchor (stage-0)
+    * timestamp. Where [[funnel]] answers "did SOME chain
+    * complete per anchor", this emits the matched rows themselves, plus
+    * `n_blockers` — how many `blocker`-type events sit strictly between
+    * the stage-0 row and the final row (row order), so callers can demand
+    * clean episodes (`n_blockers = 0`) or study interrupted ones.
+    *
+    * Determinism: rows order by `(µs(tsCol), tieCol)` per user, so equal
+    * timestamps cannot flip which occurrence is "most recent"; the blocker
+    * count is a running-sum DIFFERENCE (count at final row minus count
+    * carried from the stage-0 row), never a per-episode range scan.
+    *
+    * Output: `(userCol, <stage>_us … one long column per stage, n_blockers,
+    * carryCols… from the final row)`.
+    *
+    * Scale shape: ONE user-keyed shuffle. The running blocker count and
+    * every per-stage carry column are window expressions over the same
+    * `(user) ordered by (µs, tie)` spec — Catalyst plans them as chained
+    * WindowExecs on one sort, no self-joins, no per-episode scans. Stage k
+    * carries k+2 longs, so state is O(stages²) columns, not O(rows).
+    */
+  def matchEpisodes(events: DataFrame, userCol: String, tsCol: String,
+                    tieCol: String, typeCol: String, stages: Seq[String],
+                    blocker: String, windowSec: Long,
+                    carryCols: Seq[String] = Nil): DataFrame = {
+    require(stages.size >= 2, "an episode needs at least two stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    require(!stages.contains(blocker), "the blocker cannot also be a stage")
+    require(windowSec > 0, "windowSec must be positive")
+    val base = events.select(
+      Seq(col(userCol), unix_micros(col(tsCol)).as("__us"),
+        col(tieCol).as("__tie"), col(typeCol).as("__ty")) ++
+        carryCols.map(col): _*)
+    val ord = Window.partitionBy(userCol).orderBy(col("__us"), col("__tie"))
+    val wInc = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrec = ord.rowsBetween(Window.unboundedPreceding, -1)
+    // every carry for stage i fires under the SAME gate (stage-i row whose
+    // prefix chain is complete), so all carried columns land from one row —
+    // an ungated ignoreNulls `last` could mix the latest stage-i row's own
+    // µs with an EARLIER row's prefix when the latest row has none
+    def carry(gate: org.apache.spark.sql.Column,
+              what: org.apache.spark.sql.Column) =
+      last(when(gate, what), ignoreNulls = true).over(wPrec)
+    // running blocker count, inclusive of the current row (no stage row is
+    // a blocker, so at stage rows inclusive == strictly-before)
+    var df = base.withColumn("__cb",
+      sum(when(col("__ty") === blocker, 1L).otherwise(0L)).over(wInc))
+    // stage 0 carries its own µs + the blocker count as of its row
+    val g0 = col("__ty") === stages(0)
+    df = df
+      .withColumn("__c0_us0", carry(g0, col("__us")))
+      .withColumn("__c0_cb", carry(g0, col("__cb")))
+    // stage i re-carries the whole prefix chain as seen AT its own row —
+    // "most recent stage-i row that itself completes a prefix chain"
+    for (i <- 1 until stages.size - 1) {
+      val gi = col("__ty") === stages(i) && col(s"__c${i - 1}_us0").isNotNull
+      for (j <- 0 until i)
+        df = df.withColumn(s"__c${i}_us$j",
+          carry(gi, col(s"__c${i - 1}_us$j")))
+      df = df
+        .withColumn(s"__c${i}_us$i", carry(gi, col("__us")))
+        .withColumn(s"__c${i}_cb", carry(gi, col(s"__c${i - 1}_cb")))
+    }
+    val k = stages.size
+    val pfx = s"__c${k - 2}"
+    val stageUs = (0 until k - 1).map(j => col(s"${pfx}_us$j")) :+ col("__us")
+    df.filter(col("__ty") === stages.last &&
+        col(s"${pfx}_us0").isNotNull &&
+        col("__us") - col(s"${pfx}_us0") <= lit(windowSec * 1000000L))
+      .select(Seq(col(userCol)) ++
+        stages.zip(stageUs).map { case (st, c) => c.as(s"${st}_us") } ++
+        Seq((col("__cb") - col(s"${pfx}_cb")).as("n_blockers")) ++
+        carryCols.map(col): _*)
+  }
+
+  /** Threshold-crossing BURST detection (the spike/bout-detection shape:
+    * amplitude threshold crossings grouped into bursts by inactivity gap).
+    * A crossing is a row whose value reaches `threshold` while the
+    * previous row's value (per key, ordered by `(µs(tsCol), tieCol)`) was
+    * below it — a key's first row is never a crossing. Crossings closer
+    * than `gapSeconds` chain into one burst ([[Sessionize.byGap]]
+    * gaps-and-islands); one output row per burst:
+    * `(keyCol, burst_id, n_crossings, burst_start, burst_end,
+    * peak_value)` with `peak_value = round(max(value at crossings), 4)`.
+    *
+    * Scale shape: one keyed window pass for the lag + one keyed
+    * sessionization window + one aggregate — all on the same key, one
+    * shuffle; no self-joins, nothing global.
+    */
+  def thresholdBursts(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valueCol: String, threshold: Double,
+                      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+    val crossings = df
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__prev") < threshold &&
+        col(valueCol) >= threshold)
+      .select(col(keyCol), col(tsCol), col(valueCol))
+    Sessionize.byGap(crossings, tsCol, Seq(keyCol), gapSeconds)
+      .groupBy(col(keyCol), col("session_id").as("burst_id"))
+      .agg(count(lit(1)).as("n_crossings"),
+        min(col(tsCol)).as("burst_start"),
+        max(col(tsCol)).as("burst_end"),
+        round(max(col(valueCol)), 4).as("peak_value"))
+  }
+
   /** Daily cohort retention: users cohorted by their FIRST event's date;
     * one row per (cohort_date, day_offset) with the distinct users active
     * that day — offset 0 is the cohort itself, so `active_users =

@@ -558,6 +558,60 @@ object Dedup {
   def ngramJaccard(textA: String, textB: String, n: Int = 3): org.apache.spark.sql.Column =
     jaccard(TextFunctions.shingles(col(textA), n), TextFunctions.shingles(col(textB), n))
 
+  /** SORTED-NEIGHBORHOOD dedup blocking (the merge/purge windowing family —
+    * Hernández & Stolfo, SIGMOD '95): documents sort on a normalized text
+    * prefix; candidate pairs are documents within `window` positions of
+    * each other in that global order, verified by exact n-gram Jaccard.
+    * The complementary blocking strategy to hash-based LSH — it catches
+    * prefix-similar near-dups whose differences fall in the shingle tail,
+    * and its candidate count is EXACTLY `window` per document by
+    * construction (no flood guard needed).
+    *
+    * Scale shape: global positions come from
+    * [[graft.sources.Layout.assignDenseIds]] (range shuffle +
+    * per-partition rank + driver-rolled offsets — NO single-partition
+    * window), the neighbor self-join is an equi-join on `pos div window`
+    * with the right side offered under its own block and the previous one
+    * (every pair within `window` shares exactly one join key, so no
+    * dedup pass), and verification reuses [[withShingles]] + [[jaccard]]
+    * computed per DOC and joined back by id — never per pair.
+    *
+    * Output: `(id_a, id_b, pos_dist, jaccard)` for pairs with
+    * `jaccard >= minJaccard`, `id_a` the position-earlier document.
+    * `minJaccard` must be positive: documents too short to shingle are
+    * absent from the verify table, which is only equivalent to their
+    * jaccard-0 pairs when the gate drops them.
+    */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int, minJaccard: Double,
+                         prefixLen: Int = 24, shingleN: Int = 3,
+                         numRanges: Int = 64): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(minJaccard > 0.0,
+      "minJaccard must be > 0 (shingle-less docs are dropped, not scored 0)")
+    val key = substring(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""), 1, prefixLen)
+    val pos = graft.sources.Layout.assignDenseIds(
+      docs.select(col(idCol), key.as("__snkey")),
+      Seq("__snkey", idCol), idName = "__pos", numRanges = numRanges)
+    val sh = withShingles(docs, idCol, textCol, shingleN)
+    val left = pos.select(col(idCol).as("id_a"), col("__pos").as("__pa"),
+      floor(col("__pos") / lit(window)).as("__blk"))
+    val right = pos.select(col(idCol).as("id_b"), col("__pos").as("__pb"),
+      explode(array(floor(col("__pos") / lit(window)),
+        floor(col("__pos") / lit(window)) - 1)).as("__blk"))
+    left.join(right, Seq("__blk"))
+      .filter((col("__pb") - col("__pa")).between(1, window))
+      .join(sh.select(col(idCol).as("id_a"), col("shingles").as("__sha")),
+        Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingles").as("__shb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__pb") - col("__pa")).as("pos_dist"),
+        round(jaccard(col("__sha"), col("__shb")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Lineage-cut strategy for the iterative propagation in
     * [[connectedComponents]] / [[mergeComponents]]. Each round's plan must
     * be truncated or it doubles every iteration; WHERE the cut materializes

@@ -115,6 +115,21 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SORTED-NEIGHBORHOOD blocking (merge/purge windowing) — the
+    // complementary candidate-generation family to q65's LSH: global
+    // positions on a normalized 24-char prefix key via assignDenseIds (range
+    // shuffle + rank, NO single-partition window), neighbor pairs within 10
+    // positions by a `pos div w` equi-join, trigram-Jaccard verification
+    // per doc (q67 semantics). Finds the corpus's planted near-dups
+    // because edits beyond the prefix leave neighbors adjacent.
+    "q198_sorted_neighborhood" -> ((s, d) => {
+      Dedup.sortedNeighborhood(
+          Tables.documents(s, d).select("doc_id", "text"),
+          "doc_id", "text", window = 10, minJaccard = 0.05,
+          prefixLen = 24, numRanges = 16)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Brute-force cosine scores, query side broadcast (correctness baseline
     // for ANN): scores of 5 query vectors against the whole corpus.
     "q68_cosine_scores" -> ((s, d) => {
@@ -2699,6 +2714,40 @@ object PipelineQueries {
        FROM grams a JOIN grams b ON a.doc_id < b.doc_id,
          LATERAL (SELECT list_concat(a.g, b.g) AS g_union)
        ORDER BY id_a, id_b""",
+    // independent mechanics: a global row_number over the same
+    // (prefix-key, id) order replaces the engine's range-partitioned dense
+    // ids; same trigram-Jaccard arithmetic as q67
+    "q198_sorted_neighborhood" ->
+      """WITH norm AS (
+         SELECT doc_id, text,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+             AS k
+         FROM documents),
+       pos AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS p
+               FROM norm),
+       words AS (
+         SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+       grams AS (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' '))) AS g
+         FROM words),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(b.p - a.p AS BIGINT) AS pos_dist
+         FROM pos a JOIN pos b ON b.p - a.p BETWEEN 1 AND 10),
+       scored AS (
+         SELECT p.id_a, p.id_b, p.pos_dist,
+           round(CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+             THEN CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                  / len(list_distinct(list_concat(ga.g, gb.g)))
+             ELSE 0.0 END, 4) AS jaccard
+         FROM pairs p JOIN grams ga ON ga.doc_id = p.id_a
+           JOIN grams gb ON gb.doc_id = p.id_b)
+       SELECT * FROM scored WHERE jaccard >= 0.05 ORDER BY id_a, id_b""",
     "q70_ann_lsh" ->
       s"""WITH params AS (
          SELECT least(24, greatest(8,

@@ -345,7 +345,7 @@ object SystemQueries {
     // a SPARSE raw-zstd store whose chunk file 2 is deleted after writing —
     // its rows 128..191 must come back as fill_value (0) scaled to −1000,
     // putting the absent-chunk fill contract itself into the oracle hash.
-    "q180_zarr_blosc" -> ((s, _) => {
+    "q199_zarr_blosc" -> ((s, _) => {
       val data = Array.tabulate(300, 4)((r, c) => ((r * 37 + c * 17) % 4096).toDouble)
       val base = java.nio.file.Files.createTempDirectory("graft-zarr-q180")
       def store(name: String, dtype: String, chunkRows: Int, comp: String) = {
@@ -892,7 +892,7 @@ object SystemQueries {
          ((r * 31 + 26) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch2,
          ((r * 31 + 39) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch3
        FROM generate_series(0, 199) AS t(r) ORDER BY row_index""",
-    "q180_zarr_blosc" ->
+    "q199_zarr_blosc" ->
       """SELECT codec, CAST(r AS BIGINT) AS row_index,
          CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
            ELSE ((r * 37 +  0) % 4096) * (0.25::DOUBLE) - 1000.0 END AS ch0,

@@ -261,6 +261,34 @@ object WindowQueries {
     // the contract; the cross-wave brackets (state sample ↔ first wave-2
     // sample) are exactly the rows that break if the state plumbing is
     // wrong.
+    // Ordered-sequence EPISODE extraction (the MATCH_RECOGNIZE/CEP row-
+    // emitting cousin of q32's funnel): every purchase whose backward
+    // last-occurrence chain purchase→click→view completes within 24 h of
+    // the view, with the count of error events strictly between the view
+    // and the purchase (running-sum difference — no per-episode scan).
+    // One user-keyed shuffle; the carries are chained window expressions
+    // over one sort.
+    "q196_match_episodes" -> ((s, d) => {
+      graft.operators.Behavior.matchEpisodes(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"), blocker = "error",
+          windowSec = 24L * 3600L, carryCols = Seq("event_id"))
+        .withColumnRenamed("event_id", "purchase_event_id")
+        .orderBy("user_id", "purchase_us", "purchase_event_id")
+    }),
+
+    // Threshold-crossing BURST detection (the spike/bout-detection shape
+    // over an irregular signal): upward crossings of value ≥ 15 per user,
+    // crossings within 6 h of each other chained into one burst; per-burst
+    // count/extent/peak. One keyed shuffle end-to-end (lag + gaps-and-
+    // islands + aggregate all on user_id).
+    "q197_threshold_bursts" -> ((s, d) => {
+      graft.operators.Behavior.thresholdBursts(Tables.events(s, d),
+          "user_id", "ts", "event_id", "value", threshold = 15.0,
+          gapSeconds = 6L * 3600L)
+        .orderBy("user_id", "burst_id")
+    }),
+
     "q183_resample_from_drain" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val ev = Tables.events(s, d).select("event_type", "ts", "value")
@@ -311,6 +339,64 @@ object WindowQueries {
          CAST(100 * sum(CASE WHEN ok THEN 1 ELSE 0 END) // count(*)
            AS BIGINT) AS conversion_pct
        FROM done GROUP BY user_id ORDER BY user_id""",
+    // Mirror of the engine's gated backward-carry formulation: the same
+    // running blocker count and per-stage last_value carries (each gated
+    // on prefix completeness so all columns land from ONE row), so any
+    // divergence in tie-handling or gating shows as a hash mismatch.
+    "q196_match_episodes" -> s"""$EV,
+       base AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                FROM ev),
+       cb AS (SELECT *, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+         FROM base),
+       c0 AS (SELECT *,
+           last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+             OVER wp AS c0_us0,
+           last_value(CASE WHEN event_type = 'view' THEN cb END IGNORE NULLS)
+             OVER wp AS c0_cb
+         FROM cb WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       c1 AS (SELECT *,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN c0_us0 END IGNORE NULLS) OVER wp AS c1_us0,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN us END IGNORE NULLS) OVER wp AS c1_us1,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN c0_cb END IGNORE NULLS) OVER wp AS c1_cb
+         FROM c0 WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       SELECT user_id, c1_us0 AS view_us, c1_us1 AS click_us,
+         us AS purchase_us, CAST(cb - c1_cb AS BIGINT) AS n_blockers,
+         event_id AS purchase_event_id
+       FROM c1
+       WHERE event_type = 'purchase' AND c1_us0 IS NOT NULL
+         AND us - c1_us0 <= 86400000000
+       ORDER BY user_id, purchase_us, purchase_event_id""",
+    "q197_threshold_bursts" -> s"""$EV,
+       base AS (SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+                FROM ev),
+       cr AS (SELECT user_id, ts, us, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             AS prev
+         FROM base),
+       x AS (SELECT user_id, ts, us, value FROM cr
+             WHERE prev IS NOT NULL AND prev < 15.0 AND value >= 15.0),
+       flagged AS (SELECT *,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 21600000000
+                THEN 1 ELSE 0 END AS ns
+         FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sess AS (SELECT *,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             AS BIGINT) AS burst_id
+         FROM flagged)
+       SELECT user_id, burst_id, CAST(count(*) AS BIGINT) AS n_crossings,
+         min(ts) AS burst_start, max(ts) AS burst_end,
+         round(max(value), 4) AS peak_value
+       FROM sess GROUP BY user_id, burst_id
+       ORDER BY user_id, burst_id""",
     "q36_user_entropy" -> s"""$EV,
        c AS (
          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
