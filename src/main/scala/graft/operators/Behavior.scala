@@ -215,6 +215,41 @@ object Behavior {
         round(max(col(valueCol)), 4).as("peak_value"))
   }
 
+  /** One-sided CUSUM change detection (Page 1954) per key: the running
+    * statistic `S_i = max(0, S_{i-1} + (x_i - drift))` with an alarm
+    * wherever `S_i >= threshold` — the standard sequential detector for a
+    * sustained upward mean shift (the reference's QC concern: a camera
+    * dropping frames, a sensor drifting hot — `aeon/dj_pipeline/qc.py`
+    * flags exactly such sustained deviations).
+    *
+    * The recursion is NOT computed sequentially: `S_i` has the closed form
+    * `P_i - min(0, min_{j<=i} P_j)` where `P` is the plain prefix sum of
+    * `(x - drift)` — so the whole detector is two running-window
+    * aggregates over ONE keyed sort (prefix sum + running min), fully
+    * codegen'd, one shuffle, no per-key sequential state anywhere.
+    * CusumSpec pins the identity against the literal fold.
+    *
+    * All arithmetic is exact longs: `valueMicro` is the signal in integer
+    * micros (callers snap doubles with `floor(value*1e6)`), `driftMicro` /
+    * `thresholdMicro` likewise. Output: every input row (keyCol, tsCol,
+    * tieCol order) with `s_micro` and `alarm`; callers filter `alarm` for
+    * changepoints.
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+            valueMicroCol: String, driftMicro: Long,
+            thresholdMicro: Long): DataFrame = {
+    require(thresholdMicro > 0, "thresholdMicro must be positive")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__d", col(valueMicroCol) - lit(driftMicro))
+      .withColumn("__p", sum(col("__d")).over(w))
+      .withColumn("__m", min(col("__p")).over(w))
+      .withColumn("s_micro", col("__p") - least(lit(0L), col("__m")))
+      .withColumn("alarm", col("s_micro") >= lit(thresholdMicro))
+      .drop("__d", "__p", "__m")
+  }
+
   /** Daily cohort retention: users cohorted by their FIRST event's date;
     * one row per (cohort_date, day_offset) with the distinct users active
     * that day — offset 0 is the cohort itself, so `active_users =

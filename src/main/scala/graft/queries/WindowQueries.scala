@@ -289,6 +289,51 @@ object WindowQueries {
         .orderBy("user_id", "burst_id")
     }),
 
+    // Interval-set UNION (coalesce): view events open half-open validity
+    // spans of `value` hours; overlapping/touching spans per user merge
+    // into maximal intervals (gaps-and-islands on running max(end) — one
+    // keyed shuffle, no self-join, cost independent of overlap depth).
+    "q200_interval_union" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .filter(col("event_type") === "view" && col("value") > 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 3600).cast("long") * 1000000L).as("e_us"))
+      graft.operators.Intervals.merge(iv, Seq("user_id"), "s_us", "e_us")
+        .orderBy("user_id", "interval_id")
+    }),
+
+    // Interval-set INTERSECTION: spans where a view validity interval AND
+    // a click validity interval are simultaneously active, per user — the
+    // ±1 delta sweep (two running sums over one keyed sort), with adjacent
+    // live slices coalesced. The SET-algebra complement to J4's pairing
+    // interval join.
+    "q201_interval_intersect" -> ((s, d) => {
+      def iv(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t && col("value") > 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 3600).cast("long") * 1000000L).as("e_us"))
+      graft.operators.Intervals.intersect(iv("view"), iv("click"),
+          Seq("user_id"), "s_us", "e_us")
+        .orderBy("user_id", "interval_id")
+    }),
+
+    // One-sided CUSUM changepoint alarms (Page's sequential detector for a
+    // sustained upward mean shift), drift 55.0, threshold 200.0, exact
+    // integer micros: the per-key recursion computed via its closed form
+    // (prefix sum minus clamped running min) — two running windows over
+    // one keyed sort, no sequential state.
+    "q202_cusum_alarms" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+      graft.operators.Behavior.cusum(ev, "user_id", "ts", "event_id", "vm",
+          driftMicro = 55000000L, thresholdMicro = 200000000L)
+        .filter(col("alarm"))
+        .select("user_id", "ts", "event_id", "s_micro")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     "q183_resample_from_drain" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val ev = Tables.events(s, d).select("event_type", "ts", "value")
@@ -397,6 +442,77 @@ object WindowQueries {
          round(max(value), 4) AS peak_value
        FROM sess GROUP BY user_id, burst_id
        ORDER BY user_id, burst_id""",
+    // Same gaps-and-islands formulation (running max(end) over preceding
+    // rows); half-open semantics live in the strict `s > pmax` comparison.
+    "q200_interval_union" -> s"""$EV,
+       iv AS (SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value*3600) AS BIGINT)*1000000 AS e
+         FROM ev WHERE event_type = 'view' AND value > 0),
+       m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+       f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+           AS nw FROM m),
+       g AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS gid
+         FROM f)
+       SELECT user_id, CAST(gid AS BIGINT) AS interval_id, min(s) AS start_us,
+         max(e) AS end_us, CAST(count(*) AS BIGINT) AS n_merged
+       FROM g GROUP BY user_id, gid ORDER BY user_id, interval_id""",
+    // The identical delta sweep: per-(user, t) aggregated ±1 deltas, two
+    // running sums, live slices [t, next_t) where both sides are active,
+    // then the union-merge pass to coalesce adjacent slices.
+    "q201_interval_intersect" -> s"""$EV,
+       a AS (SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value*3600) AS BIGINT)*1000000 AS e
+         FROM ev WHERE event_type = 'view' AND value > 0),
+       b AS (SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value*3600) AS BIGINT)*1000000 AS e
+         FROM ev WHERE event_type = 'click' AND value > 0),
+       d AS (
+         SELECT user_id, s AS t, 1 AS da, 0 AS db FROM a
+         UNION ALL SELECT user_id, e, -1, 0 FROM a
+         UNION ALL SELECT user_id, s, 0, 1 FROM b
+         UNION ALL SELECT user_id, e, 0, -1 FROM b),
+       g AS (SELECT user_id, t, sum(da) AS da, sum(db) AS db
+             FROM d GROUP BY 1, 2),
+       sw AS (SELECT *,
+           sum(da) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS aa,
+           sum(db) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ab,
+           lead(t) OVER (PARTITION BY user_id ORDER BY t) AS nt
+         FROM g),
+       seg AS (SELECT user_id, t AS s, nt AS e FROM sw
+               WHERE nt IS NOT NULL AND aa > 0 AND ab > 0),
+       m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         FROM seg),
+       f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+           AS nw FROM m),
+       gg AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS gid
+         FROM f)
+       SELECT user_id, CAST(gid AS BIGINT) AS interval_id,
+         min(s) AS start_us, max(e) AS end_us
+       FROM gg GROUP BY user_id, gid ORDER BY user_id, interval_id""",
+    // Same closed form (S = P - min(0, running_min(P))) replayed window
+    // for window, all integer micros.
+    "q202_cusum_alarms" -> s"""$EV,
+       b AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           CAST(floor(value*1000000) AS BIGINT) - 55000000 AS d
+         FROM ev),
+       p AS (SELECT *, sum(d) OVER (PARTITION BY user_id
+           ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+         FROM b),
+       m AS (SELECT *, min(pf) OVER (PARTITION BY user_id
+           ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+         FROM p)
+       SELECT user_id, ts, event_id,
+         CAST(pf - least(0, mn) AS BIGINT) AS s_micro
+       FROM m WHERE pf - least(0, mn) >= 200000000
+       ORDER BY user_id, ts, event_id""",
     "q36_user_entropy" -> s"""$EV,
        c AS (
          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
