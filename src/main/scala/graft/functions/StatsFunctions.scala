@@ -52,4 +52,29 @@ object StatsFunctions {
       regr_intercept(y, x).as("intercept"),
       regr_r2(y, x).as("r2"),
       regr_count(y, x).as("n"))
+
+  /** Rolling OLS trend over a bounded window frame, as the EXACT integer
+    * rational `(num, den, n)` with `slope = num/den`:
+    * `num = n·Σxy − Σx·Σy`, `den = n·Σx² − (Σx)²` — five window sums over
+    * one frame, no floats, so the oracle replays bit-exactly and callers
+    * compare trends without ulp hazards (divide only at the presentation
+    * edge). `x` must be an exact integer position (e.g. the per-key
+    * row_number) and `yMicro` the signal in integer micros; `den = 0` iff
+    * the frame holds a single row.
+    *
+    * The trailing-trend complement to [[regression]] (which fits one model
+    * per GROUP): this fits one model per ROW over its trailing frame —
+    * drift detection on QC signals, the reference's rolling-window
+    * smoothing shape (`aeon/dj_pipeline/tracking.py:319`).
+    */
+  def rollingSlope(x: Column, yMicro: Column,
+                   w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val n = count(yMicro).over(w)
+    val sx = sum(x).over(w)
+    val sy = sum(yMicro).over(w)
+    val sxy = sum(x * yMicro).over(w)
+    val sxx = sum(x * x).over(w)
+    struct((n * sxy - sx * sy).as("num"), (n * sxx - sx * sx).as("den"),
+      n.as("n"))
+  }
 }

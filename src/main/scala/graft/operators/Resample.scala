@@ -114,4 +114,42 @@ object Resample {
               | div (__t1 - __t0) AS BIGINT)""".stripMargin))
           .as("value_micro"))
   }
+
+  /** Aggregating downsampler: per `(key, time bucket)` emit
+    * open/high/low/close/count/sum over an irregular signal — the "bars"
+    * complement to [[linearGrid]]'s interpolating resampler (QC dashboards
+    * and long-horizon signal summaries downsample exactly this way; the
+    * reference's chunk-level summaries are the 1-hour special case).
+    *
+    * Open/close are the bucket's first/last values in `(µs(tsCol), tieCol)`
+    * order, picked via lexicographic struct min/max INSIDE the aggregate —
+    * no window pass, so the whole operator is one partial-aggregated
+    * keyed shuffle (map-side combine halves what a window-based
+    * formulation would move). Values are exact integer micros
+    * (`valueMicroCol`); `bucketMicros` anchors buckets at the epoch.
+    *
+    * Output: `(keys…, bucket_start_us, open/high/low/close _micro,
+    * n_rows, sum_micro)`.
+    */
+  def ohlcBars(df: DataFrame, keys: Seq[String], tsCol: String,
+               tieCol: String, valueMicroCol: String,
+               bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    require(keys.nonEmpty,
+      "ohlcBars needs grouping keys (bars shuffle on them)")
+    val us = unix_micros(col(tsCol))
+    val tagged = df.withColumn("__bkt",
+        (us - pmod(us, lit(bucketMicros))).as("__bkt"))
+      .withColumn("__ord", struct(us.as("u"), col(tieCol).as("i"),
+        col(valueMicroCol).as("v")))
+    tagged
+      .groupBy(keys.map(col) :+ col("__bkt").as("bucket_start_us"): _*)
+      .agg(
+        min(col("__ord")).getField("v").as("open_micro"),
+        max(col(valueMicroCol)).as("high_micro"),
+        min(col(valueMicroCol)).as("low_micro"),
+        max(col("__ord")).getField("v").as("close_micro"),
+        count(lit(1)).as("n_rows"),
+        sum(col(valueMicroCol)).as("sum_micro"))
+  }
 }

@@ -334,6 +334,37 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // OHLC bar downsampling: per (user, UTC day) open/high/low/close/
+    // count/sum in exact micros — open/close picked by lexicographic
+    // struct min/max INSIDE the aggregate (no window pass), so the whole
+    // operator is one partial-aggregated keyed shuffle.
+    "q203_ohlc_bars" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+      graft.operators.Resample.ohlcBars(ev, Seq("user_id"), "ts",
+          "event_id", "vm", bucketMicros = 86400L * 1000000L)
+        .orderBy("user_id", "bucket_start_us")
+    }),
+
+    // Rolling 20-row OLS trend per user as the exact integer rational
+    // (num, den): five window sums over one trailing frame, zero floats —
+    // slope comparisons without ulp hazards, division deferred to the
+    // presentation edge.
+    "q204_rolling_slope" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val frame = w.rowsBetween(-19, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .withColumn("x", row_number().over(w).cast("long"))
+        .withColumn("__t", StatsFunctions.rollingSlope(col("x"), col("vm"), frame))
+        .filter(col("__t.n") >= 2)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("__t.num").as("slope_num"), col("__t.den").as("slope_den"),
+          col("__t.n").as("n_window"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     "q183_resample_from_drain" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val ev = Tables.events(s, d).select("event_type", "ts", "value")
@@ -513,6 +544,46 @@ object WindowQueries {
          CAST(pf - least(0, mn) AS BIGINT) AS s_micro
        FROM m WHERE pf - least(0, mn) >= 200000000
        ORDER BY user_id, ts, event_id""",
+    // Open/close via first/last row_number flags inside each bucket — an
+    // independent mechanic from the engine's struct-ordering argmin/argmax.
+    "q203_ohlc_bars" -> s"""$EV,
+       b AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(floor(value*1000000) AS BIGINT) AS vm,
+           epoch_us(ts) - epoch_us(ts) % 86400000000 AS bkt
+         FROM ev),
+       r AS (SELECT *,
+           row_number() OVER (PARTITION BY user_id, bkt
+             ORDER BY us, event_id) AS ra,
+           row_number() OVER (PARTITION BY user_id, bkt
+             ORDER BY us DESC, event_id DESC) AS rd
+         FROM b)
+       SELECT user_id, bkt AS bucket_start_us,
+         max(CASE WHEN ra = 1 THEN vm END) AS open_micro,
+         max(vm) AS high_micro, min(vm) AS low_micro,
+         max(CASE WHEN rd = 1 THEN vm END) AS close_micro,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(vm) AS BIGINT) AS sum_micro
+       FROM r GROUP BY user_id, bkt
+       ORDER BY user_id, bucket_start_us""",
+    // Identical five-sum formulation over the same trailing frame.
+    "q204_rolling_slope" -> s"""$EV,
+       b AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+           CAST(floor(value*1000000) AS BIGINT) AS vm
+         FROM ev),
+       x AS (SELECT *, CAST(row_number() OVER
+           (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS x
+         FROM b),
+       s AS (SELECT user_id, ts, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(x) OVER w AS BIGINT) AS sx,
+           CAST(sum(vm) OVER w AS BIGINT) AS sy,
+           CAST(sum(x*vm) OVER w AS BIGINT) AS sxy,
+           CAST(sum(x*x) OVER w AS BIGINT) AS sxx
+         FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
+         n*sxx - sx*sx AS slope_den, n AS n_window
+       FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
     "q36_user_entropy" -> s"""$EV,
        c AS (
          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
