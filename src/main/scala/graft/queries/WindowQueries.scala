@@ -365,6 +365,36 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Streaming/incremental twin of q197's burst detection (the drain
+    // discipline): events land in two chronological waves; bursts chain
+    // across the wave boundary through persisted per-key state, and the
+    // drained table equals the one-shot row-for-row (micros form).
+    "q205_bursts_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .select("user_id", "ts", "event_id", "vm")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-bursts-q205").toString
+      val (src, bursts, state, ckpt) =
+        (root + "/src", root + "/bursts", root + "/state", root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType), StructField("vm", LongType)))
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      ev.filter(col("ts") < pivot).write.mode("append").parquet(src)
+      graft.streaming.StreamingBehavior.burstDrain(s, src, bursts, state,
+        ckpt, "user_id", "ts", "event_id", "vm", schema,
+        thresholdMicro = 15000000L, gapSeconds = 6L * 3600L)
+      ev.filter(col("ts") >= pivot).write.mode("append").parquet(src)
+      graft.streaming.StreamingBehavior.burstDrain(s, src, bursts, state,
+        ckpt, "user_id", "ts", "event_id", "vm", schema,
+        thresholdMicro = 15000000L, gapSeconds = 6L * 3600L)
+      graft.streaming.StreamingBehavior.loadBursts(s, bursts, state)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "burst_id")
+    }),
+
     "q183_resample_from_drain" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val ev = Tables.events(s, d).select("event_type", "ts", "value")
@@ -584,6 +614,34 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // Oracle = the one-shot gaps-and-islands replay in micros (q197's
+    // discipline); the drain's wave split and carried state must land the
+    // identical burst table.
+    "q205_bursts_from_drain" -> s"""$EV,
+       b AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(floor(value*1000000) AS BIGINT) AS vm
+         FROM ev),
+       cr AS (SELECT *, lag(vm) OVER (PARTITION BY user_id
+           ORDER BY us, event_id) AS prev
+         FROM b),
+       x AS (SELECT user_id, us, event_id, vm FROM cr
+             WHERE prev IS NOT NULL AND prev < 15000000
+               AND vm >= 15000000),
+       flagged AS (SELECT *,
+           CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 21600000000
+                THEN 1 ELSE 0 END AS ns
+         FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       sess AS (SELECT *,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             AS BIGINT) AS burst_id
+         FROM flagged)
+       SELECT user_id, burst_id, CAST(count(*) AS BIGINT) AS n_crossings,
+         min(us) AS burst_start_us, max(us) AS burst_end_us,
+         max(vm) AS peak_micro
+       FROM sess GROUP BY user_id, burst_id
+       ORDER BY user_id, burst_id""",
     "q36_user_entropy" -> s"""$EV,
        c AS (
          SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
