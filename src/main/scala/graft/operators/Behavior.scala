@@ -215,6 +215,54 @@ object Behavior {
         round(max(col(valueCol)), 4).as("peak_value"))
   }
 
+  /** Multi-touch conversion attribution over a lookback window (the
+    * marketing-analytics staple): for every conversion event, the FIRST
+    * and LAST touch events within `[conv_us - windowSec, conv_us]` plus
+    * the touch count — first-touch / last-touch / linear credit models all
+    * read off this one row.
+    *
+    * Semantics are RANGE-frame based (per key, ordered by epoch-micros):
+    * peers at the conversion's own timestamp count as touches — a range
+    * frame is tie-order-insensitive, so results are deterministic without
+    * a tie column, and the count and the picked touches see exactly the
+    * same window. First/last picks are lexicographic struct min/max over
+    * `(us, tieCol)` inside the aggregate.
+    *
+    * Output: one row per conversion with ≥1 in-window touch —
+    * `(keyCol, tieCol, conv_us, n_touches, first_touch_type,
+    * first_touch_us, last_touch_type, last_touch_us)`.
+    *
+    * Scale shape: ONE keyed shuffle; three window expressions share the
+    * same range frame over one sort, no joins, no per-conversion scans.
+    */
+  def attribution(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, typeCol: String, touchTypes: Seq[String],
+                  conversionType: String, windowSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(conversionType),
+      "the conversion type cannot also be a touch type")
+    require(windowSec > 0, "windowSec must be positive")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    val touchStruct = when(isTouch, struct(
+      unix_micros(col(tsCol)).as("u"), col(tieCol).as("i"),
+      col(typeCol).as("t")))
+    events
+      .withColumn("__lt", max(touchStruct).over(w))
+      .withColumn("__ft", min(touchStruct).over(w))
+      .withColumn("__nt", sum(isTouch.cast("long")).over(w))
+      .filter(col(typeCol) === conversionType && col("__nt") > 0)
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol)).as("conv_us"),
+        col("__nt").as("n_touches"),
+        col("__ft.t").as("first_touch_type"),
+        col("__ft.u").as("first_touch_us"),
+        col("__lt.t").as("last_touch_type"),
+        col("__lt.u").as("last_touch_us"))
+  }
+
   /** One-sided CUSUM change detection (Page 1954) per key: the running
     * statistic `S_i = max(0, S_{i-1} + (x_i - drift))` with an alarm
     * wherever `S_i >= threshold` — the standard sequential detector for a

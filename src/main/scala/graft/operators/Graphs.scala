@@ -516,4 +516,39 @@ object Graphs {
                      k: Int, rounds: Int): Boolean =
     kCore(edges, srcCol, dstCol, k, rounds)
       .filter(col("deg") < k).isEmpty
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in networks")
+    * as an EXACT integer rational: Pearson correlation of the endpoint
+    * degrees over the symmetrized undirected edge list, reported as
+    * `(n_endpoints, sum_x, sum_xy, sum_xx, r_num, r_den)` with
+    * `r = r_num / r_den` — on the symmetrized list the x- and y-marginals
+    * coincide, so the usual sqrt of a product of variances collapses to
+    * ONE integer denominator and no float ever appears (positive r_num =
+    * assortative/hub-to-hub wiring, negative = disassortative — the
+    * hub-to-leaf shape kNN similarity graphs usually show).
+    *
+    * Scale shape: symmetrize + distinct (one shuffle), a degree aggregate,
+    * two hash joins tagging each endpoint's degree, one global aggregate
+    * row. Self-loops are dropped; multi-edges collapse in the distinct.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
+      .agg(count(lit(1)).as("n_endpoints"), sum(col("x")).as("sum_x"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x") * col("x")).as("sum_xx"))
+      .select(col("n_endpoints"), col("sum_x"), col("sum_xy"), col("sum_xx"),
+        (col("n_endpoints") * col("sum_xy") - col("sum_x") * col("sum_x"))
+          .as("r_num"),
+        (col("n_endpoints") * col("sum_xx") - col("sum_x") * col("sum_x"))
+          .as("r_den"))
+  }
 }

@@ -130,6 +130,36 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ENTITY RESOLUTION composite (the merge/purge endgame): candidates
+    // from BOTH blocking families — MinHash-LSH (q65, content-hash
+    // buckets) ∪ sorted-neighborhood (q198, prefix order) — verified at
+    // jaccard ≥ 0.5, unioned as canonical pairs, resolved to entities by
+    // connected components, each member tagged with its entity id, size,
+    // and canonical flag. Pins the interfaces between the two candidate
+    // generators and the resolver as a UNIT (the q100/q172/q195
+    // discipline); complementary blocking is the standard ER recipe
+    // precisely because each family catches pairs the other misses.
+    "q208_entity_resolution" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val lsh = minhashVerifiedPairs(docs).select("id_a", "id_b")
+      val sn = Dedup.sortedNeighborhood(docs, "doc_id", "text",
+          window = 10, minJaccard = 0.5, prefixLen = 24, numRanges = 16)
+        .select("id_a", "id_b")
+      val pairs = lsh.unionByName(sn)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("cluster", "entity_id")
+      val sizes = comps.groupBy("entity_id")
+        .agg(count(lit(1)).as("n_members"))
+      comps.join(sizes, Seq("entity_id"))
+        .select(col("doc_id"), col("entity_id"), col("n_members"),
+          (col("doc_id") === col("entity_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine scores, query side broadcast (correctness baseline
     // for ANN): scores of 5 query vectors against the whole corpus.
     "q68_cosine_scores" -> ((s, d) => {
@@ -1285,6 +1315,20 @@ object PipelineQueries {
         .orderBy("community")
     }),
 
+    // Degree assortativity of the same kNN similarity graph as ONE exact
+    // integer rational (r = r_num/r_den): on the symmetrized edge list the
+    // x/y marginals coincide, so Pearson's sqrt-of-variances denominator
+    // collapses to a single integer — no float anywhere. Negative r =
+    // the hub-to-leaf wiring typical of similarity kNN graphs.
+    "q207_assortativity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.degreeAssortativity(knn.select(col("query_id").as("src"),
+        col("vec_id").as("dst")), "src", "dst")
+    }),
+
     // Maximal-marginal-relevance selection: the 10-item DIVERSE draw from
     // the 40 embeddings most similar to vec 0 (λ = 70) — coreset picking
     // after retrieval. Greedy rounds are engine-exact (undivided integer
@@ -2438,6 +2482,60 @@ object PipelineQueries {
     "q65_minhash_lsh" ->
       s"""WITH $minhashPairCtesSql
        $minhashPairSelectSql ORDER BY id_a, id_b""",
+    // Both blocking families replayed (the q65 and q198 oracle
+    // constructions verbatim at the shared 0.5 gate), canonical-pair
+    // union, recursive-CTE reachability for the component minima.
+    "q208_entity_resolution" ->
+      s"""WITH RECURSIVE $minhashPairCtesSql,
+       lshp AS ($minhashPairSelectSql),
+       snnorm AS (
+         SELECT doc_id, text,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24)
+             AS k
+         FROM documents),
+       snpos AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS p
+                 FROM snnorm),
+       snwords AS (
+         SELECT doc_id,
+           regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS w
+         FROM documents),
+       sngrams AS (
+         SELECT doc_id,
+           list_distinct(list_transform(generate_series(1, len(w) - 2),
+             i -> array_to_string(w[i:i+2], ' '))) AS g
+         FROM snwords),
+       snpairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM snpos a JOIN snpos b ON b.p - a.p BETWEEN 1 AND 10),
+       snp AS (
+         SELECT id_a, id_b FROM (
+           SELECT p.id_a, p.id_b,
+             round(CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+               THEN CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                    / len(list_distinct(list_concat(ga.g, gb.g)))
+               ELSE 0.0 END, 4) AS jaccard
+           FROM snpairs p JOIN sngrams ga ON ga.doc_id = p.id_a
+             JOIN sngrams gb ON gb.doc_id = p.id_b)
+         WHERE jaccard >= 0.5),
+       allp AS (
+         SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b FROM lshp
+         UNION
+         SELECT least(id_a, id_b), greatest(id_a, id_b) FROM snp),
+       eredges AS (
+         SELECT a, b FROM allp UNION SELECT b, a FROM allp),
+       erreach(n, m) AS (
+         SELECT a, b FROM eredges
+         UNION
+         SELECT r.n, e.b FROM erreach r JOIN eredges e ON r.m = e.a),
+       ercomp AS (
+         SELECT n AS did, least(min(m), n) AS entity FROM erreach GROUP BY n),
+       ersizes AS (SELECT entity, CAST(count(*) AS BIGINT) AS c
+                   FROM ercomp GROUP BY 1)
+       SELECT p.did AS doc_id, p.entity AS entity_id, s.c AS n_members,
+         p.did = p.entity AS is_canonical
+       FROM ercomp p JOIN ersizes s ON s.entity = p.entity
+       ORDER BY doc_id""",
     "q99_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairCtesSql,
        pairs AS ($minhashPairSelectSql),
@@ -3702,6 +3800,25 @@ object PipelineQueries {
       s"""WITH $knnEdgesCtesSql,
        $lpaRoundsCtesSql
        SELECT node, community FROM r4 ORDER BY node""",
+    // Same kNN graph symmetrized; Pearson over endpoint degrees with the
+    // single-integer denominator the symmetric marginals admit.
+    "q207_assortativity" ->
+      s"""WITH $knnEdgesCtesSql,
+       symd AS (
+         SELECT DISTINCT a, b FROM (
+           SELECT src AS a, dst AS b FROM edges
+           UNION ALL SELECT dst, src FROM edges)
+         WHERE a <> b),
+       deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+               FROM symd GROUP BY 1),
+       tag AS (SELECT dx.deg AS x, dy.deg AS y FROM symd u
+         JOIN deg dx ON dx.node = u.a JOIN deg dy ON dy.node = u.b),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*y) AS BIGINT) AS sxy,
+           CAST(sum(x*x) AS BIGINT) AS sxx
+         FROM tag)
+       SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
+         n*sxy - sx*sx AS r_num, n*sxx - sx*sx AS r_den FROM s""",
     // Same LPA partition, then Newman modularity per community in exact
     // integer arithmetic on the micro grid (HUGEINT for the square term —
     // the oracle twin of the engine's DECIMAL(38,0) path).

@@ -365,6 +365,18 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Multi-touch attribution over a 3-day lookback: every purchase with
+    // its first/last touch (view/click/signup) and in-window touch count
+    // — one keyed shuffle, three window expressions on one RANGE frame
+    // (tie-order-insensitive by construction).
+    "q206_attribution" -> ((s, d) => {
+      graft.operators.Behavior.attribution(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type",
+          touchTypes = Seq("view", "click", "signup"),
+          conversionType = "purchase", windowSec = 3L * 86400L)
+        .orderBy("user_id", "conv_us", "event_id")
+    }),
+
     // Streaming/incremental twin of q197's burst detection (the drain
     // discipline): events land in two chronological waves; bursts chain
     // across the wave boundary through persisted per-key state, and the
@@ -614,6 +626,27 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // Same range-frame formulation; struct min/max pick the touches.
+    "q206_attribution" -> s"""$EV,
+       b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           event_type IN ('view','click','signup') AS is_touch
+         FROM ev),
+       w AS (SELECT *,
+           max(CASE WHEN is_touch
+               THEN {'u': us, 'i': event_id, 't': event_type} END)
+             OVER win AS lt,
+           min(CASE WHEN is_touch
+               THEN {'u': us, 'i': event_id, 't': event_type} END)
+             OVER win AS ft,
+           sum(CASE WHEN is_touch THEN 1 ELSE 0 END) OVER win AS nt
+         FROM b WINDOW win AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
+       SELECT user_id, event_id, us AS conv_us,
+         CAST(nt AS BIGINT) AS n_touches,
+         ft.t AS first_touch_type, ft.u AS first_touch_us,
+         lt.t AS last_touch_type, lt.u AS last_touch_us
+       FROM w WHERE event_type = 'purchase' AND nt > 0
+       ORDER BY user_id, conv_us, event_id""",
     // Oracle = the one-shot gaps-and-islands replay in micros (q197's
     // discipline); the drain's wave split and carried state must land the
     // identical burst table.
