@@ -517,6 +517,34 @@ object Graphs {
     kCore(edges, srcCol, dstCol, k, rounds)
       .filter(col("deg") < k).isEmpty
 
+  /** Per-node local clustering coefficient as the exact integer micro
+    * `cc_micro = (2·T(n)·10⁶) div (d(n)·(d(n)−1))` — triangle closure
+    * rate around each node, the standard local-density signal next to
+    * [[triangleCounts]]'s raw counts. Nodes of degree < 2 report 0.
+    *
+    * Scale shape: [[triangleCounts]]'s oriented wedge join (no node ever
+    * enumerates a hub's full neighborhood²) + the degree aggregate + one
+    * left join; all arithmetic BIGINT, division only at the final micro
+    * snap (nonnegative, so floor ≡ truncate on every engine).
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          expr("(2000000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))"))
+          .otherwise(0L).as("cc_micro"))
+  }
+
   /** Degree assortativity (Newman 2002, "Assortative mixing in networks")
     * as an EXACT integer rational: Pearson correlation of the endpoint
     * degrees over the symmetrized undirected edge list, reported as

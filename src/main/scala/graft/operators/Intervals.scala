@@ -117,4 +117,36 @@ object Intervals {
     merge(live, keys, "__seg_s", "__seg_e", gapMicros = 0L)
       .drop("n_merged")
   }
+
+  /** Covered time per `(key, UTC bucket)`: [[merge]] the interval set,
+    * split each merged span across the fixed `bucketMicros` grid, and sum
+    * the per-bucket overlap — "time in ROI per day" and every other
+    * duty-cycle question. Output: `(keys…, bucket_start_us, covered_us)`
+    * with `covered_us` in `(0, bucketMicros]`; buckets with no coverage
+    * are absent.
+    *
+    * Scale shape: the merge passes, then a map-only `sequence()` explode —
+    * a span touching `b` buckets becomes `b` rows, so the explode is
+    * bounded by total covered time over the bucket width, never by
+    * interval count² — and one more keyed aggregate.
+    */
+  def coverageByBucket(df: DataFrame, keys: Seq[String], startCol: String,
+                       endCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val merged = merge(df, keys, startCol, endCol, gapMicros = 0L)
+    merged
+      .withColumn("__b0",
+        col("start_us") - pmod(col("start_us"), lit(bucketMicros)))
+      // end_us is exclusive: a span ending exactly ON a boundary must not
+      // open the next bucket
+      .withColumn("__b1",
+        (col("end_us") - 1L) - pmod(col("end_us") - 1L, lit(bucketMicros)))
+      .withColumn("bucket_start_us",
+        explode(sequence(col("__b0"), col("__b1"), lit(bucketMicros))))
+      .withColumn("__cov",
+        least(col("end_us"), col("bucket_start_us") + bucketMicros) -
+          greatest(col("start_us"), col("bucket_start_us")))
+      .groupBy(keys.map(col) :+ col("bucket_start_us"): _*)
+      .agg(sum(col("__cov")).as("covered_us"))
+  }
 }

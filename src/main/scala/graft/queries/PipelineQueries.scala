@@ -1199,6 +1199,38 @@ object PipelineQueries {
         .orderBy("decile")
     }),
 
+    // RFM customer segmentation (the retail classic): per user with ≥1
+    // purchase, recency (whole days before the corpus frontier), purchase
+    // frequency, and monetary micros; each dimension quartile-coded with
+    // the q169 nearest-rank boundary rule (code = 1 + #bounds ≤ value,
+    // ascending). Boundaries are 3 longs per dimension collected to the
+    // driver — the q169 bounded-collect discipline.
+    "q211_rfm_segments" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val per = ev.filter(col("event_type") === "purchase")
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .groupBy("user_id")
+        .agg(expr(s"($maxUs - max(unix_micros(ts))) div 86400000000")
+            .as("recency_days"),
+          count(lit(1)).as("frequency"), sum(col("vm")).as("monetary_micro"))
+      def bounds(dim: String): Seq[Long] =
+        graft.operators.Robust.nearestRankQuantiles(
+            per.withColumn("__g", lit(1)), Seq("__g"), dim, Seq(25, 50, 75))
+          .orderBy("pct").collect().map(_.getLong(3)).toSeq
+      def code(dim: String, bs: Seq[Long]) =
+        (lit(1) + size(filter(typedlit(bs), b => b <= col(dim)))).cast("long")
+      val (rb, fb, mb) =
+        (bounds("recency_days"), bounds("frequency"), bounds("monetary_micro"))
+      per
+        .withColumn("r_bucket", code("recency_days", rb))
+        .withColumn("f_bucket", code("frequency", fb))
+        .withColumn("m_bucket", code("monetary_micro", mb))
+        .withColumn("rfm_code",
+          col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket"))
+        .orderBy("user_id")
+    }),
+
     // HyperLogLog distinct-count sketch (Flajolet 2007) beside the KMV
     // path: portable-hash ranks from the BINARY-STRING length (no float
     // log), registers merged with plain max, harmonic sum carried as the
@@ -1313,6 +1345,19 @@ object PipelineQueries {
       Graphs.modularityByCommunity(edges, "src", "dst", labels, "node",
           "community")
         .orderBy("community")
+    }),
+
+    // Per-node local clustering coefficient on the same kNN graph —
+    // exact integer micros, degree-<2 nodes report 0; the local-density
+    // companion to q163's raw triangle counts.
+    "q210_clustering_coeff" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.clusteringCoefficient(knn.select(col("query_id").as("src"),
+        col("vec_id").as("dst")), "src", "dst")
+        .orderBy("node")
     }),
 
     // Degree assortativity of the same kNN similarity graph as ONE exact
@@ -3594,6 +3639,51 @@ object PipelineQueries {
        SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
          min(n_chars) AS min_chars, max(n_chars) AS max_chars
        FROM assign GROUP BY decile ORDER BY decile""",
+    // Per-user purchase aggregates + the q169 nearest-rank boundary rule
+    // replayed per dimension.
+    "q211_rfm_segments" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           event_type, value FROM events),
+       anchor AS (SELECT max(epoch_us(ts)) AS mx FROM ev),
+       per AS (
+         SELECT user_id,
+           CAST(((SELECT mx FROM anchor) - max(epoch_us(ts)))
+             // 86400000000 AS BIGINT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CAST(floor(value*1000000) AS BIGINT)) AS BIGINT)
+             AS monetary_micro
+         FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+       rb AS (SELECT p.pct, r.bv FROM (
+           SELECT recency_days AS bv,
+             row_number() OVER (ORDER BY recency_days) AS rn,
+             count(*) OVER () AS n FROM per) r,
+           (SELECT unnest([25,50,75]) AS pct) p
+         WHERE r.rn = greatest(1, (p.pct * r.n + 99) // 100)),
+       fb AS (SELECT p.pct, r.bv FROM (
+           SELECT frequency AS bv,
+             row_number() OVER (ORDER BY frequency) AS rn,
+             count(*) OVER () AS n FROM per) r,
+           (SELECT unnest([25,50,75]) AS pct) p
+         WHERE r.rn = greatest(1, (p.pct * r.n + 99) // 100)),
+       mb AS (SELECT p.pct, r.bv FROM (
+           SELECT monetary_micro AS bv,
+             row_number() OVER (ORDER BY monetary_micro) AS rn,
+             count(*) OVER () AS n FROM per) r,
+           (SELECT unnest([25,50,75]) AS pct) p
+         WHERE r.rn = greatest(1, (p.pct * r.n + 99) // 100)),
+       coded AS (
+         SELECT per.*,
+           CAST(1 + (SELECT count(*) FROM rb WHERE bv <= recency_days)
+             AS BIGINT) AS r_bucket,
+           CAST(1 + (SELECT count(*) FROM fb WHERE bv <= frequency)
+             AS BIGINT) AS f_bucket,
+           CAST(1 + (SELECT count(*) FROM mb WHERE bv <= monetary_micro)
+             AS BIGINT) AS m_bucket
+         FROM per)
+       SELECT user_id, recency_days, frequency, monetary_micro,
+         r_bucket, f_bucket, m_bucket,
+         r_bucket*100 + f_bucket*10 + m_bucket AS rfm_code
+       FROM coded ORDER BY user_id""",
     // Construction replayed: bucket/rank from the portable hash, max
     // registers, exact dyadic sum, same double literals, ln snapped once.
     "q167_hll_distinct" ->
@@ -3753,6 +3843,32 @@ object PipelineQueries {
        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
        GROUP BY node ORDER BY node""",
+    // q163's triangle CTEs + the degree aggregate; // on nonnegative
+    // values ≡ the engine's div.
+    "q210_clustering_coeff" ->
+      s"""WITH $knnEdgesCtesSql,
+       und AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+       deg AS (
+         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         GROUP BY node),
+       tri AS (
+         SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         FROM und e1
+           JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       tcount AS (
+         SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+       SELECT d.node, d.deg, coalesce(t.n_triangles, 0) AS n_triangles,
+         CASE WHEN d.deg >= 2
+           THEN CAST((2000000 * coalesce(t.n_triangles, 0))
+             // (d.deg * (d.deg - 1)) AS BIGINT)
+           ELSE 0 END AS cc_micro
+       FROM deg d LEFT JOIN tcount t ON t.node = d.node
+       ORDER BY d.node""",
     // q69's all-pairs rounded-cosine ranking builds the kNN edges; 3
     // PageRank rounds unrolled, every step BIGINT // division.
     "q157_pagerank_knn" ->

@@ -365,6 +365,21 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Covered time per (user, UTC day) from the q200 interval set — merge,
+    // split each merged span across the day grid (map-only sequence
+    // explode bounded by covered time), sum per-bucket overlap. The
+    // duty-cycle / time-in-ROI shape.
+    "q209_daily_coverage" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .filter(col("event_type") === "view" && col("value") > 0)
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 3600).cast("long") * 1000000L).as("e_us"))
+      graft.operators.Intervals.coverageByBucket(iv, Seq("user_id"),
+          "s_us", "e_us", bucketMicros = 86400L * 1000000L)
+        .orderBy("user_id", "bucket_start_us")
+    }),
+
     // Multi-touch attribution over a 3-day lookback: every purchase with
     // its first/last touch (view/click/signup) and in-window touch count
     // — one keyed shuffle, three window expressions on one RANGE frame
@@ -405,6 +420,37 @@ object WindowQueries {
       graft.streaming.StreamingBehavior.loadBursts(s, bursts, state)
         .withColumnRenamed("key", "user_id")
         .orderBy("user_id", "burst_id")
+    }),
+
+    // Streaming/incremental twin of q202's CUSUM: the closed form's state
+    // is just (prefix sum, prefix min) per key — three carried longs —
+    // so change detection drains waves with O(1) state and never re-reads
+    // the corpus. Oracle = the one-shot closed-form replay.
+    "q212_cusum_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .select("user_id", "ts", "event_id", "vm")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cusum-q212").toString
+      val (src, alarms, state, ckpt) =
+        (root + "/src", root + "/alarms", root + "/state", root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType), StructField("vm", LongType)))
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      ev.filter(col("ts") < pivot).write.mode("append").parquet(src)
+      graft.streaming.StreamingCusum.drain(s, src, alarms, state, ckpt,
+        "user_id", "ts", "event_id", "vm", schema,
+        driftMicro = 55000000L, thresholdMicro = 200000000L)
+      ev.filter(col("ts") >= pivot).write.mode("append").parquet(src)
+      graft.streaming.StreamingCusum.drain(s, src, alarms, state, ckpt,
+        "user_id", "ts", "event_id", "vm", schema,
+        driftMicro = 55000000L, thresholdMicro = 200000000L)
+      graft.streaming.StreamingCusum.loadAlarms(s, alarms)
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("tie", "event_id")
+        .orderBy("user_id", "us", "event_id")
     }),
 
     "q183_resample_from_drain" -> ((s, d) => {
@@ -626,6 +672,32 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // The q200 merge replay, then the same grid split via
+    // generate_series and per-bucket overlap sums.
+    "q209_daily_coverage" -> s"""$EV,
+       iv AS (SELECT user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(value*3600) AS BIGINT)*1000000 AS e
+         FROM ev WHERE event_type = 'view' AND value > 0),
+       m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+       f AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+           AS nw FROM m),
+       g AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS gid
+         FROM f),
+       mg AS (SELECT user_id, min(s) AS s, max(e) AS e
+              FROM g GROUP BY user_id, gid),
+       split AS (
+         SELECT user_id,
+           unnest(generate_series(s - s % 86400000000,
+             (e - 1) - (e - 1) % 86400000000, 86400000000)) AS b,
+           s, e
+         FROM mg)
+       SELECT user_id, b AS bucket_start_us,
+         CAST(sum(least(e, b + 86400000000) - greatest(s, b)) AS BIGINT)
+           AS covered_us
+       FROM split GROUP BY user_id, b
+       ORDER BY user_id, bucket_start_us""",
     // Same range-frame formulation; struct min/max pick the touches.
     "q206_attribution" -> s"""$EV,
        b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -647,6 +719,24 @@ object WindowQueries {
          lt.t AS last_touch_type, lt.u AS last_touch_us
        FROM w WHERE event_type = 'purchase' AND nt > 0
        ORDER BY user_id, conv_us, event_id""",
+    // q202's closed-form replay, emitting epoch-micros — the drain's
+    // carried (pf, mn) state must land identical alarms.
+    "q212_cusum_from_drain" -> s"""$EV,
+       b AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+           CAST(floor(value*1000000) AS BIGINT) - 55000000 AS d
+         FROM ev),
+       p AS (SELECT *, sum(d) OVER (PARTITION BY user_id
+           ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+         FROM b),
+       m AS (SELECT *, min(pf) OVER (PARTITION BY user_id
+           ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+         FROM p)
+       SELECT user_id, us, event_id,
+         CAST(pf - least(0, mn) AS BIGINT) AS s_micro
+       FROM m WHERE pf - least(0, mn) >= 200000000
+       ORDER BY user_id, us, event_id""",
     // Oracle = the one-shot gaps-and-islands replay in micros (q197's
     // discipline); the drain's wave split and carried state must land the
     // identical burst table.

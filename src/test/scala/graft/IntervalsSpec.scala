@@ -100,6 +100,23 @@ class IntervalsSpec extends SparkSpec {
     }
   }
 
+  test("coverageByBucket splits spans on the grid, boundary-end exclusive") {
+    val day = 86400L * 1000000L
+    val iv = Seq(
+      ("a", 0L, day),            // exactly one bucket, ends ON the boundary
+      ("a", day + 100L, day + 300L), // 200 µs inside bucket 1
+      ("b", day / 2, 2L * day + day / 4) // spans three buckets
+    ).toDF("k", "s", "e")
+    val got = graft.operators.Intervals
+      .coverageByBucket(iv, Seq("k"), "s", "e", day)
+      .orderBy("k", "bucket_start_us")
+      .select("k", "bucket_start_us", "covered_us")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, day), ("a", day, 200L),
+      ("b", 0L, day / 2), ("b", day, day), ("b", 2L * day, day / 4)))
+  }
+
   test("cusum closed form equals the literal sequential recursion") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 400).map { i =>
