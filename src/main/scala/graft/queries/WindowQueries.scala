@@ -365,6 +365,44 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Sliding 7-day distinct active users per day WITHOUT a sliding
+    // distinct: each (user, day) pair contributes itself to the 7 window
+    // ends it can satisfy (map-only ×7 explode), dedup, count — bounded
+    // expansion instead of a per-day distinct scan; window ends clipped
+    // to days present in the data.
+    "q213_sliding_active_users" -> ((s, d) => {
+      val day = 86400L * 1000000L
+      val us = unix_micros(col("ts"))
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), (us - pmod(us, lit(day))).as("d"))
+        .distinct()
+      val days = ud.select(col("d").as("b")).distinct()
+      ud.withColumn("b", explode(sequence(col("d"), col("d") + 6L * day,
+          lit(day))))
+        .select("user_id", "b").distinct()
+        .join(days, Seq("b"), "left_semi")
+        .groupBy(col("b").as("window_end_day_us"))
+        .agg(count(lit(1)).as("active_users_7d"))
+        .orderBy("window_end_day_us")
+    }),
+
+    // Top-20 event-type PATHS (consecutive trigrams per user, two lags
+    // over one keyed sort) — the order-2 sequence signal next to q34's
+    // order-1 Markov transitions; ties broken lexicographically so the
+    // global TakeOrderedAndProject is deterministic.
+    "q214_event_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("t0", lag(col("event_type"), 2).over(w))
+        .withColumn("t1", lag(col("event_type"), 1).over(w))
+        .filter(col("t0").isNotNull)
+        .groupBy(col("t0"), col("t1"), col("event_type").as("t2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t0"), col("t1"), col("t2"))
+        .limit(20)
+    }),
+
     // Covered time per (user, UTC day) from the q200 interval set — merge,
     // split each merged span across the day grid (map-only sequence
     // explode bounded by covered time), sum per-bucket overlap. The
@@ -672,6 +710,29 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // Same contribute-to-7-window-ends formulation.
+    "q213_sliding_active_users" -> s"""$EV,
+       ud AS (SELECT DISTINCT user_id,
+           epoch_us(ts) - epoch_us(ts) % 86400000000 AS d
+         FROM ev),
+       days AS (SELECT DISTINCT d FROM ud),
+       x AS (SELECT DISTINCT user_id, d + 86400000000 * i AS b
+             FROM ud, unnest(generate_series(0, 6)) t(i))
+       SELECT b AS window_end_day_us,
+         CAST(count(*) AS BIGINT) AS active_users_7d
+       FROM x JOIN days ON days.d = x.b
+       GROUP BY b ORDER BY window_end_day_us""",
+    // Two lags over the same keyed order; ties resolved by name.
+    "q214_event_trigrams" -> s"""$EV,
+       b AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+         FROM ev),
+       l AS (SELECT user_id, event_type AS t2,
+           lag(event_type, 2) OVER w AS t0, lag(event_type, 1) OVER w AS t1
+         FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       SELECT t0, t1, t2, CAST(count(*) AS BIGINT) AS n
+       FROM l WHERE t0 IS NOT NULL
+       GROUP BY t0, t1, t2
+       ORDER BY n DESC, t0, t1, t2 LIMIT 20""",
     // The q200 merge replay, then the same grid split via
     // generate_series and per-bucket overlap sums.
     "q209_daily_coverage" -> s"""$EV,
