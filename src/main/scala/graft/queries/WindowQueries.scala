@@ -365,6 +365,35 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Sample autocorrelation of each event type's hourly count series at
+    // lags 1–3, as exact integer rationals (num, den_x, den_y) — the
+    // correlogram statistic with every float deferred to the presentation
+    // edge; the regular grid makes the lag join an EQUI join.
+    "q215_acf_hourly" -> ((s, d) => {
+      val series = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("idx"))
+        .agg(count(lit(1)).as("v"))
+      graft.operators.Correlate.autocorr(series, Seq("event_type"),
+          "idx", "v", lags = Seq(1, 2, 3))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Cross-correlation between the view and click hourly count series at
+    // lags −3…3 (one global series pair — presentation-edge scale, the
+    // constant key is explicit).
+    "q216_crosscorr_hourly" -> ((s, d) => {
+      def series(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("idx"))
+        .agg(count(lit(1)).as("v"))
+        .withColumn("pair", lit("view~click"))
+      graft.operators.Correlate.pearsonAtLags(series("view"),
+          series("click"), Seq("pair"), "idx", "v",
+          lags = Seq(-3, -2, -1, 0, 1, 2, 3))
+        .orderBy("lag")
+    }),
+
     // Sliding 7-day distinct active users per day WITHOUT a sliding
     // distinct: each (user, day) pair contributes itself to the 7 window
     // ends it can satisfy (map-only ×7 explode), dedup, count — bounded
@@ -710,6 +739,43 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // Same overlap-pair sums; // floors match because nothing divides.
+    "q215_acf_hourly" -> s"""$EV,
+       series AS (SELECT event_type, epoch_us(ts) // 3600000000 AS idx,
+           CAST(count(*) AS BIGINT) AS v
+         FROM ev GROUP BY 1, 2),
+       pairs AS (
+         SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+         FROM series a
+           JOIN (SELECT unnest([1, 2, 3]) AS lag) l ON true
+           JOIN series b ON b.event_type = a.event_type
+             AND b.idx = a.idx + l.lag)
+       SELECT event_type, CAST(lag AS BIGINT) AS lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS num,
+         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
+       FROM pairs GROUP BY event_type, lag HAVING count(*) >= 2
+       ORDER BY event_type, lag""",
+    "q216_crosscorr_hourly" -> s"""$EV,
+       sa AS (SELECT epoch_us(ts) // 3600000000 AS idx,
+           CAST(count(*) AS BIGINT) AS v
+         FROM ev WHERE event_type = 'view' GROUP BY 1),
+       sb AS (SELECT epoch_us(ts) // 3600000000 AS idx,
+           CAST(count(*) AS BIGINT) AS v
+         FROM ev WHERE event_type = 'click' GROUP BY 1),
+       pairs AS (
+         SELECT l.lag, a.v AS x, b.v AS y
+         FROM sa a
+           JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) l ON true
+           JOIN sb b ON b.idx = a.idx + l.lag)
+       SELECT 'view~click' AS pair, CAST(lag AS BIGINT) AS lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS num,
+         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
+       FROM pairs GROUP BY lag HAVING count(*) >= 2
+       ORDER BY lag""",
     // Same contribute-to-7-window-ends formulation.
     "q213_sliding_active_users" -> s"""$EV,
        ud AS (SELECT DISTINCT user_id,
