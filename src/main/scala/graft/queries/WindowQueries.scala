@@ -365,6 +365,43 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Peri-event time histogram (the PSTH/PETH — THE alignment analysis of
+    // the reference's domain): error events aligned around each purchase
+    // within ±6 h, counted per 1-h offset bin, rate as exact integer
+    // events-per-1000-triggers. The pair join is the bucketed interval
+    // join (J4) with a same-user equi key — never a time cross join; the
+    // +win shift keeps the bin division on nonnegative values so floor ≡
+    // truncate on every engine.
+    "q217_peth" -> ((s, d) => {
+      val win = 6L * 3600L * 1000000L
+      val binW = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+      val trig = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("trig_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+        .withColumn("w_start", col("t_us") - win)
+        .withColumn("w_end", col("t_us") + win)
+      val obs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("obs_id"), col("user_id"),
+          unix_micros(col("ts")).as("e_us"))
+        .withColumn("e_end", col("e_us"))
+      val nTrig = trig.count() // one driver long — bounded by design
+      IntervalJoin.overlapBucketed(trig, obs, "w_start", "w_end",
+          "e_us", "e_end", bucketWidth = 2 * win,
+          leftKeys = Seq("trig_id"), rightKeys = Seq("obs_id"),
+          equiKeys = Seq("user_id"))
+        .withColumn("off", col("e_us") - col("t_us"))
+        .filter(col("off") >= -win && col("off") < win)
+        .withColumn("bin",
+          expr(s"(off + $win) div $binW") - lit(win / binW))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("n_triggers", lit(nTrig))
+        .withColumn("events_per_ktrigger",
+          expr("(1000 * n_events) div n_triggers"))
+        .orderBy("bin")
+    }),
+
     // Sample autocorrelation of each event type's hourly count series at
     // lags 1–3, as exact integer rationals (num, den_x, den_y) — the
     // correlogram statistic with every float deferred to the presentation
@@ -739,6 +776,25 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // Plain same-user pair join replay (the bucket decomposition is the
+    // engine's scale device, not a semantic); same shifted bin rule.
+    "q217_peth" -> s"""$EV,
+       tr AS (SELECT event_id AS trig_id, user_id, epoch_us(ts) AS t
+              FROM ev WHERE event_type = 'purchase'),
+       ob AS (SELECT event_id AS obs_id, user_id, epoch_us(ts) AS e
+              FROM ev WHERE event_type = 'error'),
+       nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+       pairs AS (
+         SELECT t, e FROM tr JOIN ob USING (user_id)
+         WHERE e - t >= -21600000000 AND e - t < 21600000000),
+       b AS (SELECT ((e - t + 21600000000) // 3600000000) - 6 AS bin
+             FROM pairs)
+       SELECT CAST(bin AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_events,
+         (SELECT n FROM nt) AS n_triggers,
+         CAST((1000 * count(*)) // (SELECT n FROM nt) AS BIGINT)
+           AS events_per_ktrigger
+       FROM b GROUP BY bin ORDER BY bin""",
     // Same overlap-pair sums; // floors match because nothing divides.
     "q215_acf_hourly" -> s"""$EV,
        series AS (SELECT event_type, epoch_us(ts) // 3600000000 AS idx,
