@@ -1347,6 +1347,24 @@ object PipelineQueries {
         .orderBy("community")
     }),
 
+    // Planar radius self-join over the first two embedding dims (integer
+    // micros): grid cells of radius size, right side exploded to its 9
+    // neighbor cells so every pair meets on EXACTLY one cell key (the
+    // sorted-neighborhood trick in 2D — no dedup pass), exact squared
+    // distance verification. The oracle is the BRUTE all-pairs filter —
+    // independent mechanics.
+    "q218_radius_join" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+            .cast("long").as("x"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1000000)
+            .cast("long").as("y"))
+      graft.operators.Spatial.radiusSelfJoin(pts, "vec_id", "x", "y",
+          radiusMicro = 50000L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-node local clustering coefficient on the same kNN graph —
     // exact integer micros, degree-<2 nodes report 0; the local-density
     // companion to q163's raw triangle counts.
@@ -3843,6 +3861,20 @@ object PipelineQueries {
        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
        GROUP BY node ORDER BY node""",
+    // Brute all-pairs distance filter — the grid decomposition is the
+    // engine's scale device, not a semantic.
+    "q218_radius_join" ->
+      """WITH pts AS (
+         SELECT vec_id,
+           CAST(floor(CAST(embedding AS DOUBLE[])[1]*1000000) AS BIGINT) AS x,
+           CAST(floor(CAST(embedding AS DOUBLE[])[2]*1000000) AS BIGINT) AS y
+         FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+       FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         <= CAST(50000 AS BIGINT) * 50000
+       ORDER BY id_a, id_b""",
     // q163's triangle CTEs + the degree aggregate; // on nonnegative
     // values ≡ the engine's div.
     "q210_clustering_coeff" ->

@@ -365,6 +365,38 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Market-basket association over 30-min sessions: for every unordered
+    // event-type pair, co-occurrence support and LIFT as an exact integer
+    // micro (lift = n_ab·N / (n_a·n_b)) — the association-rules family on
+    // q25's sessionization; the pair join is per-session over the DISTINCT
+    // type set, so expansion is bounded by the type vocabulary², never by
+    // event volume.
+    "q219_market_basket" -> ((s, d) => {
+      val m = Sessionize.byGap(Tables.events(s, d), "ts", Seq("user_id"),
+          gapSeconds = 1800)
+        .select("user_id", "session_id", "event_type").distinct()
+      val nSessions = m.select("user_id", "session_id").distinct().count()
+      val singles = m.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n_t"))
+      val pairs = m.select(col("user_id"), col("session_id"),
+          col("event_type").as("type_a"))
+        .join(m.select(col("user_id"), col("session_id"),
+          col("event_type").as("type_b")), Seq("user_id", "session_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(singles.select(col("t").as("type_a"), col("n_t").as("n_a")),
+          Seq("type_a"))
+        .join(singles.select(col("t").as("type_b"), col("n_t").as("n_b")),
+          Seq("type_b"))
+        .withColumn("n_sessions", lit(nSessions))
+        .withColumn("lift_micro",
+          expr("(1000000 * n_ab * n_sessions) div (n_a * n_b)"))
+        .select("type_a", "type_b", "n_ab", "n_a", "n_b", "n_sessions",
+          "lift_micro")
+        .orderBy("type_a", "type_b")
+    }),
+
     // Peri-event time histogram (the PSTH/PETH — THE alignment analysis of
     // the reference's domain): error events aligned around each purchase
     // within ±6 h, counted per 1-h offset bin, rate as exact integer
@@ -776,6 +808,35 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // q25's gaps-and-islands replay, then distinct type sets per session
+    // and the same lift arithmetic.
+    "q219_market_basket" -> s"""$EV,
+       st AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM ev),
+       fl AS (SELECT *,
+           CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w
+                  > 1800000000 THEN 1 ELSE 0 END AS ns
+         FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       sess AS (SELECT user_id, event_type,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sid
+         FROM fl),
+       m AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+       nsx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+               (SELECT DISTINCT user_id, sid FROM m)),
+       si AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+              FROM m GROUP BY 1),
+       pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+         FROM m a JOIN m b ON a.user_id = b.user_id AND a.sid = b.sid
+           AND a.event_type < b.event_type
+         GROUP BY 1, 2)
+       SELECT pr.type_a, pr.type_b, pr.n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+         (SELECT n FROM nsx) AS n_sessions,
+         CAST((1000000 * pr.n_ab * (SELECT n FROM nsx))
+           // (sa.n_t * sb.n_t) AS BIGINT) AS lift_micro
+       FROM pr JOIN si sa ON sa.event_type = pr.type_a
+         JOIN si sb ON sb.event_type = pr.type_b
+       ORDER BY type_a, type_b""",
     // Plain same-user pair join replay (the bucket decomposition is the
     // engine's scale device, not a semantic); same shifted bin rule.
     "q217_peth" -> s"""$EV,
