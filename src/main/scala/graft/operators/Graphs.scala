@@ -529,15 +529,20 @@ object Graphs {
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
+    // cut the upstream edge construction ONCE: und feeds the degree
+    // aggregate and all three triangle passes — without the cut an
+    // expensive edge subtree (e.g. a brute kNN) re-plans per consumer
+    // (the q176/pageRank edge-cache lesson; 26 shuffles → 4 on q210)
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("node"), "left")
+    deg.join(triangleCounts(und, "a", "b"), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2,
