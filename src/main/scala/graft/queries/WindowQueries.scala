@@ -365,6 +365,53 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Funnel step drop-off: users reaching each prefix of view → click →
+    // purchase within the q32 window — the step table every funnel chart
+    // renders; three bounded driver counts (one long each), percentages
+    // as integer div of the step-1 base.
+    "q220_funnel_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.filter(col("event_type") === "view")
+        .select("user_id").distinct().count()
+      def reached(steps: Seq[String]) =
+        graft.operators.Behavior.funnel(ev, "user_id", "ts", "event_type",
+            steps, windowSec = 86400L)
+          .filter(col("n_completed") > 0).count()
+      import s.implicits._
+      Seq((1L, "view", base),
+          (2L, "click", reached(Seq("view", "click"))),
+          (3L, "purchase", reached(Seq("view", "click", "purchase"))))
+        .toDF("step", "step_type", "n_users")
+        .withColumn("pct_of_first", expr(s"(100 * n_users) div ${base}L"))
+        .orderBy("step")
+    }),
+
+    // 2×2 chi-square independence test (contains-click? ×
+    // contains-purchase? over 30-min sessions) as an EXACT rational:
+    // χ²·10⁶ = 10⁶·N·(ad−bc)² div ((a+b)(c+d)(a+c)(b+d)) — the numerator
+    // squares overflow BIGINT, so the one statistic runs in
+    // DECIMAL(38,0) and snaps to an integer micro at the end. Session
+    // flags + one aggregate, one row out.
+    "q221_chi_square" -> ((s, d) => {
+      val flags = Sessionize.byGap(Tables.events(s, d), "ts",
+          Seq("user_id"), gapSeconds = 1800)
+        .groupBy("user_id", "session_id")
+        .agg(max((col("event_type") === "click").cast("long")).as("e"),
+          max((col("event_type") === "purchase").cast("long")).as("c"))
+      flags.agg(
+          sum(when(col("e") === 1 && col("c") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("e") === 1 && col("c") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("e") === 0 && col("c") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("e") === 0 && col("c") === 0, 1L).otherwise(0L)).as("d"))
+        .withColumn("n_users", col("a") + col("b") + col("c") + col("d"))
+        .withColumn("chi2_micro", expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * n_users
+            |  * CAST((a*d - b*c) AS DECIMAL(38,0))
+            |  * CAST((a*d - b*c) AS DECIMAL(38,0)))
+            | div (CAST((a+b) AS DECIMAL(38,0)) * (c+d) * (a+c) * (b+d))
+            | AS BIGINT)""".stripMargin))
+    }),
+
     // Market-basket association over 30-min sessions: for every unordered
     // event-type pair, co-occurrence support and LIFT as an exact integer
     // micro (lift = n_ab·N / (n_a·n_b)) — the association-rules family on
@@ -808,6 +855,59 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // q32's EXISTS ordered-chain formulation per prefix.
+    "q220_funnel_steps" -> s"""$EV,
+       us AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM ev),
+       s1 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+              FROM us WHERE event_type = 'view'),
+       r2 AS (SELECT CAST(count(DISTINCT a.user_id) AS BIGINT) AS n
+         FROM us a WHERE a.event_type = 'view' AND EXISTS (
+           SELECT 1 FROM us c WHERE c.user_id = a.user_id
+             AND c.event_type = 'click' AND c.us > a.us
+             AND c.us - a.us <= 86400000000)),
+       r3 AS (SELECT CAST(count(DISTINCT a.user_id) AS BIGINT) AS n
+         FROM us a WHERE a.event_type = 'view' AND EXISTS (
+           SELECT 1 FROM us c, us p WHERE c.user_id = a.user_id
+             AND c.event_type = 'click' AND c.us > a.us
+             AND p.user_id = a.user_id AND p.event_type = 'purchase'
+             AND p.us > c.us AND p.us - a.us <= 86400000000)),
+       steps AS (
+         SELECT 1 AS step, 'view' AS step_type, (SELECT n FROM s1) AS n_users
+         UNION ALL
+         SELECT 2, 'click', (SELECT n FROM r2)
+         UNION ALL
+         SELECT 3, 'purchase', (SELECT n FROM r3))
+       SELECT CAST(step AS BIGINT) AS step, step_type, n_users,
+         CAST((100 * n_users) // (SELECT n FROM s1) AS BIGINT)
+           AS pct_of_first
+       FROM steps ORDER BY step""",
+    // Same session contingency counts; HUGEINT carries the squared term.
+    "q221_chi_square" -> s"""$EV,
+       st AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM ev),
+       fl AS (SELECT *,
+           CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w
+                  > 1800000000 THEN 1 ELSE 0 END AS ns
+         FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       sess AS (SELECT user_id, event_type,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sid
+         FROM fl),
+       f AS (SELECT user_id, sid,
+           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS e,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+         FROM sess GROUP BY user_id, sid),
+       t AS (SELECT
+           CAST(sum(CASE WHEN e = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(sum(CASE WHEN e = 1 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(sum(CASE WHEN e = 0 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN e = 0 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         FROM f)
+       SELECT a, b, c, d, a+b+c+d AS n_users,
+         CAST((CAST(1000000 AS HUGEINT) * (a+b+c+d)
+             * CAST(a*d - b*c AS HUGEINT) * CAST(a*d - b*c AS HUGEINT))
+           // (CAST(a+b AS HUGEINT) * (c+d) * (a+c) * (b+d)) AS BIGINT)
+           AS chi2_micro
+       FROM t""",
     // q25's gaps-and-islands replay, then distinct type sets per session
     // and the same lift arithmetic.
     "q219_market_basket" -> s"""$EV,
