@@ -365,6 +365,29 @@ object WindowQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Cohort LTV curve: users cohorted by first-event day (q33's rule);
+    // cumulative purchase revenue per cohort by age-in-days, exact micros
+    // with the cumulative sum per cohort over one keyed sort — the
+    // revenue companion to q33's retention counts.
+    "q222_cohort_ltv" -> ((s, d) => {
+      val day = 86400000000L
+      val us = unix_micros(col("ts"))
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy("user_id")
+        .agg(expr(s"min(unix_micros(ts)) div $day").as("cohort_day"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $day").as("d"),
+          floor(col("value") * 1000000).cast("long").as("vm"))
+      val byAge = rev.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("age_days"))
+        .agg(sum(col("vm")).as("revenue_micro"))
+      val wc = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byAge
+        .withColumn("cum_revenue_micro", sum(col("revenue_micro")).over(wc))
+        .orderBy("cohort_day", "age_days")
+    }),
+
     // Funnel step drop-off: users reaching each prefix of view → click →
     // purchase within the q32 window — the step table every funnel chart
     // renders; three bounded driver counts (one long each), percentages
@@ -855,6 +878,26 @@ object WindowQueries {
        SELECT user_id, ts, event_id, n*sxy - sx*sy AS slope_num,
          n*sxx - sx*sx AS slope_den, n AS n_window
        FROM s WHERE n >= 2 ORDER BY user_id, ts, event_id""",
+    // Same cohort rule and cumulative replay.
+    "q222_cohort_ltv" -> s"""$EV,
+       cohort AS (SELECT user_id,
+           min(epoch_us(ts)) // 86400000000 AS cohort_day
+         FROM ev GROUP BY user_id),
+       rev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+           CAST(floor(value*1000000) AS BIGINT) AS vm
+         FROM ev WHERE event_type = 'purchase'),
+       byage AS (
+         SELECT c.cohort_day, r.d - c.cohort_day AS age_days,
+           CAST(sum(r.vm) AS BIGINT) AS revenue_micro
+         FROM rev r JOIN cohort c ON c.user_id = r.user_id
+         GROUP BY 1, 2)
+       SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+         CAST(age_days AS BIGINT) AS age_days, revenue_micro,
+         CAST(sum(revenue_micro) OVER (PARTITION BY cohort_day
+           ORDER BY age_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_revenue_micro
+       FROM byage ORDER BY cohort_day, age_days""",
     // q32's EXISTS ordered-chain formulation per prefix.
     "q220_funnel_steps" -> s"""$EV,
        us AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM ev),
