@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * cross-correlation at a fixed lag set, every statistic an exact integer
   * rational (the [[graft.functions.StatsFunctions.rollingSlope]]
   * discipline): Pearson's `r = num / sqrt(den_x · den_y)` reported as the
-  * three integers `(num, den_x, den_y)` with
+  * three exact integers `(num, den_x, den_y)` with
   * `num = n·Σxy − Σx·Σy`, `den_x = n·Σx² − (Σx)²`,
   * `den_y = n·Σy² − (Σy)²` over the lag-overlapped pairs — the sqrt (and
   * any float) deferred to the presentation edge; `sign(r) = sign(num)`
-  * and `r² = num²/(den_x·den_y)` are exact as-is.
+  * and `r² = num²/(den_x·den_y)` are exact as-is. The statistics are
+  * DECIMAL(38,0): the intermediates (and at extreme magnitudes the
+  * outputs) exceed BIGINT long before the data stops being realistic.
   *
   * The reference's analysis layer lives on exactly these statistics
   * (spike-train correlograms, tracking autocorrelation); here they come
@@ -37,24 +39,37 @@ object Correlate {
     require(keys.nonEmpty, "pearsonAtLags needs grouping keys")
     require(lags.nonEmpty, "need at least one lag")
     require(lags.distinct.size == lags.size, "lags must be distinct")
+    // DECIMAL(38,0) end to end (the q221 chi-square / modularity
+    // discipline): with micro-snapped values (~10⁶) over ~10⁶-row series,
+    // Σx² ≈ 10¹⁸ and n·Σx² exceeds 2⁶³ — the BIGINT path wraps silently
+    // (pinned in CorrelateOverflowSpec) even though the FINAL num/den are
+    // small (catastrophic cancellation: den_x = n²·var). 38 digits cover
+    // n·Σx² for any n·x² product under 10³⁸ — beyond Long everywhere the
+    // statistic is still representable at all.
     val left = a.select(keys.map(col) :+ col(idxCol).cast("long").as("__i") :+
-      col(valueCol).cast("long").as("__x"): _*)
+      col(valueCol).cast("decimal(38,0)").as("__x"): _*)
     val right = b.select(keys.map(col) :+ col(idxCol).cast("long").as("__bi") :+
-        col(valueCol).cast("long").as("__y"): _*)
+        col(valueCol).cast("decimal(38,0)").as("__y"): _*)
       .withColumn("lag", explode(typedlit(lags.map(_.toLong))))
       .withColumn("__i", col("__bi") - col("lag"))
       .drop("__bi")
+    val d38 = "decimal(38,0)"
     left.join(right, keys :+ "__i")
       .groupBy(keys.map(col) :+ col("lag"): _*)
-      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"),
-        sum(col("__y") * col("__y")).as("__syy"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).cast(d38).as("__sx"),
+        sum(col("__y")).cast(d38).as("__sy"),
+        sum((col("__x") * col("__y")).cast(d38)).cast(d38).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(d38)).cast(d38).as("__sxx"),
+        sum((col("__y") * col("__y")).cast(d38)).cast(d38).as("__syy"))
       .filter(col("n") >= 2)
       .select(keys.map(col) ++ Seq(col("lag"), col("n"),
-        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("num"),
-        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("den_x"),
-        (col("n") * col("__syy") - col("__sy") * col("__sy")).as("den_y")): _*)
+        (col("n").cast(d38) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(d38).as("num"),
+        (col("n").cast(d38) * col("__sxx") - col("__sx") * col("__sx"))
+          .cast(d38).as("den_x"),
+        (col("n").cast(d38) * col("__syy") - col("__sy") * col("__sy"))
+          .cast(d38).as("den_y")): _*)
   }
 
   /** [[pearsonAtLags]] of a series against itself — the sample ACF. */

@@ -572,16 +572,25 @@ object Graphs {
       .distinct()
     val deg = und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
+    // DECIMAL(38,0) end to end (the q221 chi-square / modularity
+    // discipline): on hub-heavy graphs (deg ~10⁶ over ~10¹² endpoint rows)
+    // Σxy ≈ 10²⁴ — the sums THEMSELVES exceed BIGINT, not just the final
+    // n·Σ products, so the whole statistic is decimal (pinned in
+    // CorrelateOverflowSpec). Exact in parquet; sqrt/division stay at the
+    // presentation edge as before.
+    val d38 = "decimal(38,0)"
     und
       .join(deg.select(col("node").as("a"), col("deg").as("x")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("y")), Seq("b"))
-      .agg(count(lit(1)).as("n_endpoints"), sum(col("x")).as("sum_x"),
-        sum(col("x") * col("y")).as("sum_xy"),
-        sum(col("x") * col("x")).as("sum_xx"))
+      .select(col("x").cast(d38).as("x"), col("y").cast(d38).as("y"))
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum(col("x")).cast(d38).as("sum_x"),
+        sum((col("x") * col("y")).cast(d38)).cast(d38).as("sum_xy"),
+        sum((col("x") * col("x")).cast(d38)).cast(d38).as("sum_xx"))
       .select(col("n_endpoints"), col("sum_x"), col("sum_xy"), col("sum_xx"),
-        (col("n_endpoints") * col("sum_xy") - col("sum_x") * col("sum_x"))
-          .as("r_num"),
-        (col("n_endpoints") * col("sum_xx") - col("sum_x") * col("sum_x"))
-          .as("r_den"))
+        (col("n_endpoints").cast(d38) * col("sum_xy")
+          - col("sum_x") * col("sum_x")).cast(d38).as("r_num"),
+        (col("n_endpoints").cast(d38) * col("sum_xx")
+          - col("sum_x") * col("sum_x")).cast(d38).as("r_den"))
   }
 }

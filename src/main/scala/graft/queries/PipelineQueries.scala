@@ -3962,11 +3962,13 @@ object PipelineQueries {
        tag AS (SELECT dx.deg AS x, dy.deg AS y FROM symd u
          JOIN deg dx ON dx.node = u.a JOIN deg dy ON dy.node = u.b),
        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*y) AS BIGINT) AS sxy,
-           CAST(sum(x*x) AS BIGINT) AS sxx
+           CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+           CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy,
+           CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx
          FROM tag)
        SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
-         n*sxy - sx*sx AS r_num, n*sxx - sx*sx AS r_den FROM s""",
+         CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
+         CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
     // Same LPA partition, then Newman modularity per community in exact
     // integer arithmetic on the micro grid (HUGEINT for the square term —
     // the oracle twin of the engine's DECIMAL(38,0) path).

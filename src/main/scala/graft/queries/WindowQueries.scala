@@ -1012,9 +1012,9 @@ object WindowQueries {
              AND b.idx = a.idx + l.lag)
        SELECT event_type, CAST(lag AS BIGINT) AS lag,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS num,
-         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den_x,
-         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
+         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DECIMAL(38,0)) AS num,
+         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DECIMAL(38,0)) AS den_x,
+         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DECIMAL(38,0)) AS den_y
        FROM pairs GROUP BY event_type, lag HAVING count(*) >= 2
        ORDER BY event_type, lag""",
     "q216_crosscorr_hourly" -> s"""$EV,
@@ -1031,9 +1031,9 @@ object WindowQueries {
            JOIN sb b ON b.idx = a.idx + l.lag)
        SELECT 'view~click' AS pair, CAST(lag AS BIGINT) AS lag,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS num,
-         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den_x,
-         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
+         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DECIMAL(38,0)) AS num,
+         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DECIMAL(38,0)) AS den_x,
+         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DECIMAL(38,0)) AS den_y
        FROM pairs GROUP BY lag HAVING count(*) >= 2
        ORDER BY lag""",
     // Same contribute-to-7-window-ends formulation.
