@@ -340,8 +340,10 @@ object SystemQueries {
     // 64-row chunks), dtype decode, and scaling all participate in the hash.
     // gain 0.25 is a power of two: u16/f4 payloads and the scaling are both
     // exact in doubles, so Spark and DuckDB cannot disagree on an ulp.
-    // Two more slices pin the OTHER real-world store variants (round 10):
-    // numcodecs' raw lz4 codec (size-prefix + block, not a blosc frame), and
+    // Three more slices pin the OTHER real-world store variants: blosc
+    // lz4 + BIT-shuffle (numcodecs shuffle=2, the bit-plane transpose —
+    // round 11), numcodecs' raw lz4 codec (size-prefix + block, not a
+    // blosc frame), and
     // a SPARSE raw-zstd store whose chunk file 2 is deleted after writing —
     // its rows 128..191 must come back as fill_value (0) scaled to −1000,
     // putting the absent-chunk fill contract itself into the oracle hash.
@@ -356,6 +358,7 @@ object SystemQueries {
       }
       val lz4Store = store("lz4", "<u2", 64, "blosc")
       val zstdStore = store("zstd", "<f4", 128, "blosc:zstd")
+      val bitStore = store("bitlz4", "<u2", 64, "blosc:lz4:bit")
       val ncLz4Store = store("nclz4", "<u2", 64, "lz4")
       val ncZstdStore = store("nczstd", "<u2", 64, "zstd")
       for (f <- Seq("2.0", ".2.0.crc")) // sparse: drop chunk 2 (+ sidecar)
@@ -367,6 +370,7 @@ object SystemQueries {
             col("channels")(0).as("ch0"), col("channels")(1).as("ch1"),
             col("channels")(2).as("ch2"), col("channels")(3).as("ch3"))
       slice(lz4Store, "lz4").unionAll(slice(zstdStore, "zstd"))
+        .unionAll(slice(bitStore, "bitlz4"))
         .unionAll(slice(ncLz4Store, "nclz4"))
         .unionAll(slice(ncZstdStore, "nczstd"))
         .orderBy("codec", "row_index")
@@ -903,7 +907,8 @@ object SystemQueries {
          CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
            ELSE ((r * 37 + 51) % 4096) * (0.25::DOUBLE) - 1000.0 END AS ch3
        FROM generate_series(0, 299) AS t(r),
-         (VALUES ('lz4'), ('zstd'), ('nclz4'), ('nczstd')) AS c(codec)
+         (VALUES ('lz4'), ('zstd'), ('bitlz4'), ('nclz4'), ('nczstd'))
+           AS c(codec)
        ORDER BY codec, row_index""",
     "q108_clock_roundtrip" ->
       """WITH src AS (

@@ -43,10 +43,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * before giving up — the inner codecs verify exact output sizes, so a
   * wrong framing cannot decode silently.
   *
-  * Supported inner codecs: lz4/lz4hc, zstd, zlib, snappy. blosclz (c-blosc's
-  * own LZ77, code 0 — NOT zarr-python's default) and bit-shuffle are
-  * rejected with a clear re-encode hint rather than risked on a from-memory
-  * reimplementation.
+  * Supported inner codecs: lz4/lz4hc, zstd, zlib, snappy. Both filters are
+  * implemented: byte-shuffle (`shuffle=1`) and bit-shuffle (`shuffle=2`,
+  * the bit-plane transpose — see [[bitShuffleSlice]]). blosclz (c-blosc's
+  * own LZ77, code 0 — NOT zarr-python's default) is rejected with a clear
+  * re-encode hint rather than risked on a from-memory reimplementation.
   *
   * Scale shape: a blosc frame is one zarr chunk — the store's own
   * memory-bound unit — so [[compress]]/[[decompress]] run inside one task on
@@ -86,9 +87,8 @@ object Blosc {
     require(h.nbytes > 0, s"blosc frame declares nbytes=${h.nbytes}")
     require(h.cbytes == src.length,
       s"blosc frame declares cbytes=${h.cbytes} but holds ${src.length} bytes")
-    require(!h.bitShuffled,
-      "bit-shuffled blosc frame (shuffle=2): only byte-shuffle is " +
-        "supported — re-encode with shuffle=1")
+    require(!(h.shuffled && h.bitShuffled),
+      "blosc frame declares both byte-shuffle and bit-shuffle")
     require(h.codec != CodecBloscLz,
       "blosclz-compressed blosc frame: re-encode with cname lz4/zstd/zlib " +
         "(zarr-python's default is lz4; blosclz is c-blosc's internal codec)")
@@ -137,6 +137,8 @@ object Blosc {
         }
       if (h.shuffled && h.typesize > 1)
         unshuffle(block, h.typesize, out, i * h.blocksize)
+      else if (h.bitShuffled)
+        bitUnshuffle(block, h.typesize, out, i * h.blocksize)
       else System.arraycopy(block, 0, out, i * h.blocksize, bsize)
       i += 1
     }
@@ -190,11 +192,13 @@ object Blosc {
     */
   def compress(raw: Array[Byte], typesize: Int, cname: String = "lz4",
                clevel: Int = 5, shuffle: Boolean = true,
-               blocksize: Int = 0): Array[Byte] = {
+               blocksize: Int = 0, bitShuffle: Boolean = false): Array[Byte] = {
     require(raw.nonEmpty, "cannot blosc-compress an empty buffer")
     require(typesize >= 1 && typesize <= 255,
       s"typesize $typesize out of blosc's 1..255 range")
     require(clevel >= 1 && clevel <= 9, s"clevel $clevel out of 1..9")
+    require(!(shuffle && bitShuffle),
+      "pick byte-shuffle OR bit-shuffle, not both (numcodecs shuffle=1 vs 2)")
     val codec = cname match {
       case "lz4" | "lz4hc" => CodecLz4
       case "snappy" => CodecSnappy
@@ -207,8 +211,12 @@ object Blosc {
     // zarr chunks, which are whole-element by construction) falls back to
     // the unshuffled path rather than a half-shuffled buffer
     val doShuffle = shuffle && typesize > 1 && raw.length % typesize == 0
+    val doBitShuffle = bitShuffle && raw.length % typesize == 0
+    // bit-shuffle transposes 8-element groups, so full blocks stay whole
+    // multiples of 8·typesize (c-blosc rounds its blocksize the same way)
+    val unit = if (doBitShuffle) 8 * typesize else typesize
     val bs0 = if (blocksize > 0) blocksize else 64 * 1024
-    val bs = math.max(typesize, math.min(bs0 - bs0 % typesize, raw.length))
+    val bs = math.max(unit, math.min(bs0 - bs0 % unit, raw.length))
     val nblocks = (raw.length + bs - 1) / bs
 
     val body = new java.io.ByteArrayOutputStream()
@@ -220,6 +228,7 @@ object Blosc {
       val bsize = math.min(bs, raw.length - i * bs)
       val block =
         if (doShuffle) shuffleSlice(raw, i * bs, bsize, typesize)
+        else if (doBitShuffle) bitShuffleSlice(raw, i * bs, bsize, typesize)
         else java.util.Arrays.copyOfRange(raw, i * bs, i * bs + bsize)
       val nsplits = splitCount(codec, doShuffle, typesize, bsize, bsize < bs)
       val neblock = bsize / nsplits
@@ -256,7 +265,8 @@ object Blosc {
       val total = HeaderLen + 4 * nblocks + body.size()
       val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
       writeHeaderBytes(out,
-        flags = (if (doShuffle) FlagShuffle else 0) | (codec << 5), typesize,
+        flags = (if (doShuffle) FlagShuffle else 0) |
+          (if (doBitShuffle) FlagBitShuffle else 0) | (codec << 5), typesize,
         nbytes = raw.length, blocksize = bs, cbytes = total)
       bstarts.foreach(out.putInt)
       out.put(body.toByteArray)
@@ -316,6 +326,78 @@ object Blosc {
     }
     System.arraycopy(block, n * typesize, dst, dstOff + n * typesize,
       len - n * typesize)
+  }
+
+  /** Bit-shuffle (the `shuffle=2` filter — Masui's bitshuffle, the bit-plane
+    * transpose c-blosc composes per block): over the largest multiple-of-8
+    * element prefix, output byte `(t·8 + b)·(n₈/8) + q` packs — at bit j —
+    * bit `b` of byte `t` of element `8q + j`. This is exactly the
+    * composition c-blosc runs (`bshuf_trans_byte_elem` →
+    * `bshuf_trans_bit_byte` → `bshuf_trans_bitrow_eight`,
+    * bitshuffle-generic.c), flattened to one closed-form index map; the
+    * sub-multiple-of-8 element tail and any ragged bytes are copied through
+    * raw (c-blosc's leftover rule). Unlike byte-shuffle, typesize 1 is NOT
+    * the identity — bit-planes of plain bytes are the filter's common case.
+    */
+  private[sources] def bitShuffleSlice(src: Array[Byte], off: Int, len: Int,
+                                       typesize: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    val n8 = (len / typesize) & ~7 // elements in the shuffled prefix
+    val nrow = n8 / 8 // bytes per bit-row
+    var t = 0
+    while (t < typesize) {
+      var b = 0
+      while (b < 8) {
+        val rowBase = (t * 8 + b) * nrow
+        var q = 0
+        while (q < nrow) {
+          var acc = 0
+          var j = 0
+          while (j < 8) {
+            acc |= ((src(off + (8 * q + j) * typesize + t) >> b) & 1) << j
+            j += 1
+          }
+          out(rowBase + q) = acc.toByte
+          q += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    System.arraycopy(src, off + n8 * typesize, out, n8 * typesize,
+      len - n8 * typesize)
+    out
+  }
+
+  /** Inverse of [[bitShuffleSlice]], writing into `dst` at `dstOff`. */
+  private[sources] def bitUnshuffle(block: Array[Byte], typesize: Int,
+                                    dst: Array[Byte], dstOff: Int): Unit = {
+    val len = block.length
+    val n8 = (len / typesize) & ~7
+    val nrow = n8 / 8
+    var t = 0
+    while (t < typesize) {
+      var b = 0
+      while (b < 8) {
+        val rowBase = (t * 8 + b) * nrow
+        var q = 0
+        while (q < nrow) {
+          val v = block(rowBase + q)
+          var j = 0
+          while (j < 8) {
+            val e = 8 * q + j
+            dst(dstOff + e * typesize + t) =
+              (dst(dstOff + e * typesize + t) | (((v >> j) & 1) << b)).toByte
+            j += 1
+          }
+          q += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    System.arraycopy(block, n8 * typesize, dst, dstOff + n8 * typesize,
+      len - n8 * typesize)
   }
 
   // ------------------------------------------------ inner codec dispatch

@@ -20,8 +20,8 @@ import org.apache.spark.sql.types._
   * dtypes, and `null` / `zlib` / `gzip` / `blosc` compressors — blosc
   * (zarr-python's DEFAULT, what real processed ephys stores use) via
   * [[Blosc]], the pure-Scala container codec over Spark's own bundled
-  * lz4/zstd/snappy libraries. Only blosc's `blosclz` cname and bit-shuffle
-  * filter are rejected (with a re-encode hint).
+  * lz4/zstd/snappy libraries, byte- and bit-shuffle filters both. Only
+  * blosc's `blosclz` cname is rejected (with a re-encode hint).
   *
   * Scale shape: ONE task per chunk file. A zarr chunk is the store's own
   * memory bound (the writer sized it to fit in RAM); each task reads and
@@ -87,14 +87,12 @@ object ZarrSource {
       id == "blosc" || id == "zstd" || id == "lz4",
       s"unsupported compressor '$id' (zlib/gzip/blosc/zstd/lz4/null)"))
     if (compId.contains("blosc")) {
-      // fail fast at the header on the two blosc variants the chunk decoder
+      // fail fast at the header on the one blosc variant the chunk decoder
       // would reject anyway (decode itself trusts each chunk's OWN header,
-      // not these advisory fields)
+      // not these advisory fields); byte- AND bit-shuffle both decode
       val cname = comp.path("cname").asText("lz4")
       require(cname != "blosclz",
         "blosc cname 'blosclz' unsupported — re-encode with lz4/zstd/zlib")
-      require(comp.path("shuffle").asInt(1) != 2,
-        "blosc bit-shuffle (shuffle=2) unsupported — re-encode with shuffle=1")
     }
     ZarrMeta(
       shape = root.path("shape").elements().asScala.map(_.asLong()).toSeq,
@@ -384,7 +382,8 @@ object ZarrSource {
     val compJson = compressor match {
       case Some(b) if b.startsWith("blosc") =>
         s"""{"id": "blosc", "cname": "${bloscCname(b)}", "clevel": 5,
-           | "shuffle": 1, "blocksize": 0}""".stripMargin.replace("\n", "")
+           | "shuffle": ${if (bloscBitShuffle(b)) 2 else 1},
+           | "blocksize": 0}""".stripMargin.replace("\n", "")
       // per-id configs match each numcodecs codec's actual kwargs, so
       // zarr-python can open our stores without a config TypeError
       case Some("zstd") => """{"id": "zstd", "level": 3}"""
@@ -403,14 +402,22 @@ object ZarrSource {
   }
 
   /** Writer compressor ids: `zlib`, `gzip`, `blosc` (= lz4 + byte-shuffle,
-    * zarr-python's default), or `blosc:<cname>` for lz4hc/zstd/zlib/snappy
-    * inner codecs.
+    * zarr-python's default), `blosc:<cname>` for lz4hc/zstd/zlib/snappy
+    * inner codecs, or `blosc:<cname>:bit` for the bit-shuffle filter
+    * (numcodecs `shuffle=2`).
     */
   private def bloscCname(id: String): String = id.split(':') match {
     case Array(_) => "lz4"
     case Array(_, c) => c
+    case Array(_, c, "bit") => c
     case _ => throw new IllegalArgumentException(s"compressor id '$id'")
   }
+
+  private def bloscBitShuffle(id: String): Boolean =
+    id.split(':') match {
+      case Array(_, _, "bit") => true
+      case _ => false
+    }
 
   /** Deflate one raw C-order chunk buffer. Fixed settings (zlib level 1
     * matching the reference companion's speed-over-ratio choice; blosc
@@ -424,7 +431,8 @@ object ZarrSource {
     compressor match {
       case None => raw
       case Some(b) if b.startsWith("blosc") =>
-        Blosc.compress(raw, typesize, cname = bloscCname(b))
+        Blosc.compress(raw, typesize, cname = bloscCname(b),
+          shuffle = !bloscBitShuffle(b), bitShuffle = bloscBitShuffle(b))
       case Some("zstd") => com.github.luben.zstd.Zstd.compress(raw, 3)
       case Some("lz4") =>
         // Java impl pinned for cross-executor byte-identity (see Blosc)

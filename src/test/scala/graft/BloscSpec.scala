@@ -53,19 +53,20 @@ class BloscSpec extends SparkSpec {
     assert(frame.length < 8192 + 16, "compressible input actually compressed")
   }
 
-  test("round-trip matrix: codec x typesize x shuffle x block shape") {
+  test("round-trip matrix: codec x typesize x shuffle mode x block shape") {
     val rnd = new Random(42)
     for {
       cname <- Seq("lz4", "lz4hc", "zstd", "zlib", "snappy")
       typesize <- Seq(1, 2, 4, 8)
-      shuffle <- Seq(true, false)
+      mode <- Seq("none", "byte", "bit")
       nElems <- Seq(1, 100, 4096, 40000) // sub-block .. multi-block
     } {
       val raw = ramp(nElems, typesize)
-      val frame = Blosc.compress(raw, typesize, cname, shuffle = shuffle)
+      val frame = Blosc.compress(raw, typesize, cname,
+        shuffle = mode == "byte", bitShuffle = mode == "bit")
       val back = Blosc.decompress(frame)
       assert(back.sameElements(raw),
-        s"round-trip mismatch: $cname ts=$typesize shuffle=$shuffle n=$nElems")
+        s"round-trip mismatch: $cname ts=$typesize mode=$mode n=$nElems")
       assert(Blosc.decompressedSize(frame) == raw.length)
     }
     // small custom blocksizes force many blocks + the ragged last block
@@ -112,13 +113,49 @@ class BloscSpec extends SparkSpec {
     assert(Blosc.decompress(zstdFrame).sameElements(raw))
   }
 
+  test("bit-shuffle filter: golden bit-plane layout per the bitshuffle spec") {
+    // 8 elements of typesize 1, values 0..7, one block, stream stored raw
+    // (csize == neblock). Output byte b packs — at bit j — bit b of element
+    // j: b=0 -> 0xAA (odd j), b=1 -> 0xCC, b=2 -> 0xF0, b>=3 -> 0.
+    val shuffled = Array(0xAA, 0xCC, 0xF0, 0, 0, 0, 0, 0).map(_.toByte)
+    val frame = ByteBuffer.allocate(16 + 4 + 4 + 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    frame.put(2.toByte).put(1.toByte)
+      .put((0x4 | (Blosc.CodecLz4 << 5)).toByte) // bit-shuffle, lz4
+      .put(1.toByte) // typesize
+      .putInt(8).putInt(8).putInt(32) // nbytes, blocksize, cbytes
+      .putInt(20) // block offset
+      .putInt(8) // csize == neblock -> raw stream
+      .put(shuffled)
+    assert(Blosc.decompress(frame.array())
+      .sameElements((0 until 8).map(_.toByte)))
+    // and the forward path round-trips and sets the flag (a compressible
+    // input — 8 raw bytes would fall back to the memcpy frame)
+    val rampBytes = Array.tabulate(4096)(i => (i / 16).toByte)
+    val enc = Blosc.compress(rampBytes, 1, "lz4",
+      shuffle = false, bitShuffle = true)
+    assert((enc(2) & 0x4) != 0 && (enc(2) & 0x1) == 0, "bit-shuffle flag")
+    assert(Blosc.decompress(enc).sameElements(rampBytes))
+    // multi-byte elements: plane-major rows — byte t of the u16 elements
+    // lands in rows 8t..8t+7; spot-check the plane split survives encode
+    val u16 = Array.tabulate(32)(i => Seq((i % 7).toByte, (i / 7).toByte))
+      .flatten.toArray
+    val enc2 = Blosc.compress(u16, 2, "zstd", shuffle = false,
+      bitShuffle = true)
+    assert(Blosc.decompress(enc2).sameElements(u16))
+    // ragged tail: 13 elements of typesize 3 -> 8 shuffled + 5 raw leftover
+    val odd = Array.tabulate(39)(i => (i * 5 % 97).toByte)
+    val enc3 = Blosc.compress(odd, 3, "lz4", shuffle = false,
+      bitShuffle = true)
+    assert(Blosc.decompress(enc3).sameElements(odd))
+  }
+
   test("unsupported variants are rejected loudly, not misdecoded") {
     val ok = Blosc.compress(ramp(256, 2), 2, "lz4")
-    // bit-shuffle flag
+    // both shuffle flags at once is malformed
     val bitShuffled = ok.clone(); bitShuffled(2) = (bitShuffled(2) | 0x4).toByte
     val e1 = intercept[IllegalArgumentException](Blosc.decompress(bitShuffled))
-    assert(e1.getMessage.contains("bit-shuffle") ||
-      e1.getMessage.contains("byte-shuffle"))
+    assert(e1.getMessage.contains("both byte-shuffle and bit-shuffle"))
     // blosclz codec code (0)
     val bloscLz = ok.clone(); bloscLz(2) = (bloscLz(2) & 0x1F).toByte
     val e2 = intercept[IllegalArgumentException](Blosc.decompress(bloscLz))
@@ -169,22 +206,39 @@ class BloscSpec extends SparkSpec {
     }
 
     // a numcodecs-shaped .zarray header (the exact JSON zarr-python emits)
-    // parses, and bit-shuffle / blosclz headers fail fast at the header
+    // parses — byte- OR bit-shuffled — and blosclz fails fast at the header
     val meta = ZarrSource.parseMeta(
       """{"zarr_format": 2, "shape": [300, 4], "chunks": [64, 4],
         | "dtype": "<u2", "order": "C", "fill_value": 0, "filters": null,
         | "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
         | "shuffle": 1, "blocksize": 0}}""".stripMargin)
     assert(meta.compressor.contains("blosc"))
+    val metaBit = ZarrSource.parseMeta(
+      """{"zarr_format": 2, "shape": [8], "chunks": [8], "dtype": "<u2",
+        | "order": "C", "fill_value": 0, "filters": null,
+        | "compressor": {"id": "blosc", "cname": "lz4", "shuffle": 2}}"""
+        .stripMargin)
+    assert(metaBit.compressor.contains("blosc"))
     assert(intercept[IllegalArgumentException](ZarrSource.parseMeta(
       """{"zarr_format": 2, "shape": [8], "chunks": [8], "dtype": "<u2",
         | "order": "C", "fill_value": 0, "filters": null,
         | "compressor": {"id": "blosc", "cname": "blosclz"}}""".stripMargin))
       .getMessage.contains("blosclz"))
-    assert(intercept[IllegalArgumentException](ZarrSource.parseMeta(
-      """{"zarr_format": 2, "shape": [8], "chunks": [8], "dtype": "<u2",
-        | "order": "C", "fill_value": 0, "filters": null,
-        | "compressor": {"id": "blosc", "cname": "lz4", "shuffle": 2}}"""
-        .stripMargin)).getMessage.contains("shuffle"))
+  }
+
+  test("bit-shuffled zarr store round-trips through writer and reader") {
+    val data = Array.tabulate(300, 4)((r, c) => ((r * 41 + c * 11) % 4096).toDouble)
+    val store = Files.createTempDirectory("blosc_zarr_bit").toString + "/a.zarr"
+    ZarrSource.write(spark, store, data, dtype = "<u2", chunkRows = 64,
+      compressor = Some("blosc:lz4:bit"))
+    val zarray = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(store, ".zarray")), "UTF-8")
+    assert(zarray.contains("\"shuffle\": 2"), "header declares shuffle=2")
+    val got = ZarrSource.read(spark, store)
+      .orderBy("row_index")
+      .select("channels").collect().map(_.getSeq[Double](0))
+    assert(got.length == 300)
+    for (r <- 0 until 300; c <- 0 until 4)
+      assert(got(r)(c) == data(r)(c), s"($r,$c)")
   }
 }
