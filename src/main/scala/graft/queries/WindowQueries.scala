@@ -659,6 +659,76 @@ object WindowQueries {
         .orderBy("user_id", "us", "event_id")
     }),
 
+    // Streaming/incremental twin of q196's episode extraction (VERDICT
+    // r10 #5): events land in two chronological waves; the per-user carry
+    // chains — exactly the batch operator's gated last-occurrence state,
+    // O(stages²) longs per key — compose across the wave boundary through
+    // a persisted state row, and the drained table equals the one-shot
+    // row-for-row. Oracle = q196's verbatim; the cross-wave episodes
+    // (view/click in wave 1, purchase in wave 2) are the rows that break
+    // if the carry seeding is wrong.
+    "q223_episodes_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-episodes-q223").toString
+      val (src, out, state, ckpt) =
+        (root + "/src", root + "/episodes", root + "/state", root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      def wave(): Unit =
+        graft.streaming.StreamingEpisodes.episodeDrain(s, src, out, state,
+          ckpt, "user_id", "ts", "event_id", "event_type", schema,
+          stages = Seq("view", "click", "purchase"), blocker = "error",
+          windowSec = 24L * 3600L)
+      ev.filter(col("ts") < pivot).write.mode("append").parquet(src)
+      wave()
+      ev.filter(col("ts") >= pivot).write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingEpisodes.loadEpisodes(s, out)
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("tie", "purchase_event_id")
+        .orderBy("user_id", "purchase_us", "purchase_event_id")
+    }),
+
+    // Streaming/incremental twin of q206's multi-touch attribution
+    // (VERDICT r10 #5): the state is the lookback window itself — per-key
+    // touches within 3 days of the frontier — so cross-wave conversions
+    // (purchase in wave 2 attributed to wave-1 touches) read the buffer,
+    // never the corpus. Oracle = q206's verbatim.
+    "q224_attribution_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d)
+        .select("user_id", "ts", "event_id", "event_type")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-attrib-q224").toString
+      val (src, out, touches, frontier, ckpt) = (root + "/src",
+        root + "/attributed", root + "/touches", root + "/frontier",
+        root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType),
+        StructField("event_type", StringType)))
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      def wave(): Unit =
+        graft.streaming.StreamingAttribution.attributionDrain(s, src, out,
+          touches, frontier, ckpt, "user_id", "ts", "event_id",
+          "event_type", schema, touchTypes = Seq("view", "click", "signup"),
+          conversionType = "purchase", windowSec = 3L * 86400L)
+      ev.filter(col("ts") < pivot).write.mode("append").parquet(src)
+      wave()
+      ev.filter(col("ts") >= pivot).write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingAttribution.loadAttributed(s, out)
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("tie", "event_id")
+        .orderBy("user_id", "conv_us", "event_id")
+    }),
+
     "q183_resample_from_drain" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val ev = Tables.events(s, d).select("event_type", "ts", "value")
@@ -1087,6 +1157,58 @@ object WindowQueries {
        ORDER BY user_id, bucket_start_us""",
     // Same range-frame formulation; struct min/max pick the touches.
     "q206_attribution" -> s"""$EV,
+       b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           event_type IN ('view','click','signup') AS is_touch
+         FROM ev),
+       w AS (SELECT *,
+           max(CASE WHEN is_touch
+               THEN {'u': us, 'i': event_id, 't': event_type} END)
+             OVER win AS lt,
+           min(CASE WHEN is_touch
+               THEN {'u': us, 'i': event_id, 't': event_type} END)
+             OVER win AS ft,
+           sum(CASE WHEN is_touch THEN 1 ELSE 0 END) OVER win AS nt
+         FROM b WINDOW win AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
+       SELECT user_id, event_id, us AS conv_us,
+         CAST(nt AS BIGINT) AS n_touches,
+         ft.t AS first_touch_type, ft.u AS first_touch_us,
+         lt.t AS last_touch_type, lt.u AS last_touch_us
+       FROM w WHERE event_type = 'purchase' AND nt > 0
+       ORDER BY user_id, conv_us, event_id""",
+    // drained ≡ one-shot is the contract: q196's oracle verbatim.
+    "q223_episodes_from_drain" -> s"""$EV,
+       base AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                FROM ev),
+       cb AS (SELECT *, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+         FROM base),
+       c0 AS (SELECT *,
+           last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+             OVER wp AS c0_us0,
+           last_value(CASE WHEN event_type = 'view' THEN cb END IGNORE NULLS)
+             OVER wp AS c0_cb
+         FROM cb WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       c1 AS (SELECT *,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN c0_us0 END IGNORE NULLS) OVER wp AS c1_us0,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN us END IGNORE NULLS) OVER wp AS c1_us1,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN c0_cb END IGNORE NULLS) OVER wp AS c1_cb
+         FROM c0 WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       SELECT user_id, c1_us0 AS view_us, c1_us1 AS click_us,
+         us AS purchase_us, CAST(cb - c1_cb AS BIGINT) AS n_blockers,
+         event_id AS purchase_event_id
+       FROM c1
+       WHERE event_type = 'purchase' AND c1_us0 IS NOT NULL
+         AND us - c1_us0 <= 86400000000
+       ORDER BY user_id, purchase_us, purchase_event_id""",
+    // drained ≡ one-shot is the contract: q206's oracle verbatim.
+    "q224_attribution_from_drain" -> s"""$EV,
        b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
            event_type IN ('view','click','signup') AS is_touch
          FROM ev),
