@@ -118,12 +118,21 @@ object SystemQueries {
             lead(col("ts"), 1).over(
               Window.partitionBy(col("user_id")).orderBy(col("ts"))),
             col("ts") + expr("INTERVAL 7 DAYS")).as("epoch_end"))
+      // ONE user_id repartition + cut (VERDICT r10 #4): `valid` feeds three
+      // consumers (catalog, QC meta, silver) and `restricted` two — uncut,
+      // each re-derives the epoch-closure + interval-join subtree, and the
+      // differing downstream grouping keys plan fresh exchanges (15 total).
+      // Cut and pre-partitioned on user_id, every downstream window
+      // (user_id) and aggregate/join on (user_id, chunk_start) — a
+      // SUPERSET key — reuses the one exchange.
       val valid = IntervalJoin.pointInInterval(
           ev.select("user_id", "event_id", "ts", "value"), epochs,
           point = col("ts"), start = col("epoch_start"),
           end = col("epoch_end"),
           extraCond = col("user_id") === col("ep_user"))
         .select("user_id", "event_id", "ts", "value")
+        .repartition(col("user_id"))
+        .localCheckpoint(true)
       val catalog = valid
         .groupBy(col("user_id"),
           TimeFunctions.chunkStart(col("ts")).as("chunk_start"))
@@ -140,7 +149,8 @@ object SystemQueries {
           TimeFunctions.chunkStart(col("time")).as("chunk_start"))
         .agg(sum(col("drops")).as("drop_count"))
       val restricted = PositionSlice.restrictChunksPerKey(
-        catalog, winS, winE, keys = Seq("user_id"))
+          catalog, winS, winE, keys = Seq("user_id"))
+        .localCheckpoint(true) // consumed by qcUser AND silver
       val qcUser = restricted.select("user_id", "chunk_start")
         .join(qcByChunk, Seq("user_id", "chunk_start"))
         .groupBy("user_id")
