@@ -58,6 +58,15 @@ object GraftFunctions {
       s"$fn: argument $pos must be an integer literal, got ${other.sql}")
   }
 
+  /** Plan-time STRING parameter (dictionaries): must be a literal — it
+    * builds a broadcast automaton at plan time, it is not data. */
+  private def strLit(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a STRING literal, got ${other.sql}")
+  }
+
   /** name → expression builder, in one place so the config-time injection
     * and the live-session registration cannot drift apart. */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq[
@@ -154,6 +163,32 @@ object GraftFunctions {
         longLit(exprs(1), "graft_morton_bucket", 1),
         longLit(exprs(2), "graft_morton_bucket", 2),
         intLit(exprs(3), "graft_morton_bucket", 3)))
+    },
+
+    // round-10 operator families on the SQL surface (VERDICT r10 #7):
+    // interval-set algebra's scalar kernels and the Aho-Corasick blocklist
+    lift("graft_interval_overlap", 4) { case Seq(s1, e1, s2, e2) =>
+      // half-open [s, e) overlap length, 0 when disjoint — the kernel
+      // behind operators/Intervals' sweeps and J4's bucketed join
+      import org.apache.spark.sql.functions.{greatest, least, lit}
+      greatest(lit(0L), least(e1, e2).cast("long") -
+        greatest(s1, s2).cast("long"))
+    },
+    lift("graft_interval_contains", 3) { case Seq(s, e, p) =>
+      // point-in-validity (J3's kernel): s <= p < e
+      p >= s && p < e
+    },
+    "graft_blocklist_total" -> { exprs =>
+      require(exprs.length == 2,
+        "graft_blocklist_total expects (text, 'term|term|...')")
+      val terms = strLit(exprs(1), "graft_blocklist_total", 1)
+        .split('|').toSeq
+      import org.apache.spark.sql.functions.{aggregate, lit}
+      // total whole-word occurrences over the normalized text — one
+      // Aho-Corasick scan regardless of dictionary size (map-only)
+      toExpr(aggregate(
+        graft.operators.Blocklist.hits(toCol(exprs(0)), terms),
+        lit(0), (acc, h) => acc + h.getField("n_hits")).cast("long"))
     })
 
   /** Config-time injection (`spark.sql.extensions=graft.GraftExtensions`). */

@@ -689,7 +689,10 @@ object PipelineQueries {
       s.sql("""SELECT doc_id, graft_hash60(text) AS h60,
           graft_fingerprint(text) AS fp,
           graft_token_count(text) AS n_tokens,
-          graft_lang_id(text) AS lang_pred
+          graft_lang_id(text) AS lang_pred,
+          graft_blocklist_total(text, 'the|batch batch') AS n_block_hits,
+          graft_interval_overlap(0, n_chars, 50, 200) AS ov_chars,
+          graft_interval_contains(0, n_chars, 100) AS has_char_100
         FROM graft_sql_docs ORDER BY doc_id""")
     }),
 
@@ -3247,12 +3250,19 @@ object PipelineQueries {
        ORDER BY doc_id""",
     "q94_sql_frontend" ->
       s"""WITH scored AS (
-         SELECT doc_id, text, ${langScoresSql("text")}
+         SELECT doc_id, text, n_chars, ${langScoresSql("text")},
+           regexp_split_to_array(${normSql("text")}, ' ') AS ws
          FROM documents)
        SELECT doc_id, ${pHash60("text")} AS h60,
          ${pHash60(normSql("text"))} AS fp,
          len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
-         $langPredSql AS lang_pred
+         $langPredSql AS lang_pred,
+         CAST(len(list_filter(ws, w -> w = 'the'))
+          + len(list_filter(range(1, len(ws)),
+              i -> ws[i] = 'batch' AND ws[i + 1] = 'batch'))
+          AS BIGINT) AS n_block_hits,
+         CAST(greatest(0, least(n_chars, 200) - 50) AS BIGINT) AS ov_chars,
+         n_chars > 100 AS has_char_100
        FROM scored ORDER BY doc_id""",
     "q72_corpus_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -729,6 +729,80 @@ object WindowQueries {
         .orderBy("user_id", "conv_us", "event_id")
     }),
 
+    // The q196 episode operator through the SQL FRONTEND (VERDICT r10 #7
+    // — the SQL surface keeps pace with the Scala API): the same gated
+    // last-occurrence carry chain written as spark.sql() window text;
+    // oracle = q196's verbatim, so SQL ≡ Scala ≡ DuckDB three ways.
+    "q225_sql_episodes" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("graft_sql_events")
+      s.sql("""WITH base AS (
+          SELECT user_id, unix_micros(ts) AS us, event_id, event_type
+          FROM graft_sql_events),
+        cb AS (SELECT *,
+            sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+          FROM base),
+        c0 AS (SELECT *,
+            last(CASE WHEN event_type = 'view' THEN us END, true)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c0_us0,
+            last(CASE WHEN event_type = 'view' THEN cb END, true)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c0_cb
+          FROM cb),
+        c1 AS (SELECT *,
+            last(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+              THEN c0_us0 END, true)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1_us0,
+            last(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+              THEN us END, true)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1_us1,
+            last(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+              THEN c0_cb END, true)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1_cb
+          FROM c0)
+        SELECT user_id, c1_us0 AS view_us, c1_us1 AS click_us,
+          us AS purchase_us, cb - c1_cb AS n_blockers,
+          event_id AS purchase_event_id
+        FROM c1
+        WHERE event_type = 'purchase' AND c1_us0 IS NOT NULL
+          AND us - c1_us0 <= 86400000000
+        ORDER BY user_id, purchase_us, purchase_event_id""")
+    }),
+
+    // The q206 attribution operator through the SQL FRONTEND: the same
+    // three window expressions on one RANGE frame, as spark.sql() text;
+    // oracle = q206's verbatim.
+    "q226_sql_attribution" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("graft_sql_events")
+      s.sql("""WITH b AS (
+          SELECT user_id, event_id, event_type, unix_micros(ts) AS us,
+            event_type IN ('view', 'click', 'signup') AS is_touch
+          FROM graft_sql_events),
+        w AS (SELECT *,
+            max(CASE WHEN is_touch
+                THEN struct(us, event_id, event_type) END)
+              OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS lt,
+            min(CASE WHEN is_touch
+                THEN struct(us, event_id, event_type) END)
+              OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS ft,
+            sum(CASE WHEN is_touch THEN 1L ELSE 0L END)
+              OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS nt
+          FROM b)
+        SELECT user_id, event_id, us AS conv_us, nt AS n_touches,
+          ft.event_type AS first_touch_type, ft.us AS first_touch_us,
+          lt.event_type AS last_touch_type, lt.us AS last_touch_us
+        FROM w WHERE event_type = 'purchase' AND nt > 0
+        ORDER BY user_id, conv_us, event_id""")
+    }),
+
     "q183_resample_from_drain" -> ((s, d) => {
       import org.apache.spark.sql.types._
       val ev = Tables.events(s, d).select("event_type", "ts", "value")
@@ -1209,6 +1283,57 @@ object WindowQueries {
        ORDER BY user_id, purchase_us, purchase_event_id""",
     // drained ≡ one-shot is the contract: q206's oracle verbatim.
     "q224_attribution_from_drain" -> s"""$EV,
+       b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+           event_type IN ('view','click','signup') AS is_touch
+         FROM ev),
+       w AS (SELECT *,
+           max(CASE WHEN is_touch
+               THEN {'u': us, 'i': event_id, 't': event_type} END)
+             OVER win AS lt,
+           min(CASE WHEN is_touch
+               THEN {'u': us, 'i': event_id, 't': event_type} END)
+             OVER win AS ft,
+           sum(CASE WHEN is_touch THEN 1 ELSE 0 END) OVER win AS nt
+         FROM b WINDOW win AS (PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW))
+       SELECT user_id, event_id, us AS conv_us,
+         CAST(nt AS BIGINT) AS n_touches,
+         ft.t AS first_touch_type, ft.u AS first_touch_us,
+         lt.t AS last_touch_type, lt.u AS last_touch_us
+       FROM w WHERE event_type = 'purchase' AND nt > 0
+       ORDER BY user_id, conv_us, event_id""",
+    // SQL-frontend twins: the oracle text is the q196/q206 SQL verbatim.
+    "q225_sql_episodes" -> s"""$EV,
+       base AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+                FROM ev),
+       cb AS (SELECT *, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+         FROM base),
+       c0 AS (SELECT *,
+           last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+             OVER wp AS c0_us0,
+           last_value(CASE WHEN event_type = 'view' THEN cb END IGNORE NULLS)
+             OVER wp AS c0_cb
+         FROM cb WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       c1 AS (SELECT *,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN c0_us0 END IGNORE NULLS) OVER wp AS c1_us0,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN us END IGNORE NULLS) OVER wp AS c1_us1,
+           last_value(CASE WHEN event_type = 'click' AND c0_us0 IS NOT NULL
+             THEN c0_cb END IGNORE NULLS) OVER wp AS c1_cb
+         FROM c0 WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+       SELECT user_id, c1_us0 AS view_us, c1_us1 AS click_us,
+         us AS purchase_us, CAST(cb - c1_cb AS BIGINT) AS n_blockers,
+         event_id AS purchase_event_id
+       FROM c1
+       WHERE event_type = 'purchase' AND c1_us0 IS NOT NULL
+         AND us - c1_us0 <= 86400000000
+       ORDER BY user_id, purchase_us, purchase_event_id""",
+    "q226_sql_attribution" -> s"""$EV,
        b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
            event_type IN ('view','click','signup') AS is_touch
          FROM ev),
