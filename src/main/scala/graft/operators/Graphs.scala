@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge lists — the rank-propagation
@@ -548,6 +549,58 @@ object Graphs {
         when(col("deg") >= 2,
           expr("(2000000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))"))
           .otherwise(0L).as("cc_micro"))
+  }
+
+  /** LINK PREDICTION scores — common-neighbors and neighborhood Jaccard
+    * (Liben-Nowell & Kleinberg 2003, the two exact-integer members of the
+    * classic score family): one row per unordered node pair sharing ≥ 1
+    * neighbor, with `cn` (common-neighbor count), both degrees, `is_edge`
+    * (the pair is already connected — train/label split for an LP model),
+    * and `jaccard_micro = ⌊10⁶·cn / (deg_u + deg_v − cn)⌋`.
+    *
+    * `maxDegree` is the hub guard (the q65 maxBucket discipline): a center
+    * of degree m contributes m²/2 candidate pairs, so centers above the
+    * cap contribute NO wedges — standard LP practice (a shared hub carries
+    * almost no signal) and mirrored in the oracle, so it is part of the
+    * semantics. Degrees in the output stay the TRUE degrees.
+    *
+    * Scale shape: adjacency both directions (one distinct shuffle, cut
+    * once for its three consumers), per-center neighbor pairs via the
+    * in-place sorted-array expansion — ONE shuffle, never a self-join
+    * that re-derives the upstream — then a pair-keyed count and two
+    * degree joins that broadcast at dimension scale.
+    */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    val adj = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("n"))
+      .unionAll(edges.select(col(dstCol).as("x"), col(srcCol).as("n")))
+      .filter(col("x") =!= col("n"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+    // per-center pairs, capped BEFORE collect so a hub never materializes
+    val wCnt = Window.partitionBy("x")
+    val cn = adj
+      .withColumn("__m", count(lit(1)).over(wCnt))
+      .filter(col("__m").between(2, maxDegree))
+      .groupBy("x").agg(sort_array(collect_list(col("n"))).as("__ns"))
+      .select(posexplode(col("__ns")).as(Seq("__i", "u")), col("__ns"))
+      .select(col("u"),
+        explode(slice(col("__ns"), col("__i") + lit(2), size(col("__ns"))))
+          .as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    val isEdge = adj.filter(col("x") < col("n"))
+      .select(col("x").as("u"), col("n").as("v"), lit(true).as("is_edge"))
+    cn
+      .join(deg.select(col("node").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .join(isEdge, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+        coalesce(col("is_edge"), lit(false)).as("is_edge"),
+        expr("(1000000 * cn) div (deg_u + deg_v - cn)").as("jaccard_micro"))
   }
 
   /** Degree assortativity (Newman 2002, "Assortative mixing in networks")

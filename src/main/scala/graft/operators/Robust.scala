@@ -94,4 +94,48 @@ object Robust {
         sum(when(col("__d2") > lit(k.toLong) * col("mad2"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** HAMPEL FILTER — the sliding-window robust outlier detector (Hampel
+    * 1974; the standard despiking pass over sensor/tracking series): per
+    * row, the median and MAD over the CENTERED window of `half` rows each
+    * side (row frame, so series edges use what exists), and the outlier
+    * gate `|x − med| > k·MAD` — all in the [[madSummary]] doubled-integer
+    * form (`med2`/`mad2`), so there is no interpolated float anywhere and
+    * any engine replays it exactly.
+    *
+    * Output: every input row plus `(med2, mad2, is_outlier)`, where
+    * `is_outlier ⇔ |2x − med2| > k·mad2` (a constant window — mad2 = 0 —
+    * flags exactly the rows that differ from it at all, the standard
+    * degenerate-MAD behavior).
+    *
+    * Scale shape: ONE keyed window shuffle; the per-row order statistics
+    * come from `sort_array(collect_list)` over the BOUNDED frame
+    * (2·half+1 values — constant memory per row, codegen'd array ops, no
+    * per-row re-shuffle), and the deviation median reuses the same
+    * collected array via `transform` instead of a second window pass.
+    */
+  def hampelFilter(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valueMicroCol: String,
+                   half: Int, k: Int = 3): DataFrame = {
+    require(half >= 1, "half-window must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+      .rowsBetween(-half, half)
+    def med2Of(arr: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      element_at(arr, ((n + 1) / lit(2)).cast("int")) +
+        element_at(arr, (n / lit(2) + 1).cast("int"))
+    df.withColumn("__ls",
+        sort_array(collect_list(col(valueMicroCol).cast("long")).over(w)))
+      .withColumn("__n", size(col("__ls")))
+      .withColumn("med2", med2Of(col("__ls"), col("__n")))
+      .withColumn("__dev",
+        sort_array(transform(col("__ls"),
+          x => abs(lit(2L) * x - col("med2")))))
+      .withColumn("mad2", med2Of(col("__dev"), col("__n")))
+      .withColumn("is_outlier",
+        abs(lit(2L) * col(valueMicroCol).cast("long") - col("med2")) >
+          lit(k.toLong) * col("mad2"))
+      .drop("__ls", "__n", "__dev")
+  }
 }

@@ -1395,6 +1395,34 @@ object PipelineQueries {
         col("vec_id").as("dst")), "src", "dst")
     }),
 
+    // EXACT ROC-AUC (Mann–Whitney with tie correction) per source: does
+    // document length separate English from the rest? Doubled average
+    // ranks keep ties integer-exact; the rank sums run in DECIMAL(38,0)
+    // (the q215/q207 overflow discipline — Σ rank² is O(n²)).
+    "q230_auc_exact" -> ((s, d) => {
+      graft.operators.Eval.aucExact(
+          Tables.documents(s, d)
+            .withColumn("is_en", (col("lang") === "en").cast("boolean")),
+          Seq("source"), "n_chars", "is_en")
+        .orderBy("source")
+    }),
+
+    // LINK PREDICTION over the kNN similarity graph: common-neighbor
+    // count + exact neighborhood-Jaccard micro per candidate pair, with
+    // is_edge as the label column an LP model trains against. Per-center
+    // in-place pair expansion (one shuffle, hub-capped before collect);
+    // the 10k cap excludes nothing at this scale and the oracle mirrors
+    // it, so it is part of the semantics.
+    "q228_link_prediction" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.linkPrediction(knn.select(col("query_id").as("src"),
+          col("vec_id").as("dst")), "src", "dst", maxDegree = 10000)
+        .orderBy("u", "v")
+    }),
+
     // Maximal-marginal-relevance selection: the 10-item DIVERSE draw from
     // the 40 embeddings most similar to vec 0 (λ = 70) — coreset picking
     // after retrieval. Greedy rounds are engine-exact (undivided integer
@@ -3979,6 +4007,55 @@ object PipelineQueries {
        SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
          CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
          CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
+    // Mann–Whitney ranks with doubled tie averages (rank2 = 2·rank + c − 1),
+    // HUGEINT products — the oracle twin of the DECIMAL(38,0) path.
+    "q230_auc_exact" ->
+      """WITH b AS (
+         SELECT source, CAST(n_chars AS BIGINT) AS s,
+           lang = 'en' AS y
+         FROM documents),
+       r AS (SELECT *,
+           rank() OVER (PARTITION BY source ORDER BY s) AS rk,
+           count(*) OVER (PARTITION BY source, s) AS c
+         FROM b),
+       g AS (SELECT source,
+           CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+           CAST(sum(CASE WHEN y THEN 2 * rk + c - 1 ELSE 0 END) AS HUGEINT)
+             AS sr2
+         FROM r GROUP BY source)
+       SELECT source, n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           CAST((CAST(1000000 AS HUGEINT)
+               * (sr2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)))
+             // (CAST(2 AS HUGEINT) * n_pos * n_neg) AS BIGINT)
+         END AS auc_micro
+       FROM g ORDER BY source""",
+    // Same symmetrized adjacency; per-center neighbor pairs (centers with
+    // degree in [2, 10000] — the mirrored hub cap), pair counts, true
+    // degrees, edge labels, floor-div jaccard micro.
+    "q228_link_prediction" ->
+      s"""WITH $knnEdgesCtesSql,
+       adj AS (
+         SELECT DISTINCT x, n FROM (
+           SELECT src AS x, dst AS n FROM edges
+           UNION ALL SELECT dst, src FROM edges)
+         WHERE x <> n),
+       deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
+               FROM adj GROUP BY 1),
+       cn AS (
+         SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS cn
+         FROM adj a JOIN adj b ON a.x = b.x AND a.n < b.n
+           JOIN deg dx ON dx.node = a.x
+         WHERE dx.deg BETWEEN 2 AND 10000
+         GROUP BY 1, 2)
+       SELECT c.u, c.v, c.cn, du.deg AS deg_u, dv.deg AS deg_v,
+         EXISTS (SELECT 1 FROM adj e WHERE e.x = c.u AND e.n = c.v)
+           AS is_edge,
+         CAST(1000000 * c.cn // (du.deg + dv.deg - c.cn) AS BIGINT)
+           AS jaccard_micro
+       FROM cn c JOIN deg du ON du.node = c.u JOIN deg dv ON dv.node = c.v
+       ORDER BY c.u, c.v""",
     // Same LPA partition, then Newman modularity per community in exact
     // integer arithmetic on the micro grid (HUGEINT for the square term —
     // the oracle twin of the engine's DECIMAL(38,0) path).

@@ -774,6 +774,36 @@ object WindowQueries {
         ORDER BY user_id, purchase_us, purchase_event_id""")
     }),
 
+    // HAMPEL FILTER (rolling robust despiking): per user, the value series
+    // in integer micros, outliers = rows whose doubled deviation from the
+    // centered-11-row doubled median exceeds 3× the doubled MAD — the
+    // q162 exact-integer discipline made WINDOWED (one keyed shuffle, the
+    // per-row order statistics from one bounded collected array).
+    "q227_hampel_filter" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("vm"))
+      graft.operators.Robust.hampelFilter(ev, "user_id", "ts", "event_id",
+          "vm", half = 5, k = 3)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("vm"), col("med2"), col("mad2"),
+          col("is_outlier"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
+    // SEASONAL-BASELINE anomaly summary: the robust (median/MAD) profile
+    // of `value` per (event_type, hour-of-day) — the despiking baseline a
+    // QC pass compares live hours against; exact doubled-integer order
+    // statistics (q162's discipline on a seasonal key).
+    "q229_seasonal_baseline" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .withColumn("hod", hour(col("ts")).cast("long"))
+      graft.operators.Robust.madSummary(ev, Seq("event_type", "hod"), "vm",
+          k = 3)
+        .orderBy("event_type", "hod")
+    }),
+
     // The q206 attribution operator through the SQL FRONTEND: the same
     // three window expressions on one RANGE frame, as spark.sql() text;
     // oracle = q206's verbatim.
@@ -1302,6 +1332,59 @@ object WindowQueries {
          lt.t AS last_touch_type, lt.u AS last_touch_us
        FROM w WHERE event_type = 'purchase' AND nt > 0
        ORDER BY user_id, conv_us, event_id""",
+    // Windowed doubled-median/MAD replay: list() over the same centered
+    // row frame, sorted, then the q162 order-statistic arithmetic.
+    "q227_hampel_filter" -> s"""$EV,
+       b AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS vm
+         FROM ev),
+       lw AS (SELECT *, list_sort(list(vm)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS ls
+         FROM b),
+       m AS (SELECT *, len(ls) AS n,
+           CAST(ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1] AS BIGINT)
+             AS med2
+         FROM lw),
+       dv AS (SELECT *, list_sort(list_transform(ls,
+           x -> abs(2 * x - med2))) AS ds FROM m)
+       SELECT user_id, us, event_id, vm, med2,
+         CAST(ds[(n + 1) // 2] + ds[n // 2 + 1] AS BIGINT) AS mad2,
+         abs(2 * vm - med2) > 3 * (ds[(n + 1) // 2] + ds[n // 2 + 1])
+           AS is_outlier
+       FROM dv ORDER BY user_id, us, event_id""",
+    // q162's two-pass doubled-median arithmetic on the seasonal key.
+    "q229_seasonal_baseline" -> s"""$EV,
+       vals AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(floor(value * 1000000) AS BIGINT) AS v
+         FROM ev),
+       r1 AS (SELECT event_type, hod, v,
+           row_number() OVER (PARTITION BY event_type, hod ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY event_type, hod) AS n
+         FROM vals),
+       med AS (SELECT event_type, hod,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END) +
+             sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS BIGINT)
+             AS med2
+         FROM r1 GROUP BY event_type, hod),
+       dev AS (SELECT v.event_type, v.hod, v.v,
+           abs(2 * v.v - m.med2) AS d2, m.med2
+         FROM vals v JOIN med m USING (event_type, hod)),
+       r2 AS (SELECT event_type, hod, d2,
+           row_number() OVER (PARTITION BY event_type, hod ORDER BY d2) AS rn,
+           count(*) OVER (PARTITION BY event_type, hod) AS n
+         FROM dev),
+       mad AS (SELECT event_type, hod,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN d2 ELSE 0 END) +
+             sum(CASE WHEN rn = n // 2 + 1 THEN d2 ELSE 0 END) AS BIGINT)
+             AS mad2
+         FROM r2 GROUP BY event_type, hod)
+       SELECT d.event_type, d.hod, CAST(count(*) AS BIGINT) AS n,
+         max(d.med2) AS med2, max(m.mad2) AS mad2,
+         CAST(sum(CASE WHEN d.d2 > 3 * m.mad2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+       FROM dev d JOIN mad m USING (event_type, hod)
+       GROUP BY d.event_type, d.hod ORDER BY d.event_type, d.hod""",
     // SQL-frontend twins: the oracle text is the q196/q206 SQL verbatim.
     "q225_sql_episodes" -> s"""$EV,
        base AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
