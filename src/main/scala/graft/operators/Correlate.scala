@@ -76,4 +76,54 @@ object Correlate {
   def autocorr(df: DataFrame, keys: Seq[String], idxCol: String,
                valueCol: String, lags: Seq[Int]): DataFrame =
     pearsonAtLags(df, df, keys, idxCol, valueCol, lags)
+
+  /** Exact SPEARMAN rank correlation per group: Pearson over tie-averaged
+    * ranks, with average ranks carried DOUBLED (`rank2 = 2·rank + c − 1`,
+    * an integer — the [[graft.operators.Eval.aucExact]] tie discipline),
+    * so ties never introduce a float. Output the same exact decimal
+    * triple as [[pearsonAtLags]]: `(keys…, n, num, den_x, den_y)` with
+    * `ρ = num / sqrt(den_x·den_y)` over the rank2 values — the doubling
+    * cancels in ρ, and `sign(ρ)`/`ρ²` read off exactly. The monotone-trend
+    * detector (x = time) and the robust cousin of [[pearsonAtLags]].
+    *
+    * Scale shape: both rank windows partition on the SAME keys — one
+    * keyed exchange, two in-partition sorts — then one aggregate; rank
+    * sums are O(n²)-magnitude, so all products run in DECIMAL(38,0).
+    */
+  def spearman(df: DataFrame, keys: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    require(keys.nonEmpty, "spearman needs grouping keys")
+    val ks = keys.map(col)
+    val d38 = "decimal(38,0)"
+    def rank2(v: org.apache.spark.sql.Column, out: String) = (df2: DataFrame) =>
+      df2.withColumn("__r", rank().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(ks: _*).orderBy(v)))
+        .withColumn("__c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(ks :+ v: _*)))
+        .withColumn(out, (lit(2L) * col("__r") + col("__c") - lit(1L))
+          .cast(d38))
+        .drop("__r", "__c")
+    val ranked = rank2(col("__x"), "rx")(
+      rank2(col("__y"), "ry")(
+        df.select(ks ++ Seq(col(xCol).cast("long").as("__x"),
+            col(yCol).cast("long").as("__y")): _*)
+          .filter(col("__x").isNotNull && col("__y").isNotNull)))
+    ranked.groupBy(ks: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).cast(d38).as("__sx"),
+        sum(col("ry")).cast(d38).as("__sy"),
+        sum((col("rx") * col("ry")).cast(d38)).cast(d38).as("__sxy"),
+        sum((col("rx") * col("rx")).cast(d38)).cast(d38).as("__sxx"),
+        sum((col("ry") * col("ry")).cast(d38)).cast(d38).as("__syy"))
+      .filter(col("n") >= 2)
+      .select(ks ++ Seq(col("n"),
+        (col("n").cast(d38) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(d38).as("num"),
+        (col("n").cast(d38) * col("__sxx") - col("__sx") * col("__sx"))
+          .cast(d38).as("den_x"),
+        (col("n").cast(d38) * col("__syy") - col("__sy") * col("__sy"))
+          .cast(d38).as("den_y")): _*)
+  }
 }

@@ -791,6 +791,17 @@ object WindowQueries {
         .orderBy("user_id", "us", "event_id")
     }),
 
+    // Exact SPEARMAN trend test per event type: rank correlation of value
+    // (micros) against event time — the robust monotone-trend detector,
+    // tie-doubled ranks, DECIMAL(38,0) rank products, sqrt at the edge.
+    "q231_spearman_trend" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .withColumn("us", unix_micros(col("ts")))
+      graft.operators.Correlate.spearman(ev, Seq("event_type"), "us", "vm")
+        .orderBy("event_type")
+    }),
+
     // SEASONAL-BASELINE anomaly summary: the robust (median/MAD) profile
     // of `value` per (event_type, hour-of-day) — the despiking baseline a
     // QC pass compares live hours against; exact doubled-integer order
@@ -1332,6 +1343,29 @@ object WindowQueries {
          lt.t AS last_touch_type, lt.u AS last_touch_us
        FROM w WHERE event_type = 'purchase' AND nt > 0
        ORDER BY user_id, conv_us, event_id""",
+    // Tie-doubled ranks on both axes, HUGEINT products cast to the same
+    // DECIMAL(38,0) triple the engine emits.
+    "q231_spearman_trend" -> s"""$EV,
+       b AS (SELECT event_type, epoch_us(ts) AS us,
+           CAST(floor(value * 1000000) AS BIGINT) AS vm
+         FROM ev),
+       r AS (SELECT event_type,
+           CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY us)
+             + count(*) OVER (PARTITION BY event_type, us) - 1
+             AS HUGEINT) AS rx,
+           CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY vm)
+             + count(*) OVER (PARTITION BY event_type, vm) - 1
+             AS HUGEINT) AS ry
+         FROM b),
+       g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+           sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+         FROM r GROUP BY event_type HAVING count(*) >= 2)
+       SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+         CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
+         CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS den_y
+       FROM g ORDER BY event_type""",
     // Windowed doubled-median/MAD replay: list() over the same centered
     // row frame, sorted, then the q162 order-statistic arithmetic.
     "q227_hampel_filter" -> s"""$EV,

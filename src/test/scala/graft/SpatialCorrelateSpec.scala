@@ -110,6 +110,46 @@ class SpatialCorrelateSpec extends SparkSpec {
     }
   }
 
+  test("spearman equals the BigInt tie-doubled rank replay") {
+    val rnd = new scala.util.Random(59)
+    // small value range -> heavy ties on both axes
+    val rows = (0 until 300).map { i =>
+      (s"g${i % 2}", rnd.nextInt(15).toLong, rnd.nextInt(15).toLong)
+    }
+    val got = Correlate.spearman(rows.toDF("g", "x", "y"), Seq("g"),
+        "x", "y")
+      .select(col("g"), col("n"), col("num").cast("string"),
+        col("den_x").cast("string"), col("den_y").cast("string"))
+      .as[(String, Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, BigInt(r._3), BigInt(r._4), BigInt(r._5))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      def rank2(vs: Seq[Long]): Seq[BigInt] = {
+        val sorted = vs.sorted
+        vs.map { v =>
+          val first = sorted.indexOf(v) + 1
+          val c = sorted.count(_ == v)
+          BigInt(2L * first + c - 1)
+        }
+      }
+      val rx = rank2(rs.map(_._2)); val ry = rank2(rs.map(_._3))
+      val n = BigInt(rs.size)
+      val sx = rx.sum; val sy = ry.sum
+      val sxy = rx.zip(ry).map(p => p._1 * p._2).sum
+      val sxx = rx.map(r => r * r).sum; val syy = ry.map(r => r * r).sum
+      assert(got(g) === ((rs.size.toLong, n * sxy - sx * sy,
+        n * sxx - sx * sx, n * syy - sy * sy)), s"group $g")
+    }
+  }
+
+  test("spearman of a strictly monotone pair is a perfect +1 (num = den)") {
+    val rows = (0 until 40).map(i => ("k", i.toLong, (i * 7 + 3).toLong))
+    val r = Correlate.spearman(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .select("num", "den_x", "den_y")
+      .as[(BigDecimal, BigDecimal, BigDecimal)].head()
+    assert(r._1 === r._2 && r._2 === r._3)
+  }
+
   test("degreeAssortativity matches BigInt brute force on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 400)
