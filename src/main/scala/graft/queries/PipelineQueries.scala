@@ -1395,6 +1395,24 @@ object PipelineQueries {
         col("vec_id").as("dst")), "src", "dst")
     }),
 
+    // FEATURE ENGINEERING: deterministic quantile bins (rank-based —
+    // ties share a bin, unlike ntile's arbitrary tie splits) + leave-one-
+    // out target encoding (mean of the OTHER rows' targets per category —
+    // the standard leakage guard) on the documents table, one training-
+    // feature row per doc. Integer micros end to end.
+    "q232_feature_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("target_micro",
+          (col("n_chars").cast("long") * 1000L))
+      val binned = graft.operators.Features.quantileBin(
+        docs, Seq("source"), "n_chars", nBins = 4, binCol = "len_bin")
+      graft.operators.Features.targetEncodeLoo(
+          binned, Seq("lang"), "target_micro", encCol = "lang_enc_micro")
+        .select("doc_id", "source", "lang", "n_chars", "len_bin",
+          "lang_enc_micro")
+        .orderBy("doc_id")
+    }),
+
     // EXACT ROC-AUC (Mann–Whitney with tie correction) per source: does
     // document length separate English from the rest? Doubled average
     // ranks keep ties integer-exact; the rank sums run in DECIMAL(38,0)
@@ -4007,6 +4025,24 @@ object PipelineQueries {
        SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
          CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
          CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
+    // Rank-shared bins + LOO means replayed with the same floor division.
+    "q232_feature_encode" ->
+      """WITH b AS (
+         SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_chars AS BIGINT) * 1000 AS t
+         FROM documents),
+       r AS (SELECT *,
+           rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+         FROM b),
+       g AS (SELECT lang, CAST(sum(t) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS c
+         FROM b GROUP BY lang)
+       SELECT r.doc_id, r.source, r.lang, r.n_chars,
+         CAST((rk - 1) * 4 // n AS BIGINT) AS len_bin,
+         CASE WHEN g.c > 1 THEN CAST((g.s - r.t) // (g.c - 1) AS BIGINT)
+         END AS lang_enc_micro
+       FROM r JOIN g USING (lang) ORDER BY r.doc_id""",
     // Mann–Whitney ranks with doubled tie averages (rank2 = 2·rank + c − 1),
     // HUGEINT products — the oracle twin of the DECIMAL(38,0) path.
     "q230_auc_exact" ->
