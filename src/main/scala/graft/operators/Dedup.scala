@@ -519,26 +519,35 @@ object Dedup {
     */
   def withShingles(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame =
-    shingleRows(docs, idCol, textCol, n)
-      .groupBy(col(idCol))
-      .agg(collect_set(col("__s")).as("shingles"))
+    docs.select(col(idCol),
+        TextFunctions.distinctShinglesFused(
+          TextFunctions.normalizeForDedup(col(textCol)), n).as("shingles"))
+      .filter(col("shingles").isNotNull)
 
   /** Hashed shingle-set table `(idCol, shingle_hashes: array<long>)`: the
     * portable 60-bit hash of each shingle instead of the string. Jaccard over
     * these equals string-shingle Jaccard up to hash collisions (vanishing at
-    * 60 bits for per-doc set sizes), while the set build shuffles 8-byte
-    * longs instead of shingle text and per-pair intersection compares longs —
-    * the right verify-side table when candidates come from a hash-based
-    * signature anyway (the shingle hash is the SAME `portableHash60` the
-    * MinHash family starts from, so Catalyst's exchange reuse shares the
-    * underlying shingle scan between signature and verify pipelines).
+    * 60 bits for per-doc set sizes), and per-pair intersection compares
+    * longs, not strings.
+    *
+    * MAP-ONLY (round 11): the distinct shingle array comes from the fused
+    * [[graft.expressions.DistinctShingles]] pass and the hash applies
+    * per element via `transform` — the old exploded shape paid a doc-keyed
+    * WINDOW + groupBy shuffle of the entire shingle stream just to
+    * rebuild per-doc sets. Consumers treat the arrays as SETS
+    * (array_intersect / array_union dedup internally), so element order —
+    * first-occurrence here, arbitrary under the old collect_set — is
+    * immaterial, and a doc too short to shingle is absent from the table
+    * in both shapes.
     */
   def withHashedShingles(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3): DataFrame =
-    shingleRows(docs, idCol, textCol, n)
-      .groupBy(col(idCol))
-      .agg(collect_set(HashFunctions.portableHash60(col("__s")))
-        .as("shingle_hashes"))
+    docs.select(col(idCol),
+        transform(
+          TextFunctions.distinctShinglesFused(
+            TextFunctions.normalizeForDedup(col(textCol)), n),
+          s => HashFunctions.portableHash60(s)).as("shingle_hashes"))
+      .filter(col("shingle_hashes").isNotNull)
 
   /** Exact Jaccard between two precomputed shingle-array columns (native
     * array_intersect/union — the cheap per-pair form).
