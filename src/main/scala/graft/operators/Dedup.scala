@@ -1363,18 +1363,39 @@ object Dedup {
     * all-pairs step.
     */
   def simhashNearDup(sigs: DataFrame, idCol: String, maxHamming: Int,
+                     nBands: Int = 4, maxBucket: Int = 10000): DataFrame =
+    hammingNearDup(sigs, idCol, "simhash", SimhashBits, maxHamming,
+      nBands, maxBucket)
+
+  /** Banded Hamming near-dup over ANY ≤ 64-bit fingerprint column (the
+    * [[simhashNearDup]] machinery generalized — round 11 adds the 64-bit
+    * perceptual image dHash as a second caller): pairs within `maxHamming`
+    * that share at least one of `nBands` contiguous bit blocks. The block
+    * extraction uses a LOGICAL right shift so a set bit 63 (possible at
+    * 64 bits, where the hash is a negative long) cannot smear sign bits
+    * across bands; at < 64 bits the value is nonnegative and the logical
+    * shift is identical to the old arithmetic one.
+    *
+    * Scale shape: |docs| × nBands banded rows into ONE shuffle with
+    * in-place pair expansion ([[pairsWithinGroups]], `maxBucket` the
+    * usual flood guard), exact Hamming via `bit_count(xor)` per candidate.
+    */
+  def hammingNearDup(sigs: DataFrame, idCol: String, hashCol: String,
+                     bits: Int, maxHamming: Int,
                      nBands: Int = 4, maxBucket: Int = 10000): DataFrame = {
-    require(SimhashBits % nBands == 0, s"nBands must divide $SimhashBits")
-    val blockBits = SimhashBits / nBands
+    require(bits >= 1 && bits <= 64, "bits must be in 1..64")
+    require(bits % nBands == 0, s"nBands must divide $bits")
+    val blockBits = bits / nBands
+    require(blockBits < 64, "a single 64-bit band never buckets")
     val mask = (1L << blockBits) - 1
     val buckets = sigs.select(
-      struct(col(idCol), col("simhash")).as("__p"),
+      struct(col(idCol), col(hashCol).as("__h")).as("__p"),
       posexplode(array((0 until nBands).map(i =>
-        shiftright(col("simhash"), i * blockBits).bitwiseAND(mask)): _*))
+        shiftrightunsigned(col(hashCol), i * blockBits).bitwiseAND(mask)): _*))
         .as(Seq("band", "block")))
     pairsWithinGroups(buckets, Seq("band", "block"), col("__p"), maxBucket)
       .select(col("__a")(idCol).as("id_a"), col("__b")(idCol).as("id_b"),
-        bit_count(col("__a")("simhash").bitwiseXOR(col("__b")("simhash")))
+        bit_count(col("__a")("__h").bitwiseXOR(col("__b")("__h")))
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")

@@ -678,4 +678,15 @@ object Multimodal {
 
   private def repeat_string(c: org.apache.spark.sql.Column, n: Int) =
     concat_ws("", (0 until n).map(_ => c): _*)
+
+  /** 64-bit perceptual dHash of a row-major 8-bit grayscale binary column
+    * (see [[graft.expressions.ImageHash]]) — the image-dedup fingerprint;
+    * bucket with [[Dedup.hammingNearDup]]. Map-only, codegen'd.
+    */
+  def dhash64(pixels: org.apache.spark.sql.Column, width: Int,
+              height: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.DHash64(
+        org.apache.spark.sql.GraftColumnBridge.expression(pixels),
+        width, height))
 }

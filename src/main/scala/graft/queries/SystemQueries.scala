@@ -190,6 +190,46 @@ object SystemQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // IMAGE NEAR-DUP by perceptual dHash (round 11): deterministic 36×32
+    // grayscale fixtures — groups of 5 docs share a base image, members
+    // perturb only the top-left 4×4 block, so in-group pairs sit at
+    // Hamming ≤ 1 while cross-group hashes are far — hashed by the
+    // codegen'd DHash64 (block-sum gradients, division-free), bucketed by
+    // the generalized 4×16-bit banded Hamming join. ORACLED end to end:
+    // the pixel formula, block sums, gradient bits, HUGEINT hash wrap to
+    // signed 64, banding, and bit_count all replay in SQL. The decode
+    // stage of a real image pipeline is the sanctioned deterministic fake
+    // (no codec in the JDK for real formats); everything Spark-side —
+    // binary column, expression, banded join — is the real plumbing.
+    "q233_image_dhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .as[Long]
+      val imgs = ids.map { id =>
+        val w = 36; val h = 32
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = id / 5 // group base: structurally distinct gradients
+            val v = g * 37 + x * (7 + g % 5) + y * (13 + g % 7) +
+              (x * y) % (11 + g % 13) +
+              (if (x < 4 && y < 4) (id % 5) * 11 else 0)
+            px(y * w + x) = (v % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, px)
+      }.toDF("doc_id", "px")
+      val hashed = imgs.select(col("doc_id"),
+        Multimodal.dhash64(col("px"), 36, 32).as("dhash"))
+      graft.operators.Dedup.hammingNearDup(hashed, "doc_id", "dhash",
+          bits = 64, maxHamming = 4, nBands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: deterministic frame sampling (posexplode plumbing).
     // ORACLED: pure integer frame-index arithmetic — blob bytes = 16×utf8
     // length, n = clamp(bytes/1024, 1, everyNth×maxFrames), sampled indices
@@ -906,6 +946,49 @@ object SystemQueries {
          ((r * 31 + 26) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch2,
          ((r * 31 + 39) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch3
        FROM generate_series(0, 199) AS t(r) ORDER BY row_index""",
+    // Full dHash replay: pixel formula -> block sums -> gradient bits ->
+    // HUGEINT hash wrapped to signed 64 -> 16-bit bands -> bit_count.
+    "q233_image_dhash_neardup" ->
+      """WITH px AS (
+         SELECT d.doc_id, x.x, y.y,
+           ((d.doc_id // 5) * 37 + x.x * (7 + (d.doc_id // 5) % 5)
+            + y.y * (13 + (d.doc_id // 5) % 7)
+            + (x.x * y.y) % (11 + (d.doc_id // 5) % 13) +
+            CASE WHEN x.x < 4 AND y.y < 4 THEN (d.doc_id % 5) * 11
+                 ELSE 0 END) % 256 AS v
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 35) x(x), generate_series(0, 31) y(y)),
+       s AS (
+         SELECT doc_id, y // 4 AS r, x // 4 AS c, CAST(sum(v) AS BIGINT) AS s
+         FROM px GROUP BY 1, 2, 3),
+       h AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.s > b.s
+             THEN (CAST(1 AS HUGEINT) << (a.r * 8 + a.c))
+             ELSE 0 END) AS HUGEINT) AS hu
+         FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.r = a.r
+           AND b.c = a.c + 1
+         WHERE a.c < 8 GROUP BY a.doc_id),
+       sg AS (
+         SELECT doc_id, hu,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS dh
+         FROM h),
+       bands AS (
+         SELECT doc_id, dh, i.i AS band,
+           CAST((hu >> (16 * i.i)) % 65536 AS BIGINT) AS block
+         FROM sg, generate_series(0, 3) i(i)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.block = b.block
+             AND a.doc_id < b.doc_id)
+       SELECT c.id_a, c.id_b, bit_count(xor(sa.dh, sb.dh)) AS hamming
+       FROM cand c JOIN sg sa ON sa.doc_id = c.id_a
+         JOIN sg sb ON sb.doc_id = c.id_b
+       WHERE bit_count(xor(sa.dh, sb.dh)) <= 4
+       ORDER BY id_a, id_b""",
     "q199_zarr_blosc" ->
       """SELECT codec, CAST(r AS BIGINT) AS row_index,
          CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
