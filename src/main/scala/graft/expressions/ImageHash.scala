@@ -60,6 +60,68 @@ object ImageHash {
   }
 }
 
+/** 64-bit energy-envelope fingerprint over little-endian PCM16 audio — the
+  * audio analogue of [[ImageHash.dhash64]] (the Haitsma–Kalker family's
+  * sign-of-energy-difference construction, restricted to the time axis so
+  * it stays exact-integer): the signal divides into 65 equal frames, frame
+  * energy `E(f) = Σ s²` over the frame's samples (exact longs — a sample²
+  * is ≤ 2³⁰), and bit `f` is set iff `E(f) > E(f+1)`. No FFT, no float
+  * window — the one envelope hash any engine replays bit-for-bit.
+  * Sample count must divide into the 65 frames; callers crop first
+  * (loud failure otherwise). Bucket with
+  * [[graft.operators.Dedup.hammingNearDup]].
+  */
+object AudioHash {
+  val Frames = 65
+
+  def energyHash64(pcm16le: Array[Byte]): Long = {
+    require(pcm16le.length % 2 == 0,
+      s"PCM16 needs an even byte count, got ${pcm16le.length}")
+    val n = pcm16le.length / 2
+    require(n > 0 && n % Frames == 0,
+      s"energyHash64 needs samples % $Frames == 0, got $n — crop first")
+    val frameLen = n / Frames
+    val energy = new Array[Long](Frames)
+    var i = 0
+    while (i < n) {
+      val s = ((pcm16le(2 * i) & 0xFF) | (pcm16le(2 * i + 1) << 8)).toShort
+      energy(i / frameLen) += s.toLong * s.toLong
+      i += 1
+    }
+    var hash = 0L
+    var f = 0
+    while (f < 64) {
+      if (energy(f) > energy(f + 1)) hash |= 1L << f
+      f += 1
+    }
+    hash
+  }
+}
+
+/** [[AudioHash.energyHash64]] as a codegen'd Catalyst expression. */
+case class AudioEnergyHash64(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "audio_energy_hash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AudioHash.energyHash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.AudioHash.energyHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** [[ImageHash.dhash64]] as a codegen'd Catalyst expression over a binary
   * pixel column (SURVEY.md §7.4 custom path (b) — same discipline as
   * [[MinhashSignature]]).

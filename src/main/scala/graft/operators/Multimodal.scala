@@ -689,4 +689,14 @@ object Multimodal {
       graft.expressions.DHash64(
         org.apache.spark.sql.GraftColumnBridge.expression(pixels),
         width, height))
+
+  /** 64-bit energy-envelope fingerprint of little-endian PCM16 audio (see
+    * [[graft.expressions.AudioHash]]) — the audio-dedup fingerprint;
+    * bucket with [[Dedup.hammingNearDup]]. Map-only, codegen'd.
+    */
+  def audioEnergyHash64(pcm16le: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.AudioEnergyHash64(
+        org.apache.spark.sql.GraftColumnBridge.expression(pcm16le)))
 }

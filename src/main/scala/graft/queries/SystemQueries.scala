@@ -230,6 +230,39 @@ object SystemQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // AUDIO NEAR-DUP by energy-envelope fingerprint (round 11 — the audio
+    // twin of q233): deterministic PCM16 fixtures, 65 frames × 20 samples,
+    // groups of 5 docs share an envelope and members perturb only frame 0;
+    // hashed by the codegen'd AudioEnergyHash64 (sign of consecutive
+    // frame-energy differences — exact longs, no FFT/window float),
+    // bucketed by the same generalized banded Hamming join. ORACLED end
+    // to end: sample formula, frame energies, bits, HUGEINT wrap,
+    // banding, bit_count.
+    "q234_audio_energy_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val wavs = ids.map { id =>
+        val n = 65 * 20
+        val bytes = new Array[Byte](2 * n)
+        val g = id / 5
+        var i = 0
+        while (i < n) {
+          val f = i / 20
+          val v = ((((i % 20) + 1) * (37 + (f * (3 + g % 13) + g) % 23) +
+            (if (f == 0) (id % 5) * 7 else 0)) % 2003 - 1001).toShort
+          bytes(2 * i) = (v & 0xFF).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        (id, bytes)
+      }.toDF("doc_id", "pcm")
+      val hashed = wavs.select(col("doc_id"),
+        Multimodal.audioEnergyHash64(col("pcm")).as("ahash"))
+      graft.operators.Dedup.hammingNearDup(hashed, "doc_id", "ahash",
+          bits = 64, maxHamming = 4, nBands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Multimodal: deterministic frame sampling (posexplode plumbing).
     // ORACLED: pure integer frame-index arithmetic — blob bytes = 16×utf8
     // length, n = clamp(bytes/1024, 1, everyNth×maxFrames), sampled indices
@@ -946,6 +979,46 @@ object SystemQueries {
          ((r * 31 + 26) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch2,
          ((r * 31 + 39) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch3
        FROM generate_series(0, 199) AS t(r) ORDER BY row_index""",
+    // Full envelope-hash replay: sample formula -> frame energies ->
+    // sign bits -> HUGEINT wrap -> 16-bit bands -> bit_count.
+    "q234_audio_energy_neardup" ->
+      """WITH sm AS (
+         SELECT d.doc_id, i.i // 20 AS f,
+           (((i.i % 20) + 1)
+              * (37 + ((i.i // 20) * (3 + (d.doc_id // 5) % 13)
+                       + (d.doc_id // 5)) % 23) +
+            CASE WHEN i.i // 20 = 0 THEN (d.doc_id % 5) * 7 ELSE 0 END)
+             % 2003 - 1001 AS s
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 1299) i(i)),
+       e AS (SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS e
+             FROM sm GROUP BY 1, 2),
+       h AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.e > b.e
+             THEN (CAST(1 AS HUGEINT) << a.f) ELSE 0 END) AS HUGEINT) AS hu
+         FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+         WHERE a.f < 64 GROUP BY a.doc_id),
+       sg AS (
+         SELECT doc_id, hu,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS dh
+         FROM h),
+       bands AS (
+         SELECT doc_id, dh, i.i AS band,
+           CAST((hu >> (16 * i.i)) % 65536 AS BIGINT) AS block
+         FROM sg, generate_series(0, 3) i(i)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.block = b.block
+             AND a.doc_id < b.doc_id)
+       SELECT c.id_a, c.id_b, bit_count(xor(sa.dh, sb.dh)) AS hamming
+       FROM cand c JOIN sg sa ON sa.doc_id = c.id_a
+         JOIN sg sb ON sb.doc_id = c.id_b
+       WHERE bit_count(xor(sa.dh, sb.dh)) <= 4
+       ORDER BY id_a, id_b""",
     // Full dHash replay: pixel formula -> block sums -> gradient bits ->
     // HUGEINT hash wrapped to signed 64 -> 16-bit bands -> bit_count.
     "q233_image_dhash_neardup" ->

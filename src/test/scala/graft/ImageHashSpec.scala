@@ -79,6 +79,41 @@ class ImageHashSpec extends SparkSpec {
       "6-bit pair excluded by the Hamming gate")
   }
 
+  test("audio energyHash64: golden envelopes and loud geometry") {
+    import graft.expressions.AudioHash
+    def pcm(samples: Seq[Int]): Array[Byte] = {
+      val out = new Array[Byte](samples.size * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        out(2 * i) = (s & 0xFF).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      out
+    }
+    // strictly decreasing per-frame amplitude -> all 64 bits set
+    val dec = (0 until 65).flatMap(f => Seq.fill(4)(1000 - f * 10))
+    assert(AudioHash.energyHash64(pcm(dec)) === -1L)
+    // strictly increasing -> no bits
+    val inc = (0 until 65).flatMap(f => Seq.fill(4)(f * 10))
+    assert(AudioHash.energyHash64(pcm(inc)) === 0L)
+    // negative samples: energy is amplitude-sign-free (s squared)
+    val neg = dec.map(-_)
+    assert(AudioHash.energyHash64(pcm(neg)) === -1L)
+    // single louder frame k flips exactly bits k-1 (rise into k is NOT
+    // set: E(k-1) < E(k)) vs the flat baseline
+    val flat = Seq.fill(65 * 4)(100)
+    val spike = flat.updated(10 * 4, 30000)
+    val base = AudioHash.energyHash64(pcm(flat))
+    val spiked = AudioHash.energyHash64(pcm(spike))
+    assert(java.lang.Long.bitCount(base ^ spiked) === 1)
+    assert(((spiked >> 10) & 1L) === 1L, "E(10) > E(11) bit set")
+    assert(intercept[IllegalArgumentException](
+      AudioHash.energyHash64(new Array[Byte](2 * 64)))
+      .getMessage.contains("% 65"))
+    assert(intercept[IllegalArgumentException](
+      AudioHash.energyHash64(new Array[Byte](3)))
+      .getMessage.contains("even"))
+  }
+
   test("Multimodal.dhash64 column ≡ the JVM kernel") {
     val imgs = (0 until 20).map { i =>
       val px = Array.tabulate(16 * 18)(j => ((i * 31 + j * 7) % 256).toByte)
