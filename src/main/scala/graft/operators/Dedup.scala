@@ -152,7 +152,7 @@ object Dedup {
     * and the window's hash partitioning on the keys is reused by the
     * `groupBy` — still ONE shuffle, still one pass over the input.
     */
-  private def pairsWithinGroups(rows: DataFrame, keyCols: Seq[String],
+  private[operators] def pairsWithinGroups(rows: DataFrame, keyCols: Seq[String],
                                 payload: Column, maxGroup: Int): DataFrame =
     rows.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))

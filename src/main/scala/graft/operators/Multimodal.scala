@@ -699,4 +699,55 @@ object Multimodal {
     org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.AudioEnergyHash64(
         org.apache.spark.sql.GraftColumnBridge.expression(pcm16le)))
+
+  /** VIDEO near-dup over per-frame 64-bit perceptual hashes (the aligned-
+    * frame formulation — near-dup videos share frame STRUCTURE, so frame
+    * f compares against frame f): input is one row per (video, frameIdx,
+    * frame hash — e.g. [[dhash64]] of the sampled frame); output is every
+    * video pair whose SUMMED per-frame Hamming distance ≤
+    * `maxTotalHamming` and whose frame counts match.
+    *
+    * Candidates come from the [[Dedup.hammingNearDup]] banding rule
+    * applied PER ALIGNED FRAME — a pair surfaces iff some frame shares a
+    * 16-bit band at the same frame index — so a qualifying pair is found
+    * whenever any one frame is band-close, and the exact summed gate
+    * filters after. Scale shape: |videos|·F·nBands banded rows into ONE
+    * shuffle with in-place pair expansion; verification joins each side's
+    * per-video hash ARRAY once (video-keyed aggregate, F longs per video)
+    * and sums `bit_count(xor)` with `zip_with` — never a per-pair frame
+    * explosion.
+    */
+  def videoNearDup(frames: DataFrame, idCol: String, frameCol: String,
+                   hashCol: String, maxTotalHamming: Int,
+                   nBands: Int = 4, maxBucket: Int = 10000): DataFrame = {
+    require(64 % nBands == 0, "nBands must divide 64")
+    require(maxTotalHamming >= 0, "maxTotalHamming must be >= 0")
+    val blockBits = 64 / nBands
+    val mask = (1L << blockBits) - 1
+    val buckets = frames.select(
+      struct(col(idCol)).as("__p"), col(frameCol).as("__f"),
+      posexplode(array((0 until nBands).map(i =>
+        shiftrightunsigned(col(hashCol), i * blockBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "block")))
+    val cands = Dedup.pairsWithinGroups(buckets,
+        Seq("__f", "band", "block"), col("__p"), maxBucket)
+      .select(col("__a")(idCol).as("id_a"), col("__b")(idCol).as("id_b"))
+      .distinct()
+    val sigs = frames.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col(frameCol).as("f"),
+        col(hashCol).as("h")))).as("__sig"))
+      .select(col(idCol),
+        expr("transform(__sig, s -> s.h)").as("__hs"))
+    cands
+      .join(sigs.select(col(idCol).as("id_a"), col("__hs").as("__ha")),
+        Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("__hs").as("__hb")),
+        Seq("id_b"))
+      .filter(size(col("__ha")) === size(col("__hb")))
+      .select(col("id_a"), col("id_b"),
+        expr("""aggregate(zip_with(__ha, __hb, (x, y) -> bit_count(x ^ y)),
+                0, (acc, d) -> acc + d)""").as("total_hamming"),
+        size(col("__ha")).as("n_frames"))
+      .filter(col("total_hamming") <= maxTotalHamming)
+  }
 }

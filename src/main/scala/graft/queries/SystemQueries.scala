@@ -230,6 +230,45 @@ object SystemQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // VIDEO NEAR-DUP by aligned per-frame dHash (round 11 — completing
+    // the q233/q234 multimodal-dedup triple): 6 deterministic 36×32
+    // frames per doc, groups of 5 share the frame structure and members
+    // perturb only frame 0's top-left block; per-frame DHash64 →
+    // aligned-frame band candidates → summed-Hamming verify over the
+    // per-video hash arrays (zip_with, never a per-pair frame explosion).
+    // ORACLED end to end like q233, with the frame dimension threaded
+    // through every stage.
+    "q235_video_dhash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val frames = ids.flatMap { id =>
+        val g = id / 5
+        (0 until 6).map { fr =>
+          val w = 36; val h = 32
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = g * 37 + x * (7 + (g + fr) % 5) +
+                y * (13 + (g + fr) % 7) +
+                (x * y) % (11 + (g * 2 + fr) % 13) +
+                (if (x < 4 && y < 4 && fr == 0) (id % 5) * 11 else 0)
+              px(y * w + x) = (v % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, fr.toLong, px)
+        }
+      }.toDF("doc_id", "fr", "px")
+      val hashed = frames.select(col("doc_id"), col("fr"),
+        Multimodal.dhash64(col("px"), 36, 32).as("fhash"))
+      Multimodal.videoNearDup(hashed, "doc_id", "fr", "fhash",
+          maxTotalHamming = 6, nBands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // AUDIO NEAR-DUP by energy-envelope fingerprint (round 11 — the audio
     // twin of q233): deterministic PCM16 fixtures, 65 frames × 20 samples,
     // groups of 5 docs share an envelope and members perturb only frame 0;
@@ -979,6 +1018,58 @@ object SystemQueries {
          ((r * 31 + 26) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch2,
          ((r * 31 + 39) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch3
        FROM generate_series(0, 199) AS t(r) ORDER BY row_index""",
+    // q233's replay with the frame dimension threaded through: per-frame
+    // hashes, aligned-frame banding, summed bit_count verify.
+    "q235_video_dhash_neardup" ->
+      """WITH px AS (
+         SELECT d.doc_id, fr.fr, x.x, y.y,
+           ((d.doc_id // 5) * 37
+            + x.x * (7 + ((d.doc_id // 5) + fr.fr) % 5)
+            + y.y * (13 + ((d.doc_id // 5) + fr.fr) % 7)
+            + (x.x * y.y) % (11 + ((d.doc_id // 5) * 2 + fr.fr) % 13) +
+            CASE WHEN x.x < 4 AND y.y < 4 AND fr.fr = 0
+                 THEN (d.doc_id % 5) * 11 ELSE 0 END) % 256 AS v
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 5) fr(fr),
+           generate_series(0, 35) x(x), generate_series(0, 31) y(y)),
+       s AS (
+         SELECT doc_id, fr, y // 4 AS r, x // 4 AS c,
+           CAST(sum(v) AS BIGINT) AS s
+         FROM px GROUP BY 1, 2, 3, 4),
+       h AS (
+         SELECT a.doc_id, a.fr,
+           CAST(sum(CASE WHEN a.s > b.s
+             THEN (CAST(1 AS HUGEINT) << (a.r * 8 + a.c))
+             ELSE 0 END) AS HUGEINT) AS hu
+         FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.fr = a.fr
+           AND b.r = a.r AND b.c = a.c + 1
+         WHERE a.c < 8 GROUP BY a.doc_id, a.fr),
+       sg AS (
+         SELECT doc_id, fr, hu,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS dh
+         FROM h),
+       bands AS (
+         SELECT doc_id, fr, i.i AS band,
+           CAST((hu >> (16 * i.i)) % 65536 AS BIGINT) AS block
+         FROM sg, generate_series(0, 3) i(i)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.fr = b.fr AND a.band = b.band AND a.block = b.block
+             AND a.doc_id < b.doc_id),
+       tot AS (
+         SELECT c.id_a, c.id_b,
+           CAST(sum(bit_count(xor(ha.dh, hb.dh))) AS INTEGER)
+             AS total_hamming,
+           CAST(count(*) AS INTEGER) AS n_frames
+         FROM cand c
+           JOIN sg ha ON ha.doc_id = c.id_a
+           JOIN sg hb ON hb.doc_id = c.id_b AND hb.fr = ha.fr
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, total_hamming, n_frames
+       FROM tot WHERE total_hamming <= 6 ORDER BY id_a, id_b""",
     // Full envelope-hash replay: sample formula -> frame energies ->
     // sign bits -> HUGEINT wrap -> 16-bit bands -> bit_count.
     "q234_audio_energy_neardup" ->

@@ -114,6 +114,41 @@ class ImageHashSpec extends SparkSpec {
       .getMessage.contains("even"))
   }
 
+  test("videoNearDup equals brute aligned-frame enumeration") {
+    val rnd = new scala.util.Random(13)
+    val nVids = 40; val nFrames = 5
+    val vids = (0L until nVids.toLong).map { v =>
+      v -> Array.fill(nFrames)(rnd.nextLong())
+    }
+    // plant: 30/31 identical except 1 bit in one frame; 32/33 far apart
+    val base = Array.fill(nFrames)(rnd.nextLong())
+    val close = base.clone(); close(2) = base(2) ^ 4L
+    val planted = vids.dropRight(4) ++
+      Seq(36L -> base, 37L -> close, 38L -> base.map(~_), 39L -> base.map(_ ^ -1L >>> 8))
+    val frames = planted.flatMap { case (v, hs) =>
+      hs.zipWithIndex.map { case (h, f) => (v, f.toLong, h) }
+    }
+    val got = Multimodal.videoNearDup(frames.toDF("id", "f", "h"),
+        "id", "f", "h", maxTotalHamming = 8, nBands = 4)
+      .select("id_a", "id_b", "total_hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val byId = planted.toMap
+    val want = (for {
+      (a, ha) <- planted; (b, hb) <- planted if a < b
+      tot = ha.zip(hb).map(p => java.lang.Long.bitCount(p._1 ^ p._2)).sum
+      if tot <= 8
+      shares = ha.zip(hb).exists { case (x, y) =>
+        (0 until 4).exists(i =>
+          ((x >>> (16 * i)) & 0xFFFF) == ((y >>> (16 * i)) & 0xFFFF))
+      }
+      if shares
+    } yield (a, b, tot)).toSet
+    assert(got === want)
+    assert(got.contains((36L, 37L, 1)), "planted near pair found")
+    assert(!got.exists(p => p._1 == 36L && p._2 == 38L),
+      "complement video excluded")
+  }
+
   test("Multimodal.dhash64 column ≡ the JVM kernel") {
     val imgs = (0 until 20).map { i =>
       val px = Array.tabulate(16 * 18)(j => ((i * 31 + j * 7) % 256).toByte)
