@@ -551,6 +551,61 @@ object Graphs {
           .otherwise(0L).as("cc_micro"))
   }
 
+  /** k-TRUSS peeling (Cohen 2008, "Trusses: cohesive subgraphs for social
+    * network analysis") — the EDGE-cohesion companion to [[kCore]]: each
+    * synchronous round computes every surviving edge's triangle SUPPORT
+    * (common-neighbor count within the surviving edge set) and drops
+    * edges with support < k − 2. Fixed `rounds` is part of the semantics
+    * (the kCore/LPA discipline — oracles unroll the same rounds); run to
+    * convergence by raising it, monitoring the edge count.
+    *
+    * Output: surviving undirected edges `(a, b, support)` with `a < b`,
+    * support as of the LAST peel's check.
+    *
+    * Scale shape: per round, ONE aligned wedge join (adjacency joined to
+    * itself on the shared neighbor, bounded by Σ deg² of the SHRINKING
+    * edge set) + one pair-keyed count + a semi join; lineage cut per
+    * round through the checkpointer, cuts released as rounds retire.
+    * Hub-heavy graphs should degree-cap or orient first (the
+    * [[triangleCounts]] trick) — supports here must be per-EDGE, so the
+    * plain aligned form is the exact baseline.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             rounds: Int,
+             checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+      : DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (k = 2 keeps every edge)")
+    require(rounds >= 1, "need at least one peel round")
+    // `release` takes the exact frame `cut` returned, so the cut and its
+    // (a, b) projection are tracked separately across rounds
+    var cutFrame = checkpointer.cut(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    var und = cutFrame
+    var result: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val adj = und.select(col("a").as("x"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("x"), col("a").as("n")))
+      val sup = und
+        .join(adj.select(col("x").as("a"), col("n").as("w")), Seq("a"))
+        .join(adj.select(col("x").as("b"), col("n").as("w")), Seq("b", "w"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+      val kept = checkpointer.cut(
+        und.join(sup.select(col("a"), col("b"), col("support")),
+          Seq("a", "b")).select("a", "b", "support"))
+      checkpointer.release(cutFrame)
+      cutFrame = kept
+      und = kept.select("a", "b")
+      result = kept
+      r += 1
+    }
+    result
+  }
+
   /** LINK PREDICTION scores — common-neighbors and neighborhood Jaccard
     * (Liben-Nowell & Kleinberg 2003, the two exact-integer members of the
     * classic score family): one row per unordered node pair sharing ≥ 1

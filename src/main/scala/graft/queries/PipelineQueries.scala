@@ -1869,6 +1869,22 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    // k-TRUSS peeling at k = 3 (edges in ≥ 1 triangle among surviving
+    // edges), 2 synchronous rounds — the EDGE-cohesion companion to
+    // q186's k-core; peeling cascades because removing 0-support edges
+    // destroys the triangles of others. Round count is part of the
+    // semantics (the q186 discipline); the oracle unrolls the same two
+    // rounds.
+    "q236_ktruss" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val knn = Similarity.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("query_id"), col("embedding")),
+        "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      Graphs.kTruss(knn.select(col("query_id").as("src"),
+          col("vec_id").as("dst")), "src", "dst", k = 3, rounds = 2)
+        .orderBy("a", "b")
+    }),
+
     // PERSONALIZED PageRank (Graphs.personalizedPageRank, Haveliwala
     // 2002): 3 rounds from seeds {0, 1} over the kNN graph — graph
     // expansion from known-good examples, all-BIGINT trajectory (the
@@ -5340,6 +5356,26 @@ object PipelineQueries {
       }.mkString(",\n       ")}
        SELECT node, CAST(count(*) AS BIGINT) AS deg
        FROM ks2 GROUP BY node ORDER BY node""",
+
+    // Two unrolled peel rounds: per-edge support via the aligned wedge
+    // join over the previous round's survivors.
+    "q236_ktruss" -> s"""WITH $knnEdgesCtesSql,
+       t0 AS MATERIALIZED (
+         SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         FROM edges WHERE src <> dst),
+       ${(1 to 2).map { r =>
+        val prev = s"t${r - 1}"
+        s"""adj$r AS MATERIALIZED (
+         SELECT a AS x, b AS n FROM $prev UNION ALL SELECT b, a FROM $prev),
+       s$r AS MATERIALIZED (
+         SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+         FROM $prev e
+           JOIN adj$r p ON p.x = e.a
+           JOIN adj$r q ON q.x = e.b AND q.n = p.n
+         GROUP BY e.a, e.b HAVING count(*) >= 1),
+       t$r AS MATERIALIZED (SELECT a, b FROM s$r)"""
+      }.mkString(",\n       ")}
+       SELECT a, b, support FROM s2 ORDER BY a, b""",
 
     // The q157 PageRank round replay with the teleport restricted to
     // seeds {0, 1}: r0 = Scale // 2 on seeds and 0 elsewhere; each round

@@ -241,6 +241,51 @@ class GraphsSpec extends SparkSpec {
     assert(runKCore(es, 4, 3) == Map.empty)
   }
 
+  test("kTruss equals the driver replay on random graphs, any round count") {
+    val rnd = new scala.util.Random(41)
+    def brute(es: Seq[(Long, Long)], k: Int,
+              rounds: Int): Map[(Long, Long), Long] = {
+      var und = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .filter(e => e._1 != e._2).distinct.toSet
+      var sup = Map.empty[(Long, Long), Long]
+      (1 to rounds).foreach { _ =>
+        val adj = und.toSeq.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+        sup = und.toSeq.map { case (a, b) =>
+          (a, b) -> (adj(a) & adj(b)).size.toLong
+        }.filter(_._2 >= k - 2).toMap
+        und = sup.keySet
+      }
+      sup
+    }
+    for (trial <- 1 to 3; k <- Seq(3, 4); rounds <- Seq(1, 2, 3)) {
+      val es = Seq.fill(90)((rnd.nextInt(13).toLong, rnd.nextInt(13).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Graphs.kTruss(es.toDF("src", "dst"), "src", "dst", k, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got === brute(es, k, rounds), s"trial=$trial k=$k rounds=$rounds")
+    }
+  }
+
+  test("kTruss: a clique's edges survive; a bridge edge peels immediately") {
+    // K4 + a bridge 4-5 + a pendant triangle 5-6, 6-7, 5-7
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (5L, 7L))
+    // k=3: every K4 edge sits in 2 triangles, the pendant triangle's in 1,
+    // the bridge in 0 -> bridge peels round 1, everything else stable
+    val got = Graphs.kTruss(es.toDF("src", "dst"), "src", "dst", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(!got.contains((4L, 5L)), "bridge edge peeled")
+    assert(got((1L, 2L)) === 2L && got((5L, 6L)) === 1L)
+    assert(got.size === 9)
+    // k=4: only the K4 survives (support >= 2)
+    val k4 = Graphs.kTruss(es.toDF("src", "dst"), "src", "dst", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k4 === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
+  }
+
   test("modularityByCommunity replays the integer formula exactly") {
     // two triangles joined by one edge; perfect 2-community partition
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
