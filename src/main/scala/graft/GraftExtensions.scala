@@ -178,6 +178,17 @@ object GraftFunctions {
       // point-in-validity (J3's kernel): s <= p < e
       p >= s && p < e
     },
+    "graft_dhash64" -> { exprs =>
+      require(exprs.length == 3, "graft_dhash64 expects (pixels, w, h)")
+      graft.expressions.DHash64(exprs(0),
+        intLit(exprs(1), "graft_dhash64", 1),
+        intLit(exprs(2), "graft_dhash64", 2))
+    },
+    "graft_audio_energy_hash64" -> { exprs =>
+      require(exprs.length == 1,
+        "graft_audio_energy_hash64 expects (pcm16le)")
+      graft.expressions.AudioEnergyHash64(exprs.head)
+    },
     "graft_blocklist_total" -> { exprs =>
       require(exprs.length == 2,
         "graft_blocklist_total expects (text, 'term|term|...')")

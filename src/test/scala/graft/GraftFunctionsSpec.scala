@@ -70,6 +70,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaCol.toSeq)
   }
 
+  test("SQL media fingerprints and blocklist/interval kernels match the Column API") {
+    import registered.implicits._
+    val px = Array.tabulate(9 * 8)(i => ((i * 31) % 256).toByte)
+    val pcm = Array.tabulate(65 * 2 * 2)(i => ((i * 17) % 256).toByte)
+    val df = Seq((1L, px, pcm, "the fox and the dog", 10L, 30L))
+      .toDF("id", "px", "pcm", "t", "s", "e")
+    df.createOrReplaceTempView("media_fx")
+    val viaSql = registered.sql(
+      """SELECT graft_dhash64(px, 9, 8) AS dh,
+           graft_audio_energy_hash64(pcm) AS ah,
+           graft_blocklist_total(t, 'the|fox') AS bl,
+           graft_interval_overlap(s, e, 20, 50) AS ov,
+           graft_interval_contains(s, e, 25) AS inn
+         FROM media_fx""").collect().head
+    assert(viaSql.getLong(0) ===
+      graft.expressions.ImageHash.dhash64(px, 9, 8))
+    assert(viaSql.getLong(1) ===
+      graft.expressions.AudioHash.energyHash64(pcm))
+    assert(viaSql.getLong(2) === 3L) // 'the' twice + 'fox' once
+    assert(viaSql.getLong(3) === 10L) // [10,30) ∩ [20,50) = [20,30)
+    assert(viaSql.getBoolean(4))
+  }
+
   test("SQL vector and geometry kernels match the Column API") {
     import registered.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.0f, 2.0f)))
