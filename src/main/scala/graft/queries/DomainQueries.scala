@@ -127,6 +127,44 @@ object DomainQueries {
             lit(100.0), lit(7.0)) < 25.0).as("in_patch"))
     }),
 
+    // The FULL is_position_in_patch chain (tracking.py:305-324) as one
+    // composite (round 11): view events are the position stream (centi
+    // grid), click events build a per-user wheel odometer (running centi
+    // sum); a position is ACTIVE iff inside the patch AND the wheel
+    // moved > 1 unit in the trailing 1 s as of that moment, with the
+    // evidence reset every time the subject exits the patch (the
+    // exit-slice cumsum). Pins the composition of q46/q22/q26/q25/q21's
+    // standalone idioms, where the off-by-ones live. Row-level output,
+    // all-integer booleans.
+    "q237_in_patch_composite" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pos = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("x_c"),
+          ((col("event_id") % 13) * 500).cast("long").as("y_c"))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wheel = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("step_c"))
+        .withColumn("odo_c", sum(col("step_c")).over(wOrd))
+        // one odometer value per instant: last writer (max event_id) wins
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("odo_c")))
+          .getField("odo_c").as("odo_c"))
+      graft.pipelines.Patch.isPositionInPatch(pos, wheel,
+          keys = Seq("user_id"), timeCol = "ts", posTieCol = "event_id",
+          xCentiCol = "x_c", yCentiCol = "y_c", wheelCentiCol = "odo_c",
+          patchXCenti = 3000L, patchYCenti = 2500L, radiusCenti = 2500L,
+          wheelWindowUs = 3600L * 1000000L, wheelMinCenti = 100L)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("in_patch"), col("in_wheel"),
+          col("patch_slice"), col("in_patch_active"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // P5 null-row semantics (acquisition.py:664-705): every (user, day) slot
     // gets a row; absent streams appear with sample_count=0, not dropped.
     "q47_zero_sample_slots" -> ((s, d) => {
@@ -210,6 +248,66 @@ object DomainQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // tracking.py:305-324 replay: wheel odometer -> trailing-window
+    // movement flag -> backward-inclusive pad onto positions -> radius
+    // gate -> exit-slice cumsum -> per-slice running evidence.
+    "q237_in_patch_composite" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           event_type, value FROM events),
+       pos AS (
+         SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(round(value * 100) AS BIGINT) AS x_c,
+           (event_id % 13) * 500 AS y_c
+         FROM ev WHERE event_type = 'view'),
+       wraw AS (
+         SELECT user_id, epoch_us(ts) AS us, event_id,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS odo_c
+         FROM ev WHERE event_type = 'click'),
+       wheel AS (
+         SELECT user_id, us,
+           max_by(odo_c, event_id) AS odo_c
+         FROM wraw GROUP BY user_id, us),
+       wflag AS (
+         SELECT user_id, us,
+           coalesce(sum(dd) OVER (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) > 100,
+             false) AS mov
+         FROM (SELECT *, odo_c - lag(odo_c)
+             OVER (PARTITION BY user_id ORDER BY us) AS dd
+           FROM wheel)),
+       padded AS (
+         SELECT p.*,
+           (SELECT w.mov FROM wflag w
+            WHERE w.user_id = p.user_id AND w.us <= p.us
+            ORDER BY w.us DESC LIMIT 1) AS mov
+         FROM pos p),
+       flagged AS (
+         SELECT *,
+           (x_c - 3000) * (x_c - 3000) + (y_c - 2500) * (y_c - 2500)
+             < 2500 * 2500 AS in_patch,
+           coalesce(mov, false) AS in_wheel
+         FROM padded),
+       exits AS (
+         SELECT *,
+           CASE WHEN coalesce(lag(in_patch)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id), false)
+               AND NOT in_patch THEN 1 ELSE 0 END AS ex
+         FROM flagged),
+       sliced AS (
+         SELECT *,
+           sum(ex) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS patch_slice
+         FROM exits)
+       SELECT user_id, us, event_id, in_patch, in_wheel,
+         CAST(patch_slice AS BIGINT) AS patch_slice,
+         in_patch AND sum(CASE WHEN in_wheel THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, patch_slice ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+           AS in_patch_active
+       FROM sliced ORDER BY user_id, us, event_id""",
     "q40_harp_clock" ->
       """SELECT event_id,
          epoch_us(ts) + 2082844800000000 AS harp_us,
