@@ -122,6 +122,31 @@ object Robust {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(unix_micros(col(tsCol)), col(tieCol))
       .rowsBetween(-half, half)
+    hampelOver(df, valueMicroCol, k, w)
+  }
+
+  /** TRAILING [[hampelFilter]] — the CAUSAL variant (window = the current
+    * row and the `window − 1` rows before it), the form a live QC stream
+    * can evaluate the moment a sample arrives: no future rows, so the
+    * statistic never revises. Series heads use what exists (a key's first
+    * row is its own median — never an outlier). Same doubled-integer
+    * arithmetic, same one-keyed-shuffle shape; the streaming twin is
+    * [[graft.streaming.StreamingHampel]].
+    */
+  def hampelFilterTrailing(df: DataFrame, keyCol: String, tsCol: String,
+                           tieCol: String, valueMicroCol: String,
+                           window: Int, k: Int = 3): DataFrame = {
+    require(window >= 2, "window must be >= 2 rows")
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    hampelOver(df, valueMicroCol, k, w)
+  }
+
+  private def hampelOver(df: DataFrame, valueMicroCol: String, k: Int,
+                         w: org.apache.spark.sql.expressions.WindowSpec)
+      : DataFrame = {
     def med2Of(arr: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       element_at(arr, ((n + 1) / lit(2)).cast("int")) +
         element_at(arr, (n / lit(2) + 1).cast("int"))

@@ -802,6 +802,53 @@ object WindowQueries {
         .orderBy("event_type")
     }),
 
+    // TRAILING (causal) Hampel — the live-QC form of q227: the window is
+    // the current row plus the 10 before it, so the statistic is final
+    // the moment a sample arrives (what the q239 drain exploits).
+    "q238_hampel_trailing" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("vm"))
+      graft.operators.Robust.hampelFilterTrailing(ev, "user_id", "ts",
+          "event_id", "vm", window = 11, k = 3)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("vm"), col("med2"), col("mad2"),
+          col("is_outlier"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
+    // Streaming/incremental twin of q238 (the drain discipline): waves
+    // despike their NEW rows against a persisted per-key tail buffer of
+    // the last 10 samples — the trailing window is causal, so the buffer
+    // IS the operator's whole memory and nothing revises. Oracle = q238's
+    // verbatim; the wave-boundary rows (windows straddling the pivot) are
+    // the ones that break if the buffer plumbing is wrong.
+    "q239_hampel_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .select("user_id", "ts", "event_id", "vm")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hampel-q239").toString
+      val (src, out, buf, ckpt) =
+        (root + "/src", root + "/scored", root + "/buffer", root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("event_id", LongType), StructField("vm", LongType)))
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      def wave(): Unit =
+        graft.streaming.StreamingHampel.drain(s, src, out, buf, ckpt,
+          "user_id", "ts", "event_id", "vm", schema, window = 11, k = 3)
+      ev.filter(col("ts") < pivot).write.mode("append").parquet(src)
+      wave()
+      ev.filter(col("ts") >= pivot).write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingHampel.loadScored(s, out)
+        .withColumnRenamed("key", "user_id")
+        .withColumnRenamed("tie", "event_id")
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // SEASONAL-BASELINE anomaly summary: the robust (median/MAD) profile
     // of `value` per (event_type, hour-of-day) — the despiking baseline a
     // QC pass compares live hours against; exact doubled-integer order
@@ -1366,6 +1413,46 @@ object WindowQueries {
          CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
          CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS den_y
        FROM g ORDER BY event_type""",
+    // q227's replay on the trailing frame (10 preceding .. current).
+    "q238_hampel_trailing" -> s"""$EV,
+       b AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS vm
+         FROM ev),
+       lw AS (SELECT *, list_sort(list(vm)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS ls
+         FROM b),
+       m AS (SELECT *, len(ls) AS n,
+           CAST(ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1] AS BIGINT)
+             AS med2
+         FROM lw),
+       dv AS (SELECT *, list_sort(list_transform(ls,
+           x -> abs(2 * x - med2))) AS ds FROM m)
+       SELECT user_id, us, event_id, vm, med2,
+         CAST(ds[(n + 1) // 2] + ds[n // 2 + 1] AS BIGINT) AS mad2,
+         abs(2 * vm - med2) > 3 * (ds[(n + 1) // 2] + ds[n // 2 + 1])
+           AS is_outlier
+       FROM dv ORDER BY user_id, us, event_id""",
+    // drained ≡ one-shot is the contract: q238's oracle verbatim.
+    "q239_hampel_from_drain" -> s"""$EV,
+       b AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS vm
+         FROM ev),
+       lw AS (SELECT *, list_sort(list(vm)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS ls
+         FROM b),
+       m AS (SELECT *, len(ls) AS n,
+           CAST(ls[(len(ls) + 1) // 2] + ls[len(ls) // 2 + 1] AS BIGINT)
+             AS med2
+         FROM lw),
+       dv AS (SELECT *, list_sort(list_transform(ls,
+           x -> abs(2 * x - med2))) AS ds FROM m)
+       SELECT user_id, us, event_id, vm, med2,
+         CAST(ds[(n + 1) // 2] + ds[n // 2 + 1] AS BIGINT) AS mad2,
+         abs(2 * vm - med2) > 3 * (ds[(n + 1) // 2] + ds[n // 2 + 1])
+           AS is_outlier
+       FROM dv ORDER BY user_id, us, event_id""",
     // Windowed doubled-median/MAD replay: list() over the same centered
     // row frame, sorted, then the q162 order-statistic arithmetic.
     "q227_hampel_filter" -> s"""$EV,
