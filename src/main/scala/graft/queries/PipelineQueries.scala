@@ -1395,6 +1395,26 @@ object PipelineQueries {
         col("vec_id").as("dst")), "src", "dst")
     }),
 
+    // CALIBRATION / reliability table (the q230 AUC's companion —
+    // discrimination AND calibration close the eval loop): score deciles
+    // via the deterministic rank-shared binning, then per (source, bin)
+    // the count, mean score, and positive rate, every statistic an exact
+    // integer micro (floor-div on nonnegative sums).
+    "q240_calibration" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .withColumn("score_micro",
+          least(lit(1000000L), col("n_chars").cast("long") * 500L))
+        .withColumn("y", (col("lang") === "en").cast("long"))
+      graft.operators.Features.quantileBin(scored, Seq("source"),
+          "score_micro", nBins = 10, binCol = "bin")
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y")).as("n_pos"),
+          expr("sum(score_micro) div count(1)").as("mean_score_micro"),
+          expr("(1000000 * sum(y)) div count(1)").as("pos_rate_micro"))
+        .orderBy("source", "bin")
+    }),
+
     // FEATURE ENGINEERING: deterministic quantile bins (rank-based —
     // ties share a bin, unlike ntile's arbitrary tie splits) + leave-one-
     // out target encoding (mean of the OTHER rows' targets per category —
@@ -4041,6 +4061,24 @@ object PipelineQueries {
        SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
          CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
          CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
+    // Same rank-shared deciles + integer-micro floor divisions.
+    "q240_calibration" ->
+      """WITH b AS (
+         SELECT source, least(1000000, CAST(n_chars AS BIGINT) * 500)
+             AS score_micro,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents),
+       r AS (SELECT *,
+           rank() OVER (PARTITION BY source ORDER BY score_micro) AS rk,
+           count(*) OVER (PARTITION BY source) AS n
+         FROM b)
+       SELECT source, CAST((rk - 1) * 10 // n AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(score_micro) // count(*) AS BIGINT) AS mean_score_micro,
+         CAST(1000000 * sum(y) // count(*) AS BIGINT) AS pos_rate_micro
+       FROM r GROUP BY source, (rk - 1) * 10 // n
+       ORDER BY source, bin""",
     // Rank-shared bins + LOO means replayed with the same floor division.
     "q232_feature_encode" ->
       """WITH b AS (
