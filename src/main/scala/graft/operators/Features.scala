@@ -27,7 +27,12 @@ object Features {
     require(nBins >= 2, "need at least 2 bins")
     require(keys.nonEmpty, "quantileBin needs grouping keys")
     val ks = keys.map(col)
-    val wRank = Window.partitionBy(ks: _*).orderBy(col(valueCol))
+    // nulls must sort LAST: Spark's default nulls-first ordering would
+    // hand null rows the lowest ranks, shifting every real value's rank
+    // up and pushing the max value into a bin >= nBins (caught by the
+    // nulls-among-values spec case)
+    val wRank = Window.partitionBy(ks: _*)
+      .orderBy(col(valueCol).asc_nulls_last)
     val wAll = Window.partitionBy(ks: _*)
     df.withColumn("__r",
         when(col(valueCol).isNotNull, rank().over(wRank)))

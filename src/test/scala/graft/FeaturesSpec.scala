@@ -20,11 +20,16 @@ class FeaturesSpec extends SparkSpec {
     val tied = Features.quantileBin(allTies.toDF("g", "v"), Seq("g"), "v", 4)
       .select("bin").as[Long].collect()
     assert(tied.toSet === Set(0L))
-    // null values pass through with a null bin
+    // null values pass through with a null bin AND must not shift the
+    // real values' ranks (nulls-first ordering would push v=2 into the
+    // out-of-range bin 2)
     val withNull = Seq(("k", Some(1L)), ("k", None), ("k", Some(2L)))
     val nb = Features.quantileBin(withNull.toDF("g", "v"), Seq("g"), "v", 2)
       .select("v", "bin").as[(Option[Long], Option[Long])].collect()
-    assert(nb.find(_._1.isEmpty).get._2.isEmpty)
+      .toMap
+    assert(nb(None) === None)
+    assert(nb(Some(1L)) === Some(0L))
+    assert(nb(Some(2L)) === Some(1L))
   }
 
   test("targetEncodeLoo equals the literal leave-one-out mean") {
