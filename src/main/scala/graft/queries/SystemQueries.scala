@@ -269,6 +269,71 @@ object SystemQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // CROSS-MODALITY entity resolution (the q208 recipe on the
+    // multimodal fingerprints): image near-dup pairs (groups of 5 — the
+    // q233 fixture) UNION audio near-dup pairs under an INDEPENDENT
+    // grouping (groups of 7), resolved by connected components — the
+    // differing group widths chain through shared docs, so the resolver
+    // does real transitive work (35-doc components at the lcm) and every
+    // inter-family contract (hash → banding → pairs → CC → keeper)
+    // participates in the hash.
+    "q241_multimodal_er" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val imgs = ids.map { id =>
+        val w = 36; val h = 32
+        val px = new Array[Byte](w * h)
+        val g = id / 5
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = g * 37 + x * (7 + g % 5) + y * (13 + g % 7) +
+              (x * y) % (11 + g % 13) +
+              (if (x < 4 && y < 4) (id % 5) * 11 else 0)
+            px(y * w + x) = (v % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, px)
+      }.toDF("doc_id", "px")
+      val imgPairs = graft.operators.Dedup.hammingNearDup(
+        imgs.select(col("doc_id"),
+          Multimodal.dhash64(col("px"), 36, 32).as("h")),
+        "doc_id", "h", bits = 64, maxHamming = 4, nBands = 4)
+      val wavs = ids.map { id =>
+        val n = 65 * 20
+        val bytes = new Array[Byte](2 * n)
+        val g = id / 7
+        var i = 0
+        while (i < n) {
+          val f = i / 20
+          val v = ((((i % 20) + 1) * (37 + (f * (3 + g % 13) + g) % 23) +
+            (if (f == 0) (id % 7) * 7 else 0)) % 2003 - 1001).toShort
+          bytes(2 * i) = (v & 0xFF).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        (id, bytes)
+      }.toDF("doc_id", "pcm")
+      val audPairs = graft.operators.Dedup.hammingNearDup(
+        wavs.select(col("doc_id"),
+          Multimodal.audioEnergyHash64(col("pcm")).as("h")),
+        "doc_id", "h", bits = 64, maxHamming = 4, nBands = 4)
+      val pairs = imgPairs.select("id_a", "id_b")
+        .unionByName(audPairs.select("id_a", "id_b")).distinct()
+      val comps = graft.operators.Dedup.connectedComponents(
+          pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      ids.toDF("doc_id").join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("entity"),
+          (coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+            .as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
     // AUDIO NEAR-DUP by energy-envelope fingerprint (round 11 — the audio
     // twin of q233): deterministic PCM16 fixtures, 65 frames × 20 samples,
     // groups of 5 docs share an envelope and members perturb only frame 0;
@@ -1018,6 +1083,99 @@ object SystemQueries {
          ((r * 31 + 26) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch2,
          ((r * 31 + 39) % 4096) * (0.195::DOUBLE) - 1000.0 AS ch3
        FROM generate_series(0, 199) AS t(r) ORDER BY row_index""",
+    // Both fingerprint replays (q233's image chain, q234's audio chain
+    // under the independent //7 grouping) -> pair union -> recursive
+    // reachability -> component minima (the q99 closure).
+    "q241_multimodal_er" ->
+      """WITH RECURSIVE ipx AS (
+         SELECT d.doc_id, x.x, y.y,
+           ((d.doc_id // 5) * 37 + x.x * (7 + (d.doc_id // 5) % 5)
+            + y.y * (13 + (d.doc_id // 5) % 7)
+            + (x.x * y.y) % (11 + (d.doc_id // 5) % 13) +
+            CASE WHEN x.x < 4 AND y.y < 4 THEN (d.doc_id % 5) * 11
+                 ELSE 0 END) % 256 AS v
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 35) x(x), generate_series(0, 31) y(y)),
+       isum AS (
+         SELECT doc_id, y // 4 AS r, x // 4 AS c, CAST(sum(v) AS BIGINT) AS s
+         FROM ipx GROUP BY 1, 2, 3),
+       ih AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.s > b.s
+             THEN (CAST(1 AS HUGEINT) << (a.r * 8 + a.c))
+             ELSE 0 END) AS HUGEINT) AS hu
+         FROM isum a JOIN isum b ON b.doc_id = a.doc_id AND b.r = a.r
+           AND b.c = a.c + 1
+         WHERE a.c < 8 GROUP BY a.doc_id),
+       isg AS (
+         SELECT doc_id, hu,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS dh
+         FROM ih),
+       ibands AS (
+         SELECT doc_id, dh, i.i AS band,
+           CAST((hu >> (16 * i.i)) % 65536 AS BIGINT) AS block
+         FROM isg, generate_series(0, 3) i(i)),
+       ipairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM ibands a JOIN ibands b
+           ON a.band = b.band AND a.block = b.block
+             AND a.doc_id < b.doc_id
+           JOIN isg sa ON sa.doc_id = a.doc_id
+           JOIN isg sb ON sb.doc_id = b.doc_id
+         WHERE bit_count(xor(sa.dh, sb.dh)) <= 4),
+       asm AS (
+         SELECT d.doc_id, i.i // 20 AS f,
+           (((i.i % 20) + 1)
+              * (37 + ((i.i // 20) * (3 + (d.doc_id // 7) % 13)
+                       + (d.doc_id // 7)) % 23) +
+            CASE WHEN i.i // 20 = 0 THEN (d.doc_id % 7) * 7 ELSE 0 END)
+             % 2003 - 1001 AS s
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 1299) i(i)),
+       ae AS (SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS e
+             FROM asm GROUP BY 1, 2),
+       ahh AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.e > b.e
+             THEN (CAST(1 AS HUGEINT) << a.f) ELSE 0 END) AS HUGEINT) AS hu
+         FROM ae a JOIN ae b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+         WHERE a.f < 64 GROUP BY a.doc_id),
+       asg AS (
+         SELECT doc_id, hu,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS dh
+         FROM ahh),
+       abands AS (
+         SELECT doc_id, dh, i.i AS band,
+           CAST((hu >> (16 * i.i)) % 65536 AS BIGINT) AS block
+         FROM asg, generate_series(0, 3) i(i)),
+       apairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM abands a JOIN abands b
+           ON a.band = b.band AND a.block = b.block
+             AND a.doc_id < b.doc_id
+           JOIN asg sa ON sa.doc_id = a.doc_id
+           JOIN asg sb ON sb.doc_id = b.doc_id
+         WHERE bit_count(xor(sa.dh, sb.dh)) <= 4),
+       pairs AS (SELECT id_a, id_b FROM ipairs
+                 UNION SELECT id_a, id_b FROM apairs),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       comp AS (
+         SELECT n AS did, least(min(m), n) AS entity FROM reach GROUP BY n)
+       SELECT d.doc_id,
+         coalesce(c.entity, d.doc_id) AS entity,
+         coalesce(c.entity, d.doc_id) = d.doc_id AS is_canonical
+       FROM documents d LEFT JOIN comp c ON d.doc_id = c.did
+       ORDER BY d.doc_id""",
     // q233's replay with the frame dimension threaded through: per-frame
     // hashes, aligned-frame banding, summed bit_count verify.
     "q235_video_dhash_neardup" ->
