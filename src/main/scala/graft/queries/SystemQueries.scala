@@ -269,6 +269,55 @@ object SystemQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Streaming/incremental twin of q233's image near-dup (the drain
+    // discipline applied to the fingerprint family): the corpus's dHashes
+    // land in two waves; each drains against the persisted band index
+    // (never re-banding the corpus) and verifies by exact bit_count
+    // against the persisted hash table. Oracle = q233's pair replay
+    // verbatim — the cross-wave pairs (one side per wave) are the rows
+    // that break if the index fold is wrong.
+    "q242_image_neardup_from_drain" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      val hashed = ids.map { id =>
+        val w = 36; val h = 32
+        val px = new Array[Byte](w * h)
+        val g = id / 5
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = g * 37 + x * (7 + g % 5) + y * (13 + g % 7) +
+              (x * y) % (11 + g % 13) +
+              (if (x < 4 && y < 4) (id % 5) * 11 else 0)
+            px(y * w + x) = (v % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, graft.expressions.ImageHash.dhash64(px, w, h))
+      }.toDF("doc_id", "dhash")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-hamdrain-q242").toString
+      val (src, idx, hs, pairs, ckpt) = (root + "/src", root + "/idx",
+        root + "/hashes", root + "/pairs", root + "/ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dhash",
+          org.apache.spark.sql.types.LongType)))
+      def wave(): Unit =
+        graft.streaming.StreamingHamming.drain(s, src, idx, hs, pairs,
+          ckpt, "doc_id", "dhash", schema, bits = 64, maxHamming = 4,
+          nBands = 4)
+      hashed.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      wave()
+      hashed.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingHamming.loadPairs(s, pairs)
+        .orderBy("id_a", "id_b")
+    }),
+
     // CROSS-MODALITY entity resolution (the q208 recipe on the
     // multimodal fingerprints): image near-dup pairs (groups of 5 — the
     // q233 fixture) UNION audio near-dup pairs under an INDEPENDENT
@@ -1248,6 +1297,48 @@ object SystemQueries {
              THEN (CAST(1 AS HUGEINT) << a.f) ELSE 0 END) AS HUGEINT) AS hu
          FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
          WHERE a.f < 64 GROUP BY a.doc_id),
+       sg AS (
+         SELECT doc_id, hu,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS dh
+         FROM h),
+       bands AS (
+         SELECT doc_id, dh, i.i AS band,
+           CAST((hu >> (16 * i.i)) % 65536 AS BIGINT) AS block
+         FROM sg, generate_series(0, 3) i(i)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.block = b.block
+             AND a.doc_id < b.doc_id)
+       SELECT c.id_a, c.id_b, bit_count(xor(sa.dh, sb.dh)) AS hamming
+       FROM cand c JOIN sg sa ON sa.doc_id = c.id_a
+         JOIN sg sb ON sb.doc_id = c.id_b
+       WHERE bit_count(xor(sa.dh, sb.dh)) <= 4
+       ORDER BY id_a, id_b""",
+    // drained ≡ one-shot is the contract: q233's oracle verbatim.
+    "q242_image_neardup_from_drain" ->
+      """WITH px AS (
+         SELECT d.doc_id, x.x, y.y,
+           ((d.doc_id // 5) * 37 + x.x * (7 + (d.doc_id // 5) % 5)
+            + y.y * (13 + (d.doc_id // 5) % 7)
+            + (x.x * y.y) % (11 + (d.doc_id // 5) % 13) +
+            CASE WHEN x.x < 4 AND y.y < 4 THEN (d.doc_id % 5) * 11
+                 ELSE 0 END) % 256 AS v
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 35) x(x), generate_series(0, 31) y(y)),
+       s AS (
+         SELECT doc_id, y // 4 AS r, x // 4 AS c, CAST(sum(v) AS BIGINT) AS s
+         FROM px GROUP BY 1, 2, 3),
+       h AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.s > b.s
+             THEN (CAST(1 AS HUGEINT) << (a.r * 8 + a.c))
+             ELSE 0 END) AS HUGEINT) AS hu
+         FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.r = a.r
+           AND b.c = a.c + 1
+         WHERE a.c < 8 GROUP BY a.doc_id),
        sg AS (
          SELECT doc_id, hu,
            CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
