@@ -1395,6 +1395,27 @@ object PipelineQueries {
         col("vec_id").as("dst")), "src", "dst")
     }),
 
+    // BENFORD leading-digit profile (the fraud/keying-error screen of
+    // the data-quality family): per return flag, the distribution of
+    // price first digits as exact per-mille integers — a keyed count on
+    // a 9-value dimension, leading digit via the decimal string (both
+    // engines render positive longs identically).
+    "q244_benford" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents",
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .filter(col("cents") > 0)
+        .withColumn("digit",
+          substring(col("cents").cast("string"), 1, 1).cast("long"))
+      val totals = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_total"))
+      li.groupBy("l_returnflag", "digit")
+        .agg(count(lit(1)).as("n"))
+        .join(totals, Seq("l_returnflag"))
+        .withColumn("permille", expr("(1000 * n) div n_total"))
+        .orderBy("l_returnflag", "digit")
+    }),
+
     // CALIBRATION / reliability table (the q230 AUC's companion —
     // discrimination AND calibration close the eval loop): score deciles
     // via the deterministic rank-shared binning, then per (source, bin)
@@ -4061,6 +4082,23 @@ object PipelineQueries {
        SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
          CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
          CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
+    // Same leading-digit-of-decimal-string rule + floor-div per-mille.
+    "q244_benford" ->
+      """WITH b AS (
+         SELECT l_returnflag,
+           CAST(floor(l_extendedprice * (100.0::DOUBLE) + (0.5::DOUBLE))
+             AS BIGINT) AS cents
+         FROM lineitem),
+       p AS (SELECT l_returnflag,
+           CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         FROM b WHERE cents > 0),
+       t AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total
+             FROM p GROUP BY 1)
+       SELECT p.l_returnflag, p.digit, CAST(count(*) AS BIGINT) AS n,
+         t.n_total, CAST(1000 * count(*) // t.n_total AS BIGINT) AS permille
+       FROM p JOIN t USING (l_returnflag)
+       GROUP BY p.l_returnflag, p.digit, t.n_total
+       ORDER BY p.l_returnflag, p.digit""",
     // Same rank-shared deciles + integer-micro floor divisions.
     "q240_calibration" ->
       """WITH b AS (

@@ -802,6 +802,33 @@ object WindowQueries {
         .orderBy("event_type")
     }),
 
+    // WALD–WOLFOWITZ runs test inputs per event type (randomness QC for
+    // a sensor series): each value classed against the type's doubled
+    // median (above / below, exact-median rows excluded as the classic
+    // test prescribes), runs counted as sign changes + 1 per type — all
+    // exact integers, one median pass + one keyed window.
+    "q243_runs_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+      val med = graft.operators.Robust.madSummary(ev, Seq("event_type"),
+          "vm").select(col("event_type"), col("med2"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      val classed = ev.join(med, Seq("event_type"))
+        .filter(lit(2L) * col("vm") =!= col("med2"))
+        .withColumn("above", lit(2L) * col("vm") > col("med2"))
+      classed
+        .withColumn("__prev", lag(col("above"), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("above"), 1L).otherwise(0L)).as("n_above"),
+          sum(when(!col("above"), 1L).otherwise(0L)).as("n_below"),
+          (sum(when(col("__prev").isNotNull &&
+            col("__prev") =!= col("above"), 1L).otherwise(0L)) + 1L)
+            .as("n_runs"))
+        .orderBy("event_type")
+    }),
+
     // TRAILING (causal) Hampel — the live-QC form of q227: the window is
     // the current row plus the 10 before it, so the statistic is final
     // the moment a sample arrives (what the q239 drain exploits).
@@ -1413,6 +1440,35 @@ object WindowQueries {
          CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
          CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS den_y
        FROM g ORDER BY event_type""",
+    // Doubled-median classing + lag-based run counting, q162's median.
+    "q243_runs_test" -> s"""$EV,
+       vals AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+           CAST(floor(value * 1000000) AS BIGINT) AS vm
+         FROM ev),
+       r1 AS (SELECT event_type, vm,
+           row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+         FROM vals),
+       med AS (SELECT event_type,
+           CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN vm ELSE 0 END) +
+             sum(CASE WHEN rn = n // 2 + 1 THEN vm ELSE 0 END) AS BIGINT)
+             AS med2
+         FROM r1 GROUP BY event_type),
+       classed AS (
+         SELECT v.event_type, v.us, v.event_id, 2 * v.vm > m.med2 AS above
+         FROM vals v JOIN med m USING (event_type)
+         WHERE 2 * v.vm <> m.med2),
+       lagged AS (
+         SELECT *, lag(above)
+             OVER (PARTITION BY event_type ORDER BY us, event_id) AS prev
+         FROM classed)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         CAST(sum(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> above
+           THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+       FROM lagged GROUP BY event_type ORDER BY event_type""",
     // q227's replay on the trailing frame (10 preceding .. current).
     "q238_hampel_trailing" -> s"""$EV,
        b AS (SELECT user_id, epoch_us(ts) AS us, event_id,
