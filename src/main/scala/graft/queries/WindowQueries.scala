@@ -802,6 +802,53 @@ object WindowQueries {
         .orderBy("event_type")
     }),
 
+    // INTER-EVENT-INTERVAL histogram per event type (the ISI/correlogram
+    // cousin of q215's ACF — the reference's spike-train statistic over
+    // the behavior stream): per-type consecutive gaps bucketed to
+    // 10-minute bins, pure integer lag + floor-div, one keyed sort.
+    "q245_interval_histogram" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"),
+          expr("gap_us div 600000000").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("event_type", "bin")
+    }),
+
+    // EXACT GINI of per-user event counts per type (the inequality-of-
+    // usage screen — the same statistic curation runs on tokens-per-
+    // source): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ranked counts,
+    // reported as the exact integer pair (gini_num, gini_den) with the
+    // rank-weighted sum in DECIMAL(38,0) (Σ i·x is O(n²·x̄) — the q230
+    // discipline). Ties ranked deterministically by (count, user_id):
+    // any total order over equal counts yields the same Σ i·x sum.
+    "q246_gini" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("x"), col("user_id"))
+      counts
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+          sum((col("i").cast("decimal(38,0)") * col("x"))
+            .cast("decimal(38,0)")).cast("decimal(38,0)").as("__ix"))
+        .select(col("event_type"), col("n"), col("sum_x"),
+          (lit(2L).cast("decimal(38,0)") * col("__ix") -
+            (col("n") + 1L).cast("decimal(38,0)") * col("sum_x"))
+            .cast("decimal(38,0)").as("gini_num"),
+          (col("n").cast("decimal(38,0)") * col("sum_x"))
+            .cast("decimal(38,0)").as("gini_den"))
+        .orderBy("event_type")
+    }),
+
     // WALD–WOLFOWITZ runs test inputs per event type (randomness QC for
     // a sensor series): each value classed against the type's doubled
     // median (above / below, exact-median rows excluded as the classic
@@ -1440,6 +1487,34 @@ object WindowQueries {
          CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
          CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS den_y
        FROM g ORDER BY event_type""",
+    // Same lag + floor-div binning.
+    "q245_interval_histogram" -> s"""$EV,
+       g AS (SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+             AS gap_us
+         FROM ev)
+       SELECT event_type, CAST(gap_us // 600000000 AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+         CAST(max(gap_us) AS BIGINT) AS max_gap_us
+       FROM g WHERE gap_us IS NOT NULL
+       GROUP BY event_type, gap_us // 600000000
+       ORDER BY event_type, bin""",
+    // Same ranked-sum formula in HUGEINT, cast to the decimal pair.
+    "q246_gini" -> s"""$EV,
+       c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+             FROM ev GROUP BY 1, 2),
+       r AS (SELECT *,
+           CAST(row_number() OVER (PARTITION BY event_type
+             ORDER BY x, user_id) AS HUGEINT) AS i
+         FROM c)
+       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DECIMAL(38,0))
+           AS gini_num,
+         CAST(count(*) * sum(x) AS DECIMAL(38,0)) AS gini_den
+       FROM r GROUP BY event_type ORDER BY event_type""",
     // Doubled-median classing + lag-based run counting, q162's median.
     "q243_runs_test" -> s"""$EV,
        vals AS (SELECT event_type, epoch_us(ts) AS us, event_id,
