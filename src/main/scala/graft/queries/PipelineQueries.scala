@@ -1395,6 +1395,30 @@ object PipelineQueries {
         col("vec_id").as("dst")), "src", "dst")
     }),
 
+    // DEDUP YIELD REPORT (the summary every dedup pipeline ships): from
+    // q99's cluster resolution, the cluster-SIZE distribution plus the
+    // keep rate — docs surviving keep-one-per-cluster over total, as an
+    // exact per-mille. One aggregation over the resolved table; pins the
+    // pairs → CC → report chain as the user-facing rollup.
+    "q247_dedup_yield" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val pairs = minhashVerifiedPairs(docs)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.select("doc_id").join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      val total = docs.count()
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .withColumn("total_docs", lit(total))
+        .withColumn("keep_permille_if_dropped", expr(
+          "(1000 * (total_docs - (n_docs - n_clusters))) div total_docs"))
+        .orderBy("sz")
+    }),
+
     // BENFORD leading-digit profile (the fraud/keying-error screen of
     // the data-quality family): per return flag, the distribution of
     // price first digits as exact per-mille integers — a keyed count on
@@ -4082,6 +4106,31 @@ object PipelineQueries {
        SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
          CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
          CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
+    // q99's recursive closure, then the size-distribution rollup.
+    "q247_dedup_yield" ->
+      s"""WITH RECURSIVE $minhashPairCtesSql,
+       pairs AS ($minhashPairSelectSql),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       comp AS (
+         SELECT n AS did, least(min(m), n) AS cluster FROM reach GROUP BY n),
+       clustered AS (
+         SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.did),
+       sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+                 FROM clustered GROUP BY cluster),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs
+               FROM documents)
+       SELECT s.sz, CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(s.sz * count(*) AS BIGINT) AS n_docs, t.total_docs,
+         CAST(1000 * (t.total_docs - (s.sz * count(*) - count(*)))
+           // t.total_docs AS BIGINT) AS keep_permille_if_dropped
+       FROM sizes s, tot t GROUP BY s.sz, t.total_docs ORDER BY s.sz""",
     // Same leading-digit-of-decimal-string rule + floor-div per-mille.
     "q244_benford" ->
       """WITH b AS (
