@@ -1395,6 +1395,32 @@ object PipelineQueries {
         col("vec_id").as("dst")), "src", "dst")
     }),
 
+    // TOKEN LORENZ CURVE per source (the curation budget plot: what share
+    // of documents carries what share of tokens): docs ranked by token
+    // count within source, cumulative token share sampled at each decile
+    // boundary as exact per-mille — ranked cumulative sums over one keyed
+    // sort, the q246 Gini's plottable companion.
+    "q248_token_lorenz" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      val w = Window.partitionBy("source").orderBy(col("tok"), col("doc_id"))
+      val wAll = Window.partitionBy("source")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("cum_tok", sum(col("tok")).over(run))
+        .withColumn("tot_tok", sum(col("tok")).over(wAll))
+        // row i is a decile boundary iff some multiple k·n lands in
+        // (10(i−1), 10i] ⟺ i = ⌈k·n/10⌉ — pure integer arithmetic
+        .filter(expr("(10 * i) div n > (10 * (i - 1)) div n"))
+        .select(col("source"), expr("(10 * i) div n").as("decile"),
+          col("i").as("n_docs"),
+          expr("(1000 * cum_tok) div tot_tok").as("tok_permille"))
+        .orderBy("source", "decile")
+    }),
+
     // DEDUP YIELD REPORT (the summary every dedup pipeline ships): from
     // q99's cluster resolution, the cluster-SIZE distribution plus the
     // keep rate — docs surviving keep-one-per-cluster over total, as an
@@ -4106,6 +4132,25 @@ object PipelineQueries {
        SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
          CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
          CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
+    // Ranked cumulative token shares, same integer boundary predicate.
+    "q248_token_lorenz" ->
+      """WITH t AS (
+         SELECT source, doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS tok
+         FROM documents),
+       r AS (SELECT *,
+           CAST(row_number() OVER w AS BIGINT) AS i,
+           count(*) OVER (PARTITION BY source) AS n,
+           sum(tok) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS cum_tok,
+           sum(tok) OVER (PARTITION BY source) AS tot_tok
+         FROM t WINDOW w AS (PARTITION BY source ORDER BY tok, doc_id))
+       SELECT source, CAST((10 * i) // n AS BIGINT) AS decile,
+         i AS n_docs,
+         CAST(1000 * cum_tok // tot_tok AS BIGINT) AS tok_permille
+       FROM r WHERE (10 * i) // n > (10 * (i - 1)) // n
+       ORDER BY source, decile""",
     // q99's recursive closure, then the size-distribution rollup.
     "q247_dedup_yield" ->
       s"""WITH RECURSIVE $minhashPairCtesSql,
