@@ -150,6 +150,31 @@ class BloscSpec extends SparkSpec {
     assert(Blosc.decompress(enc3).sameElements(odd))
   }
 
+  test("fuzz: random payloads round-trip across random configurations") {
+    val rnd = new Random(1234)
+    val cnames = Seq("lz4", "lz4hc", "zstd", "zlib", "snappy")
+    for (trial <- 1 to 50) {
+      val typesize = Seq(1, 2, 3, 4, 5, 8, 16)(rnd.nextInt(7))
+      val nElems = 1 + rnd.nextInt(9000)
+      val raw = new Array[Byte](nElems * typesize)
+      // mixed compressibility: runs of structure with noise bursts
+      var i = 0
+      while (i < raw.length) {
+        if (rnd.nextInt(4) == 0) raw(i) = rnd.nextInt(256).toByte
+        else raw(i) = ((i / 17) % 251).toByte
+        i += 1
+      }
+      val mode = rnd.nextInt(3) // none / byte / bit
+      val frame = Blosc.compress(raw, typesize, cnames(rnd.nextInt(5)),
+        clevel = 1 + rnd.nextInt(9),
+        shuffle = mode == 1, bitShuffle = mode == 2,
+        blocksize = if (rnd.nextBoolean()) 0 else 256 + rnd.nextInt(8192))
+      assert(Blosc.decompress(frame).sameElements(raw),
+        s"trial $trial: ts=$typesize n=$nElems mode=$mode")
+      assert(Blosc.decompressedSize(frame) == raw.length)
+    }
+  }
+
   test("unsupported variants are rejected loudly, not misdecoded") {
     val ok = Blosc.compress(ramp(256, 2), 2, "lz4")
     // both shuffle flags at once is malformed
