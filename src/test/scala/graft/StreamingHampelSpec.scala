@@ -71,6 +71,26 @@ class StreamingHampelSpec extends SparkSpec {
     assert(got.find(_._3 == 9L).get._7, "the spike row flags")
   }
 
+  test("one drain call splitting into multiple micro-batches composes") {
+    // >64 source files forces AvailableNow (maxFilesPerTrigger=64) to run
+    // SEVERAL micro-batches inside ONE drain call — the state plumbing
+    // must compose batch-to-batch exactly as it does wave-to-wave.
+    // Files must land in CHRONOLOGICAL name order (the late-row rule
+    // drops out-of-order batches), so rows are split into ordered slabs.
+    val rows = genRows(71, 320, 3).sortBy(r => (r._2.getTime, r._3))
+    val root = Files.createTempDirectory("graft-hampel-multibatch").toString
+    val (src, out, buf, ckpt) =
+      (root + "/src", root + "/o", root + "/b", root + "/c")
+    rows.grouped(4).zipWithIndex.foreach { case (slab, i) =>
+      slab.toDF("k", "ts", "tie", "vm").coalesce(1)
+        .write.mode("append").parquet(f"$src/slab=$i%04d")
+    }
+    StreamingHampel.drain(spark, src + "/*", out, buf, ckpt,
+      "k", "ts", "tie", "vm", schema, window, k = 3)
+    val got = StreamingHampel.loadScored(spark, out).as[Row].collect().toSet
+    assert(got === oneShot(rows))
+  }
+
   test("replayed drain is a no-op") {
     val rows = genRows(67, 150, 2).sortBy(r => (r._2.getTime, r._3))
     val root = Files.createTempDirectory("graft-hampel-idem").toString
