@@ -19,12 +19,28 @@ object Verify {
     // correctness report (an all-pass report that omits regressed queries
     // masks the regression). Record every failure and exit nonzero.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Output-type lint (VERDICT r11 #2a, rule + rationale in GateTypes):
+    // a declared query emitting a type the driver hash is not
+    // empirically stable on (DECIMAL caused the r11 regression) fails
+    // the LOCAL gate loudly instead of shipping green locally and red
+    // at the driver.
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val bad = GateTypes.unstableColumns(name, df.schema)
+        if (bad.nonEmpty) {
+          val msg = "unstable output type(s) for the driver hash: " +
+            bad.mkString(", ") +
+            " — snap to BIGINT/DOUBLE/STRING at the query edge " +
+            "(StatsFunctions.snapLong) or whitelist in GateTypes with " +
+            "a citation"
+          System.err.println(s"[verify] $name failed: $msg")
+          failures(name) = msg
+        } else df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }

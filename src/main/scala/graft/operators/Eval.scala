@@ -45,8 +45,11 @@ object Eval {
       .agg(
         sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("n_neg"),
-        sum(when(col("__y"), col("__r2")).otherwise(0L)).cast(d38)
-          .as("__sr2"))
+        // cast per ROW before summing: Σ rank2 is O(n²) and must
+        // accumulate in decimal — a LongType sum cast after aggregation
+        // wraps silently first (ADVICE r11; the Correlate/Graphs pattern)
+        sum(when(col("__y"), col("__r2")).otherwise(0L).cast(d38))
+          .cast(d38).as("__sr2"))
       .withColumn("auc_micro",
         when(col("n_pos") > 0 && col("n_neg") > 0, expr(
           """CAST((CAST(1000000 AS DECIMAL(38,0))

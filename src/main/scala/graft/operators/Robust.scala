@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * outlier detection (Hampel's rule) with EXACT arithmetic: interpolated
   * medians differ across engines in the last ulp (`lo + 0.5·(hi−lo)` vs
   * `0.5·lo + 0.5·hi`), so medians are carried DOUBLED (`med2 = lo + hi`
-  * over the order statistics — an integer, never a float), and the outlier
-  * gate `|x − med| > k·MAD` becomes the integer comparison
-  * `|2x − med2| > k·mad2`. Callers quantize floats to an integer grid
+  * over the order statistics — an integer, never a float), and the
+  * outlier gate is the integer comparison `|2x − med2| > k·mad2`. NOTE
+  * `mad2 = 4·MAD` (a doubled median over already-doubled deviations), so
+  * the gate's EFFECTIVE sensitivity is `|x − med| > 2k·MAD` — see
+  * [[madSummary]]. Callers quantize floats to an integer grid
   * first (cents, micros) — the same discipline as every micro-grid score
   * in this repo.
   *
@@ -54,10 +56,14 @@ object Robust {
   }
 
   /** Per-group `(keyCols…, n, med2, mad2, n_outliers)`:
-    * `med2 = v₍⌈n/2⌉₎ + v₍⌊n/2⌋₊₁₎` (twice the median, exact),
-    * `mad2` the same construction over `|2v − med2|` (twice the MAD,
-    * doubled values already included), outliers are rows with
-    * `|2v − med2| > k·mad2`.
+    * `med2 = v₍⌈n/2⌉₎ + v₍⌊n/2⌋₊₁₎` (twice the median, exact), and
+    * `mad2` the same doubled-median construction over the ALREADY-doubled
+    * deviations `|2v − med2|` — so `mad2 = 4·MAD`, and the outlier gate
+    * `|2v − med2| > k·mad2` is EQUIVALENT to `|v − med| > 2k·MAD`: the
+    * effective sensitivity is 2k, not the textbook k (default k=3 gates
+    * like a textbook k=6). This convention is pinned by the oracles and
+    * shared by [[hampelFilter]]/[[hampelFilterTrailing]]; pass k' = ⌈k/2⌉
+    * for the textbook gate at even k.
     */
   def madSummary(df: DataFrame, keyCols: Seq[String], valueCol: String,
                  k: Int = 3): DataFrame = {
@@ -99,9 +105,12 @@ object Robust {
     * 1974; the standard despiking pass over sensor/tracking series): per
     * row, the median and MAD over the CENTERED window of `half` rows each
     * side (row frame, so series edges use what exists), and the outlier
-    * gate `|x − med| > k·MAD` — all in the [[madSummary]] doubled-integer
-    * form (`med2`/`mad2`), so there is no interpolated float anywhere and
-    * any engine replays it exactly.
+    * gate in the [[madSummary]] doubled-integer form: `mad2 = 4·MAD`
+    * (doubled median of already-doubled deviations), so
+    * `|2x − med2| > k·mad2` gates at an EFFECTIVE `|x − med| > 2k·MAD` —
+    * twice the textbook Hampel sensitivity at the same k (see
+    * [[madSummary]]). No interpolated float anywhere, so any engine
+    * replays it exactly.
     *
     * Output: every input row plus `(med2, mad2, is_outlier)`, where
     * `is_outlier ⇔ |2x − med2| > k·mad2` (a constant window — mad2 = 0 —
@@ -130,8 +139,9 @@ object Robust {
     * can evaluate the moment a sample arrives: no future rows, so the
     * statistic never revises. Series heads use what exists (a key's first
     * row is its own median — never an outlier). Same doubled-integer
-    * arithmetic, same one-keyed-shuffle shape; the streaming twin is
-    * [[graft.streaming.StreamingHampel]].
+    * arithmetic — and the same effective `2k·MAD` gate as
+    * [[hampelFilter]] — same one-keyed-shuffle shape; the streaming twin
+    * is [[graft.streaming.StreamingHampel]].
     */
   def hampelFilterTrailing(df: DataFrame, keyCol: String, tsCol: String,
                            tieCol: String, valueMicroCol: String,

@@ -1387,12 +1387,22 @@ object PipelineQueries {
     // collapses to a single integer — no float anywhere. Negative r =
     // the hub-to-leaf wiring typical of similarity kNN graphs.
     "q207_assortativity" -> ((s, d) => {
+      import graft.functions.StatsFunctions.snapLong
       val emb = Tables.embeddings(s, d)
       val knn = Similarity.bruteForceTopK(emb,
         emb.select(col("vec_id").as("query_id"), col("embedding")),
         "vec_id", "query_id", "embedding", k = 3, scoreDigits = Some(6))
+      // Operator output is DECIMAL(38,0) (hub-heavy graphs overflow
+      // Long); the declared query snaps every statistic to BIGINT with a
+      // loud range guard (VERDICT r11 #1 — driver hash stability).
       Graphs.degreeAssortativity(knn.select(col("query_id").as("src"),
-        col("vec_id").as("dst")), "src", "dst")
+          col("vec_id").as("dst")), "src", "dst")
+        .select(col("n_endpoints"),
+          snapLong(col("sum_x")).as("sum_x"),
+          snapLong(col("sum_xy")).as("sum_xy"),
+          snapLong(col("sum_xx")).as("sum_xx"),
+          snapLong(col("r_num")).as("r_num"),
+          snapLong(col("r_den")).as("r_den"))
     }),
 
     // TOKEN LORENZ CURVE per source (the curation budget plot: what share
@@ -4124,14 +4134,15 @@ object PipelineQueries {
                FROM symd GROUP BY 1),
        tag AS (SELECT dx.deg AS x, dy.deg AS y FROM symd u
          JOIN deg dx ON dx.node = u.a JOIN deg dy ON dy.node = u.b),
-       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(x) AS DECIMAL(38,0)) AS sx,
-           CAST(sum(x*y) AS DECIMAL(38,0)) AS sxy,
-           CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx
+       s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(x*y) AS HUGEINT) AS sxy,
+           CAST(sum(x*x) AS HUGEINT) AS sxx
          FROM tag)
-       SELECT n AS n_endpoints, sx AS sum_x, sxy AS sum_xy, sxx AS sum_xx,
-         CAST(n*sxy - sx*sx AS DECIMAL(38,0)) AS r_num,
-         CAST(n*sxx - sx*sx AS DECIMAL(38,0)) AS r_den FROM s""",
+       SELECT CAST(n AS BIGINT) AS n_endpoints, CAST(sx AS BIGINT) AS sum_x,
+         CAST(sxy AS BIGINT) AS sum_xy, CAST(sxx AS BIGINT) AS sum_xx,
+         CAST(n*sxy - sx*sx AS BIGINT) AS r_num,
+         CAST(n*sxx - sx*sx AS BIGINT) AS r_den FROM s""",
     // Ranked cumulative token shares, same integer boundary predicate.
     "q248_token_lorenz" ->
       """WITH t AS (

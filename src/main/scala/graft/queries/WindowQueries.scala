@@ -507,14 +507,21 @@ object WindowQueries {
     // Sample autocorrelation of each event type's hourly count series at
     // lags 1–3, as exact integer rationals (num, den_x, den_y) — the
     // correlogram statistic with every float deferred to the presentation
-    // edge; the regular grid makes the lag join an EQUI join.
+    // edge; the regular grid makes the lag join an EQUI join. Internals
+    // run DECIMAL(38,0); the emitted statistics snap to BIGINT with a
+    // loud range guard (VERDICT r11 #1 — values ≤ ~1.6e17 at sf0.1).
     "q215_acf_hourly" -> ((s, d) => {
+      import graft.functions.StatsFunctions.snapLong
       val series = Tables.events(s, d)
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 3600000000").as("idx"))
         .agg(count(lit(1)).as("v"))
       graft.operators.Correlate.autocorr(series, Seq("event_type"),
           "idx", "v", lags = Seq(1, 2, 3))
+        .select(col("event_type"), col("lag"), col("n"),
+          snapLong(col("num")).as("num"),
+          snapLong(col("den_x")).as("den_x"),
+          snapLong(col("den_y")).as("den_y"))
         .orderBy("event_type", "lag")
     }),
 
@@ -530,6 +537,10 @@ object WindowQueries {
       graft.operators.Correlate.pearsonAtLags(series("view"),
           series("click"), Seq("pair"), "idx", "v",
           lags = Seq(-3, -2, -1, 0, 1, 2, 3))
+        .select(col("pair"), col("lag"), col("n"),
+          graft.functions.StatsFunctions.snapLong(col("num")).as("num"),
+          graft.functions.StatsFunctions.snapLong(col("den_x")).as("den_x"),
+          graft.functions.StatsFunctions.snapLong(col("den_y")).as("den_y"))
         .orderBy("lag")
     }),
 
@@ -793,12 +804,19 @@ object WindowQueries {
 
     // Exact SPEARMAN trend test per event type: rank correlation of value
     // (micros) against event time — the robust monotone-trend detector,
-    // tie-doubled ranks, DECIMAL(38,0) rank products, sqrt at the edge.
+    // tie-doubled ranks, DECIMAL(38,0) rank products internally; emitted
+    // statistics snapped to BIGINT with a loud range guard (VERDICT r11
+    // #1 — den ≤ ~5.4e12 at sf0.01, ~1.6e17 projected at sf0.1).
     "q231_spearman_trend" -> ((s, d) => {
+      import graft.functions.StatsFunctions.snapLong
       val ev = Tables.events(s, d)
         .withColumn("vm", floor(col("value") * 1000000).cast("long"))
         .withColumn("us", unix_micros(col("ts")))
       graft.operators.Correlate.spearman(ev, Seq("event_type"), "us", "vm")
+        .select(col("event_type"), col("n"),
+          snapLong(col("num")).as("num"),
+          snapLong(col("den_x")).as("den_x"),
+          snapLong(col("den_y")).as("den_y"))
         .orderBy("event_type")
     }),
 
@@ -826,9 +844,12 @@ object WindowQueries {
     // source): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ranked counts,
     // reported as the exact integer pair (gini_num, gini_den) with the
     // rank-weighted sum in DECIMAL(38,0) (Σ i·x is O(n²·x̄) — the q230
-    // discipline). Ties ranked deterministically by (count, user_id):
-    // any total order over equal counts yields the same Σ i·x sum.
+    // discipline), snapped to BIGINT at the emit edge with a loud range
+    // guard (VERDICT r11 #1). Ties ranked deterministically by
+    // (count, user_id): any total order over equal counts yields the
+    // same Σ i·x sum.
     "q246_gini" -> ((s, d) => {
+      import graft.functions.StatsFunctions.snapLong
       val counts = Tables.events(s, d)
         .groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("x"))
@@ -841,11 +862,11 @@ object WindowQueries {
           sum((col("i").cast("decimal(38,0)") * col("x"))
             .cast("decimal(38,0)")).cast("decimal(38,0)").as("__ix"))
         .select(col("event_type"), col("n"), col("sum_x"),
-          (lit(2L).cast("decimal(38,0)") * col("__ix") -
+          snapLong((lit(2L).cast("decimal(38,0)") * col("__ix") -
             (col("n") + 1L).cast("decimal(38,0)") * col("sum_x"))
-            .cast("decimal(38,0)").as("gini_num"),
-          (col("n").cast("decimal(38,0)") * col("sum_x"))
-            .cast("decimal(38,0)").as("gini_den"))
+            .cast("decimal(38,0)")).as("gini_num"),
+          snapLong((col("n").cast("decimal(38,0)") * col("sum_x"))
+            .cast("decimal(38,0)")).as("gini_den"))
         .orderBy("event_type")
     }),
 
@@ -1318,9 +1339,9 @@ object WindowQueries {
              AND b.idx = a.idx + l.lag)
        SELECT event_type, CAST(lag AS BIGINT) AS lag,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DECIMAL(38,0)) AS num,
-         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DECIMAL(38,0)) AS den_x,
-         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DECIMAL(38,0)) AS den_y
+         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS num,
+         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
        FROM pairs GROUP BY event_type, lag HAVING count(*) >= 2
        ORDER BY event_type, lag""",
     "q216_crosscorr_hourly" -> s"""$EV,
@@ -1337,9 +1358,9 @@ object WindowQueries {
            JOIN sb b ON b.idx = a.idx + l.lag)
        SELECT 'view~click' AS pair, CAST(lag AS BIGINT) AS lag,
          CAST(count(*) AS BIGINT) AS n,
-         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DECIMAL(38,0)) AS num,
-         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DECIMAL(38,0)) AS den_x,
-         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS DECIMAL(38,0)) AS den_y
+         CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS BIGINT) AS num,
+         CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS BIGINT) AS den_x,
+         CAST(count(*) * sum(y*y) - sum(y) * sum(y) AS BIGINT) AS den_y
        FROM pairs GROUP BY lag HAVING count(*) >= 2
        ORDER BY lag""",
     // Same contribute-to-7-window-ends formulation.
@@ -1464,8 +1485,8 @@ object WindowQueries {
          lt.t AS last_touch_type, lt.u AS last_touch_us
        FROM w WHERE event_type = 'purchase' AND nt > 0
        ORDER BY user_id, conv_us, event_id""",
-    // Tie-doubled ranks on both axes, HUGEINT products cast to the same
-    // DECIMAL(38,0) triple the engine emits.
+    // Tie-doubled ranks on both axes, HUGEINT products snapped to the
+    // same BIGINT triple the engine emits.
     "q231_spearman_trend" -> s"""$EV,
        b AS (SELECT event_type, epoch_us(ts) AS us,
            CAST(floor(value * 1000000) AS BIGINT) AS vm
@@ -1483,9 +1504,9 @@ object WindowQueries {
            sum(rx * rx) AS sxx, sum(ry * ry) AS syy
          FROM r GROUP BY event_type HAVING count(*) >= 2)
        SELECT event_type, n,
-         CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
-         CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS den_x,
-         CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS den_y
+         CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+         CAST(n * syy - sy * sy AS BIGINT) AS den_y
        FROM g ORDER BY event_type""",
     // Same lag + floor-div binning.
     "q245_interval_histogram" -> s"""$EV,
@@ -1501,7 +1522,7 @@ object WindowQueries {
        FROM g WHERE gap_us IS NOT NULL
        GROUP BY event_type, gap_us // 600000000
        ORDER BY event_type, bin""",
-    // Same ranked-sum formula in HUGEINT, cast to the decimal pair.
+    // Same ranked-sum formula in HUGEINT, snapped to the BIGINT pair.
     "q246_gini" -> s"""$EV,
        c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
              FROM ev GROUP BY 1, 2),
@@ -1511,9 +1532,9 @@ object WindowQueries {
          FROM c)
        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sum_x,
-         CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DECIMAL(38,0))
+         CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT)
            AS gini_num,
-         CAST(count(*) * sum(x) AS DECIMAL(38,0)) AS gini_den
+         CAST(count(*) * sum(x) AS BIGINT) AS gini_den
        FROM r GROUP BY event_type ORDER BY event_type""",
     // Doubled-median classing + lag-based run counting, q162's median.
     "q243_runs_test" -> s"""$EV,

@@ -124,7 +124,7 @@ object Blosc {
     while (i < nblocks) {
       val bsize = math.min(h.blocksize, h.nbytes - i * h.blocksize)
       val leftover = bsize < h.blocksize
-      val primary = splitCount(h.codec, h.shuffled, h.typesize, bsize, leftover)
+      val primary = splitCount(h.codec, h.typesize, bsize, leftover)
       val block =
         try decodeBlock(src, bstarts(i), bsize, primary, h.codec)
         catch {
@@ -146,12 +146,19 @@ object Blosc {
   }
 
   /** c-blosc's FORWARD_COMPAT split rule, recomputed identically on both
-    * sides: byte-shuffled full blocks of the byte-oriented codecs (blosclz,
-    * lz4) compress each byte plane as its own stream.
+    * sides: full blocks of the byte-oriented codecs (blosclz, lz4) are
+    * compressed as `typesize` separate streams whenever `typesize ≤ 16`
+    * and the block holds at least 128 elements — INDEPENDENT of the
+    * shuffle filter (c-blosc `split_block`: the decision reads only the
+    * compressor, typesize, and blocksize, so unshuffled and bit-shuffled
+    * lz4 frames split exactly like byte-shuffled ones; gating on the
+    * shuffle flag wrote frames zarr-python's bundled c-blosc would
+    * mis-split on read). Leftover (short tail) blocks never split.
     */
-  private def splitCount(codec: Int, shuffled: Boolean, typesize: Int,
-                         bsize: Int, leftover: Boolean): Int =
-    if (shuffled && typesize > 1 && !leftover && bsize % typesize == 0 &&
+  private def splitCount(codec: Int, typesize: Int, bsize: Int,
+                         leftover: Boolean): Int =
+    if (!leftover && typesize > 1 && typesize <= 16 &&
+      bsize % typesize == 0 && bsize / typesize >= 128 &&
       (codec == CodecBloscLz || codec == CodecLz4)) typesize
     else 1
 
@@ -230,7 +237,7 @@ object Blosc {
         if (doShuffle) shuffleSlice(raw, i * bs, bsize, typesize)
         else if (doBitShuffle) bitShuffleSlice(raw, i * bs, bsize, typesize)
         else java.util.Arrays.copyOfRange(raw, i * bs, i * bs + bsize)
-      val nsplits = splitCount(codec, doShuffle, typesize, bsize, bsize < bs)
+      val nsplits = splitCount(codec, typesize, bsize, bsize < bs)
       val neblock = bsize / nsplits
       var s = 0
       while (s < nsplits) {

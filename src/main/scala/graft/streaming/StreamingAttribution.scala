@@ -27,14 +27,21 @@ import graft.operators.Populate
   * Late rule (the StreamingResample contract): rows at or before the
   * key's persisted `last_us` drop, so a replayed batch is a keyed no-op;
   * attributed conversions append idempotently on `(key, tie, conv_us)`.
-  * Buffer appends are idempotent on `(key, us, tie)`; rows that age out
-  * simply stop being re-written (readers filter by the current frontier,
-  * so stale files are dead weight for compaction, never a wrong answer).
+  * The touch buffer is window-bounded ON DISK, not just logically
+  * (ADVICE r11): the read filters to `us ≥ frontier − windowUs` before
+  * the union — an older touch can never fall inside a NEW conversion's
+  * lookback frame, since new rows all sit past the frontier — and each
+  * wave publishes exactly the surviving in-window rows back through
+  * [[graft.operators.Populate.replaceAtomic]]'s crash-safe staged swap,
+  * so aged-out rows are compacted away instead of accumulating as dead
+  * files. A replayed wave recomputes the identical buffer content
+  * (fresh is empty under the late rule), so the replace is idempotent.
   *
   * At 100 TB: each wave costs one keyed window pass over
-  * (batch ∪ buffer) — the buffer being window-bounded, that is O(batch)
-  * per key — and the RANGE frame keeps the same tie-order-insensitive
-  * determinism as the batch operator.
+  * (batch ∪ in-window buffer) — O(batch + lookback window) per key, set
+  * by the window and the key's rate, never by all-time touch volume —
+  * and the RANGE frame keeps the same tie-order-insensitive determinism
+  * as the batch operator.
   */
 object StreamingAttribution {
 
@@ -72,8 +79,21 @@ object StreamingAttribution {
         }).filter(col("last_us").isNull || col("us") > col("last_us"))
           .select("key", "us", "tie", "ty")
           .localCheckpoint(true)
-        val buffered = Populate.readIfExists(spark, touchesDir)
-          .map(_.select("key", "us", "tie", "ty"))
+        // window-bound the buffer READ: new rows all have us > frontier,
+        // so a touch with us < frontier − windowUs can never fall inside
+        // any new conversion's lookback frame — the wave's window pass is
+        // O(batch ∪ in-window buffer) regardless of all-time touch volume
+        val buffered = Populate.readReplaced(spark, touchesDir)
+          .map { b =>
+            val sel = b.select("key", "us", "tie", "ty")
+            frontier match {
+              case None => sel
+              case Some(f) => sel.join(f, Seq("key"), "left")
+                .filter(col("last_us").isNull ||
+                  col("us") >= col("last_us") - windowUs)
+                .select("key", "us", "tie", "ty")
+            }
+          }
         val all = (buffered match {
           case None => fresh.withColumn("__new", lit(true))
           case Some(b) => b.withColumn("__new", lit(false))
@@ -109,7 +129,11 @@ object StreamingAttribution {
           .join(latestFrontier, Seq("key"))
           .filter(col("us") >= col("last_us") - windowUs)
           .select("key", "us", "tie", "ty")
-        Populate.appendIdempotent(keep, touchesDir, Seq("key", "us", "tie"))
+          .dropDuplicates("key", "us", "tie")
+        // publish the COMPLETE in-window buffer (aged-out rows compact
+        // away each wave); crash-safe and replay-idempotent — a re-run
+        // wave recomputes identical content from (empty fresh) ∪ buffer
+        Populate.replaceAtomic(keep, touchesDir)
         ()
       }
       .start()

@@ -43,12 +43,47 @@ class GateContractSpec extends SparkSpec {
     assert(gateViolations(ok.schema).isEmpty)
   }
 
-  test("every declared query's output schema is gate-sortable (scalar columns only)") {
+  test("checker rejects a planted DECIMAL-output query (VERDICT r11 #1)") {
+    import spark.implicits._
+    // the exact shape that shipped green locally and red at the driver in
+    // r11: values identical both sides, output type decimal(38,0)
+    val planted = Seq((1L, BigDecimal(-50661))).toDF("n", "num")
+      .select($"n", $"num".cast("decimal(38,0)").as("num"))
+    val v = GateTypes.unstableColumns("planted", planted.schema)
+    assert(v.nonEmpty && v.head.startsWith("num"), v)
+    // and the snapped form passes
+    val snapped = planted.select($"n",
+      graft.functions.StatsFunctions.snapLong($"num").as("num"))
+    assert(GateTypes.unstableColumns("planted", snapped.schema).isEmpty)
+  }
+
+  test("snapLong is exact in range and fails LOUDLY out of Long range") {
+    import spark.implicits._
+    val ok = Seq(BigDecimal(Long.MaxValue), BigDecimal(Long.MinValue),
+        BigDecimal(-50661), BigDecimal(0))
+      .toDF("v").select($"v".cast("decimal(38,0)").as("v"))
+      .select(graft.functions.StatsFunctions.snapLong($"v").as("v"))
+      .as[Long].collect().toSet
+    assert(ok === Set(Long.MaxValue, Long.MinValue, -50661L, 0L))
+    val boom = intercept[Exception] {
+      Seq(BigDecimal(Long.MaxValue) + 1)
+        .toDF("v").select($"v".cast("decimal(38,0)").as("v"))
+        .select(graft.functions.StatsFunctions.snapLong($"v").as("v"))
+        .collect()
+    }
+    def chain(e: Throwable): Seq[Throwable] =
+      e +: Option(e.getCause).toSeq.flatMap(chain)
+    assert(chain(boom).exists(c =>
+      Option(c.getMessage).exists(_.contains("snapLong"))), boom.getMessage)
+  }
+
+  test("every declared query's output schema is gate-sortable AND hash-type-stable") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val v = gateViolations(fn(spark, sf0001).schema)
+      val schema = fn(spark, sf0001).schema
+      val v = gateViolations(schema) ++ GateTypes.unstableColumns(name, schema)
       if (v.isEmpty) Nil else Seq(s"$name -> ${v.mkString(", ")}")
     }
     assert(bad.isEmpty,
-      s"queries with pandas-unsortable output columns:\n${bad.mkString("\n")}")
+      s"queries with gate-breaking output columns:\n${bad.mkString("\n")}")
   }
 }
