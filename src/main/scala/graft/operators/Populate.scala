@@ -211,6 +211,62 @@ object Populate {
             } => None
     }
 
+  /** CASCADE INVALIDATION — the re-derivation half of the populate engine.
+    *
+    * Reference: the curation workflow deletes a derived row and everything
+    * downstream of it, then repopulates
+    * (`aeon/dj_pipeline/spike_sorting_curation.py:523-555` —
+    * `restore_raw_sorting` deletes the OfficialCuration entry "which
+    * cascades to ApplyOfficialCuration", then the downstream SortedSpikes
+    * chain; the apply `make` at `:62-140` deletes old SortedSpikes +
+    * downstream before rewriting). DataJoint's cascade is FOREIGN-KEY
+    * column matching — every downstream table carries its ancestors' PK
+    * columns — so here the caller declares the derived-table chain
+    * UPSTREAM-FIRST as `(path, sharedKeyCols)` pairs and a restriction on
+    * those columns IS the cascade: rows of each table matching any row of
+    * `keys` (on that table's declared columns) are removed, and the next
+    * [[derive]] + append re-populates exactly those keys.
+    *
+    * Deletion runs DOWNSTREAM-FIRST, each table published through
+    * [[replaceAtomic]]'s crash-safe staged swap. A crash mid-chain
+    * therefore leaves derived tables missing rows their upstream still
+    * has — precisely the state `populate` already repairs — and never the
+    * reverse (an upstream purged while stale downstream rows linger,
+    * which would read as "done" to [[newKeys]] and pin the stale
+    * derivation forever). Re-running a crashed invalidate converges: the
+    * anti-join on an already-purged table removes nothing.
+    *
+    * Scale shape: `keys` is curation-sized (distinct'd and broadcast);
+    * each chain table pays one broadcast anti-join plus a rewrite of its
+    * surviving rows — no shuffle of the table side. Returns
+    * `(path, removedRows)` in deletion order (downstream first).
+    */
+  def invalidate(spark: org.apache.spark.sql.SparkSession,
+                 chain: Seq[(String, Seq[String])],
+                 keys: DataFrame): Seq[(String, Long)] = {
+    require(chain.nonEmpty, "invalidate needs at least one table")
+    chain.reverse.map { case (path, keyCols) =>
+      require(keyCols.nonEmpty,
+        s"invalidate: table $path declares no shared key columns")
+      val k = keys.select(keyCols.map(col): _*).distinct()
+      val removed = readReplaced(spark, path) match {
+        case None => 0L // never-materialized table: nothing to cascade
+        case Some(t) =>
+          val cached = t.cache()
+          try {
+            val total = cached.count()
+            val keep = cached.join(
+              org.apache.spark.sql.functions.broadcast(k), keyCols,
+              "left_anti")
+            val kept = keep.count()
+            if (kept < total) replaceAtomic(keep, path)
+            total - kept
+          } finally cached.unpersist()
+      }
+      path -> removed
+    }
+  }
+
   /** Create-exclusive lock-file acquisition. Local paths go through
     * java.nio (O_EXCL — genuinely atomic); anything else uses the Hadoop
     * `create(overwrite = false)` contract, which HDFS implements atomically

@@ -809,6 +809,58 @@ object SystemQueries {
       s.read.parquet(table).orderBy("k")
     }),
 
+    // RE-CURATION round trip (Populate.invalidate — the reference's
+    // restore-then-repopulate cascade, spike_sorting_curation.py:523-555):
+    // a two-table derived chain (per-user stats → per-user score, child
+    // carrying the parent's PK, DataJoint-FK style) is populated under
+    // curation rule v1, then users ≡ 0 (mod 7) are INVALIDATED across the
+    // chain (downstream-first crash-safe deletes) and re-populated under
+    // rule v2 (non-view events only). The final table must mix v1 and v2
+    // rows exactly — a cascade that misses the child, deletes the wrong
+    // keys, or re-derives everybody breaks the hash; appendIdempotent
+    // re-deriving an un-invalidated key would too.
+    "q249_recuration" -> ((s, d) => {
+      import graft.operators.Populate
+      val root = java.nio.file.Files.createTempDirectory("graft-pop-q249")
+        .toString
+      val tblA = root + "/user_stats"
+      val tblB = root + "/user_score"
+      val ev = Tables.events(s, d).select("user_id", "event_type")
+      val allUsers = ev.select("user_id").distinct()
+      def populateA(version: Int): Unit = {
+        val counted = if (version == 2)
+          sum(when(col("event_type") =!= "view", 1L).otherwise(0L))
+        else count(lit(1))
+        val rows = Populate.derive(allUsers,
+            Populate.readReplaced(s, tblA), Seq("user_id")) { nk =>
+          ev.join(nk, Seq("user_id"), "left_semi")
+            .groupBy("user_id")
+            .agg(counted.cast("long").as("n_events"))
+            .withColumn("version", lit(version.toLong))
+        }
+        Populate.appendIdempotent(rows, tblA, Seq("user_id"))
+      }
+      def populateB(): Unit = {
+        val a = Populate.readReplaced(s, tblA).get
+        val rows = Populate.derive(a.select("user_id"),
+            Populate.readReplaced(s, tblB), Seq("user_id")) { nk =>
+          a.join(nk, Seq("user_id"), "left_semi")
+            .select(col("user_id"),
+              (col("n_events") * 10L + col("version")).as("score"))
+        }
+        Populate.appendIdempotent(rows, tblB, Seq("user_id"))
+      }
+      populateA(1); populateB()
+      Populate.invalidate(s,
+        Seq(tblA -> Seq("user_id"), tblB -> Seq("user_id")),
+        allUsers.filter(col("user_id") % 7 === 0))
+      populateA(2); populateB()
+      Populate.readReplaced(s, tblB).get
+        .join(Populate.readReplaced(s, tblA).get, Seq("user_id"))
+        .select("user_id", "n_events", "version", "score")
+        .orderBy("user_id")
+    }),
+
     // Type-2 SCD dimension maintenance (the WRITE side of q43's temporal-
     // validity join): TWO merges — snapshot 1 changes segment for
     // custkey%7, deletes %97, inserts shifted %101 ids; snapshot 2 is the
@@ -1485,6 +1537,24 @@ object SystemQueries {
     "q113_idempotent_append" ->
       """SELECT CAST(k AS BIGINT) AS k, CAST(k * 3 + 1 AS BIGINT) AS v
        FROM generate_series(0, 499) t(k) ORDER BY k""",
+    // The invalidate→repopulate end state replayed declaratively: users
+    // ≡ 0 (mod 7) carry the v2 rule (non-view counts), everyone else v1.
+    "q249_recuration" ->
+      """WITH u AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_all,
+           CAST(sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nonview
+         FROM events GROUP BY user_id),
+       f AS (
+         SELECT user_id,
+           CASE WHEN user_id % 7 = 0 THEN n_nonview ELSE n_all END
+             AS n_events,
+           CAST(CASE WHEN user_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS version
+         FROM u)
+       SELECT user_id, n_events, version,
+         CAST(n_events * 10 + version AS BIGINT) AS score
+       FROM f ORDER BY user_id""",
     "q168_snapshot_diff" ->
       """WITH a AS (
          SELECT c_custkey AS id, c_nationkey, c_mktsegment FROM customer),
