@@ -1455,6 +1455,50 @@ object PipelineQueries {
         .orderBy("sz")
     }),
 
+    // q247's DRAIN TWIN (VERDICT r11 #7): the yield report computed from
+    // the INCREMENTALLY drained cluster table — two chronological waves
+    // through StreamingDedup.drain with the verified-pair upgrade (the
+    // persisted shingle store + per-wave jaccard gate, q65/q247's exact
+    // parameters), clusters merged per wave via mergeComponents — must
+    // equal the one-shot report row-for-row: the oracle is q247's SQL
+    // verbatim. The corpus is never re-bucketed and never re-verified;
+    // each wave pays O(wave candidates).
+    "q251_dedup_yield_from_drain" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-dedupdrain-q251").toString
+      val (src, idx, cands, ckpt, clusters, shingles) = (root + "/src",
+        root + "/idx", root + "/cands", root + "/ckpt",
+        root + "/clusters", root + "/shingles")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      def wave(): Unit = graft.streaming.StreamingDedup.drain(s, src, idx,
+        cands, ckpt, "doc_id", "text", schema, numHashes = 32,
+        shingleN = 3, bands = 8, rowsPerBand = 4,
+        clustersDir = Some(clusters), verify = Some((shingles, 0.5)))
+      docs.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+      wave()
+      docs.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+      wave()
+      val comps = graft.operators.Populate.readReplaced(s, clusters).get
+        .withColumnRenamed("id", "doc_id")
+      val clustered = docs.select("doc_id").join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("sz"))
+      val total = docs.count()
+      sizes.groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("sz") * col("n_clusters"))
+        .withColumn("total_docs", lit(total))
+        .withColumn("keep_permille_if_dropped", expr(
+          "(1000 * (total_docs - (n_docs - n_clusters))) div total_docs"))
+        .orderBy("sz")
+    }),
+
     // BENFORD leading-digit profile (the fraud/keying-error screen of
     // the data-quality family): per return flag, the distribution of
     // price first digits as exact per-mille integers — a keyed count on
@@ -4164,6 +4208,31 @@ object PipelineQueries {
        ORDER BY source, decile""",
     // q99's recursive closure, then the size-distribution rollup.
     "q247_dedup_yield" ->
+      s"""WITH RECURSIVE $minhashPairCtesSql,
+       pairs AS ($minhashPairSelectSql),
+       edges AS (
+         SELECT id_a AS a, id_b AS b FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+       comp AS (
+         SELECT n AS did, least(min(m), n) AS cluster FROM reach GROUP BY n),
+       clustered AS (
+         SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.did),
+       sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+                 FROM clustered GROUP BY cluster),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs
+               FROM documents)
+       SELECT s.sz, CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(s.sz * count(*) AS BIGINT) AS n_docs, t.total_docs,
+         CAST(1000 * (t.total_docs - (s.sz * count(*) - count(*)))
+           // t.total_docs AS BIGINT) AS keep_permille_if_dropped
+       FROM sizes s, tot t GROUP BY s.sz, t.total_docs ORDER BY s.sz""",
+    // drained ≡ one-shot is the contract: q247's oracle verbatim.
+    "q251_dedup_yield_from_drain" ->
       s"""WITH RECURSIVE $minhashPairCtesSql,
        pairs AS ($minhashPairSelectSql),
        edges AS (

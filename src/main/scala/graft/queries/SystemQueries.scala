@@ -416,6 +416,55 @@ object SystemQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SQL-surface parity for the round-11 fingerprint expressions
+    // (VERDICT r11 #7): graft_dhash64 and graft_audio_energy_hash64
+    // invoked FROM SQL over the q233/q234 deterministic fixtures
+    // registered as temp views — the binary-column plumbing, the
+    // injected-function registry, and both codegen'd hashes participate;
+    // the oracle replays each hash arithmetic bit-for-bit like q233/q234.
+    "q250_sql_fingerprints" -> ((s, d) => {
+      import s.implicits._
+      graft.GraftFunctions.register(s)
+      val ids = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val w = 36; val h = 32
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = id / 5
+            val v = g * 37 + x * (7 + g % 5) + y * (13 + g % 7) +
+              (x * y) % (11 + g % 13) +
+              (if (x < 4 && y < 4) (id % 5) * 11 else 0)
+            px(y * w + x) = (v % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (id, px)
+      }.toDF("doc_id", "px").createOrReplaceTempView("graft_sql_imgs")
+      ids.map { id =>
+        val n = 65 * 20
+        val bytes = new Array[Byte](2 * n)
+        val g = id / 5
+        var i = 0
+        while (i < n) {
+          val f = i / 20
+          val v = ((((i % 20) + 1) * (37 + (f * (3 + g % 13) + g) % 23) +
+            (if (f == 0) (id % 5) * 7 else 0)) % 2003 - 1001).toShort
+          bytes(2 * i) = (v & 0xFF).toByte
+          bytes(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        (id, bytes)
+      }.toDF("doc_id", "pcm").createOrReplaceTempView("graft_sql_pcm")
+      s.sql("""SELECT i.doc_id, graft_dhash64(i.px, 36, 32) AS dhash,
+            graft_audio_energy_hash64(p.pcm) AS ahash
+          FROM graft_sql_imgs i JOIN graft_sql_pcm p ON i.doc_id = p.doc_id
+          ORDER BY i.doc_id""")
+    }),
+
     // Multimodal: deterministic frame sampling (posexplode plumbing).
     // ORACLED: pure integer frame-index arithmetic — blob bytes = 16×utf8
     // length, n = clamp(bytes/1024, 1, everyNth×maxFrames), sampled indices
@@ -583,6 +632,9 @@ object SystemQueries {
     // a SPARSE raw-zstd store whose chunk file 2 is deleted after writing —
     // its rows 128..191 must come back as fill_value (0) scaled to −1000,
     // putting the absent-chunk fill contract itself into the oracle hash.
+    // Round 12 adds a sixth slice: blosc + BLOSCLZ inner codec (c-blosc's
+    // own FastLZ-derived LZ77, sources/BloscLz.scala — the last
+    // loud-rejected sub-format), byte-shuffled u16, split-stream frames.
     "q199_zarr_blosc" -> ((s, _) => {
       val data = Array.tabulate(300, 4)((r, c) => ((r * 37 + c * 17) % 4096).toDouble)
       val base = java.nio.file.Files.createTempDirectory("graft-zarr-q180")
@@ -596,6 +648,7 @@ object SystemQueries {
       val zstdStore = store("zstd", "<f4", 128, "blosc:zstd")
       val bitStore = store("bitlz4", "<u2", 64, "blosc:lz4:bit")
       val ncLz4Store = store("nclz4", "<u2", 64, "lz4")
+      val blzStore = store("blosclz", "<u2", 64, "blosc:blosclz")
       val ncZstdStore = store("nczstd", "<u2", 64, "zstd")
       for (f <- Seq("2.0", ".2.0.crc")) // sparse: drop chunk 2 (+ sidecar)
         java.nio.file.Files.deleteIfExists(
@@ -609,6 +662,7 @@ object SystemQueries {
         .unionAll(slice(bitStore, "bitlz4"))
         .unionAll(slice(ncLz4Store, "nclz4"))
         .unionAll(slice(ncZstdStore, "nczstd"))
+        .unionAll(slice(blzStore, "blosclz"))
         .orderBy("codec", "row_index")
     }),
 
@@ -1369,6 +1423,60 @@ object SystemQueries {
          JOIN sg sb ON sb.doc_id = c.id_b
        WHERE bit_count(xor(sa.dh, sb.dh)) <= 4
        ORDER BY id_a, id_b""",
+    // Both hash replays (q233's dHash, q234's energy hash) joined per doc.
+    "q250_sql_fingerprints" ->
+      """WITH px AS (
+         SELECT d.doc_id, x.x, y.y,
+           ((d.doc_id // 5) * 37 + x.x * (7 + (d.doc_id // 5) % 5)
+            + y.y * (13 + (d.doc_id // 5) % 7)
+            + (x.x * y.y) % (11 + (d.doc_id // 5) % 13) +
+            CASE WHEN x.x < 4 AND y.y < 4 THEN (d.doc_id % 5) * 11
+                 ELSE 0 END) % 256 AS v
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 35) x(x), generate_series(0, 31) y(y)),
+       s AS (
+         SELECT doc_id, y // 4 AS r, x // 4 AS c, CAST(sum(v) AS BIGINT) AS s
+         FROM px GROUP BY 1, 2, 3),
+       ih AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.s > b.s
+             THEN (CAST(1 AS HUGEINT) << (a.r * 8 + a.c))
+             ELSE 0 END) AS HUGEINT) AS hu
+         FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.r = a.r
+           AND b.c = a.c + 1
+         WHERE a.c < 8 GROUP BY a.doc_id),
+       isg AS (
+         SELECT doc_id,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS dhash
+         FROM ih),
+       sm AS (
+         SELECT d.doc_id, i.i // 20 AS f,
+           (((i.i % 20) + 1)
+              * (37 + ((i.i // 20) * (3 + (d.doc_id // 5) % 13)
+                       + (d.doc_id // 5)) % 23) +
+            CASE WHEN i.i // 20 = 0 THEN (d.doc_id % 5) * 7 ELSE 0 END)
+             % 2003 - 1001 AS s
+         FROM (SELECT doc_id FROM documents) d,
+           generate_series(0, 1299) i(i)),
+       e AS (SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS e
+             FROM sm GROUP BY 1, 2),
+       ah AS (
+         SELECT a.doc_id,
+           CAST(sum(CASE WHEN a.e > b.e
+             THEN (CAST(1 AS HUGEINT) << a.f) ELSE 0 END) AS HUGEINT) AS hu
+         FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+         WHERE a.f < 64 GROUP BY a.doc_id),
+       asg AS (
+         SELECT doc_id,
+           CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+             THEN hu - CAST('18446744073709551616' AS HUGEINT)
+             ELSE hu END AS BIGINT) AS ahash
+         FROM ah)
+       SELECT i.doc_id, i.dhash, a.ahash
+       FROM isg i JOIN asg a ON a.doc_id = i.doc_id
+       ORDER BY i.doc_id""",
     // drained ≡ one-shot is the contract: q233's oracle verbatim.
     "q242_image_neardup_from_drain" ->
       """WITH px AS (
@@ -1465,7 +1573,8 @@ object SystemQueries {
          CASE WHEN codec = 'nczstd' AND r BETWEEN 128 AND 191 THEN -1000.0
            ELSE ((r * 37 + 51) % 4096) * (0.25::DOUBLE) - 1000.0 END AS ch3
        FROM generate_series(0, 299) AS t(r),
-         (VALUES ('lz4'), ('zstd'), ('bitlz4'), ('nclz4'), ('nczstd'))
+         (VALUES ('lz4'), ('zstd'), ('bitlz4'), ('nclz4'), ('nczstd'),
+                 ('blosclz'))
            AS c(codec)
        ORDER BY codec, row_index""",
     "q108_clock_roundtrip" ->

@@ -33,9 +33,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * raw buffer after the header. Otherwise the header is followed by one
   * int32-LE offset per block (frame-relative), then the blocks. Each block
   * is `nsplits` streams of `int32 LE csize` + payload; `csize == neblock`
-  * marks an incompressible stream stored raw. Byte-shuffled blosclz/lz4
-  * full blocks split into one stream per byte plane (c-blosc's
-  * FORWARD_COMPAT rule); everything else is one stream. Because block
+  * marks an incompressible stream stored raw. Full blosclz/lz4 blocks
+  * with typesize 2..16 and >= 128 elements split into one stream per
+  * byte plane (c-blosc's FORWARD_COMPAT rule, shuffle-independent);
+  * everything else is one stream. Because block
   * offsets are explicit, the decoder never assumes blocks are contiguous
   * (c-blosc's threaded writer may order them arbitrarily), and if a foreign
   * frame disagrees with the recomputed split rule the parse fails loudly on
@@ -43,11 +44,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * before giving up — the inner codecs verify exact output sizes, so a
   * wrong framing cannot decode silently.
   *
-  * Supported inner codecs: lz4/lz4hc, zstd, zlib, snappy. Both filters are
-  * implemented: byte-shuffle (`shuffle=1`) and bit-shuffle (`shuffle=2`,
-  * the bit-plane transpose — see [[bitShuffleSlice]]). blosclz (c-blosc's
-  * own LZ77, code 0 — NOT zarr-python's default) is rejected with a clear
-  * re-encode hint rather than risked on a from-memory reimplementation.
+  * Supported inner codecs: blosclz (c-blosc's own FastLZ-derived LZ77,
+  * code 0 — from-spec in [[BloscLz]]), lz4/lz4hc, zstd, zlib, snappy.
+  * Both filters are implemented: byte-shuffle (`shuffle=1`) and
+  * bit-shuffle (`shuffle=2`, the bit-plane transpose — see
+  * [[bitShuffleSlice]]).
   *
   * Scale shape: a blosc frame is one zarr chunk — the store's own
   * memory-bound unit — so [[compress]]/[[decompress]] run inside one task on
@@ -89,9 +90,6 @@ object Blosc {
       s"blosc frame declares cbytes=${h.cbytes} but holds ${src.length} bytes")
     require(!(h.shuffled && h.bitShuffled),
       "blosc frame declares both byte-shuffle and bit-shuffle")
-    require(h.codec != CodecBloscLz,
-      "blosclz-compressed blosc frame: re-encode with cname lz4/zstd/zlib " +
-        "(zarr-python's default is lz4; blosclz is c-blosc's internal codec)")
     h
   }
 
@@ -207,12 +205,13 @@ object Blosc {
     require(!(shuffle && bitShuffle),
       "pick byte-shuffle OR bit-shuffle, not both (numcodecs shuffle=1 vs 2)")
     val codec = cname match {
+      case "blosclz" => CodecBloscLz
       case "lz4" | "lz4hc" => CodecLz4
       case "snappy" => CodecSnappy
       case "zlib" => CodecZlib
       case "zstd" => CodecZstd
       case other => throw new IllegalArgumentException(
-        s"unsupported blosc cname '$other' (lz4/lz4hc/zstd/zlib/snappy)")
+        s"unsupported blosc cname '$other' (blosclz/lz4/lz4hc/zstd/zlib/snappy)")
     }
     // shuffle transposes whole elements; a ragged tail (never the case for
     // zarr chunks, which are whole-element by construction) falls back to
@@ -426,6 +425,8 @@ object Blosc {
   private def codecDecompress(codec: Int, src: Array[Byte], off: Int,
                               len: Int, dst: Array[Byte], dstOff: Int,
                               expect: Int): Unit = codec match {
+    case CodecBloscLz =>
+      BloscLz.decompress(src, off, len, dst, dstOff, expect)
     case CodecLz4 =>
       val n = lz4.safeDecompressor().decompress(src, off, len, dst, dstOff)
       require(n == expect, s"lz4 stream inflated to $n of $expect bytes")
@@ -457,6 +458,8 @@ object Blosc {
   private def codecCompress(codec: Int, cname: String, clevel: Int,
                             src: Array[Byte], off: Int,
                             len: Int): Array[Byte] = codec match {
+    case CodecBloscLz =>
+      BloscLz.compress(src, off, len)
     case CodecLz4 =>
       val c = if (cname == "lz4hc") lz4Write.highCompressor()
       else lz4Write.fastCompressor()

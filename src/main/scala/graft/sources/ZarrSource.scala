@@ -21,7 +21,6 @@ import org.apache.spark.sql.types._
   * (zarr-python's DEFAULT, what real processed ephys stores use) via
   * [[Blosc]], the pure-Scala container codec over Spark's own bundled
   * lz4/zstd/snappy libraries, byte- and bit-shuffle filters both. Only
-  * blosc's `blosclz` cname is rejected (with a re-encode hint).
   *
   * Scale shape: ONE task per chunk file. A zarr chunk is the store's own
   * memory bound (the writer sized it to fit in RAM); each task reads and
@@ -86,14 +85,6 @@ object ZarrSource {
     compId.foreach(id => require(id == "zlib" || id == "gzip" ||
       id == "blosc" || id == "zstd" || id == "lz4",
       s"unsupported compressor '$id' (zlib/gzip/blosc/zstd/lz4/null)"))
-    if (compId.contains("blosc")) {
-      // fail fast at the header on the one blosc variant the chunk decoder
-      // would reject anyway (decode itself trusts each chunk's OWN header,
-      // not these advisory fields); byte- AND bit-shuffle both decode
-      val cname = comp.path("cname").asText("lz4")
-      require(cname != "blosclz",
-        "blosc cname 'blosclz' unsupported — re-encode with lz4/zstd/zlib")
-    }
     ZarrMeta(
       shape = root.path("shape").elements().asScala.map(_.asLong()).toSeq,
       chunks = root.path("chunks").elements().asScala.map(_.asInt()).toSeq,

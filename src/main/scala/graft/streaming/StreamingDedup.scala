@@ -41,6 +41,19 @@ object StreamingDedup {
     * mid-batch always leaves either the previous or the new snapshot
     * complete on disk (it can also be rebuilt from `candidatesDir` by a
     * one-shot [[Dedup.connectedComponents]], but never has to be).
+    *
+    * `verify = Some((shinglesDir, minJaccard))` upgrades the emitted pairs
+    * from raw band collisions to VERIFIED near-dups — the drained twin of
+    * the one-shot LSH→verify chain (q65/q99/q247): the drain additionally
+    * persists each doc's distinct shingle-hash array (append-idempotent on
+    * the id — the signature store every production dedup service keeps),
+    * joins the wave's candidate pairs against it on BOTH sides, and keeps
+    * pairs with `round(jaccard, 4) >= minJaccard`. `candidatesDir` then
+    * holds `(id_a, id_b, jaccard)` and the cluster table merges VERIFIED
+    * edges only, so the drained resolution equals the one-shot verified
+    * CC exactly. Per-wave cost: two keyed equi-joins on candidate ids —
+    * O(wave candidates), never corpus×corpus; the shingle store is
+    * corpus-sized on disk but only candidate ids are ever shuffled.
     */
   def drain(spark: SparkSession, sourceDir: String, indexDir: String,
             candidatesDir: String, checkpointDir: String,
@@ -48,7 +61,8 @@ object StreamingDedup {
             schema: org.apache.spark.sql.types.StructType,
             numHashes: Int = 32, shingleN: Int = 3,
             bands: Int = 8, rowsPerBand: Int = 4,
-            clustersDir: Option[String] = None): Unit = {
+            clustersDir: Option[String] = None,
+            verify: Option[(String, Double)] = None): Unit = {
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "64")
@@ -66,7 +80,25 @@ object StreamingDedup {
         try {
           val index = Populate.readIfExists(spark, indexDir)
             .getOrElse(cached.limit(0)) // first batch: new-vs-new only
-          val cands = Dedup.incrementalCandidates(cached, index, idCol)
+          val raw = Dedup.incrementalCandidates(cached, index, idCol)
+          val cands = verify match {
+            case None => raw
+            case Some((shinglesDir, minJaccard)) =>
+              import org.apache.spark.sql.functions._
+              val sh = Dedup.withHashedShingles(batch, idCol, textCol,
+                shingleN)
+              Populate.appendIdempotent(sh, shinglesDir, Seq(idCol))
+              val store = Populate.readIfExists(spark, shinglesDir).get
+              raw
+                .join(store.select(col(idCol).as("id_a"),
+                  col("shingle_hashes").as("__sa")), Seq("id_a"))
+                .join(store.select(col(idCol).as("id_b"),
+                  col("shingle_hashes").as("__sb")), Seq("id_b"))
+                .withColumn("jaccard",
+                  round(Dedup.jaccard(col("__sa"), col("__sb")), 4))
+                .filter(col("jaccard") >= minJaccard)
+                .select("id_a", "id_b", "jaccard")
+          }
           Populate.appendIdempotent(cands, candidatesDir, Seq("id_a", "id_b"))
           Populate.appendIdempotent(cached, indexDir, Seq(idCol, "band"))
           clustersDir.foreach { dir =>

@@ -152,8 +152,8 @@ class BloscSpec extends SparkSpec {
 
   test("fuzz: random payloads round-trip across random configurations") {
     val rnd = new Random(1234)
-    val cnames = Seq("lz4", "lz4hc", "zstd", "zlib", "snappy")
-    for (trial <- 1 to 50) {
+    val cnames = Seq("blosclz", "lz4", "lz4hc", "zstd", "zlib", "snappy")
+    for (trial <- 1 to 60) {
       val typesize = Seq(1, 2, 3, 4, 5, 8, 16)(rnd.nextInt(7))
       val nElems = 1 + rnd.nextInt(9000)
       val raw = new Array[Byte](nElems * typesize)
@@ -165,7 +165,7 @@ class BloscSpec extends SparkSpec {
         i += 1
       }
       val mode = rnd.nextInt(3) // none / byte / bit
-      val frame = Blosc.compress(raw, typesize, cnames(rnd.nextInt(5)),
+      val frame = Blosc.compress(raw, typesize, cnames(rnd.nextInt(6)),
         clevel = 1 + rnd.nextInt(9),
         shuffle = mode == 1, bitShuffle = mode == 2,
         blocksize = if (rnd.nextBoolean()) 0 else 256 + rnd.nextInt(8192))
@@ -181,17 +181,19 @@ class BloscSpec extends SparkSpec {
     val bitShuffled = ok.clone(); bitShuffled(2) = (bitShuffled(2) | 0x4).toByte
     val e1 = intercept[IllegalArgumentException](Blosc.decompress(bitShuffled))
     assert(e1.getMessage.contains("both byte-shuffle and bit-shuffle"))
-    // blosclz codec code (0)
+    // lz4 streams relabeled as blosclz (codec bits 0) are garbage under
+    // the blosclz instruction walk — size validation fails them loudly
+    // (blosclz itself round-trips: BloscLzSpec + the fuzz above)
     val bloscLz = ok.clone(); bloscLz(2) = (bloscLz(2) & 0x1F).toByte
-    val e2 = intercept[IllegalArgumentException](Blosc.decompress(bloscLz))
-    assert(e2.getMessage.contains("blosclz"))
+    intercept[IllegalArgumentException](Blosc.decompress(bloscLz))
     // truncated frame: declared cbytes no longer matches
     val e3 = intercept[IllegalArgumentException](
       Blosc.decompress(ok.dropRight(1)))
     assert(e3.getMessage.contains("cbytes"))
+    // an unknown cname still fails loudly
     assert(intercept[IllegalArgumentException](
-      Blosc.compress(ramp(16, 2), 2, "blosclz")).getMessage
-      .contains("blosclz"))
+      Blosc.compress(ramp(16, 2), 2, "lzham")).getMessage
+      .contains("lzham"))
   }
 
   test("zarr round-trip: blosc store through driver writer, distributed " +
@@ -231,7 +233,7 @@ class BloscSpec extends SparkSpec {
     }
 
     // a numcodecs-shaped .zarray header (the exact JSON zarr-python emits)
-    // parses — byte- OR bit-shuffled — and blosclz fails fast at the header
+    // parses — byte- OR bit-shuffled — and the blosclz cname parses too
     val meta = ZarrSource.parseMeta(
       """{"zarr_format": 2, "shape": [300, 4], "chunks": [64, 4],
         | "dtype": "<u2", "order": "C", "fill_value": 0, "filters": null,
@@ -244,11 +246,11 @@ class BloscSpec extends SparkSpec {
         | "compressor": {"id": "blosc", "cname": "lz4", "shuffle": 2}}"""
         .stripMargin)
     assert(metaBit.compressor.contains("blosc"))
-    assert(intercept[IllegalArgumentException](ZarrSource.parseMeta(
+    assert(ZarrSource.parseMeta(
       """{"zarr_format": 2, "shape": [8], "chunks": [8], "dtype": "<u2",
         | "order": "C", "fill_value": 0, "filters": null,
-        | "compressor": {"id": "blosc", "cname": "blosclz"}}""".stripMargin))
-      .getMessage.contains("blosclz"))
+        | "compressor": {"id": "blosc", "cname": "blosclz"}}""".stripMargin)
+      .compressor.contains("blosc"))
   }
 
   test("bit-shuffled zarr store round-trips through writer and reader") {

@@ -98,4 +98,65 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed.get(11L).contains(1L), "cross-wave extension joins {1,3}")
     assert(streamed.get(10L).contains(2L))
   }
+
+  test("verified drain equals the one-shot LSH→verify chain and stores jaccard") {
+    val root = Files.createTempDirectory("stream_dedup_verify")
+    val src = root.resolve("incoming").toString
+    val index = root.resolve("index").toString
+    val cands = root.resolve("cands").toString
+    val ckpt = root.resolve("ckpt").toString
+    val clusters = root.resolve("clusters").toString
+    val shingles = root.resolve("shingles").toString
+    Files.createDirectories(root.resolve("incoming"))
+
+    // docs 1/3 are true near-dups; 4/5 collide in SOME band (shared run of
+    // words) but their jaccard is far below 0.5 — the verify gate must
+    // drop that pair even though the candidate path finds it
+    val docs = Seq(
+      (1L, doc(1 to 60)),
+      (2L, doc(100 to 160)),
+      (3L, doc(1 to 60, Map(30 -> "CHANGED"))),
+      (4L, doc(200 to 260) + " " + doc(300 to 320)),
+      (5L, doc(400 to 460) + " " + doc(300 to 320)))
+    def drainWave(): Unit = StreamingDedup.drain(spark, src, index, cands,
+      ckpt, "doc_id", "text", schema, clustersDir = Some(clusters),
+      verify = Some((shingles, 0.5)))
+    docs.filter(_._1 <= 3).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    drainWave()
+    docs.filter(_._1 > 3).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    drainWave()
+
+    val drained = spark.read.parquet(cands)
+    assert(drained.columns.toSet === Set("id_a", "id_b", "jaccard"))
+    val pairs = drained.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // one-shot reference: bucket everything at once, verify at 0.5
+    val all = docs.toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.minhashSignaturesFused(all, "doc_id",
+      "text", numHashes = 32, shingleN = 3)
+    val rawCands = graft.operators.Dedup.lshCandidates(sigs, "doc_id",
+      bands = 8, rowsPerBand = 4)
+    val sh = graft.operators.Dedup.withHashedShingles(all, "doc_id", "text")
+    val oneShot = rawCands
+      .join(sh.select(col("doc_id").as("id_a"),
+        col("shingle_hashes").as("sa")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"),
+        col("shingle_hashes").as("sb")), Seq("id_b"))
+      .filter(round(graft.operators.Dedup.jaccard(col("sa"), col("sb")), 4)
+        >= 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === oneShot, s"drained $pairs vs one-shot $oneShot")
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((4L, 5L)), "sub-threshold pair must be dropped")
+    // clusters merge only VERIFIED edges
+    val clustered = spark.read.parquet(clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clustered.get(1L).contains(1L) && clustered.get(3L).contains(1L))
+    assert(!clustered.get(4L).exists(_ == clustered.getOrElse(5L, -1L)) ||
+      !clustered.contains(4L) || !clustered.contains(5L),
+      s"4 and 5 must not share a cluster: $clustered")
+  }
 }

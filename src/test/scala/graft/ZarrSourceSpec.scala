@@ -103,21 +103,19 @@ class ZarrSourceSpec extends SparkSpec {
     assert(v2.select("row_index").count() == 20)
   }
 
-  test("header validation: blosclz, filters, channel-split layouts fail fast") {
-    // plain blosc headers PARSE since round 10 (sources/Blosc.scala); only
-    // the blosclz cname — the one inner codec without a JVM implementation —
-    // still fails fast at the header
+  test("header validation: filters, channel-split layouts fail fast; blosclz decodes") {
+    // plain blosc headers PARSE since round 10 (sources/Blosc.scala);
+    // blosclz — the last loud-rejected inner codec — decodes since round
+    // 12 (sources/BloscLz.scala), so its header parses too
     assert(ZarrSource.parseMeta(
       """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2],
          "dtype": "<u2", "compressor": {"id": "blosc"}, "order": "C",
          "fill_value": 0, "filters": null}""").compressor.contains("blosc"))
-    val bloscLz = intercept[IllegalArgumentException] {
-      ZarrSource.parseMeta(
-        """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2],
-           "dtype": "<u2", "order": "C", "fill_value": 0, "filters": null,
-           "compressor": {"id": "blosc", "cname": "blosclz"}}""")
-    }
-    assert(bloscLz.getMessage.contains("blosclz"))
+    assert(ZarrSource.parseMeta(
+      """{"zarr_format": 2, "shape": [4, 2], "chunks": [2, 2],
+         "dtype": "<u2", "order": "C", "fill_value": 0, "filters": null,
+         "compressor": {"id": "blosc", "cname": "blosclz"}}""")
+      .compressor.contains("blosc"))
 
     // channel-split chunking: samples span files → rejected at read
     val store = tmpStore("split")
