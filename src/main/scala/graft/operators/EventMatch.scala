@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-block ENTITY MATCHING BY EVENT-TRAIN COINCIDENCE — the
+  * reference's unit-matching stage re-expressed as declarative Spark
+  * (`aeon/dj_pipeline/spike_sorting.py:1226-1460`: `UnitMatching.make`
+  * compares spike trains of a new ephys block against overlapping
+  * already-matched blocks with a ±0.4 ms coincidence window, matched
+  * units inherit persistent `GlobalUnit` ids, unmatched units mint new
+  * ones). The reference delegates the comparison to spikeinterface's
+  * sorter-agreement machinery; unlike the sorter itself (a genuine
+  * external black box) the agreement computation is pure data-parallel
+  * arithmetic, so here it is a first-class operator with EXACT integer
+  * semantics any engine replays:
+  *
+  *  - `coincident(a, b, δ)` = number of DISTINCT a-events having at least
+  *    one b-event within ±δ µs (each event counts once — burst trains
+  *    cannot inflate the score), computed symmetrically for both sides;
+  *  - `agreement_permille = ⌊1000·c / (n_a + n_b − c)⌋` with
+  *    `c = min(coinc_a, coinc_b)` — the Jaccard-style agreement score on
+  *    the µs grid, floor-div so no float appears;
+  *  - matches = MUTUAL best: a pair survives iff it is unit_a's highest
+  *    agreement AND unit_b's highest (ties broken by the smaller partner
+  *    id, so the assignment is deterministic), at or above a threshold.
+  *
+  * Scale shape: events bucket on `us div δ`; the left side explodes to
+  * its bucket ±1 (|a-b| ≤ δ ⇒ bucket distance ≤ 1), so candidates are
+  * bounded by per-δ-window event products — set by the event rate and δ
+  * (0.4 ms windows at spike rates ⇒ a handful per bucket), never
+  * |A|×|B|. One shuffle builds the candidate pairs, one aggregate the
+  * matrix, two keyed argmax windows the assignment. The global-id
+  * propagation walks blocks in seed order (the reference's seed-first
+  * frontier rule) with one bounded driver value per block — block count
+  * is catalog-scale, never event-scale.
+  */
+object EventMatch {
+
+  /** Pairwise agreement matrix between two keyed event-train sets.
+    * `a`/`b`: `(unitCol, usCol)` rows (already restricted to the shared
+    * window by the caller — the reference's overlap restriction). Output:
+    * `(unit_a, unit_b, n_a, n_b, coinc_a, coinc_b, agreement_permille)`
+    * for pairs with at least one coincidence.
+    */
+  def agreementMatrix(a: DataFrame, b: DataFrame, unitCol: String,
+                      usCol: String, deltaUs: Long): DataFrame = {
+    require(deltaUs > 0, "coincidence window must be positive")
+    val av = a.select(col(unitCol).cast("long").as("unit_a"),
+      col(usCol).cast("long").as("ua"))
+    val bv = b.select(col(unitCol).cast("long").as("unit_b"),
+      col(usCol).cast("long").as("ub"))
+    val na = av.groupBy("unit_a").agg(count(lit(1)).as("n_a"))
+    val nb = bv.groupBy("unit_b").agg(count(lit(1)).as("n_b"))
+    // bucket-join candidates: a explodes to bucket±1, b keeps its bucket
+    val cand = av
+      .withColumn("bk", explode(array(
+        expr(s"ua div $deltaUs") - 1L,
+        expr(s"ua div $deltaUs"),
+        expr(s"ua div $deltaUs") + 1L)))
+      .join(bv.withColumn("bk", expr(s"ub div $deltaUs")), Seq("bk"))
+      .filter(abs(col("ua") - col("ub")) <= deltaUs)
+    cand.groupBy("unit_a", "unit_b")
+      .agg(count_distinct(col("ua")).as("coinc_a"),
+        count_distinct(col("ub")).as("coinc_b"))
+      .join(na, Seq("unit_a"))
+      .join(nb, Seq("unit_b"))
+      .withColumn("agreement_permille", expr(
+        """(1000 * least(coinc_a, coinc_b))
+          | div (n_a + n_b - least(coinc_a, coinc_b))""".stripMargin))
+      .select("unit_a", "unit_b", "n_a", "n_b", "coinc_a", "coinc_b",
+        "agreement_permille")
+  }
+
+  /** Mutual-best assignment over an [[agreementMatrix]]: a pair survives
+    * iff it is unit_a's best AND unit_b's best (score desc, smaller
+    * partner id on ties) and scores ≥ `minPermille`. Output:
+    * `(unit_a, unit_b, agreement_permille)` — at most one row per unit on
+    * either side.
+    */
+  def mutualBestMatch(matrix: DataFrame, minPermille: Long): DataFrame = {
+    val wa = Window.partitionBy("unit_a")
+      .orderBy(col("agreement_permille").desc, col("unit_b"))
+    val wb = Window.partitionBy("unit_b")
+      .orderBy(col("agreement_permille").desc, col("unit_a"))
+    matrix.filter(col("agreement_permille") >= minPermille)
+      .withColumn("__ra", row_number().over(wa))
+      .withColumn("__rb", row_number().over(wb))
+      .filter(col("__ra") === 1 && col("__rb") === 1)
+      .select("unit_a", "unit_b", "agreement_permille")
+  }
+
+  /** Seed-first global-id propagation (`GlobalUnit` semantics): walk
+    * `blocks` in order — the first is the seed — matching each block's
+    * trains against the PREVIOUS block over their shared rows; matched
+    * units inherit the previous block's global id, unmatched units mint
+    * fresh ids above the running maximum (ordered by unit id, so the
+    * assignment is deterministic). Each block's trains must already be
+    * restricted to that block's window; consecutive blocks are compared
+    * on their full given extents (the caller makes them overlap, as the
+    * reference's frontier guard enforces).
+    *
+    * Output: `(block, unit, global_unit)` for every unit of every block.
+    * Driver state per block: one max-id long + the per-block assignment
+    * join — bounded by unit counts (catalog scale), never event counts.
+    */
+  def propagateGlobalIds(blocks: Seq[DataFrame], unitCol: String,
+                         usCol: String, deltaUs: Long,
+                         minPermille: Long): DataFrame = {
+    require(blocks.nonEmpty, "need at least one block")
+    val spark = blocks.head.sparkSession
+    import spark.implicits._
+    // seed: unit ids become global ids (the reference seeds identity too)
+    var assigned = blocks.head.select(col(unitCol).cast("long").as("unit"))
+      .distinct()
+      .select(lit(0L).as("block"), col("unit"), col("unit").as("global_unit"))
+    var out = assigned
+    var i = 1
+    while (i < blocks.length) {
+      val prev = blocks(i - 1)
+      val cur = blocks(i)
+      val matches = mutualBestMatch(
+        agreementMatrix(cur, prev, unitCol, usCol, deltaUs), minPermille)
+        .select(col("unit_a").as("unit"), col("unit_b").as("prev_unit"))
+      val inherited = matches
+        .join(assigned.select(col("unit").as("prev_unit"),
+          col("global_unit")), Seq("prev_unit"))
+        .select(col("unit"), col("global_unit"))
+      val curUnits = cur.select(col(unitCol).cast("long").as("unit"))
+        .distinct()
+      // fresh ids: dense above the running max, ordered by unit id —
+      // assignDenseIds (range-partition + offsets), so no global window;
+      // one driver long (the max) per block — bounded.
+      val maxId = out.agg(max(col("global_unit"))).as[Long].head()
+      val fresh = graft.sources.Layout.assignDenseIds(
+          curUnits.join(inherited.select("unit"), Seq("unit"), "left_anti"),
+          Seq("unit"), numRanges = 4)
+        .select(col("unit"), (col("row_id") + maxId + 1L).as("global_unit"))
+      assigned = inherited.unionByName(fresh)
+        .select(lit(i.toLong).as("block"), col("unit"), col("global_unit"))
+      out = out.unionByName(assigned)
+      // cut lineage per block: the loop otherwise stacks one join tree
+      // per block (the CC/LPA discipline)
+      assigned = assigned.localCheckpoint(true)
+      out = out.localCheckpoint(true)
+      i += 1
+    }
+    out
+  }
+}

@@ -465,6 +465,94 @@ object SystemQueries {
           ORDER BY i.doc_id""")
     }),
 
+    // EVENT-TRAIN UNIT MATCHING (the reference's cross-block spike
+    // matching, spike_sorting.py:1226-1460, as a declarative operator):
+    // block A carries 12 unit trains on a 10 ms grid with per-unit µs
+    // offsets; block B re-labels them through the permutation
+    // v = (5u+2) mod 12, jitters every event ±40 µs (inside the 60 µs
+    // coincidence window), drops every 5th event, and adds two genuinely
+    // new units far off the grid. The agreement matrix (bucketed ±δ
+    // coincidence join, distinct-event counts, floor-div permille) plus
+    // the mutual-best assignment must recover exactly the permutation —
+    // ORACLED by replaying the fixture arithmetic, the coincidence join,
+    // and both argmax windows in SQL.
+    "q252_unit_matching" -> ((s, d) => {
+      def trainA(units: Seq[Long], kLo: Int, kHi: Int) =
+        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
+          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
+          .select(col("u").as("unit"),
+            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
+              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
+      val a = trainA(0L to 11L, 200, 399)
+      val bTrue = trainA(0L to 11L, 200, 399)
+        .withColumn("k", expr("(us - 1000000) div 10000"))
+        .filter((col("k") + col("unit")) % 5 =!= 0)
+        .select(((col("unit") * 5 + 2) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
+      val bNew = s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L))).toDF("u")
+        .select(col("u"), explode(sequence(lit(200), lit(399))).as("k"))
+        .select(col("u").as("unit"),
+          (lit(1000000L) + col("k") * 10000L + lit(5000L) +
+            (col("u") - 12L) * 97L +
+            ((col("u") * (col("k") + 5)) % 7) * 3L).as("us"))
+      val b = bTrue.unionByName(bNew)
+      val matrix = graft.operators.EventMatch.agreementMatrix(
+        b, a, "unit", "us", deltaUs = 60L)
+      val matches = graft.operators.EventMatch.mutualBestMatch(matrix, 300L)
+        .select(col("unit_a"), col("unit_b"),
+          col("agreement_permille").as("match_permille"))
+      matrix
+        .join(matches, Seq("unit_a", "unit_b"), "left")
+        .select(col("unit_a"), col("unit_b"), col("n_a"), col("n_b"),
+          col("coinc_a"), col("coinc_b"), col("agreement_permille"),
+          col("match_permille").isNotNull.as("is_match"))
+        .orderBy("unit_a", "unit_b")
+    }),
+
+    // GLOBAL-UNIT PROPAGATION over three overlapping blocks (the
+    // reference's seed-first GlobalUnit chain): block 0 seeds identity,
+    // block 1 is the q252 permutation + two new units (which mint fresh
+    // dense ids 12/13), block 2 permutes block 1's true units again
+    // (w = (7v+4) mod 12) with its own jitter/drop pattern. Matched units
+    // must inherit ids through TWO hops — global(w) = 5·(7·(w−4)−2) mod
+    // 12 by the closed-form inverses — and the oracle declares exactly
+    // that end state, so any matching failure anywhere in the chain
+    // breaks the hash.
+    "q253_global_units" -> ((s, d) => {
+      def base(units: Seq[Long], kLo: Int, kHi: Int) =
+        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
+          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
+          .select(col("u").as("unit"), col("k"),
+            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
+              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
+      val blockA = base(0L to 11L, 0, 399).select("unit", "us")
+      val blockB = base(0L to 11L, 200, 599)
+        .filter((col("k") + col("unit")) % 5 =!= 0)
+        .select(((col("unit") * 5 + 2) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
+        .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
+          .toDF("u")
+          .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
+          .select(col("u").as("unit"),
+            (lit(1000000L) + col("k") * 10000L + lit(5000L) +
+              (col("u") - 12L) * 97L +
+              ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
+      // block 2 re-permutes the TRUE trains (sources u 0..11) with its
+      // own drop/jitter; labels w = (7·v+4) mod 12 over block-1 labels v
+      val blockC = base(0L to 11L, 400, 799)
+        .filter((col("k") + col("unit")) % 7 =!= 0)
+        .select(((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
+      // thresholds: blocks compare on FULL extents (half the events sit
+      // outside the shared window), so true-pair agreement lands ~260-285
+      // permille while accidental adjacent-unit agreement stays < 70 —
+      // 200 splits them with ~4x margin on either side
+      graft.operators.EventMatch.propagateGlobalIds(
+          Seq(blockA, blockB, blockC), "unit", "us", deltaUs = 60L,
+          minPermille = 200L)
+        .orderBy("block", "unit")
+    }),
+
     // Multimodal: deterministic frame sampling (posexplode plumbing).
     // ORACLED: pure integer frame-index arithmetic — blob bytes = 16×utf8
     // length, n = clamp(bytes/1024, 1, everyNth×maxFrames), sampled indices
@@ -1423,6 +1511,81 @@ object SystemQueries {
          JOIN sg sb ON sb.doc_id = c.id_b
        WHERE bit_count(xor(sa.dh, sb.dh)) <= 4
        ORDER BY id_a, id_b""",
+    // Full replay: fixture arithmetic -> |dt|<=delta join (equivalent to
+    // the engine's bucket+-1 join by construction) -> distinct-event
+    // counts -> floor-div permille -> both mutual-best argmax windows.
+    "q252_unit_matching" ->
+      """WITH a AS (
+         SELECT u.u AS unit,
+           1000000 + k.k*10000 + u.u*97 + ((u.u*(k.k+3)) % 7)*3 AS us
+         FROM generate_series(0,11) u(u), generate_series(200,399) k(k)),
+       bt AS (
+         SELECT (u.u*5+2) % 12 AS unit,
+           1000000 + k.k*10000 + u.u*97 + ((u.u*(k.k+3)) % 7)*3
+             + ((k.k % 3) - 1)*40 AS us
+         FROM generate_series(0,11) u(u), generate_series(200,399) k(k)
+         WHERE (k.k + u.u) % 5 <> 0),
+       bn AS (
+         SELECT u.u AS unit,
+           1000000 + k.k*10000 + 5000 + (u.u-12)*97
+             + ((u.u*(k.k+5)) % 7)*3 AS us
+         FROM generate_series(12,13) u(u), generate_series(200,399) k(k)),
+       b AS (SELECT * FROM bt UNION ALL SELECT * FROM bn),
+       na AS (SELECT unit, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+       nb AS (SELECT unit, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1),
+       cand AS (
+         SELECT b.unit AS unit_a, a.unit AS unit_b, b.us AS ua, a.us AS ub
+         FROM b JOIN a ON abs(b.us - a.us) <= 60),
+       m AS (
+         SELECT unit_a, unit_b,
+           CAST(count(DISTINCT ua) AS BIGINT) AS coinc_a,
+           CAST(count(DISTINCT ub) AS BIGINT) AS coinc_b
+         FROM cand GROUP BY 1, 2),
+       mx AS (
+         SELECT m.unit_a, m.unit_b, na.n AS n_a, nb.n AS n_b,
+           m.coinc_a, m.coinc_b,
+           CAST(1000 * least(m.coinc_a, m.coinc_b)
+             // (na.n + nb.n - least(m.coinc_a, m.coinc_b)) AS BIGINT)
+             AS agreement_permille
+         FROM m JOIN na ON na.unit = m.unit_a
+           JOIN nb ON nb.unit = m.unit_b),
+       mm AS (
+         SELECT unit_a, unit_b FROM (
+           SELECT unit_a, unit_b,
+             row_number() OVER (PARTITION BY unit_a
+               ORDER BY agreement_permille DESC, unit_b) AS ra,
+             row_number() OVER (PARTITION BY unit_b
+               ORDER BY agreement_permille DESC, unit_a) AS rb
+           FROM mx WHERE agreement_permille >= 300)
+         WHERE ra = 1 AND rb = 1)
+       SELECT CAST(mx.unit_a AS BIGINT) AS unit_a,
+         CAST(mx.unit_b AS BIGINT) AS unit_b, mx.n_a, mx.n_b,
+         mx.coinc_a, mx.coinc_b, mx.agreement_permille,
+         (mm.unit_a IS NOT NULL) AS is_match
+       FROM mx LEFT JOIN mm ON mm.unit_a = mx.unit_a
+         AND mm.unit_b = mx.unit_b
+       ORDER BY mx.unit_a, mx.unit_b""",
+    // Closed-form end state via the permutation inverses (5*5 = 7*7 = 1
+    // mod 12): block 1 inherits u = 5(v-2) mod 12 and mints 12/13; block
+    // 2 inherits through two hops. Any matching failure breaks the hash.
+    "q253_global_units" ->
+      """WITH b0 AS (
+         SELECT CAST(0 AS BIGINT) AS block, u.u AS unit, u.u AS gid
+         FROM generate_series(0,11) u(u)),
+       b1 AS (
+         SELECT CAST(1 AS BIGINT), v.v,
+           CASE WHEN v.v >= 12 THEN v.v
+             ELSE ((5*(v.v-2)) % 12 + 12) % 12 END
+         FROM generate_series(0,13) v(v)),
+       b2 AS (
+         SELECT CAST(2 AS BIGINT), w.w,
+           ((5*((((7*(w.w-4)) % 12 + 12) % 12) - 2)) % 12 + 12) % 12
+         FROM generate_series(0,11) w(w))
+       SELECT block, CAST(unit AS BIGINT) AS unit,
+         CAST(gid AS BIGINT) AS global_unit
+       FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+             UNION ALL SELECT * FROM b2)
+       ORDER BY block, unit""",
     // Both hash replays (q233's dHash, q234's energy hash) joined per doc.
     "q250_sql_fingerprints" ->
       """WITH px AS (
