@@ -553,6 +553,61 @@ object SystemQueries {
         .orderBy("block", "unit")
     }),
 
+    // q253's DRAIN TWIN: the same three blocks land as block-stamped
+    // file waves (blocks 0+1, then block 2 — the reference's frontier
+    // order, spike_sorting.py:1269-1299) and drain through
+    // StreamingUnitMatch: each new block matches the PERSISTED trains of
+    // its predecessor, inherits/mints ids incrementally, and the drained
+    // assignment table must equal the one-shot propagation — the oracle
+    // is q253's closed form verbatim.
+    "q254_global_units_from_drain" -> ((s, d) => {
+      def base(units: Seq[Long], kLo: Int, kHi: Int) =
+        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
+          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
+          .select(col("u").as("unit"), col("k"),
+            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
+              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
+      val blockA = base(0L to 11L, 0, 399)
+        .select(lit(0L).as("block"), col("unit"), col("us"))
+      val blockB = base(0L to 11L, 200, 599)
+        .filter((col("k") + col("unit")) % 5 =!= 0)
+        .select(lit(1L).as("block"),
+          ((col("unit") * 5 + 2) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
+        .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
+          .toDF("u")
+          .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
+          .select(lit(1L).as("block"), col("u").as("unit"),
+            (lit(1000000L) + col("k") * 10000L + lit(5000L) +
+              (col("u") - 12L) * 97L +
+              ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
+      val blockC = base(0L to 11L, 400, 799)
+        .filter((col("k") + col("unit")) % 7 =!= 0)
+        .select(lit(2L).as("block"),
+          ((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-unitdrain-q254").toString
+      val (src, trains, asg, ckpt) = (root + "/src", root + "/trains",
+        root + "/assignments", root + "/ckpt")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("block",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("unit",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("us",
+          org.apache.spark.sql.types.LongType)))
+      def wave(): Unit = graft.streaming.StreamingUnitMatch.drain(s, src,
+        trains, asg, ckpt, "block", "unit", "us", schema, deltaUs = 60L,
+        minPermille = 200L)
+      blockA.unionByName(blockB).write.mode("append").parquet(src)
+      wave()
+      blockC.write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingUnitMatch.loadAssignments(s, asg)
+        .orderBy("block", "unit")
+    }),
+
     // Multimodal: deterministic frame sampling (posexplode plumbing).
     // ORACLED: pure integer frame-index arithmetic — blob bytes = 16×utf8
     // length, n = clamp(bytes/1024, 1, everyNth×maxFrames), sampled indices
@@ -1569,6 +1624,25 @@ object SystemQueries {
     // mod 12): block 1 inherits u = 5(v-2) mod 12 and mints 12/13; block
     // 2 inherits through two hops. Any matching failure breaks the hash.
     "q253_global_units" ->
+      """WITH b0 AS (
+         SELECT CAST(0 AS BIGINT) AS block, u.u AS unit, u.u AS gid
+         FROM generate_series(0,11) u(u)),
+       b1 AS (
+         SELECT CAST(1 AS BIGINT), v.v,
+           CASE WHEN v.v >= 12 THEN v.v
+             ELSE ((5*(v.v-2)) % 12 + 12) % 12 END
+         FROM generate_series(0,13) v(v)),
+       b2 AS (
+         SELECT CAST(2 AS BIGINT), w.w,
+           ((5*((((7*(w.w-4)) % 12 + 12) % 12) - 2)) % 12 + 12) % 12
+         FROM generate_series(0,11) w(w))
+       SELECT block, CAST(unit AS BIGINT) AS unit,
+         CAST(gid AS BIGINT) AS global_unit
+       FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+             UNION ALL SELECT * FROM b2)
+       ORDER BY block, unit""",
+    // drained == one-shot is the contract: q253's oracle verbatim.
+    "q254_global_units_from_drain" ->
       """WITH b0 AS (
          SELECT CAST(0 AS BIGINT) AS block, u.u AS unit, u.u AS gid
          FROM generate_series(0,11) u(u)),
