@@ -1058,6 +1058,84 @@ object SystemQueries {
         .orderBy("user_id")
     }),
 
+    // q249's DRAIN TWIN (StreamingRecuration — the lifecycle the
+    // reference's curation actually runs): curation REQUESTS land as
+    // keyed file waves carrying their rule version (wave 1: users ≡ 0
+    // mod 7 under rule v2; wave 2: users ≡ 0 mod 5 under rule v3 —
+    // overlapping users re-curate again, latest wins), each wave
+    // cascade-invalidates its keys across the chain and re-derives
+    // exactly those keys under the carried rule. Final state mixes
+    // v1/v2/v3 rows per the wave order — the oracle replays it in
+    // closed form; any missed cascade, wrong-order application, or
+    // corpus-wide re-derive breaks the hash.
+    "q255_recuration_from_drain" -> ((s, d) => {
+      import graft.operators.Populate
+      val root = java.nio.file.Files.createTempDirectory("graft-pop-q255")
+        .toString
+      val (tblA, tblB, reqs, ckpt) = (root + "/user_stats",
+        root + "/user_score", root + "/requests", root + "/ckpt")
+      val ev = Tables.events(s, d).select("user_id", "event_type")
+      val allUsers = ev.select("user_id").distinct()
+      def countedFor(version: org.apache.spark.sql.Column) =
+        sum(when(version >= 3L,
+            when(!col("event_type").isin("view", "click"), 1L).otherwise(0L))
+          .when(version === 2L,
+            when(col("event_type") =!= "view", 1L).otherwise(0L))
+          .otherwise(1L))
+      def populateA(keySrc: org.apache.spark.sql.DataFrame): Unit = {
+        // keySrc: (user_id, version) — derive missing users under the
+        // version their request carries
+        val rows = Populate.derive(keySrc,
+            Populate.readReplaced(s, tblA).map(_.select("user_id")),
+            Seq("user_id")) { nk =>
+          ev.join(nk, Seq("user_id"))
+            .groupBy("user_id", "version")
+            .agg(countedFor(col("version")).cast("long").as("n_events"))
+            .select("user_id", "n_events", "version")
+        }
+        Populate.appendIdempotent(rows, tblA, Seq("user_id"))
+      }
+      def populateB(): Unit = {
+        val a = Populate.readReplaced(s, tblA).get
+        val rows = Populate.derive(a.select("user_id"),
+            Populate.readReplaced(s, tblB), Seq("user_id")) { nk =>
+          a.join(nk, Seq("user_id"), "left_semi")
+            .select(col("user_id"),
+              (col("n_events") * 10L + col("version")).as("score"))
+        }
+        Populate.appendIdempotent(rows, tblB, Seq("user_id"))
+      }
+      // bootstrap: everyone at rule v1
+      populateA(allUsers.withColumn("version", lit(1L)))
+      populateB()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType)))
+      def wave(): Unit = graft.streaming.StreamingRecuration.drain(s,
+          reqs, ckpt, schema, Seq("user_id"),
+          Seq(tblA -> Seq("user_id"), tblB -> Seq("user_id"))) { w =>
+        // a replayed/merged backlog can carry several versions for one
+        // user; versions are monotone, so max(version) IS latest-wins
+        populateA(w.groupBy("user_id")
+          .agg(max(col("version")).as("version")))
+        populateB()
+      }
+      allUsers.filter(col("user_id") % 7 === 0)
+        .withColumn("version", lit(2L))
+        .write.mode("append").parquet(reqs)
+      wave()
+      allUsers.filter(col("user_id") % 5 === 0)
+        .withColumn("version", lit(3L))
+        .write.mode("append").parquet(reqs)
+      wave()
+      Populate.readReplaced(s, tblB).get
+        .join(Populate.readReplaced(s, tblA).get, Seq("user_id"))
+        .select("user_id", "n_events", "version", "score")
+        .orderBy("user_id")
+    }),
+
     // Type-2 SCD dimension maintenance (the WRITE side of q43's temporal-
     // validity join): TWO merges — snapshot 1 changes segment for
     // custkey%7, deletes %97, inserts shifted %101 ids; snapshot 2 is the
@@ -1896,6 +1974,28 @@ object SystemQueries {
            CASE WHEN user_id % 7 = 0 THEN n_nonview ELSE n_all END
              AS n_events,
            CAST(CASE WHEN user_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS version
+         FROM u)
+       SELECT user_id, n_events, version,
+         CAST(n_events * 10 + version AS BIGINT) AS score
+       FROM f ORDER BY user_id""",
+    // Wave order in closed form: %5 users re-curated last (v3, non-view
+    // non-click counts), then %7 (v2), else the v1 bootstrap.
+    "q255_recuration_from_drain" ->
+      """WITH u AS (
+         SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN event_type <> 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+           CAST(sum(CASE WHEN event_type NOT IN ('view', 'click')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         FROM events GROUP BY user_id),
+       f AS (
+         SELECT user_id,
+           CASE WHEN user_id % 5 = 0 THEN n3
+                WHEN user_id % 7 = 0 THEN n2 ELSE n1 END AS n_events,
+           CAST(CASE WHEN user_id % 5 = 0 THEN 3
+                     WHEN user_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT)
              AS version
          FROM u)
        SELECT user_id, n_events, version,
