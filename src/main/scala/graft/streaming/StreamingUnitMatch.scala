@@ -52,21 +52,29 @@ object StreamingUnitMatch {
         val rows = batch.select(col(blockCol).cast("long").as("block"),
           col(unitCol).cast("long").as("unit"),
           col(usCol).cast("long").as("us")).localCheckpoint(true)
-        // persist the wave's trains first: the block-pruned predecessor
-        // read below must see them even if this wave carries both a block
-        // and its successor
-        Populate.appendIdempotent(rows, trainsDir, Seq("block", "unit", "us"))
+        // persist the wave's trains first, PARTITIONED by block (one
+        // `block=N` subdir per block, written per wave block — the wave's
+        // block set is catalog-sized): the predecessor read below opens
+        // exactly one partition directory, so matching block k against
+        // k−1 never lists or scans the other blocks' files — the pruning
+        // a 100 TB train store needs, by path instead of row-group stats
+        def blockDir(b: Long) = s"$trainsDir/block=$b"
+        val waveBlocks = rows.select("block").distinct().as[Long]
+          .collect().toSeq.sorted
+        waveBlocks.foreach { b =>
+          Populate.appendIdempotent(
+            rows.filter(col("block") === b).select("unit", "us"),
+            blockDir(b), Seq("unit", "us"))
+        }
         val assigned0 = Populate.readIfExists(spark, assignmentsDir)
         val doneBlocks: Set[Long] = assigned0 match {
           case None => Set.empty
           case Some(a) => a.select("block").distinct().as[Long]
             .collect().toSet // block catalog — bounded driver state
         }
-        val newBlocks = rows.select("block").distinct().as[Long]
-          .collect().toSet.diff(doneBlocks).toSeq.sorted
+        val newBlocks = waveBlocks.toSet.diff(doneBlocks).toSeq.sorted
         newBlocks.foreach { blk =>
-          val trains = spark.read.parquet(trainsDir)
-          val cur = trains.filter(col("block") === blk).select("unit", "us")
+          val cur = spark.read.parquet(blockDir(blk)).select("unit", "us")
           val assignedNow = Populate.readIfExists(spark, assignmentsDir)
           val assignment = assignedNow match {
             case None =>
@@ -86,7 +94,7 @@ object StreamingUnitMatch {
                 s"block $blk drained before its predecessor $prevBlk was " +
                   "assigned — blocks must land in order (the reference's " +
                   "seed-first frontier guard)")
-              val prev = trains.filter(col("block") === prevBlk)
+              val prev = spark.read.parquet(blockDir(prevBlk))
                 .select("unit", "us")
               val matches = EventMatch.mutualBestMatch(
                 EventMatch.agreementMatrix(cur, prev, "unit", "us", deltaUs),
