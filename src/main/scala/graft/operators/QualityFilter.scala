@@ -167,4 +167,81 @@ object QualityFilter {
       .withColumn("score", coalesce(col("score"), lit(0L)))
       .withColumn("predicted", col("score") > 0)
   }
+
+  /** WITHIN-document repetition screen — the Gopher repetition filters
+    * (Rae et al. 2021, "Scaling Language Models: ...", appendix A1.1;
+    * reimplemented the same way by the public Dolma/RedPajama pipelines):
+    * a document that keeps repeating itself is boilerplate or generator
+    * spam, and the signal is the share of its characters covered by its
+    * most frequent short n-gram plus the share covered by ANY long n-gram
+    * that occurs more than once. This is the within-doc complement of the
+    * corpus-level span dedup ([[Dedup.repeatedSpans]] finds text repeated
+    * ACROSS documents; this flags text repeated INSIDE one).
+    *
+    * Per document (word n-grams over a single-space split):
+    *   - `n_tokens`, `n_chars`
+    *   - `top{topN}_gram` / `top{topN}_n`: the most frequent topN-gram
+    *     (ties broken by the lexicographically LARGEST gram — a total
+    *     order any engine replays) and its occurrence count
+    *   - `top_char_permille`: floor(1000 · top_n · len(gram) / n_chars)
+    *   - `dup_char_permille`: floor(1000 · Σ_{dupN-grams with count ≥ 2}
+    *     count · len(gram) / n_chars)
+    * Character coverage counts every occurrence without de-overlapping
+    * (the common public reimplementation; exact interval union would need
+    * a per-doc sweep for a correction that doesn't change the gate), so
+    * `dup_char_permille` can exceed 1000 on degenerate inputs — callers
+    * threshold, they don't sum. All arithmetic integer (floor-div): the
+    * screen replays exactly in any engine.
+    *
+    * Scale shape: two map-only n-gram expansions (array `transform` over
+    * the token array — expansion factor n, no shuffle) each feeding one
+    * (doc, gram) aggregate with map-side partials, then a per-doc argmax /
+    * sum and two broadcast-size-agnostic equi-joins back on the doc id.
+    * Nothing global, nothing quadratic in document length.
+    */
+  def repetitionScreen(docs: DataFrame, idCol: String, textCol: String,
+                       topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1, "n-gram sizes must be >= 1")
+    val id = col(idCol)
+    val base = docs.select(id, col(textCol).as("__t"))
+      .withColumn("__w", split(col("__t"), " "))
+      .withColumn("n_tokens", size(col("__w")).cast("long"))
+      .withColumn("n_chars", length(col("__t")).cast("long"))
+
+    def gramCounts(n: Int): DataFrame = {
+      val joined = (1 to n).map(j => s"element_at(__w, i + ${j - 1})")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      // guard: sequence(1, 0) DESCENDS in Spark, and ANSI element_at
+      // throws on index 0 — a doc shorter than the gram emits no grams
+      base
+        .select(id, explode(expr(
+          s"case when size(__w) >= $n then " +
+            s"transform(sequence(1, size(__w) - ${n - 1}), i -> $joined) " +
+            "else array() end")).as("gram"))
+        .groupBy(id, col("gram"))
+        .agg(count(lit(1)).as("n"))
+    }
+
+    val top = gramCounts(topN)
+      .groupBy(id)
+      .agg(max(struct(col("n"), col("gram"))).as("__top"))
+      .select(id, col("__top.gram").as(s"top${topN}_gram"),
+        col("__top.n").as(s"top${topN}_n"))
+    val dup = gramCounts(dupN)
+      .groupBy(id)
+      .agg(sum(when(col("n") >= 2, col("n") * length(col("gram")))
+        .otherwise(0L)).as("__dupchars"))
+
+    base.select(id, col("n_tokens"), col("n_chars"))
+      .join(top, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(id, col("n_tokens"), col("n_chars"),
+        coalesce(col(s"top${topN}_gram"), lit("")).as(s"top${topN}_gram"),
+        coalesce(col(s"top${topN}_n"), lit(0L)).as(s"top${topN}_n"),
+        // greatest(…, 1): an empty doc has n_chars = 0 and ANSI div throws
+        coalesce(expr(s"(1000 * top${topN}_n * length(top${topN}_gram)) " +
+          "div greatest(n_chars, 1)"), lit(0L)).as("top_char_permille"),
+        coalesce(expr("(1000 * __dupchars) div greatest(n_chars, 1)"),
+          lit(0L)).as("dup_char_permille"))
+  }
 }

@@ -2171,6 +2171,17 @@ object PipelineQueries {
     "q192_column_profile" -> ((s, d) => {
       graft.operators.Checks.profile(Tables.lineitem(s, d))
         .orderBy("column")
+    }),
+
+    // WITHIN-doc repetition screen (Gopher filters, Rae et al. 2021 A1.1):
+    // top 2-gram char coverage + duplicated 5-gram char coverage per doc,
+    // exact integer per-mille — the within-document complement of the
+    // cross-corpus span dedup (q98/q120). Map-only gram expansion, two
+    // (doc, gram) aggregates, argmax tie broken by largest gram.
+    "q258_repetition_screen" -> ((s, d) => {
+      QualityFilter.repetitionScreen(Tables.documents(s, d), "doc_id",
+          "text", topN = 2, dupN = 5)
+        .orderBy("doc_id")
     })
   )
 
@@ -5840,6 +5851,46 @@ object PipelineQueries {
            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
            FROM lineitem"""
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
-    }
+    },
+
+    "q258_repetition_screen" ->
+      """WITH d AS (
+         SELECT doc_id, string_split(text, ' ') AS w,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents),
+       g2 AS (
+         SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+         FROM d, unnest(generate_series(1, greatest(len(w) - 1, 0)))
+           AS t(i)),
+       c2 AS (
+         SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+         FROM g2 GROUP BY doc_id, gram),
+       t2 AS (
+         SELECT doc_id, gram, n FROM (
+           SELECT doc_id, gram, n, row_number() OVER (PARTITION BY doc_id
+             ORDER BY n DESC, gram DESC) AS rn
+           FROM c2) WHERE rn = 1),
+       g5 AS (
+         SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+           w[i+3] || ' ' || w[i+4] AS gram
+         FROM d, unnest(generate_series(1, greatest(len(w) - 4, 0)))
+           AS t(i)),
+       c5 AS (
+         SELECT doc_id, gram, count(*) AS n
+         FROM g5 GROUP BY doc_id, gram),
+       d5 AS (
+         SELECT doc_id,
+           CAST(sum(CASE WHEN n >= 2 THEN n * length(gram) ELSE 0 END)
+             AS BIGINT) AS dupchars
+         FROM c5 GROUP BY doc_id)
+       SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens, d.n_chars,
+         coalesce(t2.gram, '') AS top2_gram,
+         coalesce(t2.n, 0) AS top2_n,
+         CAST(coalesce((1000 * t2.n * length(t2.gram))
+           // greatest(d.n_chars, 1), 0) AS BIGINT) AS top_char_permille,
+         CAST(coalesce((1000 * d5.dupchars)
+           // greatest(d.n_chars, 1), 0) AS BIGINT) AS dup_char_permille
+       FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+       ORDER BY d.doc_id"""
   )
 }

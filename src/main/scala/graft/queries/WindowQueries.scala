@@ -1007,6 +1007,64 @@ object WindowQueries {
       graft.streaming.StreamingResample.loadGrid(s, grid)
         .withColumnRenamed("key", "event_type")
         .orderBy("event_type", "grid_ts")
+    }),
+
+    // KAPLAN–MEIER life table over session durations (time-to-quiet, the
+    // reference's time-in-patch shape): q25's gap-sessions become subjects
+    // with integer-second durations, RIGHT-CENSORED when the session's
+    // last activity sits within the 1800 s gap of the observation edge
+    // (the sessionizer cannot have proven such a session closed).
+    // Stratified by whether the session converted (contains a purchase) —
+    // the classic two-arm survival comparison. Exact integer sufficient
+    // statistics only (n_risk / n_event / n_censored per distinct
+    // duration); S(t) and Greenwood variance are presentation-edge floats
+    // derived from these (the q246 num/den discipline).
+    "q256_km_lifetable" -> ((s, d) => {
+      import graft.operators.Survival
+      val gapUs = 1800L * 1000000L
+      val ev = Tables.events(s, d)
+      val sess = Sessionize.byGap(ev, "ts", Seq("user_id"),
+          gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchased"))
+      val edge = ev.agg(max(unix_micros(col("ts"))).as("edge_us"))
+      val subj = sess.crossJoin(broadcast(edge))
+        .withColumn("duration_s", expr("dur_us div 1000000"))
+        .withColumn("ended",
+          Survival.observedEnd(col("end_us"), col("edge_us"), gapUs))
+      Survival.kmLifeTable(subj, Seq("purchased"), "duration_s", "ended")
+        .orderBy("purchased", "duration")
+    }),
+
+    // LOG-RANK test between q256's two arms (converted vs not): O1 /
+    // E1·10⁶ / V·10⁶ as exact integers, each rational term floored on the
+    // micro grid independently (the BM25 idf_micro discipline), products
+    // in DECIMAL(38,0) snapped per term (the q221 chi-square pattern).
+    // One row out; χ² = (O1 − E1)²/V is the caller's one float.
+    "q259_logrank" -> ((s, d) => {
+      import graft.operators.Survival
+      val gapUs = 1800L * 1000000L
+      val ev = Tables.events(s, d)
+      val sess = Sessionize.byGap(ev, "ts", Seq("user_id"),
+          gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchased"))
+      val edge = ev.agg(max(unix_micros(col("ts"))).as("edge_us"))
+      val subj = sess.crossJoin(broadcast(edge))
+        .withColumn("duration_s", expr("dur_us div 1000000"))
+        .withColumn("ended",
+          Survival.observedEnd(col("end_us"), col("edge_us"), gapUs))
+      Survival.logRank(subj, "purchased", "duration_s", "ended")
     })
   )
 
@@ -1982,6 +2040,94 @@ object WindowQueries {
          CAST(sum(CASE WHEN e.ts < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
          CAST(sum(CASE WHEN e.ts > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_after
        FROM events e JOIN frontier f ON e.user_id = f.user_id
-       GROUP BY e.user_id ORDER BY e.user_id"""
+       GROUP BY e.user_id ORDER BY e.user_id""",
+    "q256_km_lifetable" -> s"""$EV,
+       flagged AS (
+         SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), sessions AS (
+         SELECT user_id, ts, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged
+       ), subj AS (
+         SELECT user_id, session_id,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s,
+           max(epoch_us(ts)) AS end_us,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS purchased
+         FROM sessions GROUP BY user_id, session_id
+       ), marked AS (
+         SELECT CAST(purchased AS BIGINT) AS purchased, duration_s,
+           end_us + 1800000000 <= (SELECT max(epoch_us(ts)) FROM ev)
+             AS ended
+         FROM subj
+       ), km AS (
+         SELECT purchased, duration_s,
+           CAST(sum(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_event,
+           CAST(sum(CASE WHEN ended THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_censored
+         FROM marked GROUP BY purchased, duration_s)
+       SELECT purchased, duration_s AS duration,
+         CAST(sum(n_event + n_censored) OVER (PARTITION BY purchased
+           ORDER BY duration_s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk,
+         n_event, n_censored
+       FROM km ORDER BY purchased, duration""",
+    "q259_logrank" -> s"""$EV,
+       flagged AS (
+         SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), sessions AS (
+         SELECT user_id, ts, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged
+       ), subj AS (
+         SELECT user_id, session_id,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s,
+           max(epoch_us(ts)) AS end_us,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS purchased
+         FROM sessions GROUP BY user_id, session_id
+       ), marked AS (
+         SELECT CAST(purchased AS BIGINT) AS purchased, duration_s,
+           end_us + 1800000000 <= (SELECT max(epoch_us(ts)) FROM ev)
+             AS ended
+         FROM subj
+       ), pert AS (
+         SELECT duration_s AS duration,
+           CAST(count(*) AS BIGINT) AS c_all,
+           CAST(sum(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT) AS d_all,
+           CAST(sum(purchased) AS BIGINT) AS c_1,
+           CAST(sum(CASE WHEN ended THEN purchased ELSE 0 END) AS BIGINT)
+             AS d_1
+         FROM marked GROUP BY duration_s
+       ), risk AS (
+         SELECT duration, d_all, d_1,
+           CAST(sum(c_all) OVER dw AS BIGINT) AS n_all,
+           CAST(sum(c_1) OVER dw AS BIGINT) AS n_1
+         FROM pert
+         WINDOW dw AS (ORDER BY duration DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT CAST(sum(d_1) AS BIGINT) AS o1,
+         CAST(sum(CAST((CAST(1000000 AS HUGEINT) * d_all * n_1) // n_all
+           AS BIGINT)) AS BIGINT) AS e1_micro,
+         CAST(sum(CASE WHEN n_all > 1 THEN
+           CAST((CAST(1000000 AS HUGEINT) * d_all * n_1
+               * (n_all - n_1) * (n_all - d_all))
+             // (CAST(n_all AS HUGEINT) * n_all * (n_all - 1)) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS v_micro
+       FROM risk WHERE d_all >= 1"""
   )
 }

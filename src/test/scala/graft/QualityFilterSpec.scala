@@ -125,4 +125,56 @@ class QualityFilterSpec extends SparkSpec {
       nBuckets = 32)
     assert(w.forall(v => math.abs(v) <= QualityFilter.Scale))
   }
+
+  // ---- repetitionScreen (Gopher within-doc repetition filters) ----
+
+  test("repetitionScreen matches hand-computed gram coverage") {
+    import spark.implicits._
+    // doc 1: "a b a b a" — 2-grams: (a b)x2, (b a)x2 -> top is "b a"
+    //   (count tie 2/2, lexicographically largest wins); 5-gram "a b a b a"
+    //   occurs once -> dup5 = 0
+    // doc 2: "x y x y x y x y x y x y" (12 tokens) — 5-grams: "x y x y x" x4,
+    //   "y x y x y" x4 -> dupchars = 4*9 + 4*9 = 72; n_chars = 23
+    val docs = Seq(
+      (1L, "a b a b a"),
+      (2L, "x y x y x y x y x y x y")
+    ).toDF("doc_id", "text")
+    val got = QualityFilter.repetitionScreen(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 5L && r1.getLong(2) == 9L)   // tokens, chars
+    assert(r1.getString(3) == "b a" && r1.getLong(4) == 2L)
+    assert(r1.getLong(5) == 1000L * 2 * 3 / 9)           // top coverage
+    assert(r1.getLong(6) == 0L)                          // no dup 5-grams
+    val r2 = got(1)
+    assert(r2.getLong(1) == 12L && r2.getLong(2) == 23L)
+    assert(r2.getString(3) == "x y" && r2.getLong(4) == 6L)
+    assert(r2.getLong(5) == 1000L * 6 * 3 / 23)
+    assert(r2.getLong(6) == 1000L * 72 / 23) // > 1000: documented overlap
+  }
+
+  test("repetitionScreen: docs shorter than the gram sizes emit zero rows, not errors") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "solo"),          // no 2-grams, no 5-grams
+      (2L, "two words here") // 2-grams yes, 5-grams no
+    ).toDF("doc_id", "text")
+    val got = QualityFilter.repetitionScreen(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(3) == "" && got(0).getLong(4) == 0L &&
+      got(0).getLong(5) == 0L && got(0).getLong(6) == 0L)
+    assert(got(1).getString(3) == "words here" && got(1).getLong(4) == 1L &&
+      got(1).getLong(6) == 0L)
+  }
+
+  test("repetitionScreen top-gram tie-break is the largest gram (deterministic)") {
+    import spark.implicits._
+    // all four 2-grams distinct (count 1 each): lexicographically largest
+    // ("d a") must win in BOTH engines
+    val docs = Seq((1L, "a b c d a")).toDF("doc_id", "text")
+    val r = QualityFilter.repetitionScreen(docs, "doc_id", "text")
+      .collect()(0)
+    assert(r.getString(3) == "d a" && r.getLong(4) == 1L)
+  }
 }
