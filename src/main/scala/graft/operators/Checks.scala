@@ -161,4 +161,99 @@ object Checks {
       .select(col("__r.column"), col("__r.dtype"), col("__r.n_rows"),
         col("__r.n_nulls"), col("__r.n_distinct"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov DISTRIBUTION-drift statistic, exact:
+    * the [[Scd2.diffSnapshots]] report says which rows changed; this says
+    * whether a numeric column's DISTRIBUTION moved between a baseline and
+    * a comparison sample (the screen every scoring/feature pipeline runs
+    * between deploys). KS = sup_x |F1(x) − F2(x)| is a rational with
+    * denominator n1·n2, so it is computed exactly in integers:
+    *
+    *   D·n1·n2 = max over distinct values v of |c1(v)·n2 − c2(v)·n1|
+    *
+    * with c_i(v) the cumulative sample counts — per-row products run in
+    * DECIMAL(38,0) (n1·n2 wraps BIGINT past ~3·10⁹ rows per side) and the
+    * emitted `ks_num`/`ks_den` snap to BIGINT with the loud range guard
+    * (`StatsFunctions.snapLong`; at sample sizes where n1·n2 genuinely
+    * exceeds Long, consume `ks_permille` — always in [0, 1000]).
+    * Evaluated per DISTINCT value, after merging ties across both sides,
+    * which is exactly where the ECDF steps — evaluating per raw row would
+    * inflate the sup mid-tie.
+    *
+    * `valueCol` must be integral (float grids make "distinct value"
+    * engine-dependent — floor to the grid you mean upstream, the
+    * [[Survival.kmLifeTable]] rule). `sideCol` boolean: true = baseline.
+    * Keys with an empty side are emitted with ks_* = 0 and flagged
+    * `comparable = false` rather than dropped (a vanished side IS drift
+    * signal, just not a KS number).
+    *
+    * Scale shape: one groupBy(keys, value) with map-side partials (the
+    * shuffle carries distinct cells, not rows), two window passes over
+    * the POST-aggregation table keyed on `keys` (cumulative + per-key
+    * totals on the same partitioning — one exchange), one final argmax
+    * aggregate per key.
+    */
+  def ksDrift(df: DataFrame, keys: Seq[String], valueCol: String,
+              sideCol: String): DataFrame = {
+    require(keys.nonEmpty,
+      "Checks.ksDrift needs grouping keys (the ECDF window shuffles on " +
+        "them); for one global pair of samples add a constant key column " +
+        "so the single-partition choice is explicit at the call site")
+    val vt = df.schema(valueCol).dataType
+    require(vt == org.apache.spark.sql.types.LongType ||
+      vt == org.apache.spark.sql.types.IntegerType ||
+      vt == org.apache.spark.sql.types.ShortType,
+      s"ksDrift value column '$valueCol' must be integral (got $vt)")
+    val g = keys.map(col)
+    val cells = df
+      .groupBy((g :+ col(valueCol).cast("long").as("__v")): _*)
+      .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("__k1"),
+        sum(when(col(sideCol), 0L).otherwise(1L)).as("__k2"))
+    ksFromCells(cells, keys)
+  }
+
+  /** KS statistic from pre-aggregated per-(keys, value) side counts —
+    * the shared tail of [[ksDrift]] and the incremental drain
+    * (`streaming/StreamingKsDrift`), whose persisted state IS this cell
+    * table (mergeable by summing, like the quality-filter count shards).
+    * `cells` columns: keys ++ (__v long, __k1, __k2); duplicate
+    * (keys, __v) rows are merged by summing first, so sharded partials
+    * feed in directly.
+    */
+  private[graft] def ksFromCells(cellsIn: DataFrame,
+                                 keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.StatsFunctions.snapLong
+    val g = keys.map(col)
+    val cells = cellsIn
+      .groupBy((g :+ col("__v")): _*)
+      .agg(sum(col("__k1")).as("__k1"), sum(col("__k2")).as("__k2"))
+    val byKey = Window.partitionBy(g: _*)
+    val cum = byKey.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = cells
+      .withColumn("__c1", sum(col("__k1")).over(cum))
+      .withColumn("__c2", sum(col("__k2")).over(cum))
+      .withColumn("__n1", sum(col("__k1")).over(byKey))
+      .withColumn("__n2", sum(col("__k2")).over(byKey))
+      .withColumn("__d", abs(
+        col("__c1").cast("decimal(38,0)") * col("__n2") -
+          col("__c2").cast("decimal(38,0)") * col("__n1")))
+    stepped
+      .groupBy(g: _*)
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        max(col("__d")).as("__ksnum"))
+      .withColumn("comparable", col("n1") > 0L && col("n2") > 0L)
+      .select((g :+ col("n1") :+ col("n2") :+ col("comparable")
+        :+ when(col("comparable"), snapLong(col("__ksnum")))
+          .otherwise(0L).as("ks_num")
+        :+ when(col("comparable"),
+            snapLong(col("n1").cast("decimal(38,0)") * col("n2")))
+          .otherwise(0L).as("ks_den")
+        :+ when(col("comparable"), expr(
+            """CAST((CAST(1000 AS DECIMAL(38,0)) * __ksnum)
+              | div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+              .stripMargin))
+          .otherwise(0L).as("ks_permille")): _*)
+  }
 }

@@ -1065,6 +1065,51 @@ object WindowQueries {
         .withColumn("ended",
           Survival.observedEnd(col("end_us"), col("edge_us"), gapUs))
       Survival.logRank(subj, "purchased", "duration_s", "ended")
+    }),
+
+    // TWO-SAMPLE KS distribution drift per event type: did the value
+    // distribution move between the first and second half of the
+    // recording? Exact rational sup-gap |c1·n2 − c2·n1| evaluated at
+    // distinct micro-grid values (ECDF steps), DECIMAL(38,0) products
+    // snapped at the edge; ks_permille is the always-in-Long consumer
+    // form. The distribution companion of q168's row-level drift report.
+    "q260_ks_drift" -> ((s, d) => {
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .withColumn("baseline", col("ts") < pivot)
+      graft.operators.Checks.ksDrift(ev, Seq("event_type"), "vm",
+          "baseline")
+        .orderBy("event_type")
+    }),
+
+    // Streaming/incremental twin of q260 (the drain discipline): waves of
+    // sample files reduce to per-(file, key, value) side-count cells,
+    // appended idempotently; the drained report is the one-shot statistic
+    // over the merged cells. Oracle = q260's SQL verbatim.
+    "q261_ks_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .withColumn("baseline", col("ts") < pivot)
+        .select("event_type", "vm", "baseline")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ks-q261").toString
+      val (src, cells, ckpt) = (root + "/src", root + "/cells",
+        root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("vm", LongType),
+        StructField("baseline", BooleanType)))
+      def wave(): Unit = graft.streaming.StreamingKsDrift.drain(s, src,
+        cells, ckpt, Seq("event_type"), "vm", "baseline", schema)
+      ev.filter(col("baseline")).write.mode("append").parquet(src)
+      wave()
+      ev.filter(!col("baseline")).write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingKsDrift.report(s, cells, Seq("event_type"))
+        .get.orderBy("event_type")
     })
   )
 
@@ -2128,6 +2173,44 @@ object WindowQueries {
                * (n_all - n_1) * (n_all - d_all))
              // (CAST(n_all AS HUGEINT) * n_all * (n_all - 1)) AS BIGINT)
            ELSE 0 END) AS BIGINT) AS v_micro
-       FROM risk WHERE d_all >= 1"""
+       FROM risk WHERE d_all >= 1""",
+    "q260_ks_drift" -> KsDriftSql,
+    // drained ≡ one-shot is the contract: q260's oracle verbatim.
+    "q261_ks_from_drain" -> KsDriftSql
   )
+
+  /** q260's oracle, shared verbatim by the q261 drain twin. */
+  private lazy val KsDriftSql = s"""$EV,
+       s AS (SELECT event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS vm,
+           ts < TIMESTAMP '2024-01-15 00:00:00' AS baseline
+         FROM ev),
+       cells AS (SELECT event_type, vm,
+           CAST(sum(CASE WHEN baseline THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+           CAST(sum(CASE WHEN baseline THEN 0 ELSE 1 END) AS BIGINT) AS k2
+         FROM s GROUP BY event_type, vm),
+       stepped AS (SELECT event_type,
+           CAST(sum(k1) OVER cw AS BIGINT) AS c1,
+           CAST(sum(k2) OVER cw AS BIGINT) AS c2,
+           CAST(sum(k1) OVER kw AS BIGINT) AS n1,
+           CAST(sum(k2) OVER kw AS BIGINT) AS n2
+         FROM cells
+         WINDOW cw AS (PARTITION BY event_type ORDER BY vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         kw AS (PARTITION BY event_type)),
+       agg AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+           max(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1))
+             AS ksnum
+         FROM stepped GROUP BY event_type)
+       SELECT event_type, n1, n2,
+         n1 > 0 AND n2 > 0 AS comparable,
+         CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN ksnum ELSE 0 END
+           AS BIGINT) AS ks_num,
+         CAST(CASE WHEN n1 > 0 AND n2 > 0
+           THEN CAST(n1 AS HUGEINT) * n2 ELSE 0 END AS BIGINT) AS ks_den,
+         CAST(CASE WHEN n1 > 0 AND n2 > 0
+           THEN (CAST(1000 AS HUGEINT) * ksnum)
+             // (CAST(n1 AS HUGEINT) * n2)
+           ELSE 0 END AS BIGINT) AS ks_permille
+       FROM agg ORDER BY event_type"""
 }

@@ -118,4 +118,71 @@ class ChecksSpec extends SparkSpec {
     assert(s("not_null") == ((0L, 0L, true)))
     assert(s("unique") == ((0L, 0L, true)))
   }
+
+  // ---- ksDrift (exact two-sample Kolmogorov–Smirnov) ----
+
+  test("ksDrift matches the hand case and ECDF ties merge before the sup") {
+    import spark.implicits._
+    // key "a": baseline {1,2,2}, other {2,3}: distinct values 1,2,3
+    //   v=1: c1=1 c2=0 -> |1*2 - 0*3| = 2
+    //   v=2: c1=3 c2=1 -> |3*2 - 1*3| = 3   (mid-tie eval would claim 4)
+    //   v=3: c1=3 c2=2 -> |6 - 6| = 0       -> ks_num = 3, den = 6
+    val df = Seq(
+      ("a", 1L, true), ("a", 2L, true), ("a", 2L, true),
+      ("a", 2L, false), ("a", 3L, false)
+    ).toDF("k", "v", "base")
+    val r = Checks.ksDrift(df, Seq("k"), "v", "base").collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L) // n1, n2
+    assert(r.getBoolean(3))
+    assert(r.getLong(4) == 3L && r.getLong(5) == 6L) // ks_num, ks_den
+    assert(r.getLong(6) == 1000L * 3 / 6)
+  }
+
+  test("ksDrift equals the brute ECDF sup on random samples; identical samples give 0") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(600) { i =>
+      (s"g${i % 3}", (rng.nextInt(15) - (if (i % 2 == 0) 0 else 3)).toLong,
+        i % 2 == 0)
+    }
+    val got = Checks.ksDrift(rows.toDF("k", "v", "base"), Seq("k"), "v",
+        "base")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4))).toMap
+    got.foreach { case (k, (n1, n2, ksNum)) =>
+      val mine = rows.filter(_._1 == k)
+      val b = mine.filter(_._3).map(_._2)
+      val o = mine.filterNot(_._3).map(_._2)
+      assert(n1 == b.size && n2 == o.size)
+      val brute = (b ++ o).distinct.map { v =>
+        math.abs(b.count(_ <= v).toLong * o.size -
+          o.count(_ <= v).toLong * b.size)
+      }.max
+      assert(ksNum == brute, s"key $k")
+    }
+    // a sample against an identical copy of itself: sup gap exactly 0
+    val vals = Seq.tabulate(20)(i => (i % 7).toLong)
+    val same = vals.map(("x", _, true)) ++ vals.map(("x", _, false))
+    val r0 = Checks.ksDrift(same.toDF("k", "v", "base"), Seq("k"), "v",
+      "base").collect()(0)
+    assert(r0.getLong(4) == 0L && r0.getLong(6) == 0L)
+  }
+
+  test("ksDrift flags one-sided keys instead of dropping them; guards fire") {
+    import spark.implicits._
+    val df = Seq(("only1", 5L, true), ("only1", 6L, true),
+      ("both", 1L, true), ("both", 2L, false)).toDF("k", "v", "base")
+    val got = Checks.ksDrift(df, Seq("k"), "v", "base")
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toMap
+    assert(got("only1") == ((false, 0L, 0L, 0L)))
+    assert(got("both")._1)
+    intercept[IllegalArgumentException] {
+      Checks.ksDrift(df, Seq.empty, "v", "base")
+    }
+    intercept[IllegalArgumentException] {
+      Checks.ksDrift(df.withColumn("v", col("v").cast("double")),
+        Seq("k"), "v", "base")
+    }
+  }
 }
