@@ -148,4 +148,93 @@ object EventMatch {
     }
     out
   }
+
+  /** Per-block UNIT-YIELD report over a global-unit assignment table —
+    * the reference's unit-matching QC rollup
+    * (`scripts/ephys_v2_qc_plots.py:186-231`, `plot_unit_yield`): for
+    * each block, how many global units are present, how many appear for
+    * the FIRST time, how many are retained from the immediately
+    * preceding block, and how many of the preceding block's units were
+    * dropped. "Preceding" means adjacent in the DISTINCT block-id order
+    * (the reference indexes blocks positionally), so gapped block ids
+    * behave like the reference's arrays.
+    *
+    * Scale shape: the distinct block list is catalog-scale and collected
+    * once (the IVF-k-picks class of bounded driver state); presence rows
+    * then take two windows keyed on the global unit and one per-block
+    * aggregate. Nothing scales with event volume — the input is the
+    * assignment table.
+    */
+  def unitYieldReport(assignments: DataFrame, blockCol: String = "block",
+                      globalCol: String = "global_unit"): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    val blocks = assignments
+      .select(col(blockCol).cast("long").as("b")).distinct()
+      .orderBy("b").as[Long].collect()
+    require(blocks.nonEmpty, "unitYieldReport needs at least one block")
+    val pos = broadcast(blocks.zipWithIndex
+      .map { case (b, i) => (b, i.toLong) }.toSeq.toDF("__b", "__p"))
+    val presence = assignments
+      .select(col(blockCol).cast("long").as("__b"),
+        col(globalCol).cast("long").as("__g"))
+      .distinct()
+      .join(pos, Seq("__b"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__p"))
+    val flagged = presence
+      .withColumn("__first", min(col("__p")).over(
+        Window.partitionBy(col("__g"))))
+      .withColumn("__prev", lag(col("__p"), 1).over(wg))
+      .withColumn("__next", lead(col("__p"), 1).over(wg))
+    val perBlock = flagged.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("__p") === col("__first"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("__prev") === col("__p") - 1L, 1L).otherwise(0L))
+          .as("n_retained"))
+    // a unit present at p with no presence at p+1 is DROPPED at p+1
+    // (attributed there, like the reference's per-block loop); the final
+    // block drops nothing forward of itself
+    val dropped = flagged
+      .filter(col("__p") < lit(blocks.length - 1L) &&
+        (col("__next").isNull || col("__next") > col("__p") + 1L))
+      .groupBy((col("__p") + 1L).as("__p"))
+      .agg(count(lit(1)).as("n_dropped"))
+    perBlock.join(dropped, Seq("__p"), "left")
+      .join(pos, Seq("__p"))
+      .select(col("__b").as(blockCol), col("n_units"), col("n_new"),
+        col("n_retained"), coalesce(col("n_dropped"), lit(0L))
+          .as("n_dropped"))
+  }
+
+  /** Per-global-unit LONGEVITY + event-count consistency — the
+    * reference's unit Gantt / longevity-histogram / spike-count-
+    * consistency inputs (`ephys_v2_qc_plots.py:76-116,242-330`): for
+    * each global unit, its first and last block, the number of blocks it
+    * was matched in, and the min/max/total of its per-block DISTINCT
+    * event counts (the max/min ratio is the consistency screen — left to
+    * the presentation edge, the counts here are exact). One events-side
+    * aggregate (map-side partials) + one join on (block, unit) + one
+    * per-unit aggregate.
+    */
+  def unitLongevity(assignments: DataFrame, events: DataFrame,
+                    blockCol: String = "block", unitCol: String = "unit",
+                    usCol: String = "us",
+                    globalCol: String = "global_unit"): DataFrame = {
+    val counts = events
+      .groupBy(col(blockCol).cast("long").as(blockCol),
+        col(unitCol).cast("long").as(unitCol))
+      .agg(count_distinct(col(usCol)).as("__n"))
+    assignments
+      .select(col(blockCol).cast("long").as(blockCol),
+        col(unitCol).cast("long").as(unitCol), col(globalCol))
+      .join(counts, Seq(blockCol, unitCol))
+      .groupBy(col(globalCol))
+      .agg(min(col(blockCol)).as("first_block"),
+        max(col(blockCol)).as("last_block"),
+        count(lit(1)).as("longevity"),
+        min(col("__n")).as("n_events_min"),
+        max(col("__n")).as("n_events_max"),
+        sum(col("__n")).as("n_events_total"))
+  }
 }

@@ -1245,6 +1245,85 @@ object SystemQueries {
           sum("v").as("sum_v"))
         .join(filesAfter.toDF("p", "files_after"), "p")
         .orderBy("p")
+    }),
+
+    // UNIT-YIELD QC report over the q253 propagation (the reference's
+    // per-block new/retained/dropped rollup, ephys_v2_qc_plots.py:
+    // 186-231): block 1 retains all 12 seeds (permuted) and mints 2 new
+    // units; block 2 retains the 12 true units and DROPS units 12/13.
+    // The oracle derives the same report from q253's closed-form
+    // assignment in SQL, so any propagation or attribution error breaks
+    // the hash.
+    "q262_unit_yield" -> ((s, d) => {
+      def base(units: Seq[Long], kLo: Int, kHi: Int) =
+        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
+          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
+          .select(col("u").as("unit"), col("k"),
+            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
+              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
+      val blockA = base(0L to 11L, 0, 399).select("unit", "us")
+      val blockB = base(0L to 11L, 200, 599)
+        .filter((col("k") + col("unit")) % 5 =!= 0)
+        .select(((col("unit") * 5 + 2) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
+        .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
+          .toDF("u")
+          .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
+          .select(col("u").as("unit"),
+            (lit(1000000L) + col("k") * 10000L + lit(5000L) +
+              (col("u") - 12L) * 97L +
+              ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
+      val blockC = base(0L to 11L, 400, 799)
+        .filter((col("k") + col("unit")) % 7 =!= 0)
+        .select(((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
+      val assigned = graft.operators.EventMatch.propagateGlobalIds(
+        Seq(blockA, blockB, blockC), "unit", "us", deltaUs = 60L,
+        minPermille = 200L)
+      graft.operators.EventMatch.unitYieldReport(assigned)
+        .orderBy("block")
+    }),
+
+    // UNIT LONGEVITY + event-count consistency over the same chain
+    // (ephys_v2_qc_plots.py:76-116, 242-330): per global unit its block
+    // span, matched-block count, and exact min/max/total distinct-event
+    // counts (the max/min consistency ratio is the presentation edge's
+    // float). Oracle: closed-form assignment × generate_series-replayed
+    // drop rules.
+    "q263_unit_longevity" -> ((s, d) => {
+      def base(units: Seq[Long], kLo: Int, kHi: Int) =
+        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
+          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
+          .select(col("u").as("unit"), col("k"),
+            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
+              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
+      val blockA = base(0L to 11L, 0, 399).select("unit", "us")
+      val blockB = base(0L to 11L, 200, 599)
+        .filter((col("k") + col("unit")) % 5 =!= 0)
+        .select(((col("unit") * 5 + 2) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
+        .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
+          .toDF("u")
+          .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
+          .select(col("u").as("unit"),
+            (lit(1000000L) + col("k") * 10000L + lit(5000L) +
+              (col("u") - 12L) * 97L +
+              ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
+      val blockC = base(0L to 11L, 400, 799)
+        .filter((col("k") + col("unit")) % 7 =!= 0)
+        .select(((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
+          (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
+      val assigned = graft.operators.EventMatch.propagateGlobalIds(
+        Seq(blockA, blockB, blockC), "unit", "us", deltaUs = 60L,
+        minPermille = 200L)
+      val events = blockA.select(lit(0L).as("block"), col("unit"),
+          col("us"))
+        .unionByName(blockB.select(lit(1L).as("block"), col("unit"),
+          col("us")))
+        .unionByName(blockC.select(lit(2L).as("block"), col("unit"),
+          col("us")))
+      graft.operators.EventMatch.unitLongevity(assigned, events)
+        .orderBy("global_unit")
     })
   )
 
@@ -1719,6 +1798,88 @@ object SystemQueries {
        FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1
              UNION ALL SELECT * FROM b2)
        ORDER BY block, unit""",
+    // yield rollup derived in SQL from q253's closed-form assignment —
+    // same window/attribution logic as the operator.
+    "q262_unit_yield" ->
+      """WITH b0 AS (
+         SELECT CAST(0 AS BIGINT) AS block, u.u AS unit, u.u AS gid
+         FROM generate_series(0,11) u(u)),
+       b1 AS (
+         SELECT CAST(1 AS BIGINT), v.v,
+           CASE WHEN v.v >= 12 THEN v.v
+             ELSE ((5*(v.v-2)) % 12 + 12) % 12 END
+         FROM generate_series(0,13) v(v)),
+       b2 AS (
+         SELECT CAST(2 AS BIGINT), w.w,
+           ((5*((((7*(w.w-4)) % 12 + 12) % 12) - 2)) % 12 + 12) % 12
+         FROM generate_series(0,11) w(w)),
+       asn AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+               UNION ALL SELECT * FROM b2),
+       pres AS (SELECT DISTINCT block, gid FROM asn),
+       f AS (SELECT block, gid,
+           min(block) OVER (PARTITION BY gid) AS first_b,
+           lag(block) OVER (PARTITION BY gid ORDER BY block) AS prev_b,
+           lead(block) OVER (PARTITION BY gid ORDER BY block) AS next_b
+         FROM pres),
+       per AS (SELECT block, CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(CASE WHEN block = first_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN prev_b = block - 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_retained
+         FROM f GROUP BY block),
+       drp AS (SELECT block + 1 AS block,
+           CAST(count(*) AS BIGINT) AS n_dropped
+         FROM f WHERE block < 2 AND (next_b IS NULL OR next_b > block + 1)
+         GROUP BY block + 1)
+       SELECT per.block, n_units, n_new, n_retained,
+         coalesce(n_dropped, 0) AS n_dropped
+       FROM per LEFT JOIN drp USING (block) ORDER BY per.block""",
+    // closed-form assignment x generate_series-replayed drop rules: the
+    // per-(block, label) distinct-event counts are 400 (seeds / new
+    // units), 320 (block-1 drop-every-5th), and 400 minus the k-range's
+    // (k+u)%7 hits (block 2) — replayed literally, not hand-reduced.
+    "q263_unit_longevity" ->
+      """WITH b0 AS (
+         SELECT CAST(0 AS BIGINT) AS block, u.u AS unit, u.u AS gid
+         FROM generate_series(0,11) u(u)),
+       b1 AS (
+         SELECT CAST(1 AS BIGINT), v.v,
+           CASE WHEN v.v >= 12 THEN v.v
+             ELSE ((5*(v.v-2)) % 12 + 12) % 12 END
+         FROM generate_series(0,13) v(v)),
+       b2 AS (
+         SELECT CAST(2 AS BIGINT), w.w,
+           ((5*((((7*(w.w-4)) % 12 + 12) % 12) - 2)) % 12 + 12) % 12
+         FROM generate_series(0,11) w(w)),
+       asn AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+               UNION ALL SELECT * FROM b2),
+       c0 AS (SELECT CAST(0 AS BIGINT) AS block, u.u AS unit,
+           CAST(count(*) AS BIGINT) AS n
+         FROM generate_series(0,11) u(u), generate_series(0,399) k(k)
+         GROUP BY u.u),
+       c1 AS (SELECT CAST(1 AS BIGINT), (5*u.u+2) % 12,
+           CAST(count(*) AS BIGINT)
+         FROM generate_series(0,11) u(u), generate_series(200,599) k(k)
+         WHERE (k.k + u.u) % 5 <> 0 GROUP BY u.u
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), u.u, CAST(400 AS BIGINT)
+         FROM generate_series(12,13) u(u)),
+       c2 AS (SELECT CAST(2 AS BIGINT), (((5*u.u+2) % 12)*7 + 4) % 12,
+           CAST(count(*) AS BIGINT)
+         FROM generate_series(0,11) u(u), generate_series(400,799) k(k)
+         WHERE (k.k + u.u) % 7 <> 0 GROUP BY u.u),
+       cnt AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+               UNION ALL SELECT * FROM c2),
+       j AS (SELECT a.gid, a.block, cnt.n
+         FROM asn a JOIN cnt ON cnt.block = a.block AND cnt.unit = a.unit)
+       SELECT CAST(gid AS BIGINT) AS global_unit,
+         CAST(min(block) AS BIGINT) AS first_block,
+         CAST(max(block) AS BIGINT) AS last_block,
+         CAST(count(*) AS BIGINT) AS longevity,
+         CAST(min(n) AS BIGINT) AS n_events_min,
+         CAST(max(n) AS BIGINT) AS n_events_max,
+         CAST(sum(n) AS BIGINT) AS n_events_total
+       FROM j GROUP BY gid ORDER BY global_unit""",
     // drained == one-shot is the contract: q253's oracle verbatim.
     "q254_global_units_from_drain" ->
       """WITH b0 AS (

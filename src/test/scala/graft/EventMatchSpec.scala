@@ -123,4 +123,45 @@ class EventMatchSpec extends SparkSpec {
     }
     assert(got((1L, 9L)) === 4L, "fresh id = running max + 1")
   }
+
+  test("unitYieldReport: new/retained/dropped on gapped block ids (positional)") {
+    import spark.implicits._
+    // blocks 10/20/30 (gapped ids must behave positionally):
+    //   g1 in all three; g2 in 10,20; g3 in 20,30; g4 in 10,30 (gap)
+    val asn = Seq(
+      (10L, 1L, 1L), (20L, 1L, 1L), (30L, 1L, 1L),
+      (10L, 2L, 2L), (20L, 2L, 2L),
+      (20L, 3L, 3L), (30L, 3L, 3L),
+      (10L, 4L, 4L), (30L, 4L, 4L)
+    ).toDF("block", "unit", "global_unit")
+    val got = EventMatch.unitYieldReport(asn)
+      .orderBy("block").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (10L, 3L, 3L, 0L, 0L),
+      (20L, 3L, 1L, 2L, 1L), // g3 new; g1,g2 retained; g4 dropped here
+      (30L, 3L, 0L, 2L, 1L)  // g4 re-appears but is neither new nor retained
+    ))
+  }
+
+  test("unitLongevity counts DISTINCT events per block and spans gaps") {
+    import spark.implicits._
+    val asn = Seq(
+      (0L, 7L, 1L), (2L, 8L, 1L), // g1 in blocks 0 and 2 (gap at 1)
+      (0L, 9L, 2L)
+    ).toDF("block", "unit", "global_unit")
+    val events = Seq(
+      (0L, 7L, 100L), (0L, 7L, 200L), (0L, 7L, 200L), // burst dup: 2 distinct
+      (2L, 8L, 300L), (2L, 8L, 400L), (2L, 8L, 500L),
+      (0L, 9L, 100L)
+    ).toDF("block", "unit", "us")
+    val got = EventMatch.unitLongevity(asn, events)
+      .orderBy("global_unit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L, 2L, 2L, 3L, 5L),
+      (2L, 0L, 0L, 1L, 1L, 1L, 1L)))
+  }
 }
