@@ -1110,6 +1110,40 @@ object WindowQueries {
       wave()
       graft.streaming.StreamingKsDrift.report(s, cells, Seq("event_type"))
         .get.orderBy("event_type")
+    }),
+
+    // Streaming/incremental twin of q256 (the drain discipline): event
+    // waves extend/close per-user gap-sessions against a one-row-per-key
+    // open-session state; closed subjects append idempotently, the
+    // report censors the open tail against the drained edge with the
+    // one-shot rule. Oracle = q256's SQL verbatim — the wave-boundary
+    // sessions (straddling the pivot) are the rows that break if the
+    // carry plumbing is wrong.
+    "q264_km_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      val gapUs = 1800L * 1000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("is_purchase"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-km-q264").toString
+      val (src, subjects, state, ckpt) = (root + "/src",
+        root + "/subjects", root + "/state", root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("is_purchase", LongType)))
+      def wave(): Unit = graft.streaming.StreamingSurvival.drain(s, src,
+        subjects, state, ckpt, "user_id", "ts", "is_purchase", schema,
+        gapUs)
+      ev.filter(col("ts") < pivot).write.mode("append").parquet(src)
+      wave()
+      ev.filter(col("ts") >= pivot).write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingSurvival.report(s, subjects, state, gapUs)
+        .get.orderBy("purchased", "duration")
     })
   )
 
@@ -2086,45 +2120,9 @@ object WindowQueries {
          CAST(sum(CASE WHEN e.ts > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_after
        FROM events e JOIN frontier f ON e.user_id = f.user_id
        GROUP BY e.user_id ORDER BY e.user_id""",
-    "q256_km_lifetable" -> s"""$EV,
-       flagged AS (
-         SELECT user_id, ts, event_type,
-           CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-                THEN 1 ELSE 0 END AS new_session
-         FROM ev
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-       ), sessions AS (
-         SELECT user_id, ts, event_type,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         FROM flagged
-       ), subj AS (
-         SELECT user_id, session_id,
-           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s,
-           max(epoch_us(ts)) AS end_us,
-           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-             AS purchased
-         FROM sessions GROUP BY user_id, session_id
-       ), marked AS (
-         SELECT CAST(purchased AS BIGINT) AS purchased, duration_s,
-           end_us + 1800000000 <= (SELECT max(epoch_us(ts)) FROM ev)
-             AS ended
-         FROM subj
-       ), km AS (
-         SELECT purchased, duration_s,
-           CAST(sum(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_event,
-           CAST(sum(CASE WHEN ended THEN 0 ELSE 1 END) AS BIGINT)
-             AS n_censored
-         FROM marked GROUP BY purchased, duration_s)
-       SELECT purchased, duration_s AS duration,
-         CAST(sum(n_event + n_censored) OVER (PARTITION BY purchased
-           ORDER BY duration_s DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS n_risk,
-         n_event, n_censored
-       FROM km ORDER BY purchased, duration""",
+    "q256_km_lifetable" -> KmLifeTableSql,
+    // drained ≡ one-shot is the contract: q256's oracle verbatim.
+    "q264_km_from_drain" -> KmLifeTableSql,
     "q259_logrank" -> s"""$EV,
        flagged AS (
          SELECT user_id, ts, event_type,
@@ -2178,6 +2176,47 @@ object WindowQueries {
     // drained ≡ one-shot is the contract: q260's oracle verbatim.
     "q261_ks_from_drain" -> KsDriftSql
   )
+
+  /** q256's oracle, shared verbatim by the q264 drain twin. */
+  private lazy val KmLifeTableSql = s"""$EV,
+       flagged AS (
+         SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), sessions AS (
+         SELECT user_id, ts, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged
+       ), subj AS (
+         SELECT user_id, session_id,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s,
+           max(epoch_us(ts)) AS end_us,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS purchased
+         FROM sessions GROUP BY user_id, session_id
+       ), marked AS (
+         SELECT CAST(purchased AS BIGINT) AS purchased, duration_s,
+           end_us + 1800000000 <= (SELECT max(epoch_us(ts)) FROM ev)
+             AS ended
+         FROM subj
+       ), km AS (
+         SELECT purchased, duration_s,
+           CAST(sum(CASE WHEN ended THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_event,
+           CAST(sum(CASE WHEN ended THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_censored
+         FROM marked GROUP BY purchased, duration_s)
+       SELECT purchased, duration_s AS duration,
+         CAST(sum(n_event + n_censored) OVER (PARTITION BY purchased
+           ORDER BY duration_s DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk,
+         n_event, n_censored
+       FROM km ORDER BY purchased, duration"""
 
   /** q260's oracle, shared verbatim by the q261 drain twin. */
   private lazy val KsDriftSql = s"""$EV,
