@@ -327,4 +327,53 @@ object Behavior {
     grid.join(sizes, Seq("cohort_date"))
       .select("cohort_date", "day_offset", "active_users", "cohort_size")
   }
+
+  /** CONVERSION-PATH analysis — the Sankey/"top paths to purchase"
+    * report, the discovery complement of [[funnel]] (which EVALUATES one
+    * declared pattern) and [[transitionMatrix]] (which is memoryless
+    * pairwise): per session, the ordered event-type prefix up to and
+    * including the FIRST `targetType` event (or the whole session if it
+    * never converts), capped at `maxSteps` steps; grouped into
+    * `(path, n_sessions, n_converted)`.
+    *
+    * The cap is load-bearing at scale: an uncapped path column is
+    * unbounded per-session state and an unbounded group-key domain —
+    * every public path-analysis tool caps (and so does the Sankey it
+    * feeds). Steps beyond the cap of a converting session mean the
+    * conversion is NOT inside the kept prefix; such sessions count in
+    * `n_sessions` of their truncated path with `converted = false` —
+    * "did not convert within `maxSteps` steps", the report's actual
+    * question.
+    *
+    * Exactness: rank ties break on `tieCol`; the path string joins types
+    * with `>` (types must not contain `>`), so any engine replays the
+    * same strings. Scale shape: one session-keyed window pass (rank +
+    * first-target rank), one session-keyed aggregate building the capped
+    * path (bounded collect: ≤ maxSteps elements), one path-keyed count
+    * aggregate with map-side partials.
+    */
+  def conversionPaths(sessions: DataFrame, sessionCols: Seq[String],
+                      tsCol: String, tieCol: String, typeCol: String,
+                      targetType: String, maxSteps: Int): DataFrame = {
+    require(sessionCols.nonEmpty, "conversionPaths needs session keys")
+    require(maxSteps >= 1, s"maxSteps must be >= 1 (got $maxSteps)")
+    val g = sessionCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(tsCol), col(tieCol))
+    val ranked = sessions
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__tgt", min(when(col(typeCol) === targetType,
+        col("__rk"))).over(Window.partitionBy(g: _*)))
+    val kept = ranked.filter(col("__rk") <= least(
+      coalesce(col("__tgt"), lit(Long.MaxValue)), lit(maxSteps.toLong)))
+    val perSession = kept
+      .groupBy(g: _*)
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("__rk"), col(typeCol).as("t")))), x => x("t")), ">")
+          .as("path"),
+        max((col(typeCol) === targetType).cast("long")).as("__conv"))
+    perSession.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__conv")).as("n_converted"))
+  }
 }

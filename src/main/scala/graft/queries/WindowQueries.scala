@@ -1144,6 +1144,19 @@ object WindowQueries {
       wave()
       graft.streaming.StreamingSurvival.report(s, subjects, state, gapUs)
         .get.orderBy("purchased", "duration")
+    }),
+
+    // CONVERSION-PATH report (the Sankey input): per 30-min session, the
+    // ordered event-type prefix up to the first purchase, capped at 8
+    // steps; top paths with session/conversion counts. The discovery
+    // complement of q32's declared funnel and q33's pairwise transitions.
+    "q265_conversion_paths" -> ((s, d) => {
+      val sess = Sessionize.byGap(Tables.events(s, d), "ts",
+        Seq("user_id"), gapSeconds = 1800)
+      graft.operators.Behavior.conversionPaths(sess,
+          Seq("user_id", "session_id"), "ts", "event_id", "event_type",
+          targetType = "purchase", maxSteps = 8)
+        .orderBy("path")
     })
   )
 
@@ -2123,6 +2136,41 @@ object WindowQueries {
     "q256_km_lifetable" -> KmLifeTableSql,
     // drained ≡ one-shot is the contract: q256's oracle verbatim.
     "q264_km_from_drain" -> KmLifeTableSql,
+    "q265_conversion_paths" -> s"""$EV,
+       flagged AS (
+         SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ), sessions AS (
+         SELECT user_id, ts, event_id, event_type,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged
+       ), ranked AS (
+         SELECT user_id, session_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+             ORDER BY ts, event_id) AS rk
+         FROM sessions
+       ), tgt AS (
+         SELECT user_id, session_id,
+           min(CASE WHEN event_type = 'purchase' THEN rk END) AS t
+         FROM ranked GROUP BY user_id, session_id
+       ), kept AS (
+         SELECT r.user_id, r.session_id, r.event_type, r.rk
+         FROM ranked r JOIN tgt USING (user_id, session_id)
+         WHERE r.rk <= least(coalesce(t, 9223372036854775807), 8)
+       ), per AS (
+         SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rk) AS path,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS conv
+         FROM kept GROUP BY user_id, session_id)
+       SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(conv) AS BIGINT) AS n_converted
+       FROM per GROUP BY path ORDER BY path""",
     "q259_logrank" -> s"""$EV,
        flagged AS (
          SELECT user_id, ts, event_type,

@@ -165,3 +165,51 @@ class EventMatchSpec extends SparkSpec {
       (2L, 0L, 0L, 1L, 1L, 1L, 1L)))
   }
 }
+
+/** Conversion-path discovery: prefix-to-first-target semantics, the
+  * step cap's truncate-means-not-converted rule, and tie determinism.
+  */
+class ConversionPathsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Behavior
+
+  test("paths stop at the first target; capped sessions count as unconverted") {
+    val rows = Seq(
+      // session (1,0): converts at step 3; step 4 must NOT appear
+      (1L, 0L, 100L, 1L, "view"), (1L, 0L, 200L, 2L, "click"),
+      (1L, 0L, 300L, 3L, "purchase"), (1L, 0L, 400L, 4L, "view"),
+      // session (2,0): never converts -> whole (short) session
+      (2L, 0L, 100L, 5L, "view"), (2L, 0L, 200L, 6L, "click"),
+      // session (3,0): 5 events, purchase at step 5, cap 3 -> truncated,
+      // unconverted
+      (3L, 0L, 100L, 7L, "view"), (3L, 0L, 200L, 8L, "view"),
+      (3L, 0L, 300L, 9L, "click"), (3L, 0L, 400L, 10L, "click"),
+      (3L, 0L, 500L, 11L, "purchase"),
+      // session (4,0): same path as (2,0) -> groups together
+      (4L, 0L, 900L, 12L, "view"), (4L, 0L, 950L, 13L, "click")
+    ).map { case (u, s, us, id, t) =>
+      (u, s, new java.sql.Timestamp(us), id, t)
+    }.toDF("user_id", "session_id", "ts", "event_id", "event_type")
+    val got = Behavior.conversionPaths(rows, Seq("user_id", "session_id"),
+        "ts", "event_id", "event_type", "purchase", maxSteps = 3)
+      .orderBy("path").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("view>click", 2L, 0L),
+      ("view>click>purchase", 1L, 1L),
+      ("view>view>click", 1L, 0L)))
+  }
+
+  test("rank ties break on the tie column deterministically") {
+    val t0 = new java.sql.Timestamp(1000L)
+    val rows = Seq(
+      (1L, 0L, t0, 2L, "click"), (1L, 0L, t0, 1L, "view"),
+      (1L, 0L, t0, 3L, "purchase")
+    ).toDF("user_id", "session_id", "ts", "event_id", "event_type")
+    val got = Behavior.conversionPaths(rows, Seq("user_id", "session_id"),
+        "ts", "event_id", "event_type", "purchase", maxSteps = 8)
+      .collect()(0)
+    assert(got.getString(0) == "view>click>purchase")
+    assert(got.getLong(2) == 1L)
+  }
+}
