@@ -256,4 +256,65 @@ object Checks {
               .stripMargin))
           .otherwise(0L).as("ks_permille")): _*)
   }
+
+  /** BINNED drift table — the PSI / characteristic-stability report
+    * every scoring-pipeline monitor ships next to [[ksDrift]]'s sup
+    * statistic: the baseline sample defines `nBins` quantile CUT VALUES
+    * per key (the max value of each rank-bin but the last), then BOTH
+    * sides re-bin by the same value rule `bin(v) = #cuts < v` — the
+    * rank bins only derive the cuts, so ties spanning rank-bins cannot
+    * make the two sides disagree about a value's bin. Nulls land in bin
+    * −1 (a null-rate shift IS drift signal). Output per (keys, bin):
+    * `(n_base, n_comp, base_permille, comp_permille)` — exact integer
+    * counts and floor-div shares; PSI itself
+    * (Σ (p−q)·ln(p/q)) is the presentation edge's one float.
+    *
+    * `valueCol` must be integral (the [[ksDrift]] grid rule). Scale
+    * shape: one baseline rank window per key (the quantileBin pass), a
+    * per-key cut ARRAY (≤ nBins−1 elements — catalog-sized rows, one per
+    * key) equi-joined back, and one (keys, bin) count aggregate with
+    * map-side partials plus a per-key total window over the bounded
+    * post-aggregation table.
+    */
+  def binnedDrift(df: DataFrame, keys: Seq[String], valueCol: String,
+                  sideCol: String, nBins: Int): DataFrame = {
+    require(keys.nonEmpty, "binnedDrift needs grouping keys")
+    require(nBins >= 2, "need at least 2 bins")
+    val vt = df.schema(valueCol).dataType
+    require(vt == org.apache.spark.sql.types.LongType ||
+      vt == org.apache.spark.sql.types.IntegerType ||
+      vt == org.apache.spark.sql.types.ShortType,
+      s"binnedDrift value column '$valueCol' must be integral (got $vt)")
+    import org.apache.spark.sql.expressions.Window
+    val g = keys.map(col)
+    val binned = Features.quantileBin(df.filter(col(sideCol)), keys,
+      valueCol, nBins, binCol = "__qb")
+    val cuts = binned
+      .filter(col("__qb").isNotNull && col("__qb") < (nBins - 1).toLong)
+      .groupBy((g :+ col("__qb")): _*)
+      .agg(max(col(valueCol).cast("long")).as("__cut"))
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__cut"))).as("__cuts"))
+    val assigned = df
+      .select((g :+ col(valueCol).cast("long").as("__v") :+
+        col(sideCol).cast("boolean").as("__side")): _*)
+      .join(cuts, keys, "left")
+      .withColumn("bin", when(col("__v").isNull, lit(-1L))
+        .otherwise(coalesce(
+          size(filter(col("__cuts"), c => c < col("__v"))).cast("long"),
+          lit(0L))))
+    val perBin = assigned
+      .groupBy((g :+ col("bin")): _*)
+      .agg(sum(when(col("__side"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__side"), 0L).otherwise(1L)).as("n_comp"))
+    val byKey = Window.partitionBy(g: _*)
+    perBin
+      .withColumn("__tb", sum(col("n_base")).over(byKey))
+      .withColumn("__tc", sum(col("n_comp")).over(byKey))
+      .select((g :+ col("bin") :+ col("n_base") :+ col("n_comp")
+        :+ expr("(1000 * n_base) div greatest(__tb, 1)")
+          .as("base_permille")
+        :+ expr("(1000 * n_comp) div greatest(__tc, 1)")
+          .as("comp_permille")): _*)
+  }
 }

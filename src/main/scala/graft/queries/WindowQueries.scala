@@ -1157,6 +1157,21 @@ object WindowQueries {
           Seq("user_id", "session_id"), "ts", "event_id", "event_type",
           targetType = "purchase", maxSteps = 8)
         .orderBy("path")
+    }),
+
+    // PSI-STYLE binned drift table (q260's interpretable companion): the
+    // first half's per-type value deciles define the cut values, both
+    // halves re-bin by the same `#cuts < v` rule, exact counts +
+    // floor-div per-mille shares per bin; PSI itself is the presentation
+    // edge's float.
+    "q266_binned_drift" -> ((s, d) => {
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .withColumn("baseline", col("ts") < pivot)
+      graft.operators.Checks.binnedDrift(ev, Seq("event_type"), "vm",
+          "baseline", nBins = 10)
+        .orderBy("event_type", "bin")
     })
   )
 
@@ -2222,7 +2237,8 @@ object WindowQueries {
        FROM risk WHERE d_all >= 1""",
     "q260_ks_drift" -> KsDriftSql,
     // drained ≡ one-shot is the contract: q260's oracle verbatim.
-    "q261_ks_from_drain" -> KsDriftSql
+    "q261_ks_from_drain" -> KsDriftSql,
+    "q266_binned_drift" -> BinnedDriftSql
   )
 
   /** q256's oracle, shared verbatim by the q264 drain twin. */
@@ -2300,4 +2316,39 @@ object WindowQueries {
              // (CAST(n1 AS HUGEINT) * n2)
            ELSE 0 END AS BIGINT) AS ks_permille
        FROM agg ORDER BY event_type"""
+
+  /** q266: baseline decile cuts via the quantileBin rank rule, both sides
+    * re-binned by `#cuts < v`, counted per (type, bin).
+    */
+  private lazy val BinnedDriftSql = s"""$EV,
+       s AS (SELECT event_type,
+           CAST(floor(value * 1000000) AS BIGINT) AS vm,
+           ts < TIMESTAMP '2024-01-15 00:00:00' AS base
+         FROM ev),
+       b AS (SELECT event_type, vm,
+           rank() OVER (PARTITION BY event_type ORDER BY vm) AS r,
+           count(*) OVER (PARTITION BY event_type) AS n
+         FROM s WHERE base),
+       qb AS (SELECT event_type, vm, ((r - 1) * 10) // n AS qb FROM b),
+       cuts AS (SELECT event_type, qb, max(vm) AS cut
+         FROM qb WHERE qb < 9 GROUP BY event_type, qb),
+       cells AS (SELECT event_type, vm, base, CAST(count(*) AS BIGINT) AS m
+         FROM s GROUP BY event_type, vm, base),
+       abin AS (SELECT cl.event_type, cl.vm, cl.base, cl.m,
+           CAST(count(c.cut) AS BIGINT) AS bin
+         FROM cells cl LEFT JOIN cuts c
+           ON c.event_type = cl.event_type AND c.cut < cl.vm
+         GROUP BY cl.event_type, cl.vm, cl.base, cl.m),
+       per AS (SELECT event_type, bin,
+           CAST(sum(CASE WHEN base THEN m ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(sum(CASE WHEN base THEN 0 ELSE m END) AS BIGINT) AS n_comp
+         FROM abin GROUP BY event_type, bin)
+       SELECT event_type, bin, n_base, n_comp,
+         CAST((1000 * n_base) // greatest(CAST(sum(n_base)
+           OVER (PARTITION BY event_type) AS BIGINT), 1) AS BIGINT)
+           AS base_permille,
+         CAST((1000 * n_comp) // greatest(CAST(sum(n_comp)
+           OVER (PARTITION BY event_type) AS BIGINT), 1) AS BIGINT)
+           AS comp_permille
+       FROM per ORDER BY event_type, bin"""
 }

@@ -168,6 +168,59 @@ class ChecksSpec extends SparkSpec {
     assert(r0.getLong(4) == 0L && r0.getLong(6) == 0L)
   }
 
+  test("binnedDrift: baseline deciles cut, both sides re-bin by value; ties and nulls") {
+    import spark.implicits._
+    // baseline 1..10, 2 bins -> cut = 5 (max of rank-bin 0)
+    // comparison: 3 -> bin 0; 5 -> bin 0 (cut < v is strict); 6, 100 -> bin 1
+    val rows =
+      (1L to 10L).map(v => ("k", Some(v), true)) ++
+        Seq(("k", Some(3L), false), ("k", Some(5L), false),
+          ("k", Some(6L), false), ("k", Some(100L), false),
+          ("k", None, false)) // null -> bin -1
+    val df = rows.toDF("k", "v", "base")
+    val got = Checks.binnedDrift(df, Seq("k"), "v", "base", nBins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (-1L, 0L, 1L, 0L, 200L),
+      (0L, 5L, 2L, 500L, 400L),
+      (1L, 5L, 2L, 500L, 400L)))
+  }
+
+  test("binnedDrift: all-tied baseline degenerates to one populated bin consistently") {
+    import spark.implicits._
+    val rows = Seq.fill(4)(("k", 1L, true)) ++
+      Seq(("k", 1L, false), ("k", 2L, false))
+    val got = Checks.binnedDrift(rows.toDF("k", "v", "base"), Seq("k"),
+        "v", "base", nBins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cut = 1 (the only value); v=1 -> bin 0, v=2 -> bin 1 on BOTH sides
+    assert(got.toSeq == Seq((0L, 4L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("binnedDrift totals reconcile per key on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = Seq.tabulate(500) { i =>
+      (s"g${i % 2}", rng.nextInt(40).toLong, rng.nextBoolean())
+    }
+    val got = Checks.binnedDrift(rows.toDF("k", "v", "base"), Seq("k"),
+      "v", "base", nBins = 5).collect()
+    Seq("g0", "g1").foreach { k =>
+      val mine = got.filter(_.getString(0) == k)
+      assert(mine.map(_.getLong(2)).sum ==
+        rows.count(r => r._1 == k && r._3), s"$k n_base total")
+      assert(mine.map(_.getLong(3)).sum ==
+        rows.count(r => r._1 == k && !r._3), s"$k n_comp total")
+      assert(mine.map(_.getLong(1)).forall(b => b >= 0 && b < 5))
+      // floor shares sum to at most 1000 and within nBins of it
+      val bs = mine.map(_.getLong(4)).sum
+      assert(bs <= 1000 && bs > 1000 - 5)
+    }
+  }
+
   test("ksDrift flags one-sided keys instead of dropping them; guards fire") {
     import spark.implicits._
     val df = Seq(("only1", 5L, true), ("only1", 6L, true),
