@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object StatsFunctions {
 
+  /** Loud integral-grid guard, shared by the exact-statistics operators
+    * (KM life table, KS drift, binned drift): distinct float values are
+    * not a stable grid across engines — floor to the unit you mean
+    * upstream. One helper so the accepted-type policy cannot fork per
+    * call site.
+    */
+  def requireIntegralColumn(schema: org.apache.spark.sql.types.StructType,
+                            column: String, operator: String): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+    val dt = schema(column).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType,
+      s"$operator column '$column' must be integral (got $dt): distinct " +
+        "float values are not a stable grid — floor to the unit you " +
+        "mean upstream")
+  }
+
   /** Snap an exact DECIMAL(38,0) statistic to BIGINT at a declared-query
     * edge, failing LOUDLY if the value ever leaves Long range instead of
     * wrapping or nulling. The internal arithmetic stays DECIMAL(38,0)

@@ -182,7 +182,11 @@ object Checks {
     *
     * `valueCol` must be integral (float grids make "distinct value"
     * engine-dependent — floor to the grid you mean upstream, the
-    * [[Survival.kmLifeTable]] rule). `sideCol` boolean: true = baseline.
+    * [[Survival.kmLifeTable]] rule). NULL values are EXCLUDED from both
+    * samples before the ECDF (the statistic is over the value
+    * distribution; engines disagree on where nulls sort, so including
+    * them would break the replays-exactly contract — null-RATE drift is
+    * [[binnedDrift]]'s bin −1). `sideCol` boolean: true = baseline.
     * Keys with an empty side are emitted with ks_* = 0 and flagged
     * `comparable = false` rather than dropped (a vanished side IS drift
     * signal, just not a KS number).
@@ -199,13 +203,11 @@ object Checks {
       "Checks.ksDrift needs grouping keys (the ECDF window shuffles on " +
         "them); for one global pair of samples add a constant key column " +
         "so the single-partition choice is explicit at the call site")
-    val vt = df.schema(valueCol).dataType
-    require(vt == org.apache.spark.sql.types.LongType ||
-      vt == org.apache.spark.sql.types.IntegerType ||
-      vt == org.apache.spark.sql.types.ShortType,
-      s"ksDrift value column '$valueCol' must be integral (got $vt)")
+    graft.functions.StatsFunctions.requireIntegralColumn(df.schema,
+      valueCol, "ksDrift value")
     val g = keys.map(col)
     val cells = df
+      .filter(col(valueCol).isNotNull)
       .groupBy((g :+ col(valueCol).cast("long").as("__v")): _*)
       .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("__k1"),
         sum(when(col(sideCol), 0L).otherwise(1L)).as("__k2"))
@@ -280,11 +282,8 @@ object Checks {
                   sideCol: String, nBins: Int): DataFrame = {
     require(keys.nonEmpty, "binnedDrift needs grouping keys")
     require(nBins >= 2, "need at least 2 bins")
-    val vt = df.schema(valueCol).dataType
-    require(vt == org.apache.spark.sql.types.LongType ||
-      vt == org.apache.spark.sql.types.IntegerType ||
-      vt == org.apache.spark.sql.types.ShortType,
-      s"binnedDrift value column '$valueCol' must be integral (got $vt)")
+    graft.functions.StatsFunctions.requireIntegralColumn(df.schema,
+      valueCol, "binnedDrift value")
     import org.apache.spark.sql.expressions.Window
     val g = keys.map(col)
     val binned = Features.quantileBin(df.filter(col(sideCol)), keys,

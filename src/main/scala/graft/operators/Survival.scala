@@ -66,13 +66,8 @@ object Survival {
 
   private def lifeTableImpl(df: DataFrame, groupCols: Seq[String],
                             durCol: String, eventCol: String): DataFrame = {
-    val dt = df.schema(durCol).dataType
-    require(dt == org.apache.spark.sql.types.LongType ||
-      dt == org.apache.spark.sql.types.IntegerType ||
-      dt == org.apache.spark.sql.types.ShortType,
-      s"kmLifeTable duration column '$durCol' must be integral (got $dt): " +
-        "distinct float durations are not a stable event grid — floor to " +
-        "the unit you mean upstream")
+    graft.functions.StatsFunctions.requireIntegralColumn(df.schema,
+      durCol, "kmLifeTable duration")
     val g = groupCols.map(col)
     val perT = df
       .groupBy((g :+ col(durCol).cast("long").as("duration")): _*)

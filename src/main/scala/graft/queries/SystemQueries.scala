@@ -23,6 +23,57 @@ object SystemQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The three-block unit-matching fixture SHARED by q253/q262/q263 —
+    * their oracles all declare the same closed-form assignment, so the
+    * construction must be one definition, not three copies that could
+    * drift (q254 block-stamps its own file-wave variant). Block 0 seeds
+    * 12 trains on a 10 ms grid; block 1 permutes labels v = (5u+2) mod
+    * 12 with ±40 µs jitter, drops every 5th event, and adds two new
+    * units; block 2 re-permutes the true trains w = (7v+4) mod 12 with
+    * its own jitter/drop pattern.
+    */
+  private def unitMatchBlocks(s: SparkSession)
+      : (DataFrame, DataFrame, DataFrame) = {
+    def base(units: Seq[Long], kLo: Int, kHi: Int) =
+      s.createDataFrame(units.map(Tuple1(_))).toDF("u")
+        .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
+        .select(col("u").as("unit"), col("k"),
+          (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
+            ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
+    val blockA = base(0L to 11L, 0, 399).select("unit", "us")
+    val blockB = base(0L to 11L, 200, 599)
+      .filter((col("k") + col("unit")) % 5 =!= 0)
+      .select(((col("unit") * 5 + 2) % 12).as("unit"),
+        (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
+      .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
+        .toDF("u")
+        .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
+        .select(col("u").as("unit"),
+          (lit(1000000L) + col("k") * 10000L + lit(5000L) +
+            (col("u") - 12L) * 97L +
+            ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
+    // block 2 re-permutes the TRUE trains (sources u 0..11) with its
+    // own drop/jitter; labels w = (7·v+4) mod 12 over block-1 labels v
+    val blockC = base(0L to 11L, 400, 799)
+      .filter((col("k") + col("unit")) % 7 =!= 0)
+      .select(((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
+        (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
+    (blockA, blockB, blockC)
+  }
+
+  /** q253/q262/q263's propagation over [[unitMatchBlocks]]. Thresholds:
+    * blocks compare on FULL extents (half the events sit outside the
+    * shared window), so true-pair agreement lands ~260-285 permille
+    * while accidental adjacent-unit agreement stays < 70 — 200 splits
+    * them with ~4x margin on either side.
+    */
+  private def unitMatchAssignments(s: SparkSession): DataFrame = {
+    val (blockA, blockB, blockC) = unitMatchBlocks(s)
+    graft.operators.EventMatch.propagateGlobalIds(
+      Seq(blockA, blockB, blockC), "unit", "us", deltaUs = 60L,
+      minPermille = 200L)
+  }
+
   val queries: Map[String, Q] = Map(
     // Tumbling-window chunk catalog via the streaming transform (batch mode).
     "q80_stream_chunks" -> ((s, d) => {
@@ -519,38 +570,7 @@ object SystemQueries {
     // that end state, so any matching failure anywhere in the chain
     // breaks the hash.
     "q253_global_units" -> ((s, d) => {
-      def base(units: Seq[Long], kLo: Int, kHi: Int) =
-        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
-          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
-          .select(col("u").as("unit"), col("k"),
-            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
-              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
-      val blockA = base(0L to 11L, 0, 399).select("unit", "us")
-      val blockB = base(0L to 11L, 200, 599)
-        .filter((col("k") + col("unit")) % 5 =!= 0)
-        .select(((col("unit") * 5 + 2) % 12).as("unit"),
-          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
-        .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
-          .toDF("u")
-          .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
-          .select(col("u").as("unit"),
-            (lit(1000000L) + col("k") * 10000L + lit(5000L) +
-              (col("u") - 12L) * 97L +
-              ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
-      // block 2 re-permutes the TRUE trains (sources u 0..11) with its
-      // own drop/jitter; labels w = (7·v+4) mod 12 over block-1 labels v
-      val blockC = base(0L to 11L, 400, 799)
-        .filter((col("k") + col("unit")) % 7 =!= 0)
-        .select(((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
-          (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
-      // thresholds: blocks compare on FULL extents (half the events sit
-      // outside the shared window), so true-pair agreement lands ~260-285
-      // permille while accidental adjacent-unit agreement stays < 70 —
-      // 200 splits them with ~4x margin on either side
-      graft.operators.EventMatch.propagateGlobalIds(
-          Seq(blockA, blockB, blockC), "unit", "us", deltaUs = 60L,
-          minPermille = 200L)
-        .orderBy("block", "unit")
+      unitMatchAssignments(s).orderBy("block", "unit")
     }),
 
     // q253's DRAIN TWIN: the same three blocks land as block-stamped
@@ -1255,32 +1275,7 @@ object SystemQueries {
     // assignment in SQL, so any propagation or attribution error breaks
     // the hash.
     "q262_unit_yield" -> ((s, d) => {
-      def base(units: Seq[Long], kLo: Int, kHi: Int) =
-        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
-          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
-          .select(col("u").as("unit"), col("k"),
-            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
-              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
-      val blockA = base(0L to 11L, 0, 399).select("unit", "us")
-      val blockB = base(0L to 11L, 200, 599)
-        .filter((col("k") + col("unit")) % 5 =!= 0)
-        .select(((col("unit") * 5 + 2) % 12).as("unit"),
-          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
-        .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
-          .toDF("u")
-          .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
-          .select(col("u").as("unit"),
-            (lit(1000000L) + col("k") * 10000L + lit(5000L) +
-              (col("u") - 12L) * 97L +
-              ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
-      val blockC = base(0L to 11L, 400, 799)
-        .filter((col("k") + col("unit")) % 7 =!= 0)
-        .select(((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
-          (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
-      val assigned = graft.operators.EventMatch.propagateGlobalIds(
-        Seq(blockA, blockB, blockC), "unit", "us", deltaUs = 60L,
-        minPermille = 200L)
-      graft.operators.EventMatch.unitYieldReport(assigned)
+      graft.operators.EventMatch.unitYieldReport(unitMatchAssignments(s))
         .orderBy("block")
     }),
 
@@ -1291,38 +1286,15 @@ object SystemQueries {
     // float). Oracle: closed-form assignment × generate_series-replayed
     // drop rules.
     "q263_unit_longevity" -> ((s, d) => {
-      def base(units: Seq[Long], kLo: Int, kHi: Int) =
-        s.createDataFrame(units.map(Tuple1(_))).toDF("u")
-          .select(col("u"), explode(sequence(lit(kLo), lit(kHi))).as("k"))
-          .select(col("u").as("unit"), col("k"),
-            (lit(1000000L) + col("k") * 10000L + col("u") * 97L +
-              ((col("u") * (col("k") + 3)) % 7) * 3L).as("us"))
-      val blockA = base(0L to 11L, 0, 399).select("unit", "us")
-      val blockB = base(0L to 11L, 200, 599)
-        .filter((col("k") + col("unit")) % 5 =!= 0)
-        .select(((col("unit") * 5 + 2) % 12).as("unit"),
-          (col("us") + ((col("k") % 3) - 1) * 40L).as("us"))
-        .unionByName(s.createDataFrame(Seq(Tuple1(12L), Tuple1(13L)))
-          .toDF("u")
-          .select(col("u"), explode(sequence(lit(200), lit(599))).as("k"))
-          .select(col("u").as("unit"),
-            (lit(1000000L) + col("k") * 10000L + lit(5000L) +
-              (col("u") - 12L) * 97L +
-              ((col("u") * (col("k") + 5)) % 7) * 3L).as("us")))
-      val blockC = base(0L to 11L, 400, 799)
-        .filter((col("k") + col("unit")) % 7 =!= 0)
-        .select(((((col("unit") * 5 + 2) % 12) * 7 + 4) % 12).as("unit"),
-          (col("us") + ((col("k") % 3) - 1) * 20L).as("us"))
-      val assigned = graft.operators.EventMatch.propagateGlobalIds(
-        Seq(blockA, blockB, blockC), "unit", "us", deltaUs = 60L,
-        minPermille = 200L)
+      val (blockA, blockB, blockC) = unitMatchBlocks(s)
       val events = blockA.select(lit(0L).as("block"), col("unit"),
           col("us"))
         .unionByName(blockB.select(lit(1L).as("block"), col("unit"),
           col("us")))
         .unionByName(blockC.select(lit(2L).as("block"), col("unit"),
           col("us")))
-      graft.operators.EventMatch.unitLongevity(assigned, events)
+      graft.operators.EventMatch.unitLongevity(unitMatchAssignments(s),
+          events)
         .orderBy("global_unit")
     })
   )

@@ -1020,24 +1020,8 @@ object WindowQueries {
     // duration); S(t) and Greenwood variance are presentation-edge floats
     // derived from these (the q246 num/den discipline).
     "q256_km_lifetable" -> ((s, d) => {
-      import graft.operators.Survival
-      val gapUs = 1800L * 1000000L
-      val ev = Tables.events(s, d)
-      val sess = Sessionize.byGap(ev, "ts", Seq("user_id"),
-          gapSeconds = 1800)
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(
-          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
-            .as("dur_us"),
-          max(unix_micros(col("ts"))).as("end_us"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("purchased"))
-      val edge = ev.agg(max(unix_micros(col("ts"))).as("edge_us"))
-      val subj = sess.crossJoin(broadcast(edge))
-        .withColumn("duration_s", expr("dur_us div 1000000"))
-        .withColumn("ended",
-          Survival.observedEnd(col("end_us"), col("edge_us"), gapUs))
-      Survival.kmLifeTable(subj, Seq("purchased"), "duration_s", "ended")
+      graft.operators.Survival.kmLifeTable(kmSubjects(s, d),
+          Seq("purchased"), "duration_s", "ended")
         .orderBy("purchased", "duration")
     }),
 
@@ -1047,24 +1031,8 @@ object WindowQueries {
     // in DECIMAL(38,0) snapped per term (the q221 chi-square pattern).
     // One row out; χ² = (O1 − E1)²/V is the caller's one float.
     "q259_logrank" -> ((s, d) => {
-      import graft.operators.Survival
-      val gapUs = 1800L * 1000000L
-      val ev = Tables.events(s, d)
-      val sess = Sessionize.byGap(ev, "ts", Seq("user_id"),
-          gapSeconds = 1800)
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(
-          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
-            .as("dur_us"),
-          max(unix_micros(col("ts"))).as("end_us"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("purchased"))
-      val edge = ev.agg(max(unix_micros(col("ts"))).as("edge_us"))
-      val subj = sess.crossJoin(broadcast(edge))
-        .withColumn("duration_s", expr("dur_us div 1000000"))
-        .withColumn("ended",
-          Survival.observedEnd(col("end_us"), col("edge_us"), gapUs))
-      Survival.logRank(subj, "purchased", "duration_s", "ended")
+      graft.operators.Survival.logRank(kmSubjects(s, d), "purchased",
+        "duration_s", "ended")
     }),
 
     // TWO-SAMPLE KS distribution drift per event type: did the value
@@ -1174,6 +1142,33 @@ object WindowQueries {
         .orderBy("event_type", "bin")
     })
   )
+
+  /** SHARED subject construction for the survival pair q256/q259 (the
+    * log-rank statistic is DEFINED over the life table's arms — one
+    * builder makes that contract structural instead of two copies that
+    * could drift): q25's 30-min gap-sessions as subjects with
+    * integer-second durations, conversion arm (contains-purchase), and
+    * the gap-rule censor flag against the global observation edge.
+    */
+  private def kmSubjects(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Survival
+    val gapUs = 1800L * 1000000L
+    val ev = Tables.events(s, d)
+    val sess = Sessionize.byGap(ev, "ts", Seq("user_id"),
+        gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchased"))
+    val edge = ev.agg(max(unix_micros(col("ts"))).as("edge_us"))
+    sess.crossJoin(broadcast(edge))
+      .withColumn("duration_s", expr("dur_us div 1000000"))
+      .withColumn("ended",
+        Survival.observedEnd(col("end_us"), col("edge_us"), gapUs))
+  }
 
   /** Events arrive with ns-precision timestamps; the engine reads them at the
     * µs fetch-edge contract, so every oracle goes through this µs-cast CTE.
@@ -2291,7 +2286,7 @@ object WindowQueries {
        cells AS (SELECT event_type, vm,
            CAST(sum(CASE WHEN baseline THEN 1 ELSE 0 END) AS BIGINT) AS k1,
            CAST(sum(CASE WHEN baseline THEN 0 ELSE 1 END) AS BIGINT) AS k2
-         FROM s GROUP BY event_type, vm),
+         FROM s WHERE vm IS NOT NULL GROUP BY event_type, vm),
        stepped AS (SELECT event_type,
            CAST(sum(k1) OVER cw AS BIGINT) AS c1,
            CAST(sum(k2) OVER cw AS BIGINT) AS c2,
@@ -2328,14 +2323,15 @@ object WindowQueries {
        b AS (SELECT event_type, vm,
            rank() OVER (PARTITION BY event_type ORDER BY vm) AS r,
            count(*) OVER (PARTITION BY event_type) AS n
-         FROM s WHERE base),
+         FROM s WHERE base AND vm IS NOT NULL),
        qb AS (SELECT event_type, vm, ((r - 1) * 10) // n AS qb FROM b),
        cuts AS (SELECT event_type, qb, max(vm) AS cut
          FROM qb WHERE qb < 9 GROUP BY event_type, qb),
        cells AS (SELECT event_type, vm, base, CAST(count(*) AS BIGINT) AS m
          FROM s GROUP BY event_type, vm, base),
        abin AS (SELECT cl.event_type, cl.vm, cl.base, cl.m,
-           CAST(count(c.cut) AS BIGINT) AS bin
+           CASE WHEN cl.vm IS NULL THEN CAST(-1 AS BIGINT)
+                ELSE CAST(count(c.cut) AS BIGINT) END AS bin
          FROM cells cl LEFT JOIN cuts c
            ON c.event_type = cl.event_type AND c.cut < cl.vm
          GROUP BY cl.event_type, cl.vm, cl.base, cl.m),

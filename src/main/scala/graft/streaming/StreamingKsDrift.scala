@@ -45,7 +45,10 @@ object StreamingKsDrift {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // nulls excluded, matching Checks.ksDrift's contract (engines
+        // disagree on null sort order; null-rate drift is binnedDrift's)
         val cells = batch
+          .filter(col(valueCol).isNotNull)
           .groupBy((col("__src").as("src_file") +: keyCols.map(col) :+
             col(valueCol).cast("long").as("__v")): _*)
           .agg(sum(when(col(sideCol), 1L).otherwise(0L)).as("__k1"),

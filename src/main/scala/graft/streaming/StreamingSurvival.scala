@@ -75,6 +75,9 @@ object StreamingSurvival {
         val w = Window.partitionBy("key").orderBy("us")
         val wRun = w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)
+        // cache: BOTH appends (closed subjects, new state) consume the
+        // same islands — uncached, each appendIdempotent action would
+        // re-read the state parquet and re-run the session window
         val islands = withState
           .withColumn("__prev", lag(col("us"), 1).over(w))
           .withColumn("__new", when(col("__prev").isNull ||
@@ -83,17 +86,20 @@ object StreamingSurvival {
           .groupBy("key", "__sid")
           .agg(min(coalesce(col("__start"), col("us"))).as("start_us"),
             max(col("us")).as("last_us"), max(col("arm")).as("arm"))
-        val lastSid = islands.groupBy("key")
-          .agg(max(col("__sid")).as("__sid"))
-        val closed = islands.join(lastSid, Seq("key", "__sid"),
-          "left_anti")
-        Populate.appendIdempotent(
-          closed.select("key", "start_us", "last_us", "arm"),
-          subjectsDir, Seq("key", "start_us"))
-        val open = islands.join(lastSid, Seq("key", "__sid"))
-        Populate.appendIdempotent(
-          open.select("key", "start_us", "last_us", "arm"),
-          stateDir, Seq("key", "last_us"))
+          .persist()
+        try {
+          val lastSid = islands.groupBy("key")
+            .agg(max(col("__sid")).as("__sid"))
+          val closed = islands.join(lastSid, Seq("key", "__sid"),
+            "left_anti")
+          Populate.appendIdempotent(
+            closed.select("key", "start_us", "last_us", "arm"),
+            subjectsDir, Seq("key", "start_us"))
+          val open = islands.join(lastSid, Seq("key", "__sid"))
+          Populate.appendIdempotent(
+            open.select("key", "start_us", "last_us", "arm"),
+            stateDir, Seq("key", "last_us"))
+        } finally islands.unpersist()
         ()
       }
       .start()

@@ -221,6 +221,20 @@ class ChecksSpec extends SparkSpec {
     }
   }
 
+  test("ksDrift excludes NULL values from both samples (engines disagree on null order)") {
+    import spark.implicits._
+    val withNulls = Seq(
+      ("k", Some(1L), true), ("k", None, true), ("k", Some(3L), true),
+      ("k", Some(2L), false), ("k", None, false)
+    ).toDF("k", "v", "base")
+    val clean = withNulls.filter(col("v").isNotNull)
+    val a = Checks.ksDrift(withNulls, Seq("k"), "v", "base")
+      .collect()(0)
+    val b = Checks.ksDrift(clean, Seq("k"), "v", "base").collect()(0)
+    assert(a.toSeq == b.toSeq)
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L) // null rows dropped
+  }
+
   test("ksDrift flags one-sided keys instead of dropping them; guards fire") {
     import spark.implicits._
     val df = Seq(("only1", 5L, true), ("only1", 6L, true),
