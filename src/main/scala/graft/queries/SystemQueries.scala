@@ -1296,6 +1296,49 @@ object SystemQueries {
       graft.operators.EventMatch.unitLongevity(unitMatchAssignments(s),
           events)
         .orderBy("global_unit")
+    }),
+
+    // MP4 SAMPLE INDEX end-to-end (ISO/IEC 14496-12 box grammar — the
+    // container half of the MP4 story; codec decode stays the documented
+    // stub): deterministic two-track fixture → builder → moov parse →
+    // distributed payload reads → positional byte checksum. The oracle
+    // replays the size/delta/payload closed forms with generate_series,
+    // so any builder, parser, chunk-resolution, or positioned-read error
+    // breaks the hash.
+    "q267_mp4_sample_index" -> ((s, d) => {
+      import graft.sources.Mp4
+      val path = java.nio.file.Files.createTempDirectory("graft-mp4-q267")
+        .toString + "/fixture.mp4"
+      val tracks = Seq(
+        Mp4.TrackSpec(1, 90000L, 3750L,
+          Array.tabulate(24)(i => 20 + ((7 * i + 3) % 13)), 5),
+        Mp4.TrackSpec(2, 90000L, 5625L,
+          Array.tabulate(16)(i => 20 + ((7 * i + 6) % 13)), 6))
+      Mp4.build(path, tracks,
+        (t, i, k) => ((i * 31 + k * 7 + t * 11) % 256).toByte)
+      import s.implicits._
+      val payloads = Seq((1, 0, 23), (2, 0, 15)).map { case (t, lo, hi) =>
+        Mp4.readSamples(s, path, t, lo, hi)
+      }.reduce(_ unionByName _)
+        .as[(Int, Int, Long, Array[Byte])]
+        .map { case (t, i, dts, b) =>
+          var w = 0L
+          var k = 0
+          while (k < b.length) { w += (k + 1L) * (b(k) & 0xFF); k += 1 }
+          (t, i, dts, b.length, w)
+        }
+        .toDF("track_id", "sample_index", "dts_ticks", "n_bytes",
+          "payload_weight")
+      Mp4.sampleTable(s, path)
+        .select(col("track_id"), col("sample_index"),
+          col("size").as("meta_bytes"))
+        .join(payloads, Seq("track_id", "sample_index"))
+        .filter(col("meta_bytes") === col("n_bytes")) // table ≡ payload
+        .select(col("track_id").cast("long").as("track_id"),
+          col("sample_index").cast("long").as("sample_index"),
+          col("dts_ticks"), col("n_bytes").cast("long").as("n_bytes"),
+          col("payload_weight"))
+        .orderBy("track_id", "sample_index")
     })
   )
 
@@ -1770,6 +1813,29 @@ object SystemQueries {
        FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1
              UNION ALL SELECT * FROM b2)
        ORDER BY block, unit""",
+    // the size/delta/payload closed forms replayed with generate_series:
+    // size(t,i) = 20 + (7i+3t)%13, dts = i·delta, weight = Σ (k+1)·byte.
+    "q267_mp4_sample_index" ->
+      """WITH tr AS (
+         SELECT 1 AS t, 24 AS n, 3750 AS delta
+         UNION ALL SELECT 2, 16, 5625),
+       samp AS (
+         SELECT tr.t, i.i AS idx, tr.delta,
+           20 + (7 * i.i + 3 * tr.t) % 13 AS sz
+         FROM tr, generate_series(0, 23) i(i) WHERE i.i < tr.n),
+       w AS (
+         SELECT s.t, s.idx, s.delta, s.sz,
+           CAST(sum((k.k + 1) *
+             ((s.idx * 31 + k.k * 7 + s.t * 11) % 256)) AS BIGINT) AS pw
+         FROM samp s, generate_series(0, 39) k(k) WHERE k.k < s.sz
+         GROUP BY s.t, s.idx, s.delta, s.sz)
+       SELECT CAST(t AS BIGINT) AS track_id,
+         CAST(idx AS BIGINT) AS sample_index,
+         CAST(idx * delta AS BIGINT) AS dts_ticks,
+         CAST(sz AS BIGINT) AS n_bytes,
+         pw AS payload_weight
+       FROM w ORDER BY track_id, sample_index""",
+
     // yield rollup derived in SQL from q253's closed-form assignment —
     // same window/attribution logic as the operator.
     "q262_unit_yield" ->
