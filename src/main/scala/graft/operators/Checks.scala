@@ -306,6 +306,59 @@ object Checks {
       .groupBy((g :+ col("bin")): _*)
       .agg(sum(when(col("__side"), 1L).otherwise(0L)).as("n_base"),
         sum(when(col("__side"), 0L).otherwise(1L)).as("n_comp"))
+    binShares(perBin, keys)
+  }
+
+  /** [[binnedDrift]] from pre-aggregated per-(keys, value) side counts —
+    * the SAME cell table [[ksFromCells]] consumes, so one persisted
+    * drift state (`streaming/StreamingKsDrift`) serves both the KS sup
+    * report and this PSI table. The quantileBin rank rule is replayed on
+    * weighted cells exactly: rank() hands every tied row the FIRST rank,
+    * so a value's bin is `((Σ baseline counts below it) · nBins) div n`
+    * — one cumulative window over distinct values instead of a per-row
+    * rank. Cells carry no nulls (the store excludes them — a null in an
+    * idempotency key can never anti-join as a no-op), so this report has
+    * no −1 bin; on null-free input it equals [[binnedDrift]] row-for-row
+    * (pinned by spec).
+    */
+  def binnedDriftFromCells(cellsIn: DataFrame, keys: Seq[String],
+                           nBins: Int): DataFrame = {
+    require(keys.nonEmpty, "binnedDriftFromCells needs grouping keys")
+    require(nBins >= 2, "need at least 2 bins")
+    import org.apache.spark.sql.expressions.Window
+    val g = keys.map(col)
+    val cells = cellsIn
+      .groupBy((g :+ col("__v")): _*)
+      .agg(sum(col("__k1")).as("__k1"), sum(col("__k2")).as("__k2"))
+    val byKey = Window.partitionBy(g: _*)
+    val before = byKey.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("__n", sum(col("__k1")).over(byKey))
+      .withColumn("__below", coalesce(sum(col("__k1")).over(before),
+        lit(0L)))
+      .withColumn("__qb", when(col("__k1") > 0L && col("__n") > 0L,
+        expr(s"(__below * $nBins) div __n")))
+    val cuts = ranked
+      .filter(col("__qb").isNotNull && col("__qb") < (nBins - 1).toLong)
+      .groupBy((g :+ col("__qb")): _*)
+      .agg(max(col("__v")).as("__cut"))
+      .groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__cut"))).as("__cuts"))
+    val perBin = cells
+      .join(cuts, keys, "left")
+      .withColumn("bin", coalesce(
+        size(filter(col("__cuts"), c => c < col("__v"))).cast("long"),
+        lit(0L)))
+      .groupBy((g :+ col("bin")): _*)
+      .agg(sum(col("__k1")).as("n_base"), sum(col("__k2")).as("n_comp"))
+    binShares(perBin, keys)
+  }
+
+  /** Shared tail: per-key totals → floor-div per-mille shares. */
+  private def binShares(perBin: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = keys.map(col)
     val byKey = Window.partitionBy(g: _*)
     perBin
       .withColumn("__tb", sum(col("n_base")).over(byKey))

@@ -1140,6 +1140,36 @@ object WindowQueries {
       graft.operators.Checks.binnedDrift(ev, Seq("event_type"), "vm",
           "baseline", nBins = 10)
         .orderBy("event_type", "bin")
+    }),
+
+    // The PSI report from the SAME drained cell store as q261 — one
+    // persisted drift state, two derived reports (KS sup + binned
+    // shares). Oracle = q266's SQL verbatim (events carry no null
+    // values, so the store's no-null contract is invisible here).
+    "q268_binned_from_drain" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val pivot = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d)
+        .withColumn("vm", floor(col("value") * 1000000).cast("long"))
+        .withColumn("baseline", col("ts") < pivot)
+        .select("event_type", "vm", "baseline")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ks-q268").toString
+      val (src, cells, ckpt) = (root + "/src", root + "/cells",
+        root + "/ckpt")
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("vm", LongType),
+        StructField("baseline", BooleanType)))
+      def wave(): Unit = graft.streaming.StreamingKsDrift.drain(s, src,
+        cells, ckpt, Seq("event_type"), "vm", "baseline", schema)
+      ev.filter(col("baseline")).write.mode("append").parquet(src)
+      wave()
+      ev.filter(!col("baseline")).write.mode("append").parquet(src)
+      wave()
+      graft.streaming.StreamingKsDrift.reportBinned(s, cells,
+          Seq("event_type"), nBins = 10)
+        .get.orderBy("event_type", "bin")
     })
   )
 
@@ -2233,7 +2263,9 @@ object WindowQueries {
     "q260_ks_drift" -> KsDriftSql,
     // drained ≡ one-shot is the contract: q260's oracle verbatim.
     "q261_ks_from_drain" -> KsDriftSql,
-    "q266_binned_drift" -> BinnedDriftSql
+    "q266_binned_drift" -> BinnedDriftSql,
+    // drained ≡ one-shot is the contract: q266's oracle verbatim.
+    "q268_binned_from_drain" -> BinnedDriftSql
   )
 
   /** q256's oracle, shared verbatim by the q264 drain twin. */

@@ -67,8 +67,23 @@ object StreamingKsDrift {
   def report(spark: SparkSession, cellsDir: String,
              keyCols: Seq[String]): Option[DataFrame] =
     Populate.readIfExists(spark, cellsDir).map { cells =>
-      Checks.ksFromCells(
-        cells.select((keyCols.map(col) :+ col("__v") :+ col("__k1") :+
-          col("__k2")): _*), keyCols)
+      Checks.ksFromCells(cellCols(cells, keyCols), keyCols)
     }
+
+  /** The drained PSI/binned report — the SAME cell store, a second
+    * derived report (`Checks.binnedDriftFromCells`): baseline quantile
+    * cuts and both-side bin counts straight off the merged cells. The
+    * store carries no nulls, so there is no −1 bin here; on null-free
+    * input this equals the one-shot `Checks.binnedDrift` row-for-row.
+    */
+  def reportBinned(spark: SparkSession, cellsDir: String,
+                   keyCols: Seq[String], nBins: Int): Option[DataFrame] =
+    Populate.readIfExists(spark, cellsDir).map { cells =>
+      Checks.binnedDriftFromCells(cellCols(cells, keyCols), keyCols, nBins)
+    }
+
+  private def cellCols(cells: org.apache.spark.sql.DataFrame,
+                       keyCols: Seq[String]) =
+    cells.select((keyCols.map(col) :+ col("__v") :+ col("__k1") :+
+      col("__k2")): _*)
 }

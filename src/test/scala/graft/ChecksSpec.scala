@@ -221,6 +221,25 @@ class ChecksSpec extends SparkSpec {
     }
   }
 
+  test("binnedDriftFromCells equals binnedDrift on null-free data (weighted rank replay)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    // heavy ties so the weighted-rank path actually differs from a
+    // naive distinct-value rank
+    val rows = Seq.tabulate(400) { i =>
+      (s"g${i % 2}", rng.nextInt(9).toLong, rng.nextBoolean())
+    }
+    val df = rows.toDF("k", "v", "base")
+    val cells = df.groupBy(col("k"), col("v").as("__v"))
+      .agg(sum(when(col("base"), 1L).otherwise(0L)).as("__k1"),
+        sum(when(col("base"), 0L).otherwise(1L)).as("__k2"))
+    val a = Checks.binnedDrift(df, Seq("k"), "v", "base", nBins = 4)
+      .orderBy("k", "bin").collect().map(_.toSeq).toSeq
+    val b = Checks.binnedDriftFromCells(cells, Seq("k"), nBins = 4)
+      .orderBy("k", "bin").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("ksDrift excludes NULL values from both samples (engines disagree on null order)") {
     import spark.implicits._
     val withNulls = Seq(

@@ -46,6 +46,14 @@ class StreamingKsDriftSpec extends SparkSpec {
       "v", "base")
     assert(sorted(drained) == sorted(oneShot))
     assert(sorted(drained).nonEmpty)
+    // the SAME store's second derived report: drained binned == one-shot
+    val binnedDrained = StreamingKsDrift.reportBinned(spark, cells,
+        Seq("k"), nBins = 4).get
+      .orderBy("k", "bin").collect().map(_.toSeq).toSeq
+    val binnedOneShot = graft.operators.Checks.binnedDrift(
+        all.toDF("k", "v", "base"), Seq("k"), "v", "base", nBins = 4)
+      .orderBy("k", "bin").collect().map(_.toSeq).toSeq
+    assert(binnedDrained == binnedOneShot)
   }
 
   test("a replay through a FRESH checkpoint is a keyed no-op (file-keyed cells)") {
