@@ -1311,9 +1311,11 @@ object SystemQueries {
         .toString + "/fixture.mp4"
       val tracks = Seq(
         Mp4.TrackSpec(1, 90000L, 3750L,
-          Array.tabulate(24)(i => 20 + ((7 * i + 3) % 13)), 5),
+          Array.tabulate(24)(i => 20 + ((7 * i + 3) % 13)), 5,
+          syncEvery = 6), // stss present: keyframe every 6th sample
         Mp4.TrackSpec(2, 90000L, 5625L,
           Array.tabulate(16)(i => 20 + ((7 * i + 6) % 13)), 6))
+        // track 2: syncEvery 1 -> stss OMITTED -> all samples sync
       Mp4.build(path, tracks,
         (t, i, k) => ((i * 31 + k * 7 + t * 11) % 256).toByte)
       import s.implicits._
@@ -1331,13 +1333,13 @@ object SystemQueries {
           "payload_weight")
       Mp4.sampleTable(s, path)
         .select(col("track_id"), col("sample_index"),
-          col("size").as("meta_bytes"))
+          col("size").as("meta_bytes"), col("is_sync"))
         .join(payloads, Seq("track_id", "sample_index"))
         .filter(col("meta_bytes") === col("n_bytes")) // table ≡ payload
         .select(col("track_id").cast("long").as("track_id"),
           col("sample_index").cast("long").as("sample_index"),
           col("dts_ticks"), col("n_bytes").cast("long").as("n_bytes"),
-          col("payload_weight"))
+          col("is_sync"), col("payload_weight"))
         .orderBy("track_id", "sample_index")
     })
   )
@@ -1833,6 +1835,7 @@ object SystemQueries {
          CAST(idx AS BIGINT) AS sample_index,
          CAST(idx * delta AS BIGINT) AS dts_ticks,
          CAST(sz AS BIGINT) AS n_bytes,
+         CASE WHEN t = 1 THEN idx % 6 = 0 ELSE TRUE END AS is_sync,
          pw AS payload_weight
        FROM w ORDER BY track_id, sample_index""",
 

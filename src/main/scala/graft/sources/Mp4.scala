@@ -33,21 +33,31 @@ object Mp4 {
 
   /** Builder track spec: constant decode delta, per-sample sizes,
     * constant samples-per-chunk (the final chunk takes the remainder).
+    * `syncEvery = 1` means every sample is a sync point and the stss box
+    * is OMITTED — the spec's convention (no stss ⇒ all samples sync),
+    * which real all-intra files use.
     */
   case class TrackSpec(trackId: Int, timescale: Long, delta: Long,
-                       sizes: Array[Int], samplesPerChunk: Int) {
+                       sizes: Array[Int], samplesPerChunk: Int,
+                       syncEvery: Int = 1) {
     require(trackId > 0 && timescale > 0 && delta > 0 &&
-      samplesPerChunk > 0 && sizes.nonEmpty, "degenerate track spec")
+      samplesPerChunk > 0 && sizes.nonEmpty && syncEvery > 0,
+      "degenerate track spec")
   }
 
-  /** One sample's location and timing, fully resolved. */
+  /** One sample's location and timing, fully resolved. `sync` = decode
+    * can START here (stss membership; everything sync when stss absent).
+    */
   case class SampleMeta(trackId: Int, index: Int, dts: Long, offset: Long,
-                        size: Int)
+                        size: Int, sync: Boolean)
 
-  /** A track's raw stbl tables as parsed. */
+  /** A track's raw stbl tables as parsed. `stss` is the 1-BASED sync
+    * sample list, None when the box is absent (⇒ all samples sync).
+    */
   case class TrackTables(trackId: Int, timescale: Long,
                          stts: Array[(Long, Long)], sizes: Array[Int],
-                         stsc: Array[(Long, Long)], stco: Array[Long])
+                         stsc: Array[(Long, Long)], stco: Array[Long],
+                         stss: Option[Array[Long]])
 
   // ---- builder (fixture writer twin — the AviMjpeg.build discipline) ----
 
@@ -91,7 +101,14 @@ object Mp4 {
       concat(t.sizes.map(s => be32(s.toLong)): _*)))
     val stco = fullBox("stco", concat(be32(chunkOffsets.length.toLong),
       concat(chunkOffsets.map(be32): _*)))
-    val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco))
+    val syncSamples = // 1-based, every syncEvery-th starting at sample 1
+      (0 until t.sizes.length).filter(_ % t.syncEvery == 0)
+        .map(i => (i + 1).toLong)
+    val stss =
+      if (t.syncEvery == 1) Array.emptyByteArray // all sync: omit stss
+      else fullBox("stss", concat(be32(syncSamples.length.toLong),
+        concat(syncSamples.map(be32): _*)))
+    val stbl = box("stbl", concat(stsd, stts, stsc, stsz, stco, stss))
     val minf = box("minf", stbl)
     val mdia = box("mdia", concat(mdhd, hdlr, minf))
     box("trak", concat(tkhd, mdia))
@@ -216,8 +233,27 @@ object Mp4 {
         val coAt = full("stco")
         val stco = Array.tabulate(u32(fileBytes, coAt).toInt)(i =>
           u32(fileBytes, coAt + 4 + 4 * i))
-        TrackTables(trackId, timescale, stts, sizes, stsc, stco)
+        val stss = children(fileBytes, sbFrom, sbUntil)
+          .find(_._1 == "stss").map { case (_, from, _) =>
+            val at = from + 4
+            Array.tabulate(u32(fileBytes, at).toInt)(i =>
+              u32(fileBytes, at + 4 + 4 * i))
+          }
+        TrackTables(trackId, timescale, stts, sizes, stsc, stco, stss)
       }
+  }
+
+  /** The sync sample (keyframe) a decode targeting `fromIndex` must
+    * actually START at: the largest sync index ≤ fromIndex (0 when the
+    * track has no sync point at or before it — a malformed but seen-in-
+    * the-wild shape; decode from the top). stss absent ⇒ every sample
+    * is sync ⇒ the snap is the identity.
+    */
+  def snapToSync(t: TrackTables, fromIndex: Int): Int = t.stss match {
+    case None => fromIndex
+    case Some(ss) =>
+      ss.filter(_ - 1 <= fromIndex).lastOption.map(v => (v - 1).toInt)
+        .getOrElse(0)
   }
 
   /** Resolve a track's tables to per-sample metadata (pure arithmetic:
@@ -234,6 +270,7 @@ object Mp4 {
     val deltas = t.stts.flatMap { case (n, d) => Seq.fill(n.toInt)(d) }
     require(deltas.length == t.sizes.length,
       s"stts covers ${deltas.length} samples, stsz has ${t.sizes.length}")
+    val syncSet = t.stss.map(_.map(v => (v - 1).toInt).toSet)
     val out = Seq.newBuilder[SampleMeta]
     var sample = 0
     var dts = 0L
@@ -245,7 +282,8 @@ object Mp4 {
       val inChunk = math.min(perChunk(chunk), t.sizes.length - sample)
       var j = 0
       while (j < inChunk) {
-        out += SampleMeta(t.trackId, sample, dts, off, t.sizes(sample))
+        out += SampleMeta(t.trackId, sample, dts, off, t.sizes(sample),
+          syncSet.forall(_.contains(sample)))
         off += t.sizes(sample)
         dts += deltas(sample)
         sample += 1
@@ -275,9 +313,9 @@ object Mp4 {
     val tables = parseTables(readAll(spark, path))
     val metas = tables.flatMap(t =>
       resolve(t).map(m => (m.trackId, m.index, m.dts, t.timescale,
-        m.offset, m.size)))
+        m.offset, m.size, m.sync)))
     spark.createDataset(metas).toDF("track_id", "sample_index",
-      "dts_ticks", "timescale", "offset", "size")
+      "dts_ticks", "timescale", "offset", "size", "is_sync")
   }
 
   /** Sample payloads for an index range (both ends inclusive) — the
@@ -287,15 +325,19 @@ object Mp4 {
     * documented stub — there is no JDK H.264 decoder).
     */
   def readSamples(spark: SparkSession, path: String, trackId: Int,
-                  fromIndex: Int, toIndex: Int): DataFrame = {
+                  fromIndex: Int, toIndex: Int,
+                  fromSync: Boolean = false): DataFrame = {
     import spark.implicits._
     require(fromIndex <= toIndex, "empty sample range")
     val tables = parseTables(readAll(spark, path))
     val track = tables.find(_.trackId == trackId)
       .getOrElse(throw new IllegalArgumentException(
         s"track $trackId not present"))
+    // fromSync: a codec can only START at a sync sample, so a real
+    // frame-slice read widens back to the previous keyframe (stss)
+    val lo = if (fromSync) snapToSync(track, fromIndex) else fromIndex
     val wanted = resolve(track)
-      .filter(m => m.index >= fromIndex && m.index <= toIndex)
+      .filter(m => m.index >= lo && m.index <= toIndex)
     val conf = new SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
     spark.createDataset(wanted.map(m =>

@@ -96,6 +96,40 @@ class Mp4Spec extends SparkSpec {
       Array.tabulate(24)(size1).toSeq)
   }
 
+  test("stss: sync flags, seek snap, and the absent-box all-sync default") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mp4-ss")
+      .toString + "/s.mp4"
+    Mp4.build(path, Seq(
+      Mp4.TrackSpec(1, 90000L, 3750L, Array.tabulate(14)(size1), 4,
+        syncEvery = 3),
+      Mp4.TrackSpec(2, 90000L, 5625L, Array.tabulate(6)(size2), 6)),
+      payload)
+    val table = Mp4.sampleTable(spark, path)
+      .orderBy("track_id", "sample_index").collect()
+    table.filter(_.getInt(0) == 1).foreach { r =>
+      assert(r.getBoolean(6) == (r.getInt(1) % 3 == 0),
+        s"sync flag at ${r.getInt(1)}")
+    }
+    // track 2 wrote NO stss -> every sample sync (the spec's default)
+    assert(table.filter(_.getInt(0) == 2).forall(_.getBoolean(6)))
+    // seek semantics: a read from sample 7 must widen to keyframe 6
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    val t1 = Mp4.parseTables(bytes).find(_.trackId == 1).get
+    assert(Mp4.snapToSync(t1, 7) == 6 && Mp4.snapToSync(t1, 6) == 6 &&
+      Mp4.snapToSync(t1, 2) == 0)
+    val widened = Mp4.readSamples(spark, path, 1, 7, 10, fromSync = true)
+      .orderBy("sample_index").collect().map(_.getInt(1))
+    assert(widened.toSeq == (6 to 10).toSeq)
+    val exact = Mp4.readSamples(spark, path, 1, 7, 10)
+      .collect().map(_.getInt(1)).sorted
+    assert(exact.toSeq == (7 to 10).toSeq)
+  }
+
   test("corrupt containers fail loudly, not silently") {
     val path = fixture()
     val p = new org.apache.hadoop.fs.Path(path)
