@@ -23,6 +23,23 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // MEASUREMENT FIX (optimization r12, guide §1/§5): several queries cut
+    // multi-consumer intermediates with cache()/localCheckpoint INSIDE their
+    // own plan. CacheManager holds cached plans by strong reference, so
+    // without an explicit release every such block outlives its query and
+    // the battery accumulates dead storage blocks — later queries then run
+    // under artificial memory pressure from earlier ones' leftovers
+    // (measured: q175 58.3 s in-battery vs 20.9 s isolated on the same
+    // host; the r11 artifact's own probe drift start→end showed the same
+    // contamination). Each query is billed its own cache fills (they run
+    // inside the timed window); the release runs BETWEEN windows, so no
+    // query's time includes another's cleanup. Per-query isolation, not a
+    // result cache — nothing survives into the next timed region.
+    def releaseLeftovers(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     // Warmup: JVM + codegen + parquet footer caches. A warmup failure is
     // tolerable (the timed loop will surface it); a timed-loop failure is NOT
     // hidden — it records -1 and a nonzero exit, never a near-zero "win".
@@ -92,6 +109,7 @@ object Bench {
     val timings = (0 until repeat).map { pass =>
       val order = new scala.util.Random(42L + pass).shuffle(names)
       val passTimes = order.map { name =>
+        releaseLeftovers() // outside the timed window (see above)
         val t0 = System.nanoTime()
         try {
           run(selected(name))

@@ -1164,12 +1164,19 @@ object PipelineQueries {
       val flagged = truth
         .join(cands.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
         .withColumn("__hit", coalesce(col("__hit"), lit(0)))
+      // the per-bucket table is ≤ 11 rows — cut it so the global totals
+      // below read IT rather than re-running the truth+flag subtree (the
+      // uncapped PPJoin at t=30 is the query's whole cost: measured twice
+      // as two 13 s / 57 s-CPU / 1.3 GB-spill stages, guide §1.2 "don't
+      // compute things twice"); total_hit ≡ Σ n_hit over the buckets
+      // because every flagged row lands in exactly one bucket
       val byBucket = flagged.groupBy("bucket_pct")
         .agg(count(lit(1)).as("n_truth"),
           sum(col("__hit")).cast("long").as("n_hit"))
+        .localCheckpoint(true)
       val candTotal = cands.agg(count(lit(1)).as("total_cand"))
-      val hitTotal = flagged
-        .agg(sum(col("__hit")).cast("long").as("total_hit"))
+      val hitTotal = byBucket
+        .agg(sum(col("n_hit")).cast("long").as("total_hit"))
       byBucket.crossJoin(broadcast(candTotal)).crossJoin(broadcast(hitTotal))
         .select(col("bucket_pct"), col("n_truth"), col("n_hit"),
           expr("(1000000L * n_hit) div n_truth").as("recall_micro"),
