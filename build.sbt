@@ -31,4 +31,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // desynchronize SQL normalizeForDedup from its Locale.ROOT JVM twin.
   "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_LOCAL_DIR").map(d => s"-Dspark.local.dir=$d").toSeq ++ sys.env.get("SPARK_GRAFT_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

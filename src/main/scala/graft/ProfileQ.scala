@@ -25,7 +25,8 @@ object ProfileQ {
 
     final case class St(id: Int, ms: Long, cpuMs: Long, tasks: Int,
                         shufRead: Long, shufWrite: Long, input: Long,
-                        spill: Long, name: String)
+                        spill: Long, name: String, runMs: Long = 0,
+                        deserMs: Long = 0, gcMs: Long = 0)
     val stages = scala.collection.concurrent.TrieMap.empty[Int, St]
     val jobSpans = scala.collection.concurrent.TrieMap.empty[Int, (Long, Long, String)]
     val starts = scala.collection.concurrent.TrieMap.empty[Int, (Long, String)]
@@ -51,7 +52,8 @@ object ProfileQ {
           stages(si.stageId) = St(si.stageId, ms, m.executorCpuTime / 1000000,
             si.numTasks, m.shuffleReadMetrics.totalBytesRead,
             m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead,
-            m.memoryBytesSpilled, si.name.takeWhile(_ != '\n').take(90))
+            m.memoryBytesSpilled, si.name.takeWhile(_ != '\n').take(90),
+            m.executorRunTime, m.executorDeserializeTime, m.jvmGCTime)
         }
     })
 
@@ -67,12 +69,24 @@ object ProfileQ {
       val wall = (System.nanoTime() - t0) / 1e9
       collecting = false
       Thread.sleep(300)
-      println(f"== $name run $r: wall $wall%.2f s, ${jobSpans.size} jobs, ${stages.size} stages ==")
+      // union of job spans vs wall: the uncovered remainder is driver-side
+      // work (Catalyst analysis/optimization, FS metadata, codegen) — the
+      // drain twins spawn ~100 actions per query, so this split decides
+      // whether to attack task time or action count (guide §7.3)
+      val spans = jobSpans.values.toSeq.map { case (a, b, _) => (a, b) }
+        .sortBy(_._1)
+      val covered = spans.foldLeft((0L, 0L)) { case ((acc, hi), (a, b)) =>
+        val lo = math.max(a, hi); (acc + math.max(0L, b - lo), math.max(hi, b))
+      }._1
+      println(f"== $name run $r: wall $wall%.2f s, ${jobSpans.size} jobs, " +
+        f"${stages.size} stages, job-covered ${covered / 1000.0}%.2f s, " +
+        f"driver-gap ${wall - covered / 1000.0}%.2f s ==")
       def mb(b: Long) = f"${b / 1048576.0}%.1f"
       stages.values.toSeq.sortBy(-_.ms).take(25).foreach { s =>
-        println(f"  stage ${s.id}%4d ${s.ms}%6d ms cpu ${s.cpuMs}%6d ms " +
-          f"tasks ${s.tasks}%3d in ${mb(s.input)}%8s sr ${mb(s.shufRead)}%8s " +
-          f"sw ${mb(s.shufWrite)}%8s spill ${mb(s.spill)}%6s  ${s.name}")
+        println(f"  stage ${s.id}%4d ${s.ms}%6d ms cpu ${s.cpuMs}%6d run ${s.runMs}%6d " +
+          f"deser ${s.deserMs}%5d gc ${s.gcMs}%4d tasks ${s.tasks}%3d " +
+          f"in ${mb(s.input)}%7s sr ${mb(s.shufRead)}%7s " +
+          f"sw ${mb(s.shufWrite)}%7s spill ${mb(s.spill)}%6s  ${s.name}")
       }
       val jobs = jobSpans.toSeq.sortBy { case (_, (a, b, _)) => a - b }.take(12)
       jobs.foreach { case (id, (a, b, site)) =>

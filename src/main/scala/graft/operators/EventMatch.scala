@@ -73,6 +73,45 @@ object EventMatch {
         "agreement_permille")
   }
 
+  /** [[mutualBestMatch]]'s rule on collected matrix rows
+    * `(unit_a, unit_b, agreement_permille)` — the driver twin used by the
+    * size-guarded fast path in [[propagateGlobalIds]] and
+    * [[graft.streaming.StreamingUnitMatch]]: `minBy (score desc, partner
+    * asc)` per side is exactly `row_number() == 1` under the same order.
+    */
+  private[graft] def mutualBestLocal(rows: Seq[(Long, Long, Long)],
+                                     minPermille: Long): Seq[(Long, Long)] = {
+    val f = rows.filter(_._3 >= minPermille)
+    val bestA = f.groupBy(_._1).map { case (a, g) =>
+      a -> g.minBy(t => (-t._3, t._2))._2 }
+    val bestB = f.groupBy(_._2).map { case (b, g) =>
+      b -> g.minBy(t => (-t._3, t._1))._1 }
+    f.collect { case (a, b, _) if bestA(a) == b && bestB(b) == a => (a, b) }
+  }
+
+  /** The guarded collect behind the fast path: the POST-AGGREGATION
+    * agreement matrix is unit-catalog² at worst (never event-scale), same
+    * boundedness class as [[graft.operators.Dedup]]'s `driverMaxEdges`
+    * fast path. Returns None when the matrix outgrows `maxRows` (caller
+    * falls back to the distributed assignment).
+    */
+  private[graft] def matrixLocal(matrix: DataFrame, maxRows: Int)
+      : Option[Seq[(Long, Long, Long)]] = {
+    val rows = matrix
+      .select(col("unit_a"), col("unit_b"), col("agreement_permille"))
+      .limit(maxRows + 1).collect()
+    if (rows.length > maxRows) None
+    else Some(rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  /** Distinct unit ids of one block, guarded like [[matrixLocal]]. */
+  private[graft] def unitsLocal(block: DataFrame, unitCol: String,
+                                maxRows: Int): Option[Seq[Long]] = {
+    val rows = block.select(col(unitCol).cast("long").as("u")).distinct()
+      .limit(maxRows + 1).collect()
+    if (rows.length > maxRows) None else Some(rows.toSeq.map(_.getLong(0)))
+  }
+
   /** Mutual-best assignment over an [[agreementMatrix]]: a pair survives
     * iff it is unit_a's best AND unit_b's best (score desc, smaller
     * partner id on ties) and scores ≥ `minPermille`. Output:
@@ -107,8 +146,85 @@ object EventMatch {
     */
   def propagateGlobalIds(blocks: Seq[DataFrame], unitCol: String,
                          usCol: String, deltaUs: Long,
-                         minPermille: Long): DataFrame = {
+                         minPermille: Long,
+                         driverMaxRows: Int = 1 << 20): DataFrame = {
     require(blocks.nonEmpty, "need at least one block")
+    val spark = blocks.head.sparkSession
+    // FAST PATH (optimization r12, guide §1.2): everything AFTER the
+    // distributed agreement aggregate is unit-catalog scale — the matrix is
+    // ≤ |units|² rows and each block's assignment is |units| rows — yet the
+    // distributed formulation paid ~10 shuffle stages (2 argmax windows,
+    // 3 joins, a range-partitioned id mint, 2 lineage cuts) PER BLOCK on
+    // catalog-sized tables (q253 measured 92 jobs / 14 s-class walls).
+    // Collect the matrix and unit set per block (guarded, the
+    // Dedup.driverMaxEdges discipline), assign on the driver with the
+    // IDENTICAL mutual-best + dense-mint rules, and return one local
+    // relation: one distributed aggregate per block, events never leave
+    // the cluster path. Falls back to the distributed loop when any
+    // block outgrows the guard.
+    val fast = propagateLocal(blocks, unitCol, usCol, deltaUs, minPermille,
+      driverMaxRows)
+    fast match {
+      case Some(rows) =>
+        spark.createDataFrame(rows).toDF("block", "unit", "global_unit")
+      case None =>
+        propagateDistributed(blocks, unitCol, usCol, deltaUs, minPermille)
+    }
+  }
+
+  /** Driver-side propagation (see [[propagateGlobalIds]]); None when any
+    * block's matrix or unit catalog outgrows `driverMaxRows`.
+    */
+  private def propagateLocal(blocks: Seq[DataFrame], unitCol: String,
+                             usCol: String, deltaUs: Long, minPermille: Long,
+                             driverMaxRows: Int)
+      : Option[Seq[(Long, Long, Long)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var prevAssign = Map.empty[Long, Long]
+    var maxId = Long.MinValue
+    var i = 0
+    while (i < blocks.length) {
+      val cur = blocks(i)
+      val assign: Map[Long, Long] =
+        if (i == 0) {
+          // seed block: identity ids (the reference seeds identity too)
+          unitsLocal(cur, unitCol, driverMaxRows) match {
+            case None => return None
+            case Some(us) => us.map(u => u -> u).toMap
+          }
+        } else {
+          val matrix = matrixLocal(
+            agreementMatrix(cur, blocks(i - 1), unitCol, usCol, deltaUs),
+            driverMaxRows) match {
+            case None => return None
+            case Some(m) => m
+          }
+          val curUnits = unitsLocal(cur, unitCol, driverMaxRows) match {
+            case None => return None
+            case Some(us) => us
+          }
+          // matched units inherit the PREVIOUS block's global id; the
+          // rest mint dense ids above the running max, ordered by unit id
+          // (assignDenseIds' order), exactly the distributed rules
+          val inherited = mutualBestLocal(matrix, minPermille)
+            .flatMap { case (u, pu) => prevAssign.get(pu).map(u -> _) }
+            .toMap
+          val freshUnits = curUnits.filterNot(inherited.contains).sorted
+          inherited ++ freshUnits.zipWithIndex
+            .map { case (u, r) => u -> (maxId + 1L + r) }
+        }
+      assign.foreach { case (u, g) => out += ((i.toLong, u, g)) }
+      if (assign.nonEmpty)
+        maxId = math.max(maxId, assign.valuesIterator.max)
+      prevAssign = assign
+      i += 1
+    }
+    Some(out.toSeq)
+  }
+
+  private def propagateDistributed(blocks: Seq[DataFrame], unitCol: String,
+                                   usCol: String, deltaUs: Long,
+                                   minPermille: Long): DataFrame = {
     val spark = blocks.head.sparkSession
     import spark.implicits._
     // seed: unit ids become global ids (the reference seeds identity too)

@@ -87,12 +87,23 @@ object Populate {
       case Some(e) => result.join(e.select(pk.map(col): _*).distinct(), pk, "left_anti")
       case None    => result
     }
-    val cached = fresh.cache()
-    try {
-      val n = cached.count()
-      if (n > 0) cached.write.mode(SaveMode.Append).parquet(tablePath)
-      n
-    } finally cached.unpersist()
+    // single pass: the row count rides the write itself (Observation) —
+    // the previous cache+count+write shape spent an extra job plus a cache
+    // round-trip per call, and the streaming drains pay this 2× per wave.
+    // An all-duplicate batch now appends zero-row part files instead of
+    // skipping the write; readers are unaffected (and a table that did not
+    // exist before is removed again so "nothing written" still leaves no
+    // table behind).
+    val obs = org.apache.spark.sql.Observation()
+    fresh.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(tablePath)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0 && existing.isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(tablePath)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    n
   }
 
   /** Crash-safe FULL REPLACEMENT of a parquet table (the compact-snapshot

@@ -77,11 +77,12 @@ object StreamingDedup {
         // bucket the batch once per derivation; both consumers (candidates
         // + index append) reuse the materialization
         val cached = buckets.cache()
+        var cands: DataFrame = null
         try {
           val index = Populate.readIfExists(spark, indexDir)
             .getOrElse(cached.limit(0)) // first batch: new-vs-new only
           val raw = Dedup.incrementalCandidates(cached, index, idCol)
-          val cands = verify match {
+          val cands0 = verify match {
             case None => raw
             case Some((shinglesDir, minJaccard)) =>
               import org.apache.spark.sql.functions._
@@ -99,6 +100,10 @@ object StreamingDedup {
                 .filter(col("jaccard") >= minJaccard)
                 .select("id_a", "id_b", "jaccard")
           }
+          // two consumers per wave (the candidate append + the CC edge
+          // list): uncut, the verify joins against the shingle store ran
+          // twice — cache so the wave pays them once
+          cands = cands0.cache()
           Populate.appendIdempotent(cands, candidatesDir, Seq("id_a", "id_b"))
           Populate.appendIdempotent(cached, indexDir, Seq(idCol, "band"))
           clustersDir.foreach { dir =>
@@ -113,7 +118,10 @@ object StreamingDedup {
             // on disk — a crashed batch never destroys the table
             Populate.replaceAtomic(merged, dir)
           }
-        } finally cached.unpersist()
+        } finally {
+          cached.unpersist()
+          if (cands != null) cands.unpersist()
+        }
         ()
       }
       .start()

@@ -58,7 +58,11 @@ object StreamingResample {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // three downstream actions re-derive the collapsed batch (the grid
+        // append, the carried-keys union inside it, and the state append):
+        // cut it once per wave instead of collapsing the batch three times
         val samples = Resample.collapseMicro(batch, keyCol, tsCol, valueCol)
+          .localCheckpoint(true)
         val state = Populate.readIfExists(spark, stateDir)
           .map(latestPerKey)
         val (kept, withState) = state match {

@@ -34,6 +34,11 @@ import graft.operators.{EventMatch, Populate}
   */
 object StreamingUnitMatch {
 
+  /** Guard for the driver-side assignment collects (the
+    * Dedup.driverMaxEdges discipline): unit catalogs and the
+    * post-aggregation agreement matrix, never event rows. */
+  private val DriverMaxRows: Int = 1 << 20
+
   def drain(spark: SparkSession, sourceDir: String, trainsDir: String,
             assignmentsDir: String, checkpointDir: String,
             blockCol: String, unitCol: String, usCol: String,
@@ -73,50 +78,63 @@ object StreamingUnitMatch {
             .collect().toSet // block catalog — bounded driver state
         }
         val newBlocks = waveBlocks.toSet.diff(doneBlocks).toSeq.sorted
+        // per-block assignment runs ON THE DRIVER (the propagateGlobalIds
+        // fast path, optimization r12): the assignment table and the
+        // post-aggregation agreement matrix are unit-catalog scale by this
+        // drain's own contract, so only the agreement AGGREGATE stays a
+        // cluster job — the mutual-best windows, inherit join and dense
+        // mint were ~8 shuffle stages per block on catalog-sized tables.
+        // Rules are byte-identical (EventMatch.mutualBestLocal + sorted
+        // dense mint above the running max).
         newBlocks.foreach { blk =>
           val cur = spark.read.parquet(blockDir(blk)).select("unit", "us")
+          val curUnits = EventMatch.unitsLocal(cur, "unit", DriverMaxRows)
+            .getOrElse(throw new IllegalStateException(
+              s"block $blk unit catalog outgrew $DriverMaxRows rows — " +
+                "not catalog-scale; use EventMatch.propagateGlobalIds"))
           val assignedNow = Populate.readIfExists(spark, assignmentsDir)
-          val assignment = assignedNow match {
+          val assignment: Seq[(Long, Long, Long)] = assignedNow match {
             case None =>
               // first assignment = the seed block (identity ids, like
               // propagateGlobalIds); newBlocks is sorted, so this is the
               // smallest block the stream has delivered — the landing
               // contract makes that the true seed
-              cur.select(col("unit")).distinct()
-                .select(lit(blk).as("block"), col("unit"),
-                  col("unit").as("global_unit"))
+              curUnits.map(u => (blk, u, u))
             case Some(assigned) =>
               val prevBlk = blk - 1
-              val prevAssigned = assigned
-                .filter(col("block") === prevBlk)
-                .select(col("unit").as("prev_unit"), col("global_unit"))
-              require(prevAssigned.limit(1).count() > 0,
+              // one bounded collect per block: the assignment catalog
+              val allAssigned = assigned
+                .select(col("block").cast("long"), col("unit").cast("long"),
+                  col("global_unit").cast("long"))
+                .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+              val prevAssign = allAssigned
+                .collect { case (b, u, g) if b == prevBlk => u -> g }.toMap
+              require(prevAssign.nonEmpty,
                 s"block $blk drained before its predecessor $prevBlk was " +
                   "assigned — blocks must land in order (the reference's " +
                   "seed-first frontier guard)")
               val prev = spark.read.parquet(blockDir(prevBlk))
                 .select("unit", "us")
-              val matches = EventMatch.mutualBestMatch(
+              val matrix = EventMatch.matrixLocal(
                 EventMatch.agreementMatrix(cur, prev, "unit", "us", deltaUs),
-                minPermille)
-                .select(col("unit_a").as("unit"),
-                  col("unit_b").as("prev_unit"))
-              val inherited = matches
-                .join(prevAssigned, Seq("prev_unit"))
-                .select(col("unit"), col("global_unit"))
-              val maxId = assigned.agg(max(col("global_unit"))).as[Long]
-                .head() // one bounded driver long per block
-              val fresh = graft.sources.Layout.assignDenseIds(
-                  cur.select("unit").distinct()
-                    .join(inherited.select("unit"), Seq("unit"), "left_anti"),
-                  Seq("unit"), numRanges = 4)
-                .select(col("unit"),
-                  (col("row_id") + maxId + 1L).as("global_unit"))
-              inherited.unionByName(fresh)
-                .select(lit(blk).as("block"), col("unit"), col("global_unit"))
+                DriverMaxRows)
+                .getOrElse(throw new IllegalStateException(
+                  s"block $blk agreement matrix outgrew $DriverMaxRows " +
+                    "rows — not catalog-scale; use " +
+                    "EventMatch.propagateGlobalIds"))
+              val inherited = EventMatch.mutualBestLocal(matrix, minPermille)
+                .flatMap { case (u, pu) => prevAssign.get(pu).map(u -> _) }
+                .toMap
+              val maxId = allAssigned.map(_._3).max
+              val freshUnits = curUnits.filterNot(inherited.contains).sorted
+              (inherited ++ freshUnits.zipWithIndex
+                .map { case (u, r) => u -> (maxId + 1L + r) })
+                .toSeq.map { case (u, g) => (blk, u, g) }
           }
-          Populate.appendIdempotent(assignment, assignmentsDir,
-            Seq("block", "unit"))
+          Populate.appendIdempotent(
+            spark.createDataFrame(assignment)
+              .toDF("block", "unit", "global_unit"),
+            assignmentsDir, Seq("block", "unit"))
         }
         ()
       }
