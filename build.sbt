@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-contract fix (optimization r13, VERDICT r12 #2): the bench/verify
+// mains print machine-read JSON lines, but sbt's default LoggedOutput
+// strategy prefixes every forked-process line with "[info] " — the driver's
+// parser has returned `parsed: null` for 12 straight rounds even when the
+// full JSON line sat inside its capture window (BENCH_r01). StdoutOutput
+// passes the child's stdout through verbatim; showSuccess drops the
+// trailing "[success] Total time" line so the final stdout line IS the
+// bench's JSON object.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -130,9 +130,13 @@ object Bench {
       val warm = if (ok.isEmpty) -1.0 else ok.min
       name -> (cold, warm)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
+    // 3-decimal seconds (VERDICT r12 #2): full double repr ran the line to
+    // ~16 KB at 248 queries; ms precision is below this harness's noise
+    // floor and halves the artifact line.
+    def sec(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v._1) }
       .mkString("{", ",", "}")
-    val qsWarm = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
+    val qsWarm = results.map { case (k, v) => "\"" + k + "\":" + sec(v._2) }
       .mkString("{", ",", "}")
     val errs = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
@@ -150,27 +154,27 @@ object Bench {
     val hostFactor = sortedProbes.head / ProbeIdleRefSec
     val hostFactorMed = probeMedian / ProbeIdleRefSec
     val probesJson = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_warm":$qsWarm,"total_warm":$totalWarm,""" +
-      s""""errors":$errs,"overhead_sec_per_query":$overhead,""" +
+    // Compact human summary FIRST (totals, probes, slowest-10 warm) …
+    val slow = results.filter(_._2._2 >= 0).sortBy(-_._2._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"${v._2}%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"total_warm":${sec(totalWarm)},""" +
+      f""""host_factor":$hostFactor%.2f,"probe_sec":$probesJson,""" +
+      s""""errors":$errs,"slowest_warm":$slow,"sf":"$sfDir"}""")
+    // … and the CONTRACT line — the ONE JSON object with the per-query
+    // seconds map — printed LAST (VERDICT r12 #2: the driver's tail capture
+    // keeps the END of stdout, and its parser has shown `parsed: null`
+    // whenever the per-query line was not the final, prefix-free line).
+    // Paired with build.sbt's StdoutOutput + showSuccess := false, this line
+    // is the last thing the sbt invocation emits, verbatim.
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,""" +
+      s""""queries_warm":$qsWarm,"total_warm":${sec(totalWarm)},""" +
+      s""""errors":$errs,"overhead_sec_per_query":${sec(overhead)},""" +
       f""""probe_sec":$probesJson,"probe_idle_ref_sec":$ProbeIdleRefSec,""" +
       f""""host_factor":$hostFactor%.2f,"host_factor_med":$hostFactorMed%.2f,""" +
       (if (hostFactor > 1.3) """"host_contended":true,""" else "") +
       s""""sf":"$sfDir"}""")
-    // Compact summary, printed LAST: the full line above runs ~16 KB at a
-    // 200-query battery and every round's recorded artifact (BENCH_r07–r10)
-    // shows the capture keeps only a 2000-char tail — the full JSON has
-    // never parsed (`parsed: null` in all of them). This line is
-    // self-contained, well under the tail window, and carries what a judge
-    // needs to read the round without re-measuring: totals, the
-    // calibration probes, and the slowest-10 warm queries.
-    val slow = results.filter(_._2._2 >= 0).sortBy(-_._2._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + f"${v._2}%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"total_warm":$totalWarm,""" +
-      f""""host_factor":$hostFactor%.2f,"probe_sec":$probesJson,""" +
-      s""""errors":$errs,"slowest_warm":$slow,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

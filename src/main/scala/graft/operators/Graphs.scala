@@ -16,6 +16,40 @@ object Graphs {
     * 10⁻¹² grid of the unit mass. */
   val Scale: Long = 1000000000000L
 
+  /** Guard for the driver fast paths (optimization r13, the
+    * Dedup.driverMaxEdges / EventMatch.propagateGlobalIds discipline):
+    * what is collected is always the DEDUPED edge list — catalog-scale
+    * for the similarity-graph family — never raw input rows. Every
+    * operator keeps its distributed formulation as the fallback when the
+    * edge list outgrows this. */
+  val DriverMaxEdges: Int = 1 << 20
+
+  /** Guarded collect of a two-long-column frame (a deduped edge list or a
+    * label table). None — i.e. "use the distributed path" — when the
+    * columns are not BIGINT (the distributed operators preserve narrower
+    * input id types in their output; the local twins must not widen
+    * them), when any id is null, or when the frame outgrows `maxRows`.
+    * The `limit` is unordered, which is fine: the rows are only used
+    * when NOT truncated, so which `maxRows + 1` rows surface is
+    * irrelevant (do not "fix" this into a sort).
+    */
+  private def collectedPairs(df: DataFrame, maxRows: Int)
+      : Option[Array[(Long, Long)]] = {
+    import org.apache.spark.sql.types.LongType
+    if (maxRows <= 0 || !df.schema.fields.forall(_.dataType == LongType))
+      return None
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length > maxRows) None
+    else if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  /** (count desc, label asc) argmax over neighbor labels — the driver twin
+    * of `max(struct(count, -label))`: the struct max takes the highest
+    * count, then the highest negated label = the SMALLEST label. */
+  private def bestLabel(counts: scala.collection.Map[Long, Long]): Long =
+    counts.minBy { case (lbl, cnt) => (-cnt, lbl) }._1
+
   /** Integer-arithmetic PageRank (Page et al. 1999) over a directed edge
     * list — EVERY operation is a BIGINT `div`/`+`/`*`, no floats anywhere,
     * so the trajectory is bit-exact on any engine (the stronger cousin of
@@ -40,16 +74,55 @@ object Graphs {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, dampingPct: Int = 85,
-               checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+               checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local,
+               driverMaxEdges: Int = DriverMaxEdges)
       : DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct must be in [0, 100]")
+    val dedup = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct()
+    // FAST PATH (optimization r13, guide §1.2/§5 — the q253 discipline):
+    // the deduped edge list is catalog-scale here; one guarded collect
+    // replaces O(iterations) rounds of 2 shuffles + an eager lineage cut
+    // each. The driver replays the IDENTICAL all-BIGINT arithmetic
+    // (r div deg, damping·S div 100 — positive longs, so SQL div ≡ Java /)
+    // and the expensive edge upstream runs exactly once, inside the
+    // collect. Distributed loop below is the unchanged fallback.
+    collectedPairs(dedup, driverMaxEdges) match {
+      case Some(es) =>
+        require(es.nonEmpty, "pageRank needs at least one edge")
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+        val n = nodes.length.toLong
+        val teleport = (100L - dampingPct) * Scale / (100L * n)
+        val deg = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+        var rank = nodes.map(nd => nd -> Scale / n).toMap
+        var it = 0
+        while (it < iterations) {
+          val in = scala.collection.mutable.HashMap.empty[Long, Long]
+          es.foreach { case (s, d) =>
+            in(d) = in.getOrElse(d, 0L) + rank(s) / deg(s)
+          }
+          rank = nodes.map(nd =>
+            nd -> (teleport + dampingPct * in.getOrElse(nd, 0L) / 100)).toMap
+          it += 1
+        }
+        edges.sparkSession
+          .createDataFrame(nodes.toSeq.map(nd => (nd, rank(nd))))
+          .toDF("node", "rank_fx")
+      case None =>
+        pageRankDistributed(dedup, iterations, dampingPct, checkpointer)
+    }
+  }
+
+  private def pageRankDistributed(dedup: DataFrame, iterations: Int,
+                                  dampingPct: Int,
+                                  checkpointer: Dedup.Checkpointer)
+      : DataFrame = {
     // cut: the edge list feeds the degree table and EVERY iteration's
     // contribution join — uncut, an expensive upstream (a kNN scoring
     // pass, say) re-executes once per round
-    val e = checkpointer.cut(
-      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).distinct())
+    val e = checkpointer.cut(dedup)
     val nodes = e.select(col("__s").as("node"))
       .union(e.select(col("__d").as("node"))).distinct()
     val deg = e.groupBy("__s").agg(count(lit(1)).as("__deg"))
@@ -115,16 +188,60 @@ object Graphs {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: Seq[Long], iterations: Int,
                            dampingPct: Int = 85,
-                           checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+                           checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local,
+                           driverMaxEdges: Int = DriverMaxEdges)
       : DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(dampingPct >= 0 && dampingPct <= 100,
       "dampingPct must be in [0, 100]")
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
     require(seeds.distinct.size == seeds.size, "seeds must be distinct")
-    val e = checkpointer.cut(
-      edges.select(col(srcCol).cast("long").as("__s"),
-        col(dstCol).cast("long").as("__d")).distinct())
+    val dedup = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d")).distinct()
+    // FAST PATH (optimization r13): the pageRank discipline — identical
+    // BIGINT trajectory with the teleport mass restricted to seeds, seed
+    // coverage checked as loudly as the distributed path.
+    collectedPairs(dedup, driverMaxEdges) match {
+      case Some(es) =>
+        val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+        val nodeSet = nodes.toSet
+        val seedCount = seeds.count(nodeSet.contains).toLong
+        require(seedCount == seeds.size,
+          s"personalizedPageRank: ${seeds.size - seedCount} seed(s) are not " +
+            "graph nodes — teleport mass would silently skew")
+        val ns = seeds.size.toLong
+        val seedSet = seeds.toSet
+        val teleport = (100L - dampingPct) * Scale / (100L * ns)
+        val deg = es.groupBy(_._1).map { case (s, g) => s -> g.length.toLong }
+        var rank = nodes.map(nd =>
+          nd -> (if (seedSet(nd)) Scale / ns else 0L)).toMap
+        var it = 0
+        while (it < iterations) {
+          val in = scala.collection.mutable.HashMap.empty[Long, Long]
+          es.foreach { case (s, d) =>
+            in(d) = in.getOrElse(d, 0L) + rank(s) / deg(s)
+          }
+          rank = nodes.map(nd =>
+            nd -> ((if (seedSet(nd)) teleport else 0L) +
+              dampingPct * in.getOrElse(nd, 0L) / 100)).toMap
+          it += 1
+        }
+        edges.sparkSession
+          .createDataFrame(nodes.toSeq.map(nd => (nd, rank(nd))))
+          .toDF("node", "rank_fx")
+      case None =>
+        personalizedPageRankDistributed(dedup, seeds, iterations, dampingPct,
+          checkpointer)
+    }
+  }
+
+  private def personalizedPageRankDistributed(dedup: DataFrame,
+                                              seeds: Seq[Long],
+                                              iterations: Int,
+                                              dampingPct: Int,
+                                              checkpointer: Dedup.Checkpointer)
+      : DataFrame = {
+    val e = checkpointer.cut(dedup)
     val nodes = e.select(col("__s").as("node"))
       .union(e.select(col("__d").as("node"))).distinct()
     val deg = e.groupBy("__s").agg(count(lit(1)).as("__deg"))
@@ -197,7 +314,8 @@ object Graphs {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int,
-                       checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+                       checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local,
+                       driverMaxEdges: Int = DriverMaxEdges)
       : DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     // labels are node ids negated for the tie-break aggregate; a silent
@@ -216,6 +334,37 @@ object Graphs {
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // FAST PATH (optimization r13): the synchronous rounds are pure
+    // integer counting with a pinned tie-break — the driver twin adopts,
+    // per node, the most frequent neighbor label with ties to the
+    // SMALLEST label ((count desc, label asc) ≡ max(struct(count,
+    // -label)), see [[bestLabel]]); rounds replay exactly.
+    collectedPairs(und, driverMaxEdges) match {
+      case Some(es) =>
+        val nbrs = scala.collection.mutable.HashMap
+          .empty[Long, List[Long]]
+        es.foreach { case (a, b) =>
+          nbrs(a) = b :: nbrs.getOrElse(a, Nil)
+          nbrs(b) = a :: nbrs.getOrElse(b, Nil)
+        }
+        val nodes = nbrs.keys.toArray
+        var labels = nodes.map(nd => nd -> nd).toMap
+        var it = 0
+        while (it < rounds) {
+          labels = nodes.map { nd =>
+            val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+            nbrs(nd).foreach { nb =>
+              val l = labels(nb); counts(l) = counts.getOrElse(l, 0L) + 1L
+            }
+            nd -> bestLabel(counts)
+          }.toMap
+          it += 1
+        }
+        return edges.sparkSession
+          .createDataFrame(nodes.toSeq.map(nd => (nd, labels(nd))))
+          .toDF("node", "community")
+      case None => ()
+    }
     // symmetric neighbor list: every undirected edge twice — the join side
     // each round; cut once so an expensive upstream runs once, not per round
     val nbrs = checkpointer.cut(
@@ -277,7 +426,8 @@ object Graphs {
     */
   def modularityByCommunity(edges: DataFrame, srcCol: String, dstCol: String,
                             labels: DataFrame, nodeCol: String,
-                            communityCol: String): DataFrame = {
+                            communityCol: String,
+                            driverMaxEdges: Int = DriverMaxEdges): DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -285,6 +435,45 @@ object Graphs {
       .distinct()
     val lab = labels.select(col(nodeCol).as("__n"),
       col(communityCol).as("__comm"))
+    // FAST PATH (optimization r13): per-community counting + the exact
+    // micro-grid formula, replayed on the driver. The q_micro square term
+    // runs in BigInt (the DECIMAL(38,0) twin — both floor nonnegative
+    // quotients). A label table with DUPLICATE node rows falls back: the
+    // distributed joins would multiply edges where a map cannot.
+    (collectedPairs(und, driverMaxEdges), collectedPairs(lab, driverMaxEdges)) match {
+      case (Some(es), Some(labRows))
+          if labRows.map(_._1).distinct.length == labRows.length =>
+        val comm = labRows.toMap
+        val m = es.length.toLong
+        require(m > 0, "modularity needs at least one edge")
+        val unlabeled = es.count { case (a, b) =>
+          !comm.contains(a) || !comm.contains(b) }.toLong
+        require(unlabeled == 0L,
+          s"modularityByCommunity: $unlabeled of $m edges have an endpoint " +
+            s"absent from the label table — label every graph node (labels " +
+            s"may carry extra nodes, never miss one)")
+        val internal = scala.collection.mutable.HashMap.empty[Long, Long]
+        val degSum = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (a, b) =>
+          val ca = comm(a); val cb = comm(b)
+          if (ca == cb) internal(ca) = internal.getOrElse(ca, 0L) + 1L
+          degSum(ca) = degSum.getOrElse(ca, 0L) + 1L
+          degSum(cb) = degSum.getOrElse(cb, 0L) + 1L
+        }
+        val sizes = (es.map(_._1) ++ es.map(_._2)).distinct
+          .groupBy(comm).map { case (c, g) => c -> g.length.toLong }
+        val out = sizes.toSeq.map { case (c, nNodes) =>
+          val eC = internal.getOrElse(c, 0L)
+          val dC = degSum.getOrElse(c, 0L)
+          val q = (1000000L * eC) / m -
+            ((BigInt(1000000) * dC * dC) / (BigInt(4) * m * m)).toLong
+          (c, nNodes, eC, dC, q)
+        }
+        return edges.sparkSession.createDataFrame(out)
+          .toDF("community", "n_nodes", "internal_edges", "degree_sum",
+            "q_micro")
+      case _ => ()
+    }
     // LEFT joins + a fused (m, unlabeled) aggregate: an edge endpoint missing
     // from the label table must fail loudly — inner joins would drop the edge
     // from e_c/degree_sum while m still counted it, silently skewing every
@@ -341,13 +530,40 @@ object Graphs {
     * closing equi-join, all on compact keys; every triangle is found
     * exactly once (its orientation-minimal apex).
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     driverMaxEdges: Int = DriverMaxEdges)
       : DataFrame = {
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // FAST PATH (optimization r13): exact per-node triangle counts need no
+    // tie-breaking argument — any enumeration that finds each triangle
+    // once matches. The driver twin walks each undirected edge (a, b) and
+    // counts common neighbors w > b (the canonical a < b < w triple),
+    // crediting all three corners.
+    collectedPairs(und, driverMaxEdges) match {
+      case Some(es) =>
+        val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+        es.foreach { case (a, b) =>
+          adj(a) = adj.getOrElse(a, Set.empty) + b
+          adj(b) = adj.getOrElse(b, Set.empty) + a
+        }
+        val cnt = scala.collection.mutable.HashMap.empty[Long, Long]
+        def bump(n: Long): Unit = cnt(n) = cnt.getOrElse(n, 0L) + 1L
+        es.foreach { case (a, b) =>
+          val (small, large) =
+            if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+          small.foreach { w =>
+            if (w > b && large.contains(w)) { bump(a); bump(b); bump(w) }
+          }
+        }
+        return edges.sparkSession
+          .createDataFrame(cnt.toSeq.map { case (n, c) => (n, c) })
+          .toDF("node", "n_triangles")
+      case None => ()
+    }
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -475,7 +691,8 @@ object Graphs {
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             rounds: Int,
-            checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+            checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local,
+            driverMaxEdges: Int = DriverMaxEdges)
       : DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 0, "rounds must be >= 0")
@@ -484,6 +701,33 @@ object Graphs {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // FAST PATH (optimization r13): synchronous peels are pure degree
+    // counting — no ties to break. Each round drops nodes with current
+    // degree < k, then keeps edges with both endpoints alive; the final
+    // induced degrees are the output, exactly the distributed rounds.
+    collectedPairs(und, driverMaxEdges) match {
+      case Some(es0) =>
+        var es = es0
+        var it = 0
+        while (it < rounds) {
+          val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+          es.foreach { case (a, b) =>
+            deg(a) = deg.getOrElse(a, 0L) + 1L
+            deg(b) = deg.getOrElse(b, 0L) + 1L
+          }
+          es = es.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+          it += 1
+        }
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+        return edges.sparkSession
+          .createDataFrame(deg.toSeq.map { case (n, d) => (n, d) })
+          .toDF("node", "deg")
+      case None => ()
+    }
     var sym = checkpointer.cut(
       und.select(col("a").as("node"), col("b").as("nbr"))
         .unionAll(und.select(col("b").as("node"), col("a").as("nbr"))))
@@ -538,21 +782,53 @@ object Graphs {
     * snap (nonnegative, so floor ≡ truncate on every engine).
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
-                            dstCol: String): DataFrame = {
-    // cut the upstream edge construction ONCE: und feeds the degree
-    // aggregate and all three triangle passes — without the cut an
-    // expensive edge subtree (e.g. a brute kNN) re-plans per consumer
-    // (the q176/pageRank edge-cache lesson; 26 shuffles → 4 on q210)
-    val und = edges
+                            dstCol: String,
+                            driverMaxEdges: Int = DriverMaxEdges): DataFrame = {
+    val dedup = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+    // FAST PATH (optimization r13): degrees + the triangleCounts driver
+    // twin + the nonnegative micro snap (SQL div ≡ Java / on nonnegative
+    // longs). One collect instead of the localCheckpoint + three passes.
+    collectedPairs(dedup, driverMaxEdges) match {
+      case Some(es) =>
+        val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+        es.foreach { case (a, b) =>
+          adj(a) = adj.getOrElse(a, Set.empty) + b
+          adj(b) = adj.getOrElse(b, Set.empty) + a
+        }
+        val tri = scala.collection.mutable.HashMap.empty[Long, Long]
+        def bump(n: Long): Unit = tri(n) = tri.getOrElse(n, 0L) + 1L
+        es.foreach { case (a, b) =>
+          val (small, large) =
+            if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+          small.foreach { w =>
+            if (w > b && large.contains(w)) { bump(a); bump(b); bump(w) }
+          }
+        }
+        val out = adj.toSeq.map { case (n, ns) =>
+          val d = ns.size.toLong
+          val t = tri.getOrElse(n, 0L)
+          val cc = if (d >= 2) (2000000L * t) / (d * (d - 1L)) else 0L
+          (n, d, t, cc)
+        }
+        return edges.sparkSession.createDataFrame(out)
+          .toDF("node", "deg", "n_triangles", "cc_micro")
+      case None => ()
+    }
+    // cut the upstream edge construction ONCE: und feeds the degree
+    // aggregate and all three triangle passes — without the cut an
+    // expensive edge subtree (e.g. a brute kNN) re-plans per consumer
+    // (the q176/pageRank edge-cache lesson; 26 shuffles → 4 on q210)
+    val und = dedup.localCheckpoint(true)
     val deg = und.select(col("a").as("node"))
       .unionAll(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    deg.join(triangleCounts(und, "a", "b"), Seq("node"), "left")
+    // driverMaxEdges = 0: the guard above already tripped, don't pay the
+    // probe collect a second time inside triangleCounts
+    deg.join(triangleCounts(und, "a", "b", driverMaxEdges = 0), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("deg") >= 2,
@@ -581,17 +857,49 @@ object Graphs {
     */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
              rounds: Int,
-             checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local)
+             checkpointer: Dedup.Checkpointer = Dedup.Checkpointer.Local,
+             driverMaxEdges: Int = DriverMaxEdges)
       : DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k = 2 keeps every edge)")
     require(rounds >= 1, "need at least one peel round")
-    // `release` takes the exact frame `cut` returned, so the cut and its
-    // (a, b) projection are tracked separately across rounds
-    var cutFrame = checkpointer.cut(edges
+    val dedup = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct())
+      .distinct()
+    // FAST PATH (optimization r13): per-round edge support = common
+    // neighbors within the surviving edge set — pure counting; edges with
+    // zero common neighbors never reach the support bar (k ≥ 3 ⇒
+    // k − 2 ≥ 1), exactly like the distributed inner join.
+    collectedPairs(dedup, driverMaxEdges) match {
+      case Some(es0) =>
+        var es: Array[(Long, Long)] = es0
+        var kept: Array[(Long, Long, Long)] = Array.empty
+        var r = 0
+        while (r < rounds) {
+          val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+          es.foreach { case (a, b) =>
+            adj(a) = adj.getOrElse(a, Set.empty) + b
+            adj(b) = adj.getOrElse(b, Set.empty) + a
+          }
+          kept = es.flatMap { case (a, b) =>
+            val (small, large) =
+              if (adj(a).size <= adj(b).size) (adj(a), adj(b))
+              else (adj(b), adj(a))
+            val sup = small.count(w => w != a && w != b && large.contains(w))
+              .toLong
+            if (sup >= k - 2) Some((a, b, sup)) else None
+          }
+          es = kept.map(t => (t._1, t._2))
+          r += 1
+        }
+        return edges.sparkSession.createDataFrame(kept.toSeq)
+          .toDF("a", "b", "support")
+      case None => ()
+    }
+    // `release` takes the exact frame `cut` returned, so the cut and its
+    // (a, b) projection are tracked separately across rounds
+    var cutFrame = checkpointer.cut(dedup)
     var und = cutFrame
     var result: DataFrame = null
     var r = 0
@@ -635,14 +943,52 @@ object Graphs {
     * degree joins that broadcast at dimension scale.
     */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-                     maxDegree: Int = 10000): DataFrame = {
+                     maxDegree: Int = 10000,
+                     driverMaxEdges: Int = DriverMaxEdges): DataFrame = {
     require(maxDegree >= 2, "maxDegree must be >= 2")
-    val adj = edges
+    val adjFrame = edges
       .select(col(srcCol).as("x"), col(dstCol).as("n"))
       .unionAll(edges.select(col(dstCol).as("x"), col(srcCol).as("n")))
       .filter(col("x") =!= col("n"))
       .distinct()
-      .localCheckpoint(true)
+    // FAST PATH (optimization r13): wedge counting over sorted neighbor
+    // lists with the same hub cap — centers above maxDegree contribute no
+    // wedges, degrees in the output stay the TRUE degrees; sorted
+    // ascending neighbors make every pair (u, v) with u < v exactly once,
+    // like the posexplode/slice expansion.
+    collectedPairs(adjFrame, driverMaxEdges) match {
+      case Some(rows) =>
+        val adj = scala.collection.mutable.HashMap.empty[Long, Set[Long]]
+        rows.foreach { case (x, n) =>
+          adj(x) = adj.getOrElse(x, Set.empty) + n
+        }
+        val cn = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        adj.foreach { case (_, ns) =>
+          if (ns.size >= 2 && ns.size <= maxDegree) {
+            val sorted = ns.toArray.sorted
+            var i = 0
+            while (i < sorted.length) {
+              var j = i + 1
+              while (j < sorted.length) {
+                val key = (sorted(i), sorted(j))
+                cn(key) = cn.getOrElse(key, 0L) + 1L
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        val out = cn.toSeq.map { case ((u, v), c) =>
+          val du = adj(u).size.toLong
+          val dv = adj(v).size.toLong
+          val isEdge = adj(u).contains(v)
+          (u, v, c, du, dv, isEdge, (1000000L * c) / (du + dv - c))
+        }
+        return edges.sparkSession.createDataFrame(out)
+          .toDF("u", "v", "cn", "deg_u", "deg_v", "is_edge", "jaccard_micro")
+      case None => ()
+    }
+    val adj = adjFrame.localCheckpoint(true)
     val deg = adj.groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
     // per-center pairs, capped BEFORE collect so a hub never materializes
     val wCnt = Window.partitionBy("x")
@@ -682,11 +1028,42 @@ object Graphs {
     * row. Self-loops are dropped; multi-edges collapse in the distinct.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
+                          dstCol: String,
+                          driverMaxEdges: Int = DriverMaxEdges): DataFrame = {
     val und = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
+    // FAST PATH (optimization r13): the statistic is one pass of exact
+    // integer sums — BigInt on the driver IS the DECIMAL(38,0) arithmetic
+    // (both exact), wrapped back into the identical decimal schema so the
+    // callers' BIGINT snap sees the same types.
+    collectedPairs(und, driverMaxEdges) match {
+      case Some(sym) =>
+        val deg = sym.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
+        var nEndp = 0L
+        var sumX = BigInt(0); var sumXy = BigInt(0); var sumXx = BigInt(0)
+        sym.foreach { case (a, b) =>
+          val x = BigInt(deg(a)); val y = BigInt(deg(b))
+          nEndp += 1L; sumX += x; sumXy += x * y; sumXx += x * x
+        }
+        val rNum = BigInt(nEndp) * sumXy - sumX * sumX
+        val rDen = BigInt(nEndp) * sumXx - sumX * sumX
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("n_endpoints", LongType, nullable = false),
+          StructField("sum_x", DecimalType(38, 0)),
+          StructField("sum_xy", DecimalType(38, 0)),
+          StructField("sum_xx", DecimalType(38, 0)),
+          StructField("r_num", DecimalType(38, 0)),
+          StructField("r_den", DecimalType(38, 0))))
+        def dec(v: BigInt) = new java.math.BigDecimal(v.bigInteger)
+        val row = org.apache.spark.sql.Row(nEndp, dec(sumX), dec(sumXy),
+          dec(sumXx), dec(rNum), dec(rDen))
+        return edges.sparkSession.createDataFrame(
+          java.util.Collections.singletonList(row), schema)
+      case None => ()
+    }
     val deg = und.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg"))
     // DECIMAL(38,0) end to end (the q221 chi-square / modularity

@@ -87,23 +87,40 @@ object Populate {
       case Some(e) => result.join(e.select(pk.map(col): _*).distinct(), pk, "left_anti")
       case None    => result
     }
-    // single pass: the row count rides the write itself (Observation) —
-    // the previous cache+count+write shape spent an extra job plus a cache
-    // round-trip per call, and the streaming drains pay this 2× per wave.
-    // An all-duplicate batch now appends zero-row part files instead of
-    // skipping the write; readers are unaffected (and a table that did not
-    // exist before is removed again so "nothing written" still leaves no
-    // table behind).
+    // Single pass, staged: the row count rides the write itself
+    // (Observation — the r12 one-action shape, no cache+count round-trip),
+    // but the write lands in a dot-prefixed SIBLING dir and its part files
+    // are renamed into the table only when n > 0. Consequences (ADVICE
+    // r12): an all-duplicate/replayed wave leaves NO zero-row part file
+    // behind (hot drain tables stop accreting empty files), and an absent
+    // table can never materialize empty — the previous shape wrote
+    // directly and deleted the table on n == 0, which an interleaved first
+    // writer could lose to (the delete racing its fresh write). The dot
+    // prefix keeps the staging dir invisible to any reader listing the
+    // parent (partitioned train stores); a crash before publish leaves
+    // only that inert dir, a crash mid-publish leaves a prefix of complete
+    // part files whose rows the pk re-check skips on retry (the
+    // appendIdempotentExclusive convergence argument).
+    import org.apache.hadoop.fs.Path
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new Path(table.getParent,
+      s".${table.getName}.__append-${java.util.UUID.randomUUID()}")
     val obs = org.apache.spark.sql.Observation()
-    fresh.observe(obs, org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(tablePath)
-    val n = obs.get("n").asInstanceOf[Long]
-    if (n == 0 && existing.isEmpty) {
-      val p = new org.apache.hadoop.fs.Path(tablePath)
-      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
-    }
-    n
+    try {
+      fresh.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+      val n = obs.get("n").asInstanceOf[Long]
+      if (n > 0) {
+        fs.mkdirs(table)
+        fs.listStatus(staged)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .foreach(f =>
+            fs.rename(f.getPath, new Path(table, f.getPath.getName)))
+      }
+      n
+    } finally { fs.delete(staged, true); () }
   }
 
   /** Crash-safe FULL REPLACEMENT of a parquet table (the compact-snapshot
